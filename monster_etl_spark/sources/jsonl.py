@@ -1,0 +1,69 @@
+"""JSON-lines source/sink (reference S1/S2/S5/S6).
+
+Reference behavior:
+
+- ``readJsonLists`` (``MsgIO.scala:83-98``): one JSON object per line,
+  malformed line -> job failure. Mapped to ``spark.read.json`` with
+  ``mode=FAILFAST``.
+- Numeric rule (``MsgIO.scala:22-32``): integral JSON numbers are longs,
+  only true decimals are doubles — Spark's JSON schema inference has
+  exactly this split (``bigint`` vs ``double``), so ``15225.0`` infers
+  double; when a column must be long despite ``.0`` raw text the caller
+  passes it in ``long_columns`` (SURVEY.md §1.2).
+- ``writeJsonLists`` (``MsgIO.scala:106-115``): compact JSON-lines
+  part-files, ``.json`` suffix, explicit nulls PRESERVED
+  (``ignoreNullFields=false``). The TSV-derived tables instead omit absent
+  keys -> ``drop_null_fields=True`` (SURVEY.md §1.5, §7.3.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from monster_etl_spark.operators.transforms import parse_longs
+
+
+def read_json_lines(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    long_columns: Iterable[str] = (),
+) -> DataFrame:
+    """S1 ``readJsonLists``: JSON-lines glob -> DataFrame, fail-fast.
+
+    ``long_columns``: columns whose raw text may carry a trailing ``.0``
+    but are integral by contract (reference reads ``15225.0`` as long
+    15225, ``MsgIO.scala:32``). Parsed via the T9 ``.0``-strip.
+    """
+    reader = spark.read.option("mode", "FAILFAST")
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    longs = [c for c in long_columns if c in df.columns]
+    if longs:
+        # double -> string -> .0-strip -> long keeps 15225.0 == 15225
+        df = df.withColumns({c: df[c].cast("string") for c in longs})
+        df = parse_longs(df, longs)
+    return df
+
+
+def write_json_lines(
+    df: DataFrame,
+    path: str,
+    drop_null_fields: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """S5/S6 ``writeJsonLists``: compact JSON-lines part-files.
+
+    ``drop_null_fields=True`` reproduces the sparse-record outputs of the
+    TSV pipelines (absent key omitted); ``False`` preserves explicit nulls
+    as the JSON pipeline requires (SURVEY.md §1.5).
+    """
+    (
+        df.write.mode(mode)
+        .option("ignoreNullFields", "true" if drop_null_fields else "false")
+        .json(path)
+    )

@@ -1,0 +1,97 @@
+"""TSV-with-header source (reference S3/S4).
+
+Reference behavior (``V2FUtils.scala:33-76``; tested
+``V2FUtilsSpec.scala:89-191``):
+
+- glob expansion; empty glob is OK, a missing *literal* path errors
+  (Spark's reader has the same semantics);
+- header row drives parsing; cells are trimmed; empty cells mean the key is
+  ABSENT for that record (-> NULL in a fixed schema, SURVEY.md §1.3);
+- all cells are strings (typing happens later, per table config);
+- heterogeneous files (different columns / column orders) in one glob are
+  supported — handled here by unioning per-header groups by name;
+- zero-byte files and header-only files are tolerated;
+- each record carries file-path provenance (``input_file_name()``).
+
+Scale note: the common case (one header across the glob) is a single
+``spark.read.csv`` — splittable, parallel, pushdown-friendly. The
+heterogeneous-header case costs one tiny driver-side pass over *file
+headers only* (first line per file), then groups files per header so each
+group is still one distributed scan; record data never touches the driver.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monster_etl_spark.operators.transforms import union_all
+
+_PROVENANCE_COL = "__source_file__"
+
+
+def _expand_glob(path: str) -> list[str]:
+    """Reference glob semantics (``V2FUtils.scala:42``): empty *wildcard*
+    match is allowed; a missing literal path raises."""
+    files = sorted(f for f in _glob.glob(path, recursive=True) if os.path.isfile(f))
+    has_wildcard = any(ch in path for ch in "*?[")
+    if not files and not has_wildcard:
+        raise FileNotFoundError(path)
+    return files
+
+
+def _read_header(path: str) -> tuple[str, ...] | None:
+    """First line of a file as trimmed column names; None if empty file."""
+    with open(path, encoding="utf-8") as fh:
+        line = fh.readline()
+    if not line.strip():
+        return None
+    return tuple(c.strip() for c in line.rstrip("\n").rstrip("\r").split("\t"))
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    with_provenance: bool = False,
+    sep: str = "\t",
+) -> DataFrame:
+    """S4 ``tsvToMsg``: read a TSV glob into an all-string DataFrame.
+
+    Empty cells and whitespace-only cells become NULL (trim-then-drop,
+    ``V2FUtils.scala:66-69``). With ``with_provenance`` a
+    ``__source_file__`` column carries the reference's ``(path, msg)``
+    tuple (``V2FUtils.scala:71``).
+    """
+    files = _expand_glob(path)
+    headers: dict[tuple[str, ...], list[str]] = {}
+    for f in files:
+        h = _read_header(f)
+        if h is None:
+            continue  # 0-byte files in the glob are legal (FIXTURES.md §8)
+        headers.setdefault(h, []).append(f)
+
+    if not headers:
+        # empty-glob-OK: an empty all-string frame with no columns
+        return spark.createDataFrame([], "struct<>")
+
+    parts: list[DataFrame] = []
+    for header, group in headers.items():
+        df = (
+            spark.read.option("header", True)
+            .option("sep", sep)
+            .option("inferSchema", False)
+            # trim-then-null: both "" and whitespace-only cells are absent
+            .option("ignoreLeadingWhiteSpace", True)
+            .option("ignoreTrailingWhiteSpace", True)
+            .option("nullValue", "")
+            .csv(group)
+        )
+        # normalize to the trimmed header names
+        df = df.toDF(*header)
+        if with_provenance:
+            df = df.withColumn(_PROVENANCE_COL, F.input_file_name())
+        parts.append(df)
+    return union_all(parts)
