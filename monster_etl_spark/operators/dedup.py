@@ -1,0 +1,245 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all expressed with built-in column expressions (no Python
+UDFs) so they scale as Catalyst plans:
+
+- exact:          content-hash groupBy (one shuffle on the hash)
+- MinHash + LSH:  shingle -> k minhashes -> banded bucket-join; candidate
+                  pairs only ever meet inside a band bucket, never all-pairs
+- SimHash:        token-hash bit votes -> b-bit signature -> chunk-bucketed
+                  Hamming candidate join (pigeonhole: distance <= d pairs
+                  share at least one of d+1 chunks)
+- n-gram Jaccard: shingle inverted index self-join (exact similarity, the
+                  verification step after LSH candidate generation)
+
+Hashing is md5-based (`_hash64`): deterministic, seed-stable across engines,
+and reproducible in ANSI SQL — which makes every operator here
+oracle-checkable in DuckDB (see ``monster_etl_spark.queries.dedup``).
+
+Scale notes (100 TB posture):
+- Shingle inverted indexes skew on ultra-common shingles; ``max_shingle_freq``
+  drops shingles present in more than that many documents before the join
+  (stopword-shingles carry no dedup signal). AQE skew-join handles the rest.
+- MinHash bands keep the candidate join linear in bucket sizes; the band
+  width trades recall for bucket size.
+- All pair outputs are (small_id, large_id) with ``<`` so results are
+  canonical regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from monster_etl_spark.operators.text import TOKEN_SPLIT_RE
+
+# MinHash parameters shared with the SQL oracles.
+MINHASH_PERMS = 8
+MINHASH_BAND_SIZE = 2  # 4 bands of 2 signatures
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8 bits per chunk; finds all pairs with distance <= 3
+
+
+def _hash64(col: Column, salt: str = "") -> Column:
+    """Deterministic 32-bit-range hash as a long: first 8 hex chars of
+    md5(salt || value). Identical SQL: CAST(concat('0x', substr(md5(...),1,8)) AS UBIGINT).
+    """
+    payload = F.concat(F.lit(salt), F.lit("|"), col) if salt else col
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    toks = F.split(F.lower(F.trim(text)), TOKEN_SPLIT_RE)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    # guard: fewer than n tokens -> no shingles
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprint. Returns one row per
+    distinct content with the surviving (minimum) id and the duplicate count.
+    Map-side partial aggregation makes the shuffle proportional to distinct
+    contents, not rows."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_freq: int | None
+) -> DataFrame:
+    sh = (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        keep = freq.filter(F.col("df_") <= max_shingle_freq).select("shingle")
+        sh = sh.join(F.broadcast(keep) if max_shingle_freq else keep, "shingle")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold via an inverted
+    shingle index: explode distinct shingles, self-join on shingle
+    (co-occurrence = intersection size), then |A|+|B|-inter for the union.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 6dp.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, n, max_shingle_freq)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perms: int = MINHASH_PERMS,
+) -> DataFrame:
+    """Per-document MinHash signature: for each of ``num_perms`` salted hash
+    functions, the minimum hash over the document's shingle set. One
+    aggregate over the exploded-shingle table computes all perms at once.
+    Documents with no shingles (< n tokens) are dropped.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, n, None)
+    aggs = [
+        F.min(_hash64(F.col("shingle"), salt=f"p{i}")).alias(f"mh{i}")
+        for i in range(num_perms)
+    ]
+    return sh.groupBy(F.col("doc")).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perms: int = MINHASH_PERMS,
+    band_size: int = MINHASH_BAND_SIZE,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: signatures split into bands; documents
+    sharing any band bucket become a candidate pair. The join key is
+    (band index, band values) so work is linear in bucket sizes — the
+    100 TB-safe shape (never an all-pairs comparison). Returns distinct
+    (doc_a, doc_b), doc_a < doc_b."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perms)
+    n_bands = num_perms // band_size
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(bi),
+                *[F.col(f"mh{bi * band_size + j}") for j in range(band_size)],
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    bucketed = sigs.select(F.col("doc"), F.explode(bands).alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Per-document SimHash: hash each distinct token, one vote per bit
+    (+1 if set, -1 if clear), signature bit = sign of the vote sum.
+    Implemented as one explode + aggregate; the per-bit vote sums are
+    ``bits`` parallel aggregate expressions (all map-side combinable).
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)).alias("tok"),
+        )
+        .distinct()
+        .withColumn("h", _hash64(F.col("tok")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc").agg(*votes)
+    sig = reduce(
+        lambda acc, i: acc + F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(F.col("doc"), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+    max_distance: int = SIMHASH_CHUNKS - 1,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_distance, found via
+    chunk bucketing (pigeonhole: a pair within distance ``chunks-1`` agrees
+    on at least one of ``chunks`` signature chunks) — candidates meet only
+    inside chunk buckets, never all-pairs. Returns (doc_a, doc_b, hamming).
+    """
+    assert max_distance < chunks, "pigeonhole guarantee requires max_distance < chunks"
+    sigs = simhash_signatures(df, id_col, text_col, bits)
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_arr = F.array(
+        *[
+            F.concat_ws(
+                ":", F.lit(ci), F.shiftright(F.col("simhash"), ci * chunk_bits).bitwiseAND(F.lit(mask))
+            )
+            for ci in range(chunks)
+        ]
+    )
+    bucketed = sigs.select("doc", "simhash", F.explode(chunk_arr).alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — exact, O(|Q| x |N|); correct shape for
+a small query set against a large corpus when the corpus side stays
+distributed and the query side is broadcast. Scale path: sign-LSH (random
+hyperplane simplified to axis sign patterns) bucketing so candidates meet
+only inside buckets.
+
+All arithmetic is element-wise double math via built-in higher-order
+functions (``zip_with``/``aggregate``) — JVM-side, no Python UDFs.
+Similarities are rounded (6dp) so results are deterministic across
+summation strategies and oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SIGN_LSH_DIMS = 8  # first b dims' sign bits form the bucket key
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (index order, deterministic)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _as_double(a), _as_double(b)
+    return dot(da, db) / F.nullif(norm(da) * norm(db), F.lit(0.0))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Plan shape: corpus stays partitioned; the (small) query set is
+    broadcast, so the cross product is a broadcast-nested-loop with no
+    shuffle of the corpus. Ranking is a window partitioned by query —
+    the only shuffle is on query_id (|Q| keys). Ties break on neighbor id
+    for determinism. Self-matches are excluded.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    if broadcast_queries:
+        q = F.broadcast(q)
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def sign_bucket(vec: Column, dims: int = SIGN_LSH_DIMS) -> Column:
+    """LSH bucket key: sign bits of the first ``dims`` components, as a
+    string like ``"10110010"``. Equivalent to random-hyperplane LSH with
+    axis-aligned planes — deterministic and SQL-expressible."""
+    bits = [
+        F.when(F.element_at(vec, i + 1).cast("double") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(dims)
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dims: int = SIGN_LSH_DIMS,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking *within* the query's sign-LSH
+    bucket. The join is an equi-join on the bucket key — shuffle-partitioned
+    by bucket, linear in bucket sizes, never all-pairs. Recall is traded via
+    ``dims`` (fewer bits -> bigger buckets -> higher recall)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dims: int = SIGN_LSH_DIMS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold), found
+    within sign-LSH buckets (a >=0.95 pair almost always agrees on leading
+    sign bits; exactness within the bucket). Returns (id_a, id_b, cosine_sim)."""
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

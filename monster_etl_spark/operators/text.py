@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's surface (it has no text analytics): language-ID,
+quality scoring, token counting, and document fingerprinting over a text
+column — each built from built-in column expressions (JVM-side, codegen'd),
+no Python UDFs, so they run as narrow map stages at any scale.
+
+Determinism contract: every function here is a pure column expression over
+its input row, so results are reproducible and SQL-oracle-checkable
+(see ``monster_etl_spark.queries``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenization shared by all text ops (and their SQL oracles).
+TOKEN_SPLIT_RE = r"\s+"
+
+# A BPE-ish word/number/symbol segmentation: letters run, digits run, or a
+# single non-space symbol — a cheap proxy for subword token counting.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Small per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic tie-break order = list order below.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "los", "las", "es", "y", "que"),
+    "fr": ("le", "la", "les", "et", "est", "que"),
+}
+
+# Stopwords used by the quality score (English-centric, like most
+# web-scale quality filters).
+QUALITY_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "is", "in", "that", "it")
+
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}\-]"
+
+
+def tokens(col: Column) -> Column:
+    """Lower-cased whitespace tokens."""
+    return F.split(F.lower(F.trim(col)), TOKEN_SPLIT_RE)
+
+
+def ws_token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish segment count (letters/digits runs + single symbols)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
+
+
+def stopword_count(col: Column, stopwords: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*stopwords)))
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = QUALITY_STOPWORDS) -> Column:
+    return stopword_count(col, stopwords) / F.nullif(ws_token_count(col), F.lit(0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars."""
+    n = F.length(col)
+    stripped = F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+    return (n - stripped) / F.nullif(n.cast("double"), F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    low punctuation density — the standard cheap pre-filter shape for
+    web-scale corpora. Rounded to 6dp for cross-engine determinism.
+    """
+    n_tok = ws_token_count(col).cast("double")
+    length_term = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    return F.round((length_term + stop_term + punct_term) / 3, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-membership language ID: score each candidate language by
+    its stopword hit count, pick the argmax (ties -> LANG_STOPWORDS order,
+    no hits -> 'und'). N-gram-profile LID reduced to its cheapest effective
+    form; pure column expressions.
+    """
+    toks = tokens(col)
+
+    def hit_count(sw: tuple[str, ...]) -> Column:
+        # factory closure: F.filter lambdas must be single-parameter
+        # (a second parameter is interpreted as the element index)
+        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+    scores = {lang: hit_count(sw) for lang, sw in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    # when-chain evaluates in order, so earlier languages win ties
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_STOPWORDS:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lower, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic 128-bit content fingerprint of normalized text (md5 —
+    available identically in Spark and DuckDB, so oracle-checkable; a
+    rolling/xx hash would be faster but engine-specific)."""
+    return F.md5(normalized_text(col))
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the full feature set as columns."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "ws_tokens": ws_token_count(c),
+            "bpe_tokens": bpe_token_count(c),
+            "stopword_ratio": F.round(stopword_ratio(c), 6),
+            "punct_ratio": F.round(punct_ratio(c), 6),
+            "quality": quality_score(c),
+            "lang_pred": lang_id(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

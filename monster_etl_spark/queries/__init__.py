@@ -1,0 +1,82 @@
+"""Query registry backing ``__spark_entry__.py`` (the driver contract).
+
+Each entry pairs a PySpark implementation (``(spark, sf_dir) -> DataFrame``)
+with an ANSI-SQL oracle string DuckDB runs on the same parquet tables; the
+driver hash-compares the two at sf=0.01. Oracle-less entries (genuinely not
+SQL-expressible, e.g. streaming/stateful) get a rows-only check.
+
+Column names are aliased identically on both sides — the driver's compare
+sorts columns by name before hashing. Floating-point discipline:
+aggregate sums go through DECIMAL (exact) and convert to DOUBLE once;
+per-row float expressions are rounded (6dp) so cross-engine summation-order
+differences cannot flip a hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None -> rows-only check
+    doc: str = ""
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects outright (PARQUET_TYPE_ILLEGAL). Read the nanos as raw longs
+    (legacy conf) and rebuild a timestamp_ntz floored to microseconds —
+    exactly what DuckDB's reader produces, so oracles agree.
+
+    The reconstruction is timezone-independent: epoch arithmetic on an ntz
+    literal, never via the session timezone. The day/fraction split keeps
+    every intermediate inside exact double range (rem_us < 8.64e10).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer div/mod (never double) until the final sub-day fraction
+    ts = F.expr(
+        "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ) + make_dt_interval("
+        "  CAST((ts div 1000) div 86400000000 AS INT), 0, 0,"
+        "  CAST((ts div 1000) % 86400000000 AS DOUBLE) / 1e6)"
+    )
+    return df.withColumn("ts", ts)
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    from monster_etl_spark.queries import (
+        dedup_queries,
+        events_queries,
+        refops_queries,
+        relational_queries,
+        similarity_queries,
+        text_queries,
+    )
+
+    out: dict[str, QuerySpec] = {}
+    for mod in (
+        refops_queries,
+        relational_queries,
+        events_queries,
+        text_queries,
+        dedup_queries,
+        similarity_queries,
+    ):
+        overlap = out.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(mod.QUERIES)
+    return out

@@ -1,0 +1,139 @@
+"""Dedup queries over the documents table, each with a DuckDB oracle that
+mirrors the exact hash/shingle/band construction (md5-derived hashes are
+identical across engines, so even MinHash/SimHash are hash-checkable —
+no rows-only escape hatch needed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from monster_etl_spark.operators import dedup as dd
+from monster_etl_spark.queries import QuerySpec, load
+
+JACCARD_THRESHOLD = 0.2
+NGRAM_N = 3
+
+# SQL building blocks mirroring operators.dedup (shared constants)
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SHINGLES = f"""
+SELECT doc_id AS doc, unnest(list_distinct(
+  list_transform(range(1, len({_TOKS}) - 1),
+    i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])
+)) AS shingle
+FROM documents
+WHERE len({_TOKS}) >= {NGRAM_N}
+"""
+
+
+def _sql_hash64(expr: str) -> str:
+    # mirror of operators.dedup._hash64
+    return f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+EXACT_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.n_shingles + sb.n_shingles - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_signatures(load(spark, sf_dir, "documents"), "doc_id", "text", n=NGRAM_N)
+
+
+def _minhash_sig_sql() -> str:
+    salted = [f"'p{i}' || '|' || shingle" for i in range(dd.MINHASH_PERMS)]
+    mins = ",\n  ".join(
+        f"MIN({_sql_hash64(expr)}) AS mh{i}" for i, expr in enumerate(salted)
+    )
+    return f"WITH sh AS ({_SHINGLES})\nSELECT doc,\n  {mins}\nFROM sh GROUP BY doc"
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(load(spark, sf_dir, "documents"), "doc_id", "text", n=NGRAM_N)
+
+
+def _minhash_lsh_sql() -> str:
+    n_bands = dd.MINHASH_PERMS // dd.MINHASH_BAND_SIZE
+    band_exprs = ", ".join(
+        "concat_ws(':', "
+        + f"{bi}, "
+        + ", ".join(f"mh{bi * dd.MINHASH_BAND_SIZE + j}" for j in range(dd.MINHASH_BAND_SIZE))
+        + ")"
+        for bi in range(n_bands)
+    )
+    return f"""
+WITH sigs AS ({_minhash_sig_sql()}),
+buckets AS (SELECT doc, unnest([{band_exprs}]) AS bucket FROM sigs)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc < b.doc
+"""
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_pairs(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _simhash_sql() -> str:
+    bits, chunks = dd.SIMHASH_BITS, dd.SIMHASH_CHUNKS
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    votes = ",\n  ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN v{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END" for i in range(bits))
+    chunk_exprs = ", ".join(
+        f"concat_ws(':', {ci}, (simhash >> {ci * chunk_bits}) & {mask})" for ci in range(chunks)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents
+),
+hashed AS (SELECT doc, {_sql_hash64('tok')} AS h FROM toks),
+votes AS (SELECT doc,
+  {votes}
+FROM hashed GROUP BY doc),
+sigs AS (SELECT doc, {sig} AS simhash FROM votes),
+buckets AS (SELECT doc, simhash, unnest([{chunk_exprs}]) AS bucket FROM sigs)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {chunks - 1}
+"""
+
+
+QUERIES = {
+    "dedup_exact": QuerySpec(dedup_exact, EXACT_SQL, "exact content-hash dedup"),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, JACCARD_SQL, "n-gram Jaccard pairs"),
+    "dedup_minhash_signatures": QuerySpec(
+        dedup_minhash_signatures, _minhash_sig_sql(), "MinHash signatures"
+    ),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_lsh_sql(), "MinHash-LSH candidate pairs"),
+    "dedup_simhash": QuerySpec(dedup_simhash_pairs, _simhash_sql(), "SimHash near-dup pairs"),
+}

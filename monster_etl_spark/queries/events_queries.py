@@ -1,0 +1,137 @@
+"""Event-stream analytics (batch twins of the streaming surface).
+
+The reference has no streaming (SURVEY.md §2.7); these queries define the
+batch semantics that ``monster_etl_spark.streaming`` reproduces incrementally
+with watermarks (the tumbling-window query here is the exact batch twin of
+the streaming windowed aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from monster_etl_spark.queries import QuerySpec, load
+
+SESSION_GAP_MINUTES = 30
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path scalar extraction from the events props payload +
+    aggregate per event type (sums exact via BIGINT)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag + cumulative sum over a per-user window, then per-user session
+    stats. One shuffle on user_id; the window sort is per-partition."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval arithmetic (not epoch casts): timezone-independent on
+    # timestamp_ntz regardless of the session timezone
+    prev = F.lag("ts").over(w)
+    gap_exceeded = F.col("ts") - prev > F.expr(f"INTERVAL {SESSION_GAP_MINUTES} MINUTES")
+    new_session = F.when(prev.isNull() | gap_exceeded, 1).otherwise(0)
+    sessions = e.withColumn("new_s", new_session).withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q_SESSIONIZE_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+           OR epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_MINUTES * 60}
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+FROM marked GROUP BY user_id
+"""
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling-window aggregation — the batch twin of the
+    streaming windowed count (streaming/pipeline.py runs the identical
+    aggregation with a watermark)."""
+    e = load(spark, sf_dir, "events")
+    win = F.window("ts", "15 minutes")
+    return (
+        e.groupBy(win.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+Q_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: truncate-to-hour continuous aggregate."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+Q_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "q_json_extract": QuerySpec(q_json_extract, Q_JSON_SQL, "JSON-path extraction + agg"),
+    "q_sessionize": QuerySpec(q_sessionize, Q_SESSIONIZE_SQL, "gap-based sessionization"),
+    "q_tumbling_window": QuerySpec(q_tumbling_window, Q_TUMBLING_SQL, "tumbling window agg"),
+    "q_hourly_rollup": QuerySpec(q_hourly_rollup, Q_HOURLY_SQL, "hourly time rollup"),
+}

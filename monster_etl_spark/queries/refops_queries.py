@@ -1,0 +1,244 @@
+"""Reference-operator parity queries (SURVEY.md §2.2/§2.4/§2.9).
+
+Each query exercises one reference transform (T1-T15, A1/A2, P2) through
+the engine's actual operator functions over the synthetic testdata tables,
+with a DuckDB oracle pinning the semantics — e.g. the ``.0``-strip long
+parse, boolean-by-membership, nan-sentinel arrays, and the
+remove-before-parse chain order.
+
+T16 (path-derived column) has no SQL oracle (the oracle can't see file
+paths) and is covered by unit tests + a rows-only entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monster_etl_spark.config import TableConfig
+from monster_etl_spark.naming import columns_to_snake_case
+from monster_etl_spark.operators import transforms as tr
+from monster_etl_spark.plans.v2f import transform_table
+from monster_etl_spark.queries import QuerySpec, load
+
+
+def t1_rename_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "customer")
+    return tr.rename_fields(
+        df, {"c_name": "customer_name", "c_acctbal": "account_balance", "not_there": "x"}
+    ).select("c_custkey", "customer_name", "account_balance")
+
+
+T1_SQL = "SELECT c_custkey, c_name AS customer_name, c_acctbal AS account_balance FROM customer"
+
+
+def t2_remove_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "part")
+    return tr.remove_fields(df, {"p_brand", "p_retailprice", "not_there"})
+
+
+T2_SQL = "SELECT p_partkey, p_name, p_type, p_size FROM part"
+
+
+def t3_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "supplier")
+    return tr.extract_fields(df, {"s_suppkey", "s_name"})
+
+
+T3_SQL = "SELECT s_suppkey, s_name FROM supplier"
+
+
+def t4_collect_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "customer")
+    return tr.collect_fields(df, ["c_mktsegment", "c_name"], "collected").select(
+        "c_custkey", "collected"
+    )
+
+
+T4_SQL = """
+SELECT c_custkey,
+       list_filter([c_mktsegment, c_name], x -> x IS NOT NULL) AS collected
+FROM customer
+"""
+
+
+def t5_concat_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "nation").withColumn("rk", F.col("n_regionkey").cast("string"))
+    return tr.concat_fields(df, ["n_name", "rk"], "nation_code", ":").select(
+        "n_nationkey", "nation_code"
+    )
+
+
+T5_SQL = "SELECT n_nationkey, n_name || ':' || CAST(n_regionkey AS VARCHAR) AS nation_code FROM nation"
+
+
+def t7_snake_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # camel-case the schema, then snake-case it back through the operator
+    df = load(spark, sf_dir, "region").toDF("rRegionKey", "rName")
+    return columns_to_snake_case(df)
+
+
+T7_SQL = "SELECT r_regionkey AS r_region_key, r_name AS r_name FROM region"
+
+
+def t9_parse_longs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # double -> raw text with trailing .0 -> reference long parse
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("string").alias("qty_raw")
+    )
+    return tr.parse_longs(df, {"qty_raw"}).withColumnsRenamed({"qty_raw": "qty_long"})
+
+
+T9_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(regexp_replace(CAST(l_quantity AS VARCHAR), '\\.0$', '') AS BIGINT) AS qty_long
+FROM lineitem
+"""
+
+
+def t10_parse_doubles_nan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # zero discounts masked with the "." nan sentinel, then parsed back
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") == 0, F.lit(".")).otherwise(F.col("l_discount").cast("string")).alias("disc_raw"),
+    )
+    return tr.parse_doubles(df, {"disc_raw"}, nan_values={"."}).withColumnsRenamed(
+        {"disc_raw": "disc_double"}
+    )
+
+
+T10_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0 THEN NULL ELSE CAST(CAST(l_discount AS VARCHAR) AS DOUBLE) END AS disc_double
+FROM lineitem
+"""
+
+
+def t11_parse_booleans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # membership test, NOT a cast: only 'F' is true
+    df = load(spark, sf_dir, "orders").select("o_orderkey", F.col("o_orderstatus").alias("is_finished"))
+    return tr.parse_booleans(df, {"is_finished"}, true_values=("F",))
+
+
+T11_SQL = "SELECT o_orderkey, o_orderstatus IN ('F') AS is_finished FROM orders"
+
+
+def t12_parse_string_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "part").select("p_partkey", F.col("p_name").alias("name_tokens"))
+    return tr.parse_string_arrays(df, {"name_tokens"}, " ")
+
+
+T12_SQL = "SELECT p_partkey, string_split(p_name, ' ') AS name_tokens FROM part"
+
+
+def t13_parse_double_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # delimited numeric text with a nan sentinel element
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(",", F.col("l_discount").cast("string"), F.lit("."), F.col("l_tax").cast("string")).alias("vals"),
+    )
+    return tr.parse_double_arrays(df, {"vals"}, ",", nan_values={"."})
+
+
+T13_SQL = """
+SELECT l_orderkey, l_linenumber,
+       list_transform(
+         string_split(CAST(l_discount AS VARCHAR) || ',.,' || CAST(l_tax AS VARCHAR), ','),
+         x -> CASE WHEN x = '.' THEN NULL ELSE CAST(x AS DOUBLE) END
+       ) AS vals
+FROM lineitem
+"""
+
+
+def t15_ensure_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segments")
+    )
+    return tr.ensure_arrays(df, {"segments"})
+
+
+T15_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_mktsegment IS NULL THEN [] ELSE [c_mktsegment] END AS segments
+FROM customer
+"""
+
+
+def p4_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2 (the variants-merge shape): union by name + dedup on an
+    extracted scalar key — the reference pipeline's single shuffle."""
+    l = load(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("id"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("id"))
+    return tr.distinct_by(tr.union_all([l, o]), ["id"])
+
+
+P4_SQL = """
+SELECT DISTINCT id FROM (
+  SELECT l_orderkey AS id FROM lineitem
+  UNION ALL
+  SELECT o_orderkey AS id FROM orders
+)
+"""
+
+
+# P2: the full config-driven chain (rename -> remove -> parse doubles ->
+# longs -> booleans -> arrays) over a string-typed projection of lineitem.
+_P2_CONFIG = TableConfig(
+    table_name="lineitem_demo",
+    fields_to_rename={"l_returnflag": "returned"},
+    fields_to_remove=frozenset({"l_linestatus"}),
+    fields_to_double=frozenset({"l_discount"}),
+    fields_to_long=frozenset({"l_quantity"}),
+    fields_to_boolean=frozenset({"returned"}),
+    boolean_true_values=frozenset({"R"}),
+    string_array_fields={"-": frozenset({"l_shipmode"})},
+)
+
+
+def p2_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("string").alias("l_quantity"),
+        F.col("l_discount").cast("string").alias("l_discount"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    return transform_table(df, _P2_CONFIG)
+
+
+P2_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(regexp_replace(CAST(l_quantity AS VARCHAR), '\\.0$', '') AS BIGINT) AS l_quantity,
+       CAST(CAST(l_discount AS VARCHAR) AS DOUBLE) AS l_discount,
+       l_returnflag IN ('R') AS returned
+FROM lineitem
+"""
+
+
+def t16_path_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 rows-only: extract the scale-factor id from each row's source
+    file path. No oracle — DuckDB's view can't see Spark's input paths."""
+    df = load(spark, sf_dir, "nation")
+    return tr.add_column_from_path(df, "sf_tag", r"(sf[0-9.]+)/", strict=False)
+
+
+QUERIES = {
+    "t1_rename_fields": QuerySpec(t1_rename_fields, T1_SQL, "T1 renameFields"),
+    "t2_remove_fields": QuerySpec(t2_remove_fields, T2_SQL, "T2 removeFields"),
+    "t3_extract_fields": QuerySpec(t3_extract_fields, T3_SQL, "T3 extractFields"),
+    "t4_collect_fields": QuerySpec(t4_collect_fields, T4_SQL, "T4 collectFields"),
+    "t5_concat_fields": QuerySpec(t5_concat_fields, T5_SQL, "T5 concatFields"),
+    "t7_snake_case": QuerySpec(t7_snake_case, T7_SQL, "T6/T7 keysToSnakeCase"),
+    "t9_parse_longs": QuerySpec(t9_parse_longs, T9_SQL, "T9 parseLongs .0-strip"),
+    "t10_parse_doubles_nan": QuerySpec(t10_parse_doubles_nan, T10_SQL, "T10 parseDoubles + nan"),
+    "t11_parse_booleans": QuerySpec(t11_parse_booleans, T11_SQL, "T11 boolean-by-membership"),
+    "t12_parse_string_arrays": QuerySpec(t12_parse_string_arrays, T12_SQL, "T12 string arrays"),
+    "t13_parse_double_arrays": QuerySpec(t13_parse_double_arrays, T13_SQL, "T13 double arrays + nan"),
+    "t15_ensure_arrays": QuerySpec(t15_ensure_arrays, T15_SQL, "T15 ensureArrays"),
+    "p2_transform_chain": QuerySpec(p2_transform_chain, P2_SQL, "P2 config-driven chain"),
+    "p4_union_dedup": QuerySpec(p4_union_dedup, P4_SQL, "A1+A2 union + distinctBy"),
+    "t16_path_column": QuerySpec(t16_path_column, None, "T16 path-derived column (rows-only)"),
+}

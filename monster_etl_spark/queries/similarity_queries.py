@@ -1,0 +1,115 @@
+"""Similarity-search queries over the embeddings table.
+
+Brute-force cosine top-k is the exact baseline; sign-LSH bucketed top-k is
+the approximate scale path (same ranking, candidates restricted to the
+query's bucket). Both oracle-checked: cosine is computed with the same
+double-precision element order on both engines and rounded to 6dp before
+ranking, so ranks are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monster_etl_spark.operators import similarity as sim
+from monster_etl_spark.queries import QuerySpec, load
+
+TOP_K = 5
+QUERY_MOD = 50  # query set = vec_id % 50 == 0
+DUP_THRESHOLD = 0.9
+
+_DVEC = "list_transform({col}, x -> CAST(x AS DOUBLE))"
+_COS = """
+round(
+  list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i]))
+  / nullif(sqrt(list_sum(list_transform(qv, x -> x * x)))
+           * sqrt(list_sum(list_transform(nv, x -> x * x))), 0.0),
+6)
+"""
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % QUERY_MOD == 0)
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(_queries_df(spark, sf_dir), emb, k=TOP_K)
+
+
+KNN_BRUTE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, {_DVEC.format(col='embedding')} AS qv
+           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS neighbor_id, {_DVEC.format(col='embedding')} AS nv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cosine_sim
+  FROM q CROSS JOIN c WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(_queries_df(spark, sf_dir), emb, k=TOP_K)
+
+
+def _bucket_sql(col: str) -> str:
+    bits = " || ".join(
+        f"CASE WHEN CAST({col}[{i + 1}] AS DOUBLE) >= 0 THEN '1' ELSE '0' END"
+        for i in range(sim.SIGN_LSH_DIMS)
+    )
+    return f"({bits})"
+
+
+KNN_LSH_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, {_DVEC.format(col='embedding')} AS qv,
+                  {_bucket_sql('embedding')} AS bucket
+           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS neighbor_id, {_DVEC.format(col='embedding')} AS nv,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cosine_sim
+  FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.embedding_dup_pairs(emb, threshold=DUP_THRESHOLD)
+
+
+EMB_DUP_SQL = f"""
+WITH v AS (SELECT vec_id AS vid, {_DVEC.format(col='embedding')} AS vec,
+                  {_bucket_sql('embedding')} AS bucket
+           FROM embeddings)
+SELECT a.vid AS id_a, b.vid AS id_b,
+  round(
+    list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]))
+    / nullif(sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.vec, x -> x * x))), 0.0),
+  6) AS cosine_sim
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vid < b.vid
+WHERE round(
+    list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]))
+    / nullif(sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.vec, x -> x * x))), 0.0),
+  6) >= {DUP_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
+    "knn_lsh": QuerySpec(knn_lsh, KNN_LSH_SQL, "sign-LSH bucketed top-k"),
+    "embedding_dup_pairs": QuerySpec(embedding_dup_pairs, EMB_DUP_SQL, "embedding near-dup pairs"),
+}

@@ -1,0 +1,106 @@
+"""Text-analysis queries over the documents table, with DuckDB oracles
+mirroring each heuristic expression-for-expression (shared constants from
+``operators.text`` are interpolated into the SQL so the two sides cannot
+drift)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monster_etl_spark.operators import text as tx
+from monster_etl_spark.queries import QuerySpec, load
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+# single quotes doubled for SQL literal embedding
+_PUNCT_SQL = tx.PUNCT_CLASS.replace("'", "''")
+
+
+def _sql_stop_count(stopwords: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in stopwords)
+    return f"len(list_filter({_TOKS}, x -> x IN ({inlist})))"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.ws_token_count(c).alias("ws_tokens"),
+        tx.bpe_token_count(c).alias("bpe_tokens"),
+        F.round(tx.stopword_ratio(c), 6).alias("stop_ratio"),
+        F.round(tx.punct_ratio(c), 6).alias("punct_ratio"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+  len({_TOKS}) AS ws_tokens,
+  len(regexp_extract_all(text, '{tx.BPE_TOKEN_RE}')) AS bpe_tokens,
+  round({_sql_stop_count(tx.QUALITY_STOPWORDS)} / nullif(len({_TOKS}), 0), 6) AS stop_ratio,
+  round((length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))
+        / nullif(CAST(length(text) AS DOUBLE), 0), 6) AS punct_ratio
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+
+
+QUALITY_SQL = f"""
+SELECT doc_id,
+  round((
+    least(len({_TOKS}) / 64.0, 1.0)
+    + least(({_sql_stop_count(tx.QUALITY_STOPWORDS)} / nullif(len({_TOKS}), 0)) * 4, 1.0)
+    + (1.0 - least(((length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))
+                    / nullif(CAST(length(text) AS DOUBLE), 0)) * 4, 1.0))
+  ) / 3, 6) AS quality
+FROM documents
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _langid_sql() -> str:
+    scores = {lang: _sql_stop_count(sw) for lang, sw in tx.LANG_STOPWORDS.items()}
+    score_cols = ",\n  ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in tx.LANG_STOPWORDS) + ")"
+    whens = "\n    ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in tx.LANG_STOPWORDS
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+  {score_cols}
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN {best} <= 0 THEN 'und'
+    {whens}
+    ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token counting + ratios"),
+    "text_quality": QuerySpec(text_quality, QUALITY_SQL, "quality scoring"),
+    "text_lang_id": QuerySpec(text_lang_id, _langid_sql(), "stopword language-ID"),
+    "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_SQL, "document fingerprint"),
+}
