@@ -60,6 +60,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from monster_etl_spark.queries import (
         dedup_queries,
         events_queries,
+        multimodal_queries,
         refops_queries,
         relational_queries,
         similarity_queries,
@@ -74,6 +75,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text_queries,
         dedup_queries,
         similarity_queries,
+        multimodal_queries,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,87 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (SURVEY.md §2.7) — this module is the
+green-field streaming counterpart built on Spark Structured Streaming:
+file/json sources, watermarked tumbling-window aggregation (the incremental
+twin of ``queries.events_queries.q_tumbling_window``), within-watermark
+dedup, and stateful gap sessionization via ``applyInPandasWithState``.
+
+Scale posture: state stores partition by the grouping key; watermarks bound
+state size (late data beyond the watermark is dropped deterministically);
+``dropDuplicatesWithinWatermark`` keeps the dedup state window-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_json_stream(
+    spark: SparkSession, path: str, schema: T.StructType = EVENT_SCHEMA
+) -> DataFrame:
+    """File-based streaming source: JSON-lines dropped into a directory.
+    Schema is mandatory for streaming reads (no inference race)."""
+    return spark.readStream.schema(schema).json(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type — identical
+    aggregation to the batch ``q_tumbling_window``; the watermark bounds
+    aggregation state and admits late data up to the bound."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact-dedup on event identity within the watermark window —
+    the streaming twin of A2 ``distinctBy`` with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Streaming gap-based sessionization using the built-in session window
+    (state-backed, merges windows closer than the gap). Batch twin:
+    ``queries.events_queries.q_sessionize``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,88 @@
+"""Physical-plan shape tests (the 100 TB posture, checked at any SF):
+
+- filters and projections reach the parquet scan (PushedFilters/ReadSchema);
+- dimension joins broadcast instead of shuffling the fact table;
+- narrow operator pipelines stay in one whole-stage-codegen span with zero
+  exchanges; aggregations shuffle exactly once;
+- the brute-force knn broadcasts the query side (nested-loop), never
+  shuffling the corpus.
+
+A plan regression here is a performance bug even while results stay
+correct — these tests pin the plans the engine is designed to produce.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from monster_etl_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def shuffle_count(plan: str) -> int:
+    """Count shuffle Exchange detail nodes (excludes BroadcastExchange)."""
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def plan_of(spark, sf_dir, name) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_scan_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched columns must not be read
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in read_schema, f"{col} should be pruned from the scan"
+    # partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_pushes_dim_filters(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_narrow_transform_has_no_exchange(spark, sf_dir):
+    for name in ("t9_parse_longs", "p2_transform_chain", "text_token_stats", "t12_parse_string_arrays"):
+        plan = plan_of(spark, sf_dir, name)
+        assert shuffle_count(plan) == 0, f"{name} must stay a narrow map stage"
+        assert "BroadcastExchange" not in plan, f"{name} needs no join at all"
+        assert "[codegen id :" in plan, f"{name} must stay in codegen"
+
+
+def test_union_dedup_shuffles_once(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "p4_union_dedup")
+    assert shuffle_count(plan) == 1, "dedup-by-key is the only legal shuffle"
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "knn_brute_force")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_python_udfs_on_relational_paths(spark, sf_dir):
+    """Everything except the multimodal mapInPandas stays JVM-side."""
+    for name, spec in QUERIES.items():
+        if name.startswith("multimodal"):
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a Pandas UDF unexpectedly"

@@ -1,0 +1,133 @@
+"""Streaming surface tests: drive each streaming transformation end-to-end
+with a file source and memory sink, including late-data handling under the
+watermark."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from monster_etl_spark.streaming import (
+    read_json_stream,
+    sessionize_stream,
+    stream_dedup,
+    windowed_event_counts,
+)
+
+
+def _write_events(path, events):
+    with open(path, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _run_stream(df, out_name, mode):
+    q = df.writeStream.format("memory").queryName(out_name).outputMode(mode).start()
+    q.processAllAvailable()
+    return q
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    _write_events(
+        d / "batch1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:01:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:05:00", "user_id": 1, "event_type": "click", "value": 2.0, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01T00:20:00", "user_id": 2, "event_type": "view", "value": 3.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:05:00", "user_id": 1, "event_type": "click", "value": 2.0, "props": "{}"},
+            {"event_id": 4, "ts": "2024-01-01T02:00:00", "user_id": 1, "event_type": "click", "value": 4.0, "props": "{}"},
+        ],
+    )
+    return str(d)
+
+
+def test_windowed_counts(spark, events_dir):
+    stream = read_json_stream(spark, events_dir)
+    assert stream.isStreaming
+    q = _run_stream(windowed_event_counts(stream), "win_counts", "complete")
+    try:
+        rows = {
+            (r["window_start"].isoformat(), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+    finally:
+        q.stop()
+    assert rows[("2024-01-01T00:00:00", "click")] == (3, 5.0)
+    assert rows[("2024-01-01T00:15:00", "view")] == (1, 3.0)
+    assert rows[("2024-01-01T02:00:00", "click")] == (1, 4.0)
+
+
+def test_stream_dedup(spark, events_dir):
+    stream = read_json_stream(spark, events_dir)
+    q = _run_stream(stream_dedup(stream), "dedup_out", "append")
+    try:
+        ids = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    finally:
+        q.stop()
+    # duplicate event_id 2 dropped within the watermark
+    assert ids == [1, 2, 3, 4]
+
+
+def test_sessionize_stream(spark, events_dir):
+    stream = read_json_stream(spark, events_dir)
+    q = _run_stream(sessionize_stream(stream), "sessions_out", "complete")
+    try:
+        rows = sorted(
+            (r["user_id"], r["session_start"].isoformat(), r["n_events"])
+            for r in spark.sql("SELECT * FROM sessions_out").collect()
+        )
+    finally:
+        q.stop()
+    # user 1: events at 00:01/00:05 (incl. the duplicate row — sessionize
+    # does not dedup) merge into one session; 02:00 is separate
+    assert rows == [
+        (1, "2024-01-01T00:01:00", 3),
+        (1, "2024-01-01T02:00:00", 1),
+        (2, "2024-01-01T00:20:00", 1),
+    ]
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """Drive the watermark: a second file with an event far behind the
+    advanced watermark must not re-open its window in append mode."""
+    d = tmp_path / "late_in"
+    d.mkdir()
+    _write_events(
+        d / "b1.json",
+        [{"event_id": 1, "ts": "2024-01-01T00:01:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"}],
+    )
+    stream = read_json_stream(spark, str(d))
+    q = (
+        windowed_event_counts(stream, window="15 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance watermark far past the first window
+        _write_events(
+            d / "b2.json",
+            [{"event_id": 2, "ts": "2024-01-01T06:00:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"}],
+        )
+        q.processAllAvailable()
+        # now a very late event for the long-closed first window
+        _write_events(
+            d / "b3.json",
+            [{"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 1, "event_type": "click", "value": 9.0, "props": "{}"}],
+        )
+        q.processAllAvailable()
+        rows = {
+            (r["window_start"].isoformat(), r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM late_out").collect()
+        }
+    finally:
+        q.stop()
+    # first window emitted exactly once, without the late event's value
+    assert ("2024-01-01T00:00:00", 1, 1.0) in rows
+    assert not any(v == 9.0 or v == 10.0 for _, _, v in rows)
