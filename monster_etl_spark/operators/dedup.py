@@ -33,6 +33,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from monster_etl_spark.operators.partitioning import spread as _spread
 from monster_etl_spark.operators.text import TOKEN_SPLIT_RE
 
 # MinHash parameters shared with the SQL oracles.
@@ -40,6 +41,17 @@ MINHASH_PERMS = 8
 MINHASH_BAND_SIZE = 2  # 4 bands of 2 signatures
 SIMHASH_BITS = 32
 SIMHASH_CHUNKS = 4  # 8 bits per chunk; finds all pairs with distance <= 3
+
+# Universal-hash permutation constants for MinHash: perm_i(h) = (a_i*h + b_i)
+# mod p. One base hash per shingle (md5 is the expensive part) + cheap
+# arithmetic per permutation beats k independent md5 passes ~k-fold.
+# a_i odd and < 2^30, h < 2^32 => a*h + b < 2^62: no BIGINT overflow, so the
+# identical expression runs in DuckDB (oracle) and Spark.
+MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime
+MINHASH_AB: tuple[tuple[int, int], ...] = tuple(
+    (2 * k + 1, (k * k * 0x9E3779B9 + k + 12289) % (1 << 30))
+    for k in (0x1DF5, 0x2E8B, 0x3C6F, 0x4A21, 0x58D3, 0x6665, 0x7417, 0x81C9)
+)[:MINHASH_PERMS]
 
 
 def _hash64(col: Column, salt: str = "") -> Column:
@@ -78,14 +90,30 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_freq: int | None
 ) -> DataFrame:
-    sh = (
-        df.select(F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+    """(doc, shingle) rows, distinct per doc. ``shingles()`` already emits
+    per-row-distinct arrays, so exploding needs NO global distinct — that
+    would add a full shuffle of the shingle table for nothing.
+
+    The token array is materialized as a projected column FIRST: lambda
+    subexpressions are not CSE'd, so inlining the split would re-tokenize
+    the text for every element_at — ~3x n_shingles regex splits per row.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+    with_toks = _spread(df.select(F.col(id_col).alias("doc"), toks.alias("toks")))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]),
     )
+    gram_arr = F.when(F.size("toks") >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+    sh = with_toks.select("doc", F.explode(gram_arr).alias("shingle"))
     if max_shingle_freq is not None:
+        # drop stopword-shingles: present in > max_shingle_freq docs they
+        # carry no dedup signal and create join skew at scale
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         keep = freq.filter(F.col("df_") <= max_shingle_freq).select("shingle")
-        sh = sh.join(F.broadcast(keep) if max_shingle_freq else keep, "shingle")
+        sh = sh.join(keep, "shingle")
     return sh
 
 
@@ -101,12 +129,24 @@ def ngram_jaccard_pairs(
     shingle index: explode distinct shingles, self-join on shingle
     (co-occurrence = intersection size), then |A|+|B|-inter for the union.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 6dp.
+
+    The self-join keys on the 64-bit shingle hash, not the string: the
+    shuffle moves 8-byte keys instead of ~20-byte strings and the join
+    compares longs. (Identical hashing on the oracle side keeps results
+    bit-equal; a 64-bit collision would need ~2^32 distinct shingles.)
     """
-    sh = _exploded_shingles(df, id_col, text_col, n, max_shingle_freq)
+    sh = (
+        _exploded_shingles(df, id_col, text_col, n, max_shingle_freq)
+        .select("doc", _hash64(F.col("shingle")).alias("sh"))
+        # pre-partition on the join key: both self-join sides share one
+        # identical exchange (ReusedExchange) — the scan+shingle+hash work
+        # runs once, and the join itself is co-partitioned (no extra shuffle)
+        .repartition(F.col("sh"))
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -133,10 +173,12 @@ def minhash_signatures(
     aggregate over the exploded-shingle table computes all perms at once.
     Documents with no shingles (< n tokens) are dropped.
     """
-    sh = _exploded_shingles(df, id_col, text_col, n, None)
+    sh = _exploded_shingles(df, id_col, text_col, n, None).withColumn(
+        "h", _hash64(F.col("shingle"))
+    )
     aggs = [
-        F.min(_hash64(F.col("shingle"), salt=f"p{i}")).alias(f"mh{i}")
-        for i in range(num_perms)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:num_perms])
     ]
     return sh.groupBy(F.col("doc")).agg(*aggs)
 
@@ -183,14 +225,14 @@ def simhash_signatures(
     Implemented as one explode + aggregate; the per-bit vote sums are
     ``bits`` parallel aggregate expressions (all map-side combinable).
     """
-    toks = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)).alias("tok"),
-        )
-        .distinct()
-        .withColumn("h", _hash64(F.col("tok")))
-    )
+    # per-row array_distinct, then explode: per-doc distinct tokens with no
+    # global distinct shuffle
+    toks = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))).select(
+        "doc",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT_RE))
+        ).alias("tok"),
+    ).withColumn("h", _hash64(F.col("tok")))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -240,6 +282,9 @@ def simhash_pairs(
             F.col("b.doc").alias("doc_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the distinct: hamming is pair-determined, so the
+        # order is semantics-free, but filtering first keeps far pairs out
+        # of the dedup shuffle (candidates can be ~n^2 on skewed corpora)
         .filter(F.col("hamming") <= max_distance)
+        .distinct()
     )

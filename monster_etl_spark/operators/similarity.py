@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from monster_etl_spark.operators.partitioning import spread as _spread
+
 SIGN_LSH_DIMS = 8  # first b dims' sign bits form the bucket key
 
 
@@ -55,7 +57,7 @@ def brute_force_topk(
     for determinism. Self-matches are excluded.
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    c = _spread(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")))
     if broadcast_queries:
         q = F.broadcast(q)
     scored = (
@@ -103,10 +105,12 @@ def lsh_topk(
         F.col(vec_col).alias("qv"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nv"),
-        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    c = _spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nv"),
+            sign_bucket(F.col(vec_col), dims).alias("bucket"),
+        )
     )
     scored = (
         q.join(c, "bucket")
@@ -135,10 +139,12 @@ def embedding_dup_pairs(
     """Embedding-cosine near-duplicate pairs (cosine >= threshold), found
     within sign-LSH buckets (a >=0.95 pair almost always agrees on leading
     sign bits; exactness within the bucket). Returns (id_a, id_b, cosine_sim)."""
-    v = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    v = _spread(
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            sign_bucket(F.col(vec_col), dims).alias("bucket"),
+        )
     )
     a, b = v.alias("a"), v.alias("b")
     return (

@@ -47,11 +47,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_SQL = f"""
-WITH sh AS ({_SHINGLES}),
+WITH sh0 AS ({_SHINGLES}),
+sh AS (SELECT doc, {_sql_hash64('shingle')} AS sh FROM sh0),
 sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
   GROUP BY a.doc, b.doc
 )
 SELECT doc_a, doc_b,
@@ -68,11 +69,15 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql() -> str:
-    salted = [f"'p{i}' || '|' || shingle" for i in range(dd.MINHASH_PERMS)]
     mins = ",\n  ".join(
-        f"MIN({_sql_hash64(expr)}) AS mh{i}" for i, expr in enumerate(salted)
+        f"MIN(({a} * h + {b}) % {dd.MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(dd.MINHASH_AB[: dd.MINHASH_PERMS])
     )
-    return f"WITH sh AS ({_SHINGLES})\nSELECT doc,\n  {mins}\nFROM sh GROUP BY doc"
+    return (
+        f"WITH sh AS ({_SHINGLES}),\n"
+        f"hashed AS (SELECT doc, {_sql_hash64('shingle')} AS h FROM sh)\n"
+        f"SELECT doc,\n  {mins}\nFROM hashed GROUP BY doc"
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
