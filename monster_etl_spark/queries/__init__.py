@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QuerySpec]:
         events_queries,
         multimodal_queries,
         refops_queries,
+        relational2_queries,
         relational_queries,
         similarity_queries,
         text_queries,
@@ -71,6 +72,7 @@ def all_queries() -> dict[str, QuerySpec]:
     for mod in (
         refops_queries,
         relational_queries,
+        relational2_queries,
         events_queries,
         text_queries,
         dedup_queries,

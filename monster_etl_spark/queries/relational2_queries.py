@@ -1,0 +1,264 @@
+"""Second relational coverage wave: grouping-set families, set operations,
+correlated subqueries, pivot, scalar string/date function suites, approx
+aggregates, and the SQL-gateway surface (spark.sql over registered views).
+
+Dialect discipline for the oracles:
+- day-of-week conventions differ between engines — date features stick to
+  year/quarter/month/day/ISO week and explicit day diffs;
+- approx_count_distinct sketches differ by construction -> rows-only check
+  with exact bounds asserted in unit tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monster_etl_spark.queries import QuerySpec, load
+from monster_etl_spark.sql import sql as run_sql
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+
+
+Q_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets with GROUPING() markers to disambiguate NULL
+    group keys from NULL data."""
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+    )
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers appearing both as urgent-order and low-priority-order
+    placers — INTERSECT (distinct set semantics)."""
+    o = load(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low)
+
+
+Q_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part keys never shipped — EXCEPT (distinct set semantics)."""
+    p = load(spark, sf_dir, "part").select("p_partkey")
+    l = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return p.subtract(l)  # EXCEPT DISTINCT semantics
+
+
+Q_EXCEPT_SQL = """
+SELECT p_partkey FROM part
+EXCEPT
+SELECT l_partkey FROM lineitem
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL gateway."""
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey,
+               (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+        FROM customer
+        """,
+    )
+
+
+Q_SCALAR_SUBQUERY_SQL = """
+SELECT c_custkey,
+       (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+FROM customer
+"""
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        """,
+    )
+
+
+Q_IN_SUBQUERY_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: status values become columns."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+       COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+       COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.substring("p_name", 1, 4).alias("sub4"),
+        F.length("p_name").alias("len"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("devoweled"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.levenshtein(F.col("p_name"), F.col("p_type")).alias("lev"),
+        F.reverse(F.col("p_brand")).alias("rev_brand"),
+        F.lpad(F.col("p_brand"), 10, "*").alias("padded"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+Q_STRING_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS up,
+       substr(p_name, 1, 4) AS sub4,
+       length(p_name) AS len,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       split_part(p_name, ' ', 1) AS first_word,
+       levenshtein(p_name, p_type) AS lev,
+       reverse(p_brand) AS rev_brand,
+       lpad(p_brand, 10, '*') AS padded,
+       concat_ws('/', p_brand, p_type) AS brand_type
+FROM part
+"""
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.weekofyear(d).alias("iso_week"),
+        F.date_add(d, 30).alias("plus30"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+    )
+
+
+Q_DATE_SQL = """
+SELECT o_orderkey,
+       year(CAST(o_orderdate AS DATE)) AS y,
+       quarter(CAST(o_orderdate AS DATE)) AS q,
+       month(CAST(o_orderdate AS DATE)) AS m,
+       day(CAST(o_orderdate AS DATE)) AS dom,
+       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
+       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus30,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+FROM orders
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate pushes to
+    the parquet scan, the aggregate is a single global sum."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(8,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct counts. Rows-only: sketch
+    implementations differ across engines by construction; the exact-count
+    sanity bound is asserted in tests/test_relational2.py."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+QUERIES = {
+    "q_cube": QuerySpec(q_cube, Q_CUBE_SQL, "CUBE grouping sets"),
+    "q_grouping_sets": QuerySpec(q_grouping_sets, Q_GROUPING_SETS_SQL, "explicit grouping sets + GROUPING()"),
+    "q_intersect": QuerySpec(q_intersect, Q_INTERSECT_SQL, "INTERSECT set op"),
+    "q_except": QuerySpec(q_except, Q_EXCEPT_SQL, "EXCEPT set op"),
+    "q_scalar_subquery": QuerySpec(q_scalar_subquery, Q_SCALAR_SUBQUERY_SQL, "correlated scalar subquery via SQL gateway"),
+    "q_in_subquery": QuerySpec(q_in_subquery, Q_IN_SUBQUERY_SQL, "IN subquery via SQL gateway"),
+    "q_pivot": QuerySpec(q_pivot, Q_PIVOT_SQL, "pivot to columns"),
+    "q_string_functions": QuerySpec(q_string_functions, Q_STRING_SQL, "scalar string function suite"),
+    "q_date_functions": QuerySpec(q_date_functions, Q_DATE_SQL, "scalar date function suite"),
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "TPC-H Q6 scan-filter-agg"),
+    "q_approx_distinct": QuerySpec(q_approx_distinct, None, "HLL approx distinct (rows-only)"),
+}

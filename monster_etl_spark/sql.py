@@ -1,0 +1,24 @@
+"""SQL gateway: register the warehouse tables as temp views so the engine
+can be driven with plain ANSI SQL (``spark.sql``) — the query surface the
+reference never had (SURVEY.md §3: "there is no query language")."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every warehouse table as a temp view (idempotent)."""
+    from monster_etl_spark.queries import load
+
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(query)
