@@ -1,0 +1,61 @@
+"""Join strategies for skewed and co-located data at scale.
+
+The reference has no joins at all (SURVEY.md §2.3); Spark provides the
+algorithms, and this module adds the two patterns Catalyst does not apply
+automatically:
+
+- **salted join**: for a shuffle join where a handful of hot keys overwhelm
+  their partitions, explode the small side into ``salt_factor`` copies and
+  scatter the large side's hot rows across matching salt buckets. AQE's
+  skew-join split handles *sort-merge* skew at runtime; salting is the
+  explicit, planner-independent form (and works for aggregations too).
+- **bucketed tables**: pre-shuffle both sides once at write time
+  (``bucketBy`` on the join key); subsequent joins on that key are
+  exchange-free. This is the 100 TB answer for repeatedly-joined fact
+  tables — pay the shuffle once, never again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``large`` to ``small`` on column ``on`` with key salting.
+
+    The large side gets a deterministic per-row salt in [0, salt_factor);
+    the small side is exploded ``salt_factor``-fold with every salt value.
+    Each (key, salt) shuffle bucket then carries ~1/salt_factor of a hot
+    key's rows, bounding any single task. Result is row-identical to the
+    plain join (verified against a plain-join oracle in the query registry).
+
+    The per-row salt must be deterministic (not rand()) so retried tasks
+    produce identical output — here it derives from the large side's own
+    row content via a cheap hash-mod.
+    """
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in large.columns])) % salt_factor).alias("__salt__")
+    salted_large = large.withColumn("__salt__", salt)
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("__salt__")
+    salted_small = small.select("*", salts)
+    out = salted_large.join(salted_small, [on, "__salt__"], how)
+    return out.drop("__salt__")
+
+
+def write_bucketed(df: DataFrame, name: str, key: str, num_buckets: int = 16) -> None:
+    """Persist a table bucketed (and sorted) by the join key. Joins between
+    two tables bucketed on the same key with the same bucket count run
+    without any exchange — the shuffle was paid at write time."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(name)
+    )

@@ -156,3 +156,74 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+IVF_CENTROIDS = 16
+IVF_PROBES = 4
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is inverted into
+    ``n_centroids`` cells (nearest-centroid assignment); a query probes its
+    ``n_probes`` closest cells and ranks exactly within them.
+
+    Centroids are a deterministic corpus sample (the ``n_centroids`` lowest
+    ids) — a k-means refinement would drop in here without changing the
+    plan shape. Scale shape: the centroid table broadcasts (tiny); corpus
+    assignment is one narrow pass; the probe join is an equi-join on
+    cell id, so per-query work is linear in the probed cells, never the
+    full corpus. Deterministic given the corpus; recall is tested against
+    the exact brute-force ranking (rows-only in the driver contract —
+    the construction is too stateful for a readable SQL oracle).
+    """
+    cent = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str, keep_vec: str, top: int) -> DataFrame:
+        scored = df.join(cent, how="cross").select(
+            F.col(idc),
+            F.col(vecc).alias(keep_vec),
+            "cent_id",
+            cosine(F.col(vecc), F.col("cv")).alias("c_sim"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("c_sim"), F.asc("cent_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= top)
+            .select(idc, keep_vec, "cent_id")
+        )
+
+    c_assigned = assign(
+        _spread(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))),
+        "neighbor_id", "nv", "nv", 1,
+    )
+    q_assigned = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "query_id", "qv", "qv", n_probes,
+    )
+    scored = (
+        q_assigned.join(c_assigned, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

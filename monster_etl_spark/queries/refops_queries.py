@@ -218,6 +218,34 @@ FROM lineitem
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join: row-identical to the plain join (the oracle IS
+    the plain join), but each hot key's rows scatter over salt_factor
+    shuffle buckets so no single task drowns. operators/joins.py."""
+    from monster_etl_spark.operators.joins import salted_join
+
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    return (
+        salted_join(l, o, "l_orderkey", salt_factor=8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+Q_SALTED_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 def t16_path_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 rows-only: extract the scale-factor id from each row's source
     file path. No oracle — DuckDB's view can't see Spark's input paths."""
@@ -240,5 +268,6 @@ QUERIES = {
     "t15_ensure_arrays": QuerySpec(t15_ensure_arrays, T15_SQL, "T15 ensureArrays"),
     "p2_transform_chain": QuerySpec(p2_transform_chain, P2_SQL, "P2 config-driven chain"),
     "p4_union_dedup": QuerySpec(p4_union_dedup, P4_SQL, "A1+A2 union + distinctBy"),
+    "q_salted_join": QuerySpec(q_salted_join, Q_SALTED_SQL, "skew-safe salted join"),
     "t16_path_column": QuerySpec(t16_path_column, None, "T16 path-derived column (rows-only)"),
 }

@@ -108,8 +108,17 @@ WHERE round(
 """
 
 
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate top-k (rows-only: the centroid-assignment
+    construction has no readable SQL twin; recall vs exact brute force is
+    asserted in tests/test_similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(_queries_df(spark, sf_dir), emb, k=TOP_K)
+
+
 QUERIES = {
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
     "knn_lsh": QuerySpec(knn_lsh, KNN_LSH_SQL, "sign-LSH bucketed top-k"),
+    "knn_ivf": QuerySpec(knn_ivf, None, "IVF-cell approximate top-k (rows-only)"),
     "embedding_dup_pairs": QuerySpec(embedding_dup_pairs, EMB_DUP_SQL, "embedding near-dup pairs"),
 }

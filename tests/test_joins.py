@@ -1,0 +1,74 @@
+"""Salted-join equivalence + bucketed co-located join plan tests."""
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from monster_etl_spark.operators.joins import salted_join, write_bucketed
+
+
+def _explain(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    plain = l.join(o, "l_orderkey").groupBy("o_orderstatus").count()
+    salted = salted_join(l, o, "l_orderkey").groupBy("o_orderstatus").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    big = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c"), (3, "d")], ["k", "v"])
+    small = spark.createDataFrame([(1, "X"), (2, "Y")], ["k", "w"])
+    out = salted_join(big, small, "k", salt_factor=4, how="left").collect()
+    got = sorted((r["k"], r["v"], r["w"]) for r in out)
+    assert got == [(1, "a", "X"), (1, "b", "X"), (2, "c", "Y"), (3, "d", None)]
+
+
+def test_salted_join_is_deterministic(spark, sf_dir):
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_linenumber")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    a = sorted(map(tuple, salted_join(l, o, "l_orderkey").collect()))
+    b = sorted(map(tuple, salted_join(l, o, "l_orderkey").collect()))
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    # default warehouse dir (spark.sql.warehouse.dir is static config);
+    # tables are dropped — and their files removed — on teardown
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_totalprice")
+    write_bucketed(l, "lineitem_b", "l_orderkey", 8)
+    write_bucketed(o, "o_orders_b", "o_orderkey", 8)
+    yield
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    spark.sql("DROP TABLE IF EXISTS o_orders_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    l = spark.table("lineitem_b")
+    o = spark.table("o_orders_b")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = _explain(joined)
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, (
+            "bucketed co-located join must not shuffle"
+        )
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
