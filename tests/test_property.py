@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis): the engine's transform semantics vs
+an independent pure-Python model of the reference behavior, over randomized
+records. One Spark job per property (a single createDataFrame with many
+generated rows) keeps runtime sane."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from monster_etl_spark.naming import to_snake_case
+from monster_etl_spark.operators import transforms as tr
+
+# --- pure-Python models of reference behavior ------------------------------
+
+
+def model_snake(name: str) -> str:
+    s = name.replace("-", "_")
+    s = re.sub(r"([A-Z]+)([A-Z][a-z])", r"\1_\2", s)
+    s = re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", s)
+    s = re.sub(r"([a-z])([0-9])", r"\1_\2", s)
+    s = re.sub(r"([0-9])([a-z])", r"\1_\2", s)
+    return s.lower()
+
+
+def model_parse_long(raw: str | None, nans: set[str]) -> int | None:
+    if raw is None or raw in nans:
+        return None
+    s = raw[:-2] if raw.endswith(".0") else raw
+    return int(s)
+
+
+def model_java_split(raw: str | None, delim: str) -> list[str] | None:
+    if raw is None:
+        return None
+    if raw == "":
+        return [""]
+    out = raw.split(delim)
+    while out and out[-1] == "":
+        out.pop()
+    return out
+
+
+# --- properties ------------------------------------------------------------
+
+ident = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=127),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(st.lists(ident, min_size=1, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_snake_case_matches_model(names):
+    for n in names:
+        assert to_snake_case(n) == model_snake(n)
+
+
+longish = st.one_of(
+    st.none(),
+    st.from_regex(r"-?[0-9]{1,15}", fullmatch=True),
+    st.from_regex(r"-?[0-9]{1,12}\.0", fullmatch=True),
+    st.just("."),
+)
+
+
+def test_parse_longs_matches_model(spark):
+    samples = [
+        None, "0", "-7", "184305.0", "9.0", ".", "-12.0", "00.0", "5",
+        "123456789012345", "-123456789012.0",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "x string")
+    out = [r["x"] for r in tr.parse_longs(df, {"x"}, nan_values={"."}).collect()]
+    expected = [model_parse_long(s, {"."}) for s in samples]
+    assert out == expected
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet="ab,", max_size=8),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_java_split_matches_model(spark_global, values):
+    df = spark_global.createDataFrame([(v,) for v in values], "x string")
+    out = [r["x"] for r in tr.parse_string_arrays(df, {"x"}, ",").collect()]
+    expected = [model_java_split(v, ",") for v in values]
+    assert out == expected
+
+
+# hypothesis can't take the function-scoped spark fixture directly; use a
+# module-level handle initialized lazily from the session fixture
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark
