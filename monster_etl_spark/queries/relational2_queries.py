@@ -249,6 +249,56 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use the same
+    continuous-quantile definition on the sorted values)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+Q_PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and sample stddev derived from exact decimal sums — the naive
+    stddev aggregate accumulates floats in partition order and is not
+    reproducible across engines; sum/sum-of-squares in DECIMAL are exact,
+    and the final double formula is a deterministic function of them."""
+    l = load(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    s1 = F.sum(p).cast("double")
+    s2 = F.sum(p * p).cast("double")
+    n = F.count(F.lit(1))
+    return l.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(s1 / n, 6).alias("mean_price"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))), 6).alias("stddev_price"),
+    )
+
+
+Q_STATS_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS mean_price,
+  round(sqrt((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1)), 6) AS stddev_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q_cube": QuerySpec(q_cube, Q_CUBE_SQL, "CUBE grouping sets"),
     "q_grouping_sets": QuerySpec(q_grouping_sets, Q_GROUPING_SETS_SQL, "explicit grouping sets + GROUPING()"),
@@ -261,4 +311,6 @@ QUERIES = {
     "q_date_functions": QuerySpec(q_date_functions, Q_DATE_SQL, "scalar date function suite"),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "TPC-H Q6 scan-filter-agg"),
     "q_approx_distinct": QuerySpec(q_approx_distinct, None, "HLL approx distinct (rows-only)"),
+    "q_percentiles": QuerySpec(q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles"),
+    "q_stats_exact": QuerySpec(q_stats_exact, Q_STATS_SQL, "mean/stddev from exact sums"),
 }
