@@ -133,6 +133,35 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {chunks - 1}
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components of the Jaccard pair graph,
+    labeled by cluster-minimum doc id (iterative min-label propagation on
+    the Spark side; a recursive transitive-closure CTE on the oracle side —
+    different algorithms, same well-defined result)."""
+    from monster_etl_spark.operators.graph import connected_components
+
+    pairs = dd.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+    return connected_components(pairs)
+
+
+CLUSTERS_SQL = f"""
+WITH RECURSIVE jp AS ({JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jp
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS node, least(a, MIN(b)) AS component FROM reach GROUP BY a
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, EXACT_SQL, "exact content-hash dedup"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, JACCARD_SQL, "n-gram Jaccard pairs"),
@@ -141,4 +170,5 @@ QUERIES = {
     ),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_lsh_sql(), "MinHash-LSH candidate pairs"),
     "dedup_simhash": QuerySpec(dedup_simhash_pairs, _simhash_sql(), "SimHash near-dup pairs"),
+    "dedup_clusters": QuerySpec(dedup_clusters, CLUSTERS_SQL, "near-dup connected components"),
 }

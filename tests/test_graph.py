@@ -1,0 +1,67 @@
+"""Connected components vs a brute-force Python union-find, on random
+graphs and the handmade shapes that stress label propagation."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from monster_etl_spark.operators.graph import connected_components, dedup_survivors
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress, then label = min of component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def _check(spark, edges):
+    nodes = sorted({x for e in edges for x in e})
+    expected = _uf_components(edges, nodes)
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == expected
+
+
+def test_two_triangles_and_a_chain(spark):
+    _check(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21), (21, 22), (22, 23)])
+
+
+def test_long_chain(spark):
+    # worst case for label propagation: diameter = n
+    _check(spark, [(i, i + 1) for i in range(0, 15)])
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(100))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_dedup_survivors(spark):
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id bigint, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "doc_a bigint, doc_b bigint")
+    kept = sorted(r["doc_id"] for r in dedup_survivors(df, pairs, "doc_id").collect())
+    # cluster {0,1,2} -> keep 0; {4,5} -> keep 4; 3 untouched
+    assert kept == [0, 3, 4]
