@@ -1,0 +1,97 @@
+"""Generic declarative pipeline runner.
+
+The reference's ethos — pipelines described by per-table configs, not code
+(``V2FConstants.scala``) — generalized: a pipeline is a JSON-able dict
+
+    {
+      "source":  {"format": "tsv"|"jsonl"|"parquet", "path": ...,
+                  "options": {...}},
+      "steps":   [{"op": <operator>, ...kwargs}, ...],
+      "sink":    {"format": "jsonl"|"parquet", "path": ...,
+                  "drop_null_fields": bool, "partition_by": [...]}
+    }
+
+Each step's ``op`` names a registered operator; kwargs are passed through.
+The v2f pipelines are expressible in this vocabulary; so is any cleanup
+pipeline a reference user would write. The assembled job is still one lazy
+DataFrame — Catalyst sees the whole chain, so declaring a pipeline costs
+nothing at execution time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from monster_etl_spark.naming import columns_to_snake_case
+from monster_etl_spark.operators import transforms as tr
+from monster_etl_spark.sources.jsonl import read_json_lines, write_json_lines
+from monster_etl_spark.sources.tsv import read_tsv
+
+# operator registry: name -> fn(df, **kwargs)
+OPS: dict[str, Callable[..., DataFrame]] = {
+    "rename_fields": tr.rename_fields,
+    "remove_fields": tr.remove_fields,
+    "extract_fields": tr.extract_fields,
+    "collect_fields": tr.collect_fields,
+    "concat_fields": tr.concat_fields,
+    "snake_case": lambda df: columns_to_snake_case(df),
+    "parse_longs": tr.parse_longs,
+    "parse_doubles": tr.parse_doubles,
+    "parse_booleans": tr.parse_booleans,
+    "parse_string_arrays": tr.parse_string_arrays,
+    "parse_long_arrays": tr.parse_long_arrays,
+    "parse_double_arrays": tr.parse_double_arrays,
+    "ensure_arrays": tr.ensure_arrays,
+    "add_column_from_path": tr.add_column_from_path,
+    "distinct_by": lambda df, keys: tr.distinct_by(df, keys),
+    "filter": lambda df, condition: df.filter(condition),
+    "select": lambda df, columns: df.select(*columns),
+}
+
+
+def read_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
+    fmt = source["format"]
+    opts = source.get("options", {})
+    if fmt == "tsv":
+        return read_tsv(spark, source["path"], **opts)
+    if fmt == "jsonl":
+        return read_json_lines(spark, source["path"], **opts)
+    if fmt == "parquet":
+        return spark.read.options(**opts).parquet(source["path"])
+    raise ValueError(f"unknown source format {fmt!r}")
+
+
+def apply_steps(df: DataFrame, steps: list[dict[str, Any]]) -> DataFrame:
+    for step in steps:
+        step = dict(step)
+        op = step.pop("op")
+        if op not in OPS:
+            raise ValueError(f"unknown op {op!r}; known: {sorted(OPS)}")
+        df = OPS[op](df, **step)
+    return df
+
+
+def write_sink(df: DataFrame, sink: dict[str, Any]) -> None:
+    fmt = sink["format"]
+    if fmt == "jsonl":
+        write_json_lines(df, sink["path"], drop_null_fields=sink.get("drop_null_fields", False))
+        return
+    if fmt == "parquet":
+        writer = df.write.mode(sink.get("mode", "overwrite"))
+        if sink.get("partition_by"):
+            writer = writer.partitionBy(*sink["partition_by"])
+        writer.parquet(sink["path"])
+        return
+    raise ValueError(f"unknown sink format {fmt!r}")
+
+
+def run_pipeline(spark: SparkSession, pipeline: dict[str, Any]) -> DataFrame:
+    """Assemble and run; returns the final DataFrame (also written if a
+    sink is declared)."""
+    df = apply_steps(read_source(spark, pipeline["source"]), pipeline.get("steps", []))
+    if "sink" in pipeline:
+        write_sink(df, pipeline["sink"])
+    return df

@@ -129,9 +129,35 @@ GROUP BY 1, 2
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change stream: each event
+    becomes a validity interval [ts, next ts) per user via lead() — the
+    standard CDC -> dimension-table build, one window shuffle on the key."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        (F.lead("ts").over(w).isNull()).alias("is_current"),
+    )
+
+
+Q_SCD2_SQL = """
+SELECT user_id, event_id, value AS attr_value, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "q_json_extract": QuerySpec(q_json_extract, Q_JSON_SQL, "JSON-path extraction + agg"),
     "q_sessionize": QuerySpec(q_sessionize, Q_SESSIONIZE_SQL, "gap-based sessionization"),
     "q_tumbling_window": QuerySpec(q_tumbling_window, Q_TUMBLING_SQL, "tumbling window agg"),
     "q_hourly_rollup": QuerySpec(q_hourly_rollup, Q_HOURLY_SQL, "hourly time rollup"),
+    "q_scd2_intervals": QuerySpec(q_scd2_intervals, Q_SCD2_SQL, "SCD2 validity intervals from a change stream"),
 }

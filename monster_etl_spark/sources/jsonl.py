@@ -50,6 +50,36 @@ def read_json_lines(
     return df
 
 
+def read_json_lines_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """Production-ETL alternative to fail-fast: PERMISSIVE read that routes
+    malformed lines to a quarantine frame instead of failing the job.
+
+    Returns (good, bad): ``good`` has the target schema; ``bad`` carries the
+    raw offending line in ``corrupt_record``. At scale this is the pattern
+    that keeps a 100 TB ingest from dying on one bad shard — quarantine is
+    written alongside the output and triaged separately.
+    """
+    schema_with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(schema_with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # required: corrupt-record column is only stable on a materialized frame
+    )
+    good = df.filter(df["_corrupt_record"].isNull()).drop("_corrupt_record")
+    bad = df.filter(df["_corrupt_record"].isNotNull()).select(
+        df["_corrupt_record"].alias("corrupt_record")
+    )
+    return good, bad
+
+
 def write_json_lines(
     df: DataFrame,
     path: str,
