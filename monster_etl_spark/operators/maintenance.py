@@ -1,0 +1,70 @@
+"""Table-maintenance operators: upsert merges and data profiling.
+
+``merge_upsert`` is the batch MERGE-INTO shape (no transactional table
+format in scope, so the merge is expressed relationally and the caller
+rewrites the target): combine current rows and updates, keep the winner
+per key by a precedence column. One window shuffle on the key; at scale
+this is the compaction pass of an incremental ingest.
+
+``profile`` is the one-pass data-quality summary (row count, null counts,
+approx distincts, min/max) — a single aggregate, map-side combinable, no
+matter how many columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    precedence: str,
+    prefer_updates_on_tie: bool = True,
+) -> DataFrame:
+    """Latest-wins merge: one row per key, highest ``precedence`` value
+    survives; ties go to the updates side when ``prefer_updates_on_tie``.
+    Schemas must union by name (missing columns null-filled).
+    """
+    t = target.withColumn("__src__", F.lit(0))
+    u = updates.withColumn("__src__", F.lit(1))
+    merged = t.unionByName(u, allowMissingColumns=True)
+    order = [F.desc(precedence), F.desc("__src__") if prefer_updates_on_tie else F.asc("__src__")]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        merged.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__", "__src__")
+    )
+
+
+def profile(df: DataFrame, approx_rsd: float = 0.05) -> DataFrame:
+    """One-row profile: total count plus per-column null count, approximate
+    distinct count, and min/max (min/max for orderable types only).
+    Single aggregate pass — cost is one scan regardless of column count."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{f.name}__nulls"))
+        aggs.append(F.approx_count_distinct(f.name, approx_rsd).alias(f"{f.name}__approx_distinct"))
+        if f.dataType.simpleString() not in ("binary",) and not f.dataType.simpleString().startswith(
+            ("array", "map", "struct")
+        ):
+            aggs.append(F.min(f.name).alias(f"{f.name}__min"))
+            aggs.append(F.max(f.name).alias(f"{f.name}__max"))
+    return df.agg(*aggs)
+
+
+def exact_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Exact-distinct variant for designated columns (oracle-checkable;
+    count_distinct shuffles per column, so keep the list short)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for name in columns:
+        c = F.col(name)
+        aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{name}__nulls"))
+        aggs.append(F.count_distinct(c).alias(f"{name}__distinct"))
+        aggs.append(F.min(name).alias(f"{name}__min"))
+        aggs.append(F.max(name).alias(f"{name}__max"))
+    return df.agg(*aggs)

@@ -246,6 +246,62 @@ GROUP BY o_orderstatus
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins upsert merge (batch MERGE INTO shape): synthetic updates
+    double the price of every 10th order; the merged table must contain the
+    update for those keys and the original row otherwise
+    (operators/maintenance.py)."""
+    from monster_etl_spark.operators.maintenance import merge_upsert
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    # same precedence value on both sides -> tie broken toward updates
+    t = o.withColumn("v", F.lit(1))
+    u = updates.withColumn("v", F.lit(1))
+    return merge_upsert(t, u, key="o_orderkey", precedence="v").drop("v")
+
+
+Q_MERGE_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice * 2, 2) ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+FROM orders
+"""
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass exact data profile of designated columns
+    (operators/maintenance.py::exact_profile)."""
+    from monster_etl_spark.operators.maintenance import exact_profile
+
+    return exact_profile(
+        load(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_returnflag", "l_quantity"],
+    )
+
+
+Q_PROFILE_SQL = """
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS l_orderkey__nulls,
+       COUNT(DISTINCT l_orderkey) AS l_orderkey__distinct,
+       MIN(l_orderkey) AS l_orderkey__min,
+       MAX(l_orderkey) AS l_orderkey__max,
+       SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS l_returnflag__nulls,
+       COUNT(DISTINCT l_returnflag) AS l_returnflag__distinct,
+       MIN(l_returnflag) AS l_returnflag__min,
+       MAX(l_returnflag) AS l_returnflag__max,
+       SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS l_quantity__nulls,
+       COUNT(DISTINCT l_quantity) AS l_quantity__distinct,
+       MIN(l_quantity) AS l_quantity__min,
+       MAX(l_quantity) AS l_quantity__max
+FROM lineitem
+"""
+
+
 def t16_path_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 rows-only: extract the scale-factor id from each row's source
     file path. No oracle — DuckDB's view can't see Spark's input paths."""
@@ -269,5 +325,7 @@ QUERIES = {
     "p2_transform_chain": QuerySpec(p2_transform_chain, P2_SQL, "P2 config-driven chain"),
     "p4_union_dedup": QuerySpec(p4_union_dedup, P4_SQL, "A1+A2 union + distinctBy"),
     "q_salted_join": QuerySpec(q_salted_join, Q_SALTED_SQL, "skew-safe salted join"),
+    "q_merge_upsert": QuerySpec(q_merge_upsert, Q_MERGE_SQL, "latest-wins upsert merge"),
+    "q_profile": QuerySpec(q_profile, Q_PROFILE_SQL, "one-pass exact data profile"),
     "t16_path_column": QuerySpec(t16_path_column, None, "T16 path-derived column (rows-only)"),
 }
