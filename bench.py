@@ -51,6 +51,47 @@ BENCH_QUERIES = [
 ]
 
 
+def _bench_etl_pipeline(spark, sf_dir: str, scratch: str) -> float:
+    """The reference's own workload shape, end-to-end: TSV-with-header ->
+    snake-case -> rename/remove + typed parses (P2 chain) -> JSON-lines.
+    Setup (dumping lineitem as TSV) is untimed; the timed span is the full
+    read-transform-write pipeline."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from monster_etl_spark.config import TableConfig
+    from monster_etl_spark.naming import columns_to_snake_case
+    from monster_etl_spark.plans.v2f import transform_table
+    from monster_etl_spark.sources.jsonl import write_json_lines
+    from monster_etl_spark.sources.tsv import read_tsv
+
+    tsv_dir = os.path.join(scratch, "lineitem_tsv")
+    if not os.path.isdir(tsv_dir):
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select([F.col(c).cast("string") for c in
+                     ("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                      "l_returnflag", "l_linestatus")])
+            .repartition(8)
+            .write.option("header", True).option("sep", "\t").csv(tsv_dir)
+        )
+    cfg = TableConfig(
+        table_name="lineitem_etl",
+        fields_to_rename={"l_returnflag": "returned"},
+        fields_to_remove=frozenset({"l_linestatus"}),
+        fields_to_double=frozenset({"l_discount"}),
+        fields_to_long=frozenset({"l_quantity"}),
+        fields_to_boolean=frozenset({"returned"}),
+        boolean_true_values=frozenset({"R"}),
+    )
+    t0 = time.perf_counter()
+    df = columns_to_snake_case(read_tsv(spark, f"{tsv_dir}/*.csv"))
+    out = transform_table(df, cfg)
+    write_json_lines(out, os.path.join(scratch, "lineitem_jsonl"))
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -73,6 +114,13 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    # the reference's own workload shape (TSV -> clean/typed JSON-lines)
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="bench_etl_")
+    _bench_etl_pipeline(spark, sf_dir, scratch)  # warm-up
+    timings["etl_tsv_to_jsonl"] = _bench_etl_pipeline(spark, sf_dir, scratch)
 
     print(
         json.dumps(
