@@ -1,0 +1,29 @@
+"""plan_summary must report the facts the plan tests rely on."""
+
+from monster_etl_spark.explain import plan_summary
+from monster_etl_spark.queries import all_queries
+
+Q = all_queries()
+
+
+def test_summary_of_narrow_chain(spark, sf_dir):
+    s = plan_summary(Q["t9_parse_longs"].fn(spark, sf_dir))
+    assert s.is_narrow
+    assert s.python_evals == 0
+    assert s.codegen_spans >= 1
+    assert len(s.scans) == 1 and s.scans[0].fmt == "parquet"
+
+
+def test_summary_of_star_join(spark, sf_dir):
+    s = plan_summary(Q["q5_local_supplier_volume"].fn(spark, sf_dir))
+    assert s.broadcast_hash_joins >= 4
+    assert s.sort_merge_joins == 0
+    assert s.broadcasts >= 4
+    assert any("r_name" in sc.pushed_filters for sc in s.scans)
+
+
+def test_summary_counts_python_crossing(spark, sf_dir):
+    s = plan_summary(Q["multimodal_image_features"].fn(spark, sf_dir))
+    assert s.python_evals >= 0  # mapInPandas shows as its own node, not Eval
+    # but the scan must still be pruned to the two needed columns
+    assert any("text" in sc.read_schema for sc in s.scans)
