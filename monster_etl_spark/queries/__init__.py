@@ -58,6 +58,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def all_queries() -> dict[str, QuerySpec]:
     from monster_etl_spark.queries import (
+        curation_queries,
         dedup_queries,
         events_queries,
         multimodal_queries,
@@ -78,6 +79,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_queries,
         similarity_queries,
         multimodal_queries,
+        curation_queries,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,145 @@
+"""Corpus-curation queries — the end-to-end training-data shapes that
+compose the engine's text/dedup/graph operators:
+
+- ``q_train_val_split``: deterministic hash-based splitting (reproducible
+  across engines and runs, unlike seeded sampling);
+- ``q_token_packing``: greedy token-budget packing of documents into
+  training chunks via a running-sum window;
+- ``q_corpus_curation``: quality filter -> near-dup cluster survivor
+  selection -> kept corpus with stats. The full pre-training data path in
+  one declarative plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from monster_etl_spark.operators import text as tx
+from monster_etl_spark.queries import QuerySpec, load
+from monster_etl_spark.queries.dedup_queries import (
+    JACCARD_SQL,
+    JACCARD_THRESHOLD,
+    NGRAM_N,
+)
+
+VAL_PCT = 10  # percent of docs in the validation split
+TOKEN_BUDGET = 512
+QUALITY_MIN = 0.5
+
+# deterministic split hash: same construction as operators.dedup._hash64
+_SPLIT_EXPR = "CAST(CAST(concat('0x', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val assignment: bucket = content-independent
+    hash of the id, stable under reruns, engine-agnostic, and safely
+    disjoint (a seeded Bernoulli sample is none of those across engines)."""
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        F.when(h % 100 < VAL_PCT, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+TRAIN_VAL_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_SPLIT_EXPR} % 100 < {VAL_PCT} THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents in id order accumulate whitespace
+    tokens; pack boundary every TOKEN_BUDGET tokens (running-sum window,
+    one global sort — at 100 TB you pack per shard/partition instead of
+    globally, same expression per shard)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tx.ws_token_count(F.col("text")).alias("n_tokens")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    scored = d.select("doc_id", toks)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / TOKEN_BUDGET).alias("pack_id"),
+    )
+
+
+TOKEN_PACKING_SQL = f"""
+SELECT doc_id, n_tokens,
+       CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             / {TOKEN_BUDGET}) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+)
+"""
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pass: quality-score filter, then drop every
+    non-canonical member of each near-dup cluster (connected components of
+    the Jaccard pair graph). Output: kept docs with quality + token count.
+    """
+    from monster_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from monster_etl_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.ws_token_count(F.col("text")).alias("n_tokens"),
+    ).filter(F.col("quality") >= QUALITY_MIN)
+
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return scored.join(losers, "doc_id", "left_anti")
+
+
+CURATION_SQL = f"""
+WITH RECURSIVE jp AS ({JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jp
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+losers AS (
+  SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, MIN(b)) != a
+),
+toks AS (
+  SELECT doc_id,
+    round((
+      least(len(regexp_split_to_array(lower(trim(text)), '\\s+')) / 64.0, 1.0)
+      + least((len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x IN ({", ".join(f"'{w}'" for w in tx.QUALITY_STOPWORDS)})))
+               / nullif(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 0)) * 4, 1.0)
+      + (1.0 - least(((length(text) - length(regexp_replace(text, '{tx.PUNCT_CLASS.replace("'", "''")}', '', 'g')))
+                      / nullif(CAST(length(text) AS DOUBLE), 0)) * 4, 1.0))
+    ) / 3, 6) AS quality,
+    len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, quality, n_tokens FROM toks
+WHERE quality >= {QUALITY_MIN}
+  AND doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+QUERIES = {
+    "q_train_val_split": QuerySpec(q_train_val_split, TRAIN_VAL_SQL, "deterministic train/val split"),
+    "q_token_packing": QuerySpec(q_token_packing, TOKEN_PACKING_SQL, "token-budget sequence packing"),
+    "q_corpus_curation": QuerySpec(q_corpus_curation, CURATION_SQL, "quality + dedup curation pass"),
+}
