@@ -114,6 +114,41 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized_text(col))
 
 
+def type_token_ratio(col: Column) -> Column:
+    """Lexical diversity: distinct tokens / total tokens (low values flag
+    boilerplate/spam). Rounded 6dp for cross-engine determinism."""
+    toks = tokens(col)
+    return F.round(F.size(F.array_distinct(toks)) / F.nullif(F.size(toks), F.lit(0)), 6)
+
+
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Share of repeated word n-grams: 1 - distinct/total shingles. High
+    values flag generated/looping text. NULL when fewer than n tokens."""
+    toks = F.split(F.lower(F.trim(col)), TOKEN_SPLIT_RE)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        F.size(toks) >= n, F.round(F.lit(1.0) - distinct / F.nullif(total, F.lit(0)), 6)
+    ).otherwise(F.lit(None).cast("double"))
+
+
+# Redaction patterns shared with the SQL oracles. Kept to constructs with
+# identical semantics in Java regex and RE2 (no backrefs, no lookaround).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def scrub_pii(col: Column) -> Column:
+    """Regex redaction of emails and phone-shaped numbers — the standard
+    pre-training scrub pass, all JVM-side."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full feature set as columns."""
     c = F.col(text_col)

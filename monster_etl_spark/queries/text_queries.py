@@ -98,9 +98,59 @@ FROM documents
 """
 
 
+def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity / repetition quality signals."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.type_token_ratio(F.col("text")).alias("ttr"),
+        tx.repetition_ratio(F.col("text")).alias("rep3"),
+    )
+
+
+DIVERSITY_SQL = f"""
+SELECT doc_id,
+  round(len(list_distinct({_TOKS})) / nullif(len({_TOKS}), 0), 6) AS ttr,
+  CASE WHEN len({_TOKS}) >= 3 THEN
+    round(1.0 - len(list_distinct(list_transform(range(1, len({_TOKS}) - 1),
+            i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])))
+          / nullif(len({_TOKS}) - 2, 0), 6)
+  ELSE NULL END AS rep3
+FROM documents
+"""
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: plant a synthetic email + phone per doc, scrub, and
+    return the redacted text prefix (full texts hash fine but stay long)."""
+    d = load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"), F.lit("@example.com or 555-123-4567 re: "),
+        F.col("text"),
+    )
+    return d.select(
+        "doc_id",
+        F.substring(tx.scrub_pii(planted), 1, 60).alias("scrubbed_prefix"),
+    )
+
+
+PII_SQL = f"""
+SELECT doc_id,
+  substr(
+    regexp_replace(
+      regexp_replace('contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567 re: ' || text,
+                     '{tx.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{tx.PII_PHONE_RE}', '<PHONE>', 'g'),
+  1, 60) AS scrubbed_prefix
+FROM documents
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token counting + ratios"),
     "text_quality": QuerySpec(text_quality, QUALITY_SQL, "quality scoring"),
     "text_lang_id": QuerySpec(text_lang_id, _langid_sql(), "stopword language-ID"),
     "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_SQL, "document fingerprint"),
+    "text_diversity": QuerySpec(text_diversity, DIVERSITY_SQL, "lexical diversity + repetition"),
+    "text_pii_scrub": QuerySpec(text_pii_scrub, PII_SQL, "regex PII redaction"),
 }
