@@ -11,7 +11,7 @@ Dialect discipline for the oracles:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from monster_etl_spark.queries import QuerySpec, load
@@ -299,6 +299,69 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day order count/value per customer — a RANGE frame over a
+    day-number key (integer day arithmetic keeps the frame definition
+    identical across engines)."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("orders_7d"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias("value_7d"),
+    )
+
+
+Q_TRAILING_SQL = """
+SELECT o_custkey, o_orderkey,
+  COUNT(*) OVER w AS orders_7d,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS value_7d
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/distribution window functions: ntile, rank,
+    dense_rank, percent_rank, cume_dist, first/last value — all over a
+    fully deterministic ordering."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+    )
+
+
+Q_WINDOW_SUITE_SQL = """
+SELECT o_orderkey, o_orderstatus,
+  ntile(4) OVER w AS quartile,
+  rank() OVER w AS rnk,
+  dense_rank() OVER w AS drnk,
+  round(percent_rank() OVER w, 6) AS prank,
+  round(cume_dist() OVER w, 6) AS cdist,
+  first_value(o_orderkey) OVER w AS cheapest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 QUERIES = {
     "q_cube": QuerySpec(q_cube, Q_CUBE_SQL, "CUBE grouping sets"),
     "q_grouping_sets": QuerySpec(q_grouping_sets, Q_GROUPING_SETS_SQL, "explicit grouping sets + GROUPING()"),
@@ -313,4 +376,6 @@ QUERIES = {
     "q_approx_distinct": QuerySpec(q_approx_distinct, None, "HLL approx distinct (rows-only)"),
     "q_percentiles": QuerySpec(q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles"),
     "q_stats_exact": QuerySpec(q_stats_exact, Q_STATS_SQL, "mean/stddev from exact sums"),
+    "q_trailing_range_window": QuerySpec(q_trailing_range_window, Q_TRAILING_SQL, "RANGE-frame trailing window"),
+    "q_window_suite": QuerySpec(q_window_suite, Q_WINDOW_SUITE_SQL, "ranking/distribution window functions"),
 }
