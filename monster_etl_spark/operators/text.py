@@ -114,6 +114,25 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized_text(col))
 
 
+ROLLING_BASE = 31
+ROLLING_MOD = (1 << 31) - 1  # Mersenne prime; acc*31+code < 2^36, no overflow
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Polynomial rolling hash over the characters of the normalized text:
+    acc = (acc*B + codepoint) mod P. Pure integer fold — bit-identical in
+    any engine with exact 64-bit arithmetic (oracle uses list_reduce), and
+    the building block for windowed/chunked fingerprints (hash of a sliding
+    region derives from prefix hashes)."""
+    chars = F.split(normalized_text(col), "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_MOD,
+    )
+
+
 def type_token_ratio(col: Column) -> Column:
     """Lexical diversity: distinct tokens / total tokens (low values flag
     boilerplate/spam). Rounded 6dp for cross-engine determinism."""

@@ -30,6 +30,20 @@ from monster_etl_spark.operators import transforms as tr
 from monster_etl_spark.sources.jsonl import read_json_lines, write_json_lines
 from monster_etl_spark.sources.tsv import read_tsv
 
+
+def _scrub_pii_cols(df: DataFrame, fields: list[str]) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from monster_etl_spark.operators.text import scrub_pii
+
+    return df.withColumns({c: scrub_pii(F.col(c)) for c in fields if c in df.columns})
+
+
+def _text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    from monster_etl_spark.operators.text import add_text_features
+
+    return add_text_features(df, text_col)
+
 # operator registry: name -> fn(df, **kwargs)
 OPS: dict[str, Callable[..., DataFrame]] = {
     "rename_fields": tr.rename_fields,
@@ -49,6 +63,8 @@ OPS: dict[str, Callable[..., DataFrame]] = {
     "distinct_by": lambda df, keys: tr.distinct_by(df, keys),
     "filter": lambda df, condition: df.filter(condition),
     "select": lambda df, columns: df.select(*columns),
+    "scrub_pii": _scrub_pii_cols,
+    "text_features": _text_features,
 }
 
 

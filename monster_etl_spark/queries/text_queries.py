@@ -146,11 +146,29 @@ FROM documents
 """
 
 
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.rolling_fingerprint(F.col("text")).alias("rhash"))
+
+
+ROLLING_SQL = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+    (acc, x) -> (acc * {tx.ROLLING_BASE} + x) % {tx.ROLLING_MOD}
+  ) AS rhash
+FROM documents
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token counting + ratios"),
     "text_quality": QuerySpec(text_quality, QUALITY_SQL, "quality scoring"),
     "text_lang_id": QuerySpec(text_lang_id, _langid_sql(), "stopword language-ID"),
     "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_SQL, "document fingerprint"),
     "text_diversity": QuerySpec(text_diversity, DIVERSITY_SQL, "lexical diversity + repetition"),
+    "text_rolling_fingerprint": QuerySpec(text_rolling_fingerprint, ROLLING_SQL, "polynomial rolling-hash fingerprint"),
     "text_pii_scrub": QuerySpec(text_pii_scrub, PII_SQL, "regex PII redaction"),
 }
