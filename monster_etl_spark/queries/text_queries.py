@@ -151,7 +151,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.rolling_fingerprint(F.col("text")).alias("rhash"))
 
 
-ROLLING_SQL = f"""
+ROLLING_SQL = rf"""
 SELECT doc_id,
   list_reduce(
     list_prepend(CAST(0 AS BIGINT),

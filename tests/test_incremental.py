@@ -1,0 +1,48 @@
+"""Partition-wise backfill idempotence + compaction."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from monster_etl_spark.operators.incremental import compact, incremental_backfill, list_partitions
+
+
+def _write_day(spark, path, day, n):
+    df = spark.range(n).select(
+        F.col("id"),
+        F.lit(day).alias("day"),
+        (F.col("id") * 2).alias("value"),
+    )
+    df.write.mode("append").partitionBy("day").parquet(path)
+
+
+def test_backfill_processes_only_missing(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _write_day(spark, src, "2024-01-01", 10)
+    _write_day(spark, src, "2024-01-02", 20)
+
+    done = incremental_backfill(spark, src, dst, "day", lambda df: df.withColumn("v2", F.col("value") + 1))
+    assert done == ["2024-01-01", "2024-01-02"]
+    assert list_partitions(dst, "day") == {"2024-01-01", "2024-01-02"}
+
+    # idempotent: nothing new to do
+    assert incremental_backfill(spark, src, dst, "day") == []
+
+    # a new source day appears -> only that one is processed
+    _write_day(spark, src, "2024-01-03", 5)
+    assert incremental_backfill(spark, src, dst, "day", lambda df: df.withColumn("v2", F.col("value") + 1)) == ["2024-01-03"]
+
+    out = spark.read.parquet(dst)
+    assert out.count() == 35
+    assert out.filter("v2 != value + 1").count() == 0
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    path = str(tmp_path / "many")
+    spark.range(1000).repartition(8).write.parquet(path)
+    n_before = len(glob.glob(f"{path}/part-*"))
+    assert n_before == 8
+    reported = compact(spark, path, target_files=1)
+    assert reported == 8
+    assert len(glob.glob(f"{path}/part-*")) == 1
+    assert spark.read.parquet(path).count() == 1000
