@@ -67,6 +67,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_queries,
         similarity_queries,
         text_queries,
+        tpch_queries,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -74,6 +75,7 @@ def all_queries() -> dict[str, QuerySpec]:
         refops_queries,
         relational_queries,
         relational2_queries,
+        tpch_queries,
         events_queries,
         text_queries,
         dedup_queries,
