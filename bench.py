@@ -30,6 +30,10 @@ BENCH_QUERIES = [
     "q_running_total",
     "q_rollup",
     "q_asof_last_order",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q_corpus_curation",
     "q_sessionize",
     "q_hourly_rollup",
     "q_json_extract",
