@@ -24,14 +24,51 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; the component id is
     the minimum node id in the component (deterministic, engine-agnostic).
 
-    Raises if the fixpoint is not reached within ``max_iter`` rounds (a
-    diameter larger than max_iter — raise the bound for pathological
-    chain-shaped graphs).
+    Size-adaptive: near-dup pair graphs are tiny relative to the corpus
+    (pairs ~ duplicates, not documents), so when the edge count is under
+    ``driver_threshold`` the components are solved with a driver-side
+    union-find — one job instead of O(diameter) iterative joins. Larger
+    graphs use distributed min-label propagation. Both paths produce the
+    identical min-label result (cross-checked in tests); set
+    ``driver_threshold=0`` to force the distributed path.
+
+    Raises if the distributed fixpoint is not reached within ``max_iter``
+    rounds (a diameter larger than max_iter — raise the bound for
+    pathological chain-shaped graphs).
     """
+    # single materialization probe: take(threshold+1) both decides the path
+    # and, on the fast path, already holds every edge (a separate count()
+    # would compute the expensive pair subtree twice)
+    edge_rows = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).take(
+        driver_threshold + 1
+    )
+    if len(edge_rows) <= driver_threshold:
+        spark = pairs.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edge_rows:
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp: dict = {}
+        for n in list(parent):
+            comp.setdefault(find(n), []).append(n)
+        rows = [(n, min(members)) for members in comp.values() for n in members]
+        schema = pairs.select(F.col(src).alias("node"), F.col(src).alias("component")).schema
+        return spark.createDataFrame(rows, schema)
+
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

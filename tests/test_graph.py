@@ -38,8 +38,15 @@ def _check(spark, edges):
     nodes = sorted({x for e in edges for x in e})
     expected = _uf_components(edges, nodes)
     pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
-    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
-    assert got == expected
+    # both the driver union-find fast path and the distributed propagation
+    # path must produce the identical min-label result
+    got_fast = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got_fast == expected
+    assert got_dist == expected
 
 
 def test_two_triangles_and_a_chain(spark):
