@@ -362,6 +362,76 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """
 
 
+def q_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over a constructed array column:
+    transform/filter/exists/forall/aggregate/sort/slice/zip_with — the
+    Catalyst lambda surface (DuckDB mirrors with list_* lambdas)."""
+    l = load(spark, sf_dir, "lineitem")
+    arr = F.array(F.col("l_quantity"), F.col("l_discount") * 100, F.col("l_tax") * 100)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.transform(arr, lambda x: F.round(x * 2, 4)).alias("doubled"),
+        F.filter(arr, lambda x: x > 5).alias("big_vals"),
+        F.exists(arr, lambda x: x > 40).alias("any_big"),
+        F.forall(arr, lambda x: x >= 0).alias("all_nonneg"),
+        F.round(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), 4).alias("arr_sum"),
+        F.array_sort(F.transform(arr, lambda x: F.round(x, 4))).alias("sorted_vals"),
+        F.slice(F.array_sort(F.transform(arr, lambda x: F.round(x, 4))), 1, 2).alias("smallest2"),
+        F.round(
+            F.aggregate(
+                F.zip_with(arr, F.reverse(arr), lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            4,
+        ).alias("rev_dot"),
+    )
+
+
+Q_ARRAY_HOF_SQL = """
+SELECT l_orderkey, l_linenumber,
+  list_transform(arr, x -> round(x * 2, 4)) AS doubled,
+  list_filter(arr, x -> x > 5) AS big_vals,
+  len(list_filter(arr, x -> x > 40)) > 0 AS any_big,
+  len(list_filter(arr, x -> NOT x >= 0)) = 0 AS all_nonneg,
+  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr), (acc, x) -> acc + x), 4) AS arr_sum,
+  list_sort(list_transform(arr, x -> round(x, 4))) AS sorted_vals,
+  list_sort(list_transform(arr, x -> round(x, 4)))[1:2] AS smallest2,
+  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, len(arr) + 1), i -> arr[i] * list_reverse(arr)[i])),
+        (acc, x) -> acc + x), 4) AS rev_dot
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         [l_quantity, l_discount * 100, l_tax * 100] AS arr
+  FROM lineitem
+)
+"""
+
+
+def q_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: extract, extract-all, count, membership,
+    position — patterns restricted to the Java/RE2-compatible subset."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_extract_all(F.col("p_name"), F.lit("[aeiou]"), 0).alias("vowels"),
+        F.regexp_count(F.col("p_name"), F.lit("[aeiou]")).alias("n_vowels"),
+        F.col("p_name").rlike("^(small|large)").alias("sized"),
+        F.regexp_instr(F.col("p_name"), F.lit("widget")).alias("widget_pos"),
+    )
+
+
+Q_REGEX_SQL = """
+SELECT p_partkey,
+  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+  regexp_extract_all(p_name, '[aeiou]') AS vowels,
+  len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+  regexp_matches(p_name, '^(small|large)') AS sized,
+  CASE WHEN strpos(p_name, 'widget') > 0 THEN strpos(p_name, 'widget') ELSE 0 END AS widget_pos
+FROM part
+"""
+
+
 QUERIES = {
     "q_cube": QuerySpec(q_cube, Q_CUBE_SQL, "CUBE grouping sets"),
     "q_grouping_sets": QuerySpec(q_grouping_sets, Q_GROUPING_SETS_SQL, "explicit grouping sets + GROUPING()"),
@@ -378,4 +448,6 @@ QUERIES = {
     "q_stats_exact": QuerySpec(q_stats_exact, Q_STATS_SQL, "mean/stddev from exact sums"),
     "q_trailing_range_window": QuerySpec(q_trailing_range_window, Q_TRAILING_SQL, "RANGE-frame trailing window"),
     "q_window_suite": QuerySpec(q_window_suite, Q_WINDOW_SUITE_SQL, "ranking/distribution window functions"),
+    "q_array_hof_suite": QuerySpec(q_array_hof_suite, Q_ARRAY_HOF_SQL, "higher-order array functions"),
+    "q_regex_suite": QuerySpec(q_regex_suite, Q_REGEX_SQL, "regex scalar surface"),
 }
