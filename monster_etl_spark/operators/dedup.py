@@ -62,15 +62,24 @@ def _hash64(col: Column, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column."""
-    toks = F.split(F.lower(F.trim(text)), TOKEN_SPLIT_RE)
+def _grams_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct n-gram array from a token-array column; [] under n tokens.
+    Single source of the gram construction — callers must pass a
+    MATERIALIZED token column (lambda subtrees are not CSE'd; an inline
+    split would re-tokenize per element)."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
-    # guard: fewer than n tokens -> no shingles
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (convenience form;
+    prefer materializing tokens first on hot paths)."""
+    return _grams_from_tokens(F.split(F.lower(F.trim(text)), TOKEN_SPLIT_RE), n)
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -100,14 +109,7 @@ def _exploded_shingles(
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
     with_toks = _spread(df.select(F.col(id_col).alias("doc"), toks.alias("toks")))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]),
-    )
-    gram_arr = F.when(F.size("toks") >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
-    sh = with_toks.select("doc", F.explode(gram_arr).alias("shingle"))
+    sh = with_toks.select("doc", F.explode(_grams_from_tokens(F.col("toks"), n)).alias("shingle"))
     if max_shingle_freq is not None:
         # drop stopword-shingles: present in > max_shingle_freq docs they
         # carry no dedup signal and create join skew at scale

@@ -66,7 +66,19 @@ def connected_components(
         for n in list(parent):
             comp.setdefault(find(n), []).append(n)
         rows = [(n, min(members)) for members in comp.values() for n in members]
-        schema = pairs.select(F.col(src).alias("node"), F.col(src).alias("component")).schema
+        # node type = union-coerced type of BOTH id columns, matching the
+        # distributed path (src-only typing would silently narrow dst ids)
+        node_schema = (
+            pairs.select(F.col(src).alias("node"))
+            .unionByName(pairs.select(F.col(dst).alias("node")))
+            .schema
+        )
+        node_type = node_schema["node"].dataType
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("node", node_type), T.StructField("component", node_type)]
+        )
         return spark.createDataFrame(rows, schema)
 
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))

@@ -53,15 +53,24 @@ def incremental_backfill(
     if not missing:
         return []
     src = spark.read.format(fmt).load(src_path)
-    for value in missing:
-        part = src.filter(F.col(partition_col) == value)
-        out = transform(part)
-        (
-            out.write.mode("append")
-            .partitionBy(partition_col)
-            .format(fmt)
-            .save(dst_path)
-        )
+    # dynamic partition overwrite: re-writing a partition REPLACES it (the
+    # idempotency contract) instead of appending duplicates. Recovery from a
+    # crash mid-write: delete the suspect partition dir and re-run — tested
+    # in tests/test_incremental.py.
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for value in missing:
+            part = src.filter(F.col(partition_col) == value)
+            out = transform(part)
+            (
+                out.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .format(fmt)
+                .save(dst_path)
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return missing
 
 
@@ -73,12 +82,18 @@ def compact(
 ) -> int:
     """Rewrite a directory to ``target_files`` files (coalesce — a narrow
     repartitioning; use a higher target to keep write parallelism). Returns
-    the file count before compaction. Read fully materializes before the
-    overwrite of the same path."""
-    pattern = os.path.join(path, f"part-*")
+    the file count before compaction. Distributed end to end: writes to a
+    temp dir and swaps, never reading and overwriting one path in a job."""
+    import shutil
+
+    pattern = os.path.join(path, "part-*")
     before = len(_glob.glob(pattern))
-    df = spark.read.format(fmt).load(path)
-    rows = df.collect()
-    compacted = spark.createDataFrame(rows, df.schema).coalesce(target_files)
-    compacted.write.mode("overwrite").format(fmt).save(path)
+    # write-to-tmp + swap keeps the rewrite distributed (no driver
+    # materialization) and never overwrites the directory being read
+    tmp = path.rstrip("/") + ".compact-tmp"
+    spark.read.format(fmt).load(path).coalesce(target_files).write.mode(
+        "overwrite"
+    ).format(fmt).save(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
     return before

@@ -38,9 +38,15 @@ def salted_join(
 
     The per-row salt must be deterministic (not rand()) so retried tasks
     produce identical output — here it derives from the large side's own
-    row content via a cheap hash-mod.
+    row content via pmod(xxhash64) (pmod, not abs-mod: abs(Long.MIN_VALUE)
+    is still negative and would put a row in no salt bucket).
+
+    Only inner and left joins are supported: for right/full joins an
+    unmatched small-side row would surface once per salt copy.
     """
-    salt = (F.abs(F.xxhash64(*[F.col(c) for c in large.columns])) % salt_factor).alias("__salt__")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt_factor)).alias("__salt__")
     salted_large = large.withColumn("__salt__", salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("__salt__")
     salted_small = small.select("*", salts)

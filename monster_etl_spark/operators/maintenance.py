@@ -31,7 +31,14 @@ def merge_upsert(
     t = target.withColumn("__src__", F.lit(0))
     u = updates.withColumn("__src__", F.lit(1))
     merged = t.unionByName(u, allowMissingColumns=True)
-    order = [F.desc(precedence), F.desc("__src__") if prefer_updates_on_tie else F.asc("__src__")]
+    # final content-hash tiebreak: two same-key same-precedence rows within
+    # one side would otherwise get shuffle-order-dependent row_numbers
+    content = F.xxhash64(*[F.col(c) for c in merged.columns if c != "__src__"])
+    order = [
+        F.desc(precedence),
+        F.desc("__src__") if prefer_updates_on_tie else F.asc("__src__"),
+        content.asc(),
+    ]
     w = Window.partitionBy(key).orderBy(*order)
     return (
         merged.withColumn("__rn__", F.row_number().over(w))

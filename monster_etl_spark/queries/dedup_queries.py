@@ -15,10 +15,13 @@ NGRAM_N = 3
 
 # SQL building blocks mirroring operators.dedup (shared constants)
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+# gram term list derived from NGRAM_N so the oracle construction cannot
+# drift from the Spark side's parameterized n
+_GRAM_TERMS = " || ' ' || ".join(f"{_TOKS}[i+{j}]" for j in range(NGRAM_N))
 _SHINGLES = f"""
 SELECT doc_id AS doc, unnest(list_distinct(
-  list_transform(range(1, len({_TOKS}) - 1),
-    i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])
+  list_transform(range(1, len({_TOKS}) - ({NGRAM_N} - 2)),
+    i -> {_GRAM_TERMS})
 )) AS shingle
 FROM documents
 WHERE len({_TOKS}) >= {NGRAM_N}

@@ -11,12 +11,21 @@ TABLES = (
 )
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every warehouse table as a temp view (idempotent)."""
+_REGISTERED: set[tuple[int, str]] = set()
+
+
+def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
+    """Register every warehouse table as a temp view. Memoized per
+    (session, sf_dir): repeat calls are free (each registration re-runs the
+    table loaders, including the events timestamp reconstruction)."""
     from monster_etl_spark.queries import load
 
+    key = (id(spark), sf_dir)
+    if not force and key in _REGISTERED:
+        return
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+    _REGISTERED.add(key)
 
 
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

@@ -56,6 +56,11 @@ def upsert_sink(stream: DataFrame, target_path: str, key: str, precedence: str, 
     last-step-atomic per batch (write to tmp, swap by overwrite) — for a
     transactional table format this becomes a real MERGE.
     """
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
     from monster_etl_spark.operators.maintenance import merge_upsert
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -63,11 +68,20 @@ def upsert_sink(stream: DataFrame, target_path: str, key: str, precedence: str, 
         try:
             current = spark.read.parquet(target_path)
             merged = merge_upsert(current, batch_df, key, precedence)
-        except Exception:  # first batch: no snapshot yet
+        except AnalysisException as exc:
+            # ONLY path-not-found means "first batch"; any other failure
+            # (corrupt file, schema drift) must abort the batch — a broad
+            # except here would silently replace the snapshot with one batch
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             merged = batch_df
-        # materialize before overwriting the path we read from
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(target_path)
+        # write-to-tmp + swap: stays distributed (no driver collect) and
+        # never reads and overwrites the same path in one job
+        tmp = target_path.rstrip("/") + f".tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_path):
+            shutil.rmtree(target_path)
+        os.replace(tmp, target_path)
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -39,6 +39,30 @@ def test_extract_image_features(media):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         list(mm.decode_image_batch(iter([]), real_decode=True))
+    with pytest.raises(NotImplementedError):
+        mm.extract_image_features(None, real_decode=True)
+
+
+def test_module_fn_and_worker_closure_agree(media):
+    """decode_image_batch (unit-testable module fn) and the self-contained
+    mapInPandas closure must stay in sync — this pins it."""
+    import pandas as pd
+
+    rows = media.limit(20).select("media_id", "content").collect()
+    pdf = pd.DataFrame({"media_id": [r["media_id"] for r in rows],
+                        "content": [bytes(r["content"]) for r in rows]})
+    module_out = pd.concat(list(mm.decode_image_batch(iter([pdf])))).reset_index(drop=True)
+    dist_out = (
+        mm.extract_image_features(media.limit(20))
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    module_out = module_out.sort_values("media_id").reset_index(drop=True)
+    # dtype-normalized compare: the Spark schema types width/height as INT
+    # (pandas int32), the module fn emits int64 — values must be identical
+    dist_norm = dist_out[module_out.columns].astype("int64")
+    assert module_out.astype("int64").equals(dist_norm)
 
 
 def test_frame_sample_ids(media):
