@@ -68,6 +68,29 @@ OPS: dict[str, Callable[..., DataFrame]] = {
 }
 
 
+def _join_step(spark: SparkSession, df: DataFrame, step: dict[str, Any]) -> DataFrame:
+    """{"op": "join", "source": {...}, "on": [...], "how": "left",
+    "broadcast": true} — joins another declared source."""
+    from pyspark.sql import functions as F
+
+    other = read_source(spark, step["source"])
+    if step.get("select"):
+        other = other.select(*step["select"])
+    if step.get("broadcast"):
+        other = F.broadcast(other)
+    return df.join(other, step["on"], step.get("how", "inner"))
+
+
+def _aggregate_step(df: DataFrame, step: dict[str, Any]) -> DataFrame:
+    """{"op": "aggregate", "group_by": [...], "aggs": {"alias": "sum(x)"}}
+    — SQL expressions keep the step JSON-declarable."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.expr(expr).alias(alias) for alias, expr in step["aggs"].items()]
+    gb = step.get("group_by", [])
+    return df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)
+
+
 def read_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
     fmt = source["format"]
     opts = source.get("options", {})
@@ -80,13 +103,22 @@ def read_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
     raise ValueError(f"unknown source format {fmt!r}")
 
 
-def apply_steps(df: DataFrame, steps: list[dict[str, Any]]) -> DataFrame:
+def apply_steps(
+    df: DataFrame, steps: list[dict[str, Any]], spark: SparkSession | None = None
+) -> DataFrame:
     for step in steps:
         step = dict(step)
         op = step.pop("op")
-        if op not in OPS:
-            raise ValueError(f"unknown op {op!r}; known: {sorted(OPS)}")
-        df = OPS[op](df, **step)
+        if op == "join":
+            if spark is None:
+                raise ValueError("join step requires the session context (use run_pipeline)")
+            df = _join_step(spark, df, step)
+        elif op == "aggregate":
+            df = _aggregate_step(df, step)
+        elif op in OPS:
+            df = OPS[op](df, **step)
+        else:
+            raise ValueError(f"unknown op {op!r}; known: {sorted(OPS) + ['join', 'aggregate']}")
     return df
 
 
@@ -107,7 +139,7 @@ def write_sink(df: DataFrame, sink: dict[str, Any]) -> None:
 def run_pipeline(spark: SparkSession, pipeline: dict[str, Any]) -> DataFrame:
     """Assemble and run; returns the final DataFrame (also written if a
     sink is declared)."""
-    df = apply_steps(read_source(spark, pipeline["source"]), pipeline.get("steps", []))
+    df = apply_steps(read_source(spark, pipeline["source"]), pipeline.get("steps", []), spark)
     if "sink" in pipeline:
         write_sink(df, pipeline["sink"])
     return df
