@@ -282,7 +282,7 @@ def simhash_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long").alias("hamming"),
         )
         # filter BEFORE the distinct: hamming is pair-determined, so the
         # order is semantics-free, but filtering first keeps far pairs out

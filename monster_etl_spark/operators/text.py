@@ -44,13 +44,13 @@ def tokens(col: Column) -> Column:
 
 
 def ws_token_count(col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(tokens(col))
+    """Whitespace token count (BIGINT: aligns with SQL engines' len())."""
+    return F.size(tokens(col)).cast("long")
 
 
 def bpe_token_count(col: Column) -> Column:
     """BPE-ish segment count (letters/digits runs + single symbols)."""
-    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE)).cast("long")
 
 
 def stopword_count(col: Column, stopwords: tuple[str, ...]) -> Column:

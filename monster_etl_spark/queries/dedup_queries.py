@@ -130,7 +130,7 @@ FROM hashed GROUP BY doc),
 sigs AS (SELECT doc, {sig} AS simhash FROM votes),
 buckets AS (SELECT doc, simhash, unnest([{chunk_exprs}]) AS bucket FROM sigs)
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {chunks - 1}
 """

@@ -35,7 +35,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_JSON_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -72,7 +72,7 @@ WITH marked AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM marked GROUP BY user_id
 """
 

@@ -286,15 +286,15 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_PROFILE_SQL = """
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS l_orderkey__nulls,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_orderkey__nulls,
        COUNT(DISTINCT l_orderkey) AS l_orderkey__distinct,
        MIN(l_orderkey) AS l_orderkey__min,
        MAX(l_orderkey) AS l_orderkey__max,
-       SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS l_returnflag__nulls,
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_returnflag__nulls,
        COUNT(DISTINCT l_returnflag) AS l_returnflag__distinct,
        MIN(l_returnflag) AS l_returnflag__min,
        MAX(l_returnflag) AS l_returnflag__max,
-       SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS l_quantity__nulls,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity__nulls,
        COUNT(DISTINCT l_quantity) AS l_quantity__distinct,
        MIN(l_quantity) AS l_quantity__min,
        MAX(l_quantity) AS l_quantity__max

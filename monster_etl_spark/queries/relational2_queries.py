@@ -41,7 +41,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag, CAST(grouping(l_linestatus) AS BIGINT) AS g_status
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
@@ -50,7 +50,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag, CAST(grouping(l_linestatus) AS BIGINT) AS g_status
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
@@ -148,10 +148,10 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_name").alias("up"),
         F.substring("p_name", 1, 4).alias("sub4"),
-        F.length("p_name").alias("len"),
+        F.length("p_name").cast("long").alias("len"),
         F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("devoweled"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
-        F.levenshtein(F.col("p_name"), F.col("p_type")).alias("lev"),
+        F.levenshtein(F.col("p_name"), F.col("p_type")).cast("long").alias("lev"),
         F.reverse(F.col("p_brand")).alias("rev_brand"),
         F.lpad(F.col("p_brand"), 10, "*").alias("padded"),
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
@@ -176,29 +176,32 @@ FROM part
 def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
+    # integer features as BIGINT and date outputs as ISO strings: aligns
+    # pandas dtypes across engines (Spark DATE -> object(date) while DuckDB
+    # DATE -> datetime64; int functions are int32 here, BIGINT there)
     return o.select(
         "o_orderkey",
-        F.year(d).alias("y"),
-        F.quarter(d).alias("q"),
-        F.month(d).alias("m"),
-        F.dayofmonth(d).alias("dom"),
-        F.weekofyear(d).alias("iso_week"),
-        F.date_add(d, 30).alias("plus30"),
-        F.last_day(d).alias("month_end"),
-        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.year(d).cast("long").alias("y"),
+        F.quarter(d).cast("long").alias("q"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.date_add(d, 30).cast("string").alias("plus30"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long").alias("days_to_2002"),
     )
 
 
 Q_DATE_SQL = """
 SELECT o_orderkey,
-       year(CAST(o_orderdate AS DATE)) AS y,
-       quarter(CAST(o_orderdate AS DATE)) AS q,
-       month(CAST(o_orderdate AS DATE)) AS m,
-       day(CAST(o_orderdate AS DATE)) AS dom,
-       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
-       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus30,
-       last_day(CAST(o_orderdate AS DATE)) AS month_end,
-       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+       CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS q,
+       CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+       CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS dom,
+       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+       CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus30,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002
 FROM orders
 """
 
@@ -340,9 +343,9 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderstatus",
-        F.ntile(4).over(w).alias("quartile"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.first("o_orderkey").over(w).alias("cheapest_key"),
@@ -415,9 +418,9 @@ def q_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.regexp_extract(F.col("p_name"), "([a-z]+) ([a-z]+)", 2).alias("second_word"),
         F.regexp_extract_all(F.col("p_name"), F.lit("[aeiou]"), 0).alias("vowels"),
-        F.regexp_count(F.col("p_name"), F.lit("[aeiou]")).alias("n_vowels"),
+        F.regexp_count(F.col("p_name"), F.lit("[aeiou]")).cast("long").alias("n_vowels"),
         F.col("p_name").rlike("^(small|large)").alias("sized"),
-        F.regexp_instr(F.col("p_name"), F.lit("widget")).alias("widget_pos"),
+        F.regexp_instr(F.col("p_name"), F.lit("widget")).cast("long").alias("widget_pos"),
     )
 
 

@@ -43,13 +43,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_p("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_p("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(_p("l_extendedprice") * (one - _r("l_discount"))).cast("double").alias("sum_disc_price"),
-            # stays DECIMAL: at scale 10 the unscaled sum exceeds 2^53 and
-            # Spark's decimal->double cast double-rounds (unscaled-long ->
-            # double, then /10^scale) — 1 ulp off DuckDB's correctly-rounded
-            # cast. Exact decimal output sidesteps the conversion entirely.
-            F.sum(_p("l_extendedprice") * (one - _r("l_discount")) * (one + _r("l_tax")))
-            .cast("decimal(38,10)")
-            .alias("sum_charge"),
+            # sum_charge needs three layers of care: (a) the scale-10 sum's
+            # unscaled value exceeds 2^53 where Spark's decimal->double cast
+            # double-rounds; (b) raw DECIMAL output reaches pandas as object
+            # (Spark) vs float64 (DuckDB); (c) decimal RESCALING diverges on
+            # exact ties (Spark HALF_UP vs DuckDB half-even). So: explicit
+            # integer-space HALF_UP (floor(x*10^4 + 0.5), exact decimal ops,
+            # positive values), exact integral sum, one double conversion.
+            (
+                F.sum(
+                    F.floor(
+                        (_p("l_extendedprice") * (one - _r("l_discount")) * (one + _r("l_tax")))
+                        * 10000
+                        + F.lit(0.5).cast("decimal(2,1)")
+                    )
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("sum_charge"),
             (F.sum(_p("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(_p("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
@@ -62,7 +72,7 @@ SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(38,10)) AS sum_charge,
+  CAST(SUM(floor(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4))) AS DECIMAL(26,10)) * 10000 + CAST(0.5 AS DECIMAL(2,1)))) AS DOUBLE) / 10000.0 AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
   COUNT(*) AS count_order
@@ -148,7 +158,7 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
