@@ -125,7 +125,20 @@ def apply_steps(
 def write_sink(df: DataFrame, sink: dict[str, Any]) -> None:
     fmt = sink["format"]
     if fmt == "jsonl":
-        write_json_lines(df, sink["path"], drop_null_fields=sink.get("drop_null_fields", False))
+        if sink.get("partition_by"):
+            (
+                df.write.mode(sink.get("mode", "overwrite"))
+                .option("ignoreNullFields", "true" if sink.get("drop_null_fields") else "false")
+                .partitionBy(*sink["partition_by"])
+                .json(sink["path"])
+            )
+            return
+        write_json_lines(
+            df,
+            sink["path"],
+            drop_null_fields=sink.get("drop_null_fields", False),
+            mode=sink.get("mode", "overwrite"),
+        )
         return
     if fmt == "parquet":
         writer = df.write.mode(sink.get("mode", "overwrite"))

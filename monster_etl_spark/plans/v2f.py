@@ -260,9 +260,12 @@ def build_extraction_tables(spark: SparkSession, input_dir: str) -> dict[str, Da
 
 def run_extraction_pipeline(spark: SparkSession, input_dir: str, output_dir: str) -> None:
     """TSV -> JSON-lines, six sinks. Sparse-record outputs drop null fields
-    (SURVEY.md §1.5)."""
+    (SURVEY.md §1.5). Output layout mirrors the reference exactly
+    (``$outputDir/$filePath``, nested per ``V2FConstants`` file paths —
+    e.g. ``variant-effect/transcript-consequences`` — plus ``variants``)."""
     for name, df in build_extraction_tables(spark, input_dir).items():
-        write_json_lines(df, f"{output_dir}/{name}", drop_null_fields=True)
+        out_path = TSV_TABLE_CONFIGS[name].table_name if name in TSV_TABLE_CONFIGS else name
+        write_json_lines(df, f"{output_dir}/{out_path}", drop_null_fields=True)
 
 
 def run_dataset_specific_pipeline(spark: SparkSession, input_dir: str, output_dir: str) -> None:

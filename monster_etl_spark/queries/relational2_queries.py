@@ -126,10 +126,16 @@ WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot order counts: status values become columns."""
     o = load(spark, sf_dir, "orders")
-    return (
+    pivoted = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(F.count(F.lit(1)))
+    )
+    # Spark pivot yields NULL for an empty cell; COUNT(*) FILTER yields 0 —
+    # coalesce so the parity holds even when a combination is absent
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("O", "F", "P")],
     )
 
 
@@ -278,7 +284,13 @@ def q_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean and sample stddev derived from exact decimal sums — the naive
     stddev aggregate accumulates floats in partition order and is not
     reproducible across engines; sum/sum-of-squares in DECIMAL are exact,
-    and the final double formula is a deterministic function of them."""
+    and the final double formula is a deterministic function of them.
+
+    Range note: the scale-4 sum-of-squares stays within exact double range
+    (unscaled < 2^53) up to roughly sf=1 (~6M rows); beyond that the final
+    decimal->double conversion re-enters the double-rounding regime q1
+    works around with integer-space HALF_UP (apply the same trick here if
+    the correctness gate ever moves past sf=1)."""
     l = load(spark, sf_dir, "lineitem")
     p = F.col("l_extendedprice").cast("decimal(12,2)")
     s1 = F.sum(p).cast("double")

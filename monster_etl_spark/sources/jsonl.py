@@ -44,9 +44,18 @@ def read_json_lines(
     df = reader.json(path)
     longs = [c for c in long_columns if c in df.columns]
     if longs:
-        # double -> string -> .0-strip -> long keeps 15225.0 == 15225
-        df = df.withColumns({c: df[c].cast("string") for c in longs})
-        df = parse_longs(df, longs)
+        dtypes = dict(df.dtypes)
+        numeric, stringy = [], []
+        for c in longs:
+            (numeric if dtypes[c] in ("double", "float", "bigint", "int") else stringy).append(c)
+        if numeric:
+            # numeric source: cast directly — a string round-trip would hit
+            # Java's scientific notation for |x| >= 1e7 ('1.5225E7') and
+            # break the .0-strip parse; the contract column is integral
+            df = df.withColumns({c: df[c].cast("long") for c in numeric})
+        if stringy:
+            # raw text source: the reference .0-strip parse (T9)
+            df = parse_longs(df, stringy)
     return df
 
 

@@ -43,13 +43,13 @@ def _expand_glob(path: str) -> list[str]:
     return files
 
 
-def _read_header(path: str) -> tuple[str, ...] | None:
+def _read_header(path: str, sep: str = "\t") -> tuple[str, ...] | None:
     """First line of a file as trimmed column names; None if empty file."""
     with open(path, encoding="utf-8") as fh:
         line = fh.readline()
     if not line.strip():
         return None
-    return tuple(c.strip() for c in line.rstrip("\n").rstrip("\r").split("\t"))
+    return tuple(c.strip() for c in line.rstrip("\n").rstrip("\r").split(sep))
 
 
 def read_tsv(
@@ -65,10 +65,28 @@ def read_tsv(
     ``__source_file__`` column carries the reference's ``(path, msg)``
     tuple (``V2FUtils.scala:71``).
     """
+    if "://" in path and not path.startswith("file://"):
+        # Non-local storage (s3a://, gs://, hdfs://...): the driver cannot
+        # peek at file headers, so delegate wholly to Spark's distributed
+        # reader. One header per glob is assumed (the overwhelmingly common
+        # layout); the heterogeneous-header union is a local-path feature.
+        df = (
+            spark.read.option("header", True)
+            .option("sep", sep)
+            .option("inferSchema", False)
+            .option("ignoreLeadingWhiteSpace", True)
+            .option("ignoreTrailingWhiteSpace", True)
+            .option("nullValue", "")
+            .csv(path)
+        )
+        if with_provenance:
+            df = df.withColumn(_PROVENANCE_COL, F.input_file_name())
+        return df
+
     files = _expand_glob(path)
     headers: dict[tuple[str, ...], list[str]] = {}
     for f in files:
-        h = _read_header(f)
+        h = _read_header(f, sep)
         if h is None:
             continue  # 0-byte files in the glob are legal (FIXTURES.md §8)
         headers.setdefault(h, []).append(f)

@@ -4,11 +4,13 @@ The reference is strictly batch (SURVEY.md §2.7) — this module is the
 green-field streaming counterpart built on Spark Structured Streaming:
 file/json sources, watermarked tumbling-window aggregation (the incremental
 twin of ``queries.events_queries.q_tumbling_window``), within-watermark
-dedup, and stateful gap sessionization via ``applyInPandasWithState``.
+dedup, and gap sessionization via session windows.
 
 Scale posture: state stores partition by the grouping key; watermarks bound
 state size (late data beyond the watermark is dropped deterministically);
 ``dropDuplicatesWithinWatermark`` keeps the dedup state window-bounded.
+Gap sessionization uses the built-in session window; the custom-state
+surface (``applyInPandasWithState``) lives in ``streaming.stateful``.
 """
 
 from __future__ import annotations
@@ -50,7 +52,10 @@ def windowed_event_counts(
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            # same exact-decimal discipline as the batch twin: raw double
+            # summation is partition-order dependent and would make a
+            # streaming backfill disagree with q_tumbling_window
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )

@@ -17,14 +17,18 @@ import pytest
 
 REFERENCE_IT = "/root/reference/v2f/src/it/test-files"
 
+# engine output layout now mirrors the reference's nested paths exactly
 TABLES = {
-    "frequency-analysis": "frequency-analysis",
-    "meta-analysis-ancestry-specific": "meta-analysis/ancestry-specific",
-    "meta-analysis-trans-ethnic": "meta-analysis/trans-ethnic",
-    "regulatory-feature-consequences": "variant-effect/regulatory-feature-consequences",
-    "transcript-consequences": "variant-effect/transcript-consequences",
-    "variants": "variants",
-    "dataset-specific": "dataset-specific",
+    t: t
+    for t in (
+        "frequency-analysis",
+        "meta-analysis/ancestry-specific",
+        "meta-analysis/trans-ethnic",
+        "variant-effect/regulatory-feature-consequences",
+        "variant-effect/transcript-consequences",
+        "variants",
+        "dataset-specific",
+    )
 }
 
 

@@ -110,10 +110,10 @@ def test_scaled_extraction_pipeline(spark, big_input, tmp_path):
         return n
 
     assert count("frequency-analysis") == 3 * N_PER_FILE
-    assert count("meta-analysis-ancestry-specific") == 2 * 3 * (N_PER_FILE // 2)
-    assert count("meta-analysis-trans-ethnic") == 3 * N_PER_FILE
-    assert count("regulatory-feature-consequences") == 1000
-    assert count("transcript-consequences") == 1000
+    assert count("meta-analysis/ancestry-specific") == 2 * 3 * (N_PER_FILE // 2)
+    assert count("meta-analysis/trans-ethnic") == 3 * N_PER_FILE
+    assert count("variant-effect/regulatory-feature-consequences") == 1000
+    assert count("variant-effect/transcript-consequences") == 1000
 
     # variants: deduped by id, and id space bounded by generated uids
     variant_ids = []
