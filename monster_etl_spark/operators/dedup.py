@@ -169,13 +169,16 @@ def minhash_signatures(
     text_col: str,
     n: int = 3,
     num_perms: int = MINHASH_PERMS,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: for each of ``num_perms`` salted hash
     functions, the minimum hash over the document's shingle set. One
     aggregate over the exploded-shingle table computes all perms at once.
     Documents with no shingles (< n tokens) are dropped.
+    ``max_shingle_freq`` drops stopword-shingles (doc frequency above the
+    cap) before signing — the skew guard for 100 TB corpora.
     """
-    sh = _exploded_shingles(df, id_col, text_col, n, None).withColumn(
+    sh = _exploded_shingles(df, id_col, text_col, n, max_shingle_freq).withColumn(
         "h", _hash64(F.col("shingle"))
     )
     aggs = [
@@ -192,13 +195,14 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_perms: int = MINHASH_PERMS,
     band_size: int = MINHASH_BAND_SIZE,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: signatures split into bands; documents
     sharing any band bucket become a candidate pair. The join key is
     (band index, band values) so work is linear in bucket sizes — the
     100 TB-safe shape (never an all-pairs comparison). Returns distinct
     (doc_a, doc_b), doc_a < doc_b."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perms)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perms, max_shingle_freq)
     n_bands = num_perms // band_size
     bands = F.array(
         *[

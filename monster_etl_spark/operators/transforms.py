@@ -154,18 +154,47 @@ def _nan_to_null(col: Column, nan_values: Iterable[str]) -> Column:
     return F.when(col.isin(*nans), F.lit(None)).otherwise(col)
 
 
-def parse_long_expr(col: Column, nan_values: Iterable[str] = (), strict: bool = True) -> Column:
+def _named_strict_cast(c: Column, dtype: T.DataType, field: str | None) -> Column:
+    """Strict cast that names the offending field on failure, like the
+    reference's parse wrapper (``MsgTransformations.scala:216-221``:
+    failures carry the field so a 100-column pipeline error is actionable).
+    Pure column expressions (try_cast + conditional raise_error) — stays
+    inside whole-stage codegen, no UDF."""
+    if field is None:
+        return c.cast(dtype)
+    casted = c.try_cast(dtype)
+    return F.when(
+        c.isNotNull() & casted.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"failed to parse field '{field}' as {dtype.simpleString()}: value '"),
+                c,
+                F.lit("'"),
+            )
+        ),
+    ).otherwise(casted)
+
+
+def parse_long_expr(
+    col: Column, nan_values: Iterable[str] = (), strict: bool = True, field: str | None = None
+) -> Column:
     """Scalar of T9: strip one trailing ``.0`` then cast to long
     (``MsgTransformations.scala:236-248``; ``"184305.0"`` -> 184305)."""
     c = _nan_to_null(col, nan_values)
     stripped = F.regexp_replace(c, r"\.0$", "")
-    return stripped.cast(T.LongType()) if strict else stripped.try_cast(T.LongType())
+    if strict:
+        return _named_strict_cast(stripped, T.LongType(), field)
+    return stripped.try_cast(T.LongType())
 
 
-def parse_double_expr(col: Column, nan_values: Iterable[str] = (), strict: bool = True) -> Column:
+def parse_double_expr(
+    col: Column, nan_values: Iterable[str] = (), strict: bool = True, field: str | None = None
+) -> Column:
     """Scalar of T10 (``MsgTransformations.scala:259-265``)."""
     c = _nan_to_null(col, nan_values)
-    return c.cast(T.DoubleType()) if strict else c.try_cast(T.DoubleType())
+    if strict:
+        return _named_strict_cast(c, T.DoubleType(), field)
+    return c.try_cast(T.DoubleType())
 
 
 def parse_boolean_expr(col: Column, true_values: Iterable[str] = ("true",)) -> Column:
@@ -181,15 +210,27 @@ def parse_boolean_expr(col: Column, true_values: Iterable[str] = ("true",)) -> C
 def parse_longs(
     df: DataFrame, fields: Iterable[str], nan_values: Iterable[str] = (), strict: bool = True
 ) -> DataFrame:
-    """T9 ``parseLongs`` (``MsgTransformations.scala:309-312``)."""
-    return map_field_values(df, fields, lambda c: parse_long_expr(c, nan_values, strict))
+    """T9 ``parseLongs`` (``MsgTransformations.scala:309-312``). Strict
+    failures name the offending field (reference parity)."""
+    cols = _present(df, fields)
+    if not cols:
+        return df
+    return df.withColumns(
+        {c: parse_long_expr(F.col(c), nan_values, strict, field=c) for c in cols}
+    )
 
 
 def parse_doubles(
     df: DataFrame, fields: Iterable[str], nan_values: Iterable[str] = (), strict: bool = True
 ) -> DataFrame:
-    """T10 ``parseDoubles`` (``MsgTransformations.scala:325-328``)."""
-    return map_field_values(df, fields, lambda c: parse_double_expr(c, nan_values, strict))
+    """T10 ``parseDoubles`` (``MsgTransformations.scala:325-328``). Strict
+    failures name the offending field (reference parity)."""
+    cols = _present(df, fields)
+    if not cols:
+        return df
+    return df.withColumns(
+        {c: parse_double_expr(F.col(c), nan_values, strict, field=c) for c in cols}
+    )
 
 
 def parse_booleans(
@@ -233,13 +274,23 @@ def _parse_numeric_arrays(
 ) -> DataFrame:
     nans = list(nan_values)
 
-    def elem(x: Column) -> Column:
+    def elem(x: Column, field: str) -> Column:
         e = F.when(x.isin(*nans), F.lit(None)).otherwise(x) if nans else x
         if dtype == T.LongType():
             e = F.regexp_replace(e, r"\.0$", "")
-        return e.cast(dtype) if strict else e.try_cast(dtype)
+        return _named_strict_cast(e, dtype, field) if strict else e.try_cast(dtype)
 
-    return map_field_values(df, fields, lambda c: F.transform(_java_split(c, delimiter), elem))
+    def elem_fn(field: str):
+        # one-arg lambda per field (a two-arg lambda would be read by
+        # F.transform as the (element, index) form)
+        return lambda x: elem(x, field)
+
+    cols = _present(df, fields)
+    if not cols:
+        return df
+    return df.withColumns(
+        {c: F.transform(_java_split(F.col(c), delimiter), elem_fn(c)) for c in cols}
+    )
 
 
 def parse_long_arrays(

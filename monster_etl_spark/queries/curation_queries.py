@@ -20,15 +20,18 @@ from monster_etl_spark.queries import QuerySpec, load
 from monster_etl_spark.queries.dedup_queries import (
     JACCARD_SQL,
     JACCARD_THRESHOLD,
+    MAX_SHINGLE_FREQ,
     NGRAM_N,
 )
 
 VAL_PCT = 10  # percent of docs in the validation split
 TOKEN_BUDGET = 512
 QUALITY_MIN = 0.5
+PACK_SHARDS = 8  # packing parallelism; at 100 TB set ~= cluster cores
 
 # deterministic split hash: same construction as operators.dedup._hash64
 _SPLIT_EXPR = "CAST(CAST(concat('0x', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT)"
+_SHARD_EXPR = "CAST(CAST(concat('0x', substr(md5(concat('shard|', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT)"
 
 
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,27 +58,39 @@ FROM documents
 
 
 def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing: documents in id order accumulate whitespace
-    tokens; pack boundary every TOKEN_BUDGET tokens (running-sum window,
-    one global sort — at 100 TB you pack per shard/partition instead of
-    globally, same expression per shard)."""
+    """Greedy sequence packing, sharded: each document lands in a
+    deterministic shard (engine-agnostic md5 hash of the id), the
+    running-sum window runs PER SHARD, and (shard, pack_id) is the pack
+    key. No global sort — PACK_SHARDS independent window partitions, so
+    the plan parallelizes at any scale (raise PACK_SHARDS ~ cluster cores
+    at 100 TB)."""
     d = load(spark, sf_dir, "documents")
     toks = tx.ws_token_count(F.col("text")).alias("n_tokens")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    scored = d.select("doc_id", toks)
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % PACK_SHARDS
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    scored = d.select("doc_id", toks, shard)
     return scored.select(
         "doc_id",
         "n_tokens",
+        "shard",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / TOKEN_BUDGET).alias("pack_id"),
     )
 
 
 TOKEN_PACKING_SQL = f"""
-SELECT doc_id, n_tokens,
-       CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+SELECT doc_id, n_tokens, shard,
+       CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
              / {TOKEN_BUDGET}) AS BIGINT) AS pack_id
 FROM (
-  SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+  SELECT doc_id, {_SHARD_EXPR} % {PACK_SHARDS} AS shard,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
   FROM documents
 )
 """
@@ -96,7 +111,14 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.ws_token_count(F.col("text")).alias("n_tokens"),
     ).filter(F.col("quality") >= QUALITY_MIN)
 
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    pairs = ngram_jaccard_pairs(
+        d,
+        "doc_id",
+        "text",
+        n=NGRAM_N,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
+    )
     comps = connected_components(pairs)
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")

@@ -12,19 +12,32 @@ from monster_etl_spark.queries import QuerySpec, load
 
 JACCARD_THRESHOLD = 0.2
 NGRAM_N = 3
+# skew guard, engaged by default: shingles present in more docs than this
+# carry no dedup signal and create join hot keys at scale (they'd each
+# contribute O(freq^2) candidate pairs). At sf0.01 (500 docs) this only
+# drops template-level shingles; at 100 TB it is what keeps the inverted
+# index join linear.
+MAX_SHINGLE_FREQ = 100
 
 # SQL building blocks mirroring operators.dedup (shared constants)
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 # gram term list derived from NGRAM_N so the oracle construction cannot
 # drift from the Spark side's parameterized n
 _GRAM_TERMS = " || ' ' || ".join(f"{_TOKS}[i+{j}]" for j in range(NGRAM_N))
-_SHINGLES = f"""
+_SHINGLES_RAW = f"""
 SELECT doc_id AS doc, unnest(list_distinct(
   list_transform(range(1, len({_TOKS}) - ({NGRAM_N} - 2)),
     i -> {_GRAM_TERMS})
 )) AS shingle
 FROM documents
 WHERE len({_TOKS}) >= {NGRAM_N}
+"""
+# doc-frequency-capped shingles: mirrors _exploded_shingles(max_shingle_freq)
+# (rows are distinct per doc, so COUNT(*) per shingle == doc frequency)
+_SHINGLES = f"""
+WITH sh_raw AS ({_SHINGLES_RAW}),
+keep AS (SELECT shingle FROM sh_raw GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_FREQ})
+SELECT doc, shingle FROM sh_raw JOIN keep USING (shingle)
 """
 
 
@@ -45,7 +58,12 @@ FROM documents GROUP BY md5(text)
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=NGRAM_N,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
     )
 
 
@@ -68,7 +86,13 @@ WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 6) >= {JACCARD_THRE
 
 
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_signatures(load(spark, sf_dir, "documents"), "doc_id", "text", n=NGRAM_N)
+    return dd.minhash_signatures(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=NGRAM_N,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
+    )
 
 
 def _minhash_sig_sql() -> str:
@@ -84,7 +108,13 @@ def _minhash_sig_sql() -> str:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_lsh_pairs(load(spark, sf_dir, "documents"), "doc_id", "text", n=NGRAM_N)
+    return dd.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=NGRAM_N,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
+    )
 
 
 def _minhash_lsh_sql() -> str:

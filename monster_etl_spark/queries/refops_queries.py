@@ -6,8 +6,9 @@ with a DuckDB oracle pinning the semantics — e.g. the ``.0``-strip long
 parse, boolean-by-membership, nan-sentinel arrays, and the
 remove-before-parse chain order.
 
-T16 (path-derived column) has no SQL oracle (the oracle can't see file
-paths) and is covered by unit tests + a rows-only entry.
+T16 (path-derived column) is oracle-backed via a partition-dir round-trip:
+the query stages data under ``ancestry=.../`` dirs and re-derives the value
+from ``input_file_name()``, while the oracle computes it from the data.
 """
 
 from __future__ import annotations
@@ -49,15 +50,18 @@ T3_SQL = "SELECT s_suppkey, s_name FROM supplier"
 
 
 def t4_collect_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Output contract: array columns are JSON-serialized so the driver's
+    # pandas canonicalizer hashes scalars (Spark to_json == DuckDB to_json
+    # byte-for-byte, verified incl. null elements / empty arrays).
     df = load(spark, sf_dir, "customer")
     return tr.collect_fields(df, ["c_mktsegment", "c_name"], "collected").select(
-        "c_custkey", "collected"
+        "c_custkey", F.to_json("collected").alias("collected")
     )
 
 
 T4_SQL = """
 SELECT c_custkey,
-       list_filter([c_mktsegment, c_name], x -> x IS NOT NULL) AS collected
+       CAST(to_json(list_filter([c_mktsegment, c_name], x -> x IS NOT NULL)) AS VARCHAR) AS collected
 FROM customer
 """
 
@@ -126,10 +130,13 @@ T11_SQL = "SELECT o_orderkey, o_orderstatus IN ('F') AS is_finished FROM orders"
 
 def t12_parse_string_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "part").select("p_partkey", F.col("p_name").alias("name_tokens"))
-    return tr.parse_string_arrays(df, {"name_tokens"}, " ")
+    out = tr.parse_string_arrays(df, {"name_tokens"}, " ")
+    return out.select("p_partkey", F.to_json("name_tokens").alias("name_tokens"))
 
 
-T12_SQL = "SELECT p_partkey, string_split(p_name, ' ') AS name_tokens FROM part"
+T12_SQL = (
+    "SELECT p_partkey, CAST(to_json(string_split(p_name, ' ')) AS VARCHAR) AS name_tokens FROM part"
+)
 
 
 def t13_parse_double_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,15 +146,16 @@ def t13_parse_double_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.concat_ws(",", F.col("l_discount").cast("string"), F.lit("."), F.col("l_tax").cast("string")).alias("vals"),
     )
-    return tr.parse_double_arrays(df, {"vals"}, ",", nan_values={"."})
+    out = tr.parse_double_arrays(df, {"vals"}, ",", nan_values={"."})
+    return out.select("l_orderkey", "l_linenumber", F.to_json("vals").alias("vals"))
 
 
 T13_SQL = """
 SELECT l_orderkey, l_linenumber,
-       list_transform(
+       CAST(to_json(list_transform(
          string_split(CAST(l_discount AS VARCHAR) || ',.,' || CAST(l_tax AS VARCHAR), ','),
          x -> CASE WHEN x = '.' THEN NULL ELSE CAST(x AS DOUBLE) END
-       ) AS vals
+       )) AS VARCHAR) AS vals
 FROM lineitem
 """
 
@@ -156,12 +164,13 @@ def t15_ensure_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("segments")
     )
-    return tr.ensure_arrays(df, {"segments"})
+    out = tr.ensure_arrays(df, {"segments"})
+    return out.select("c_custkey", F.to_json("segments").alias("segments"))
 
 
 T15_SQL = """
 SELECT c_custkey,
-       CASE WHEN c_mktsegment IS NULL THEN [] ELSE [c_mktsegment] END AS segments
+       CAST(to_json(CASE WHEN c_mktsegment IS NULL THEN [] ELSE [c_mktsegment] END) AS VARCHAR) AS segments
 FROM customer
 """
 
@@ -303,10 +312,30 @@ FROM lineitem
 
 
 def t16_path_column(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T16 rows-only: extract the scale-factor id from each row's source
-    file path. No oracle — DuckDB's view can't see Spark's input paths."""
-    df = load(spark, sf_dir, "nation")
-    return tr.add_column_from_path(df, "sf_tag", r"(sf[0-9.]+)/", strict=False)
+    """T16 oracle-backed: stage nation partitioned by an ``ancestry=...``
+    directory (the reference's exact layout, ``V2FUtils.scala:80``), read
+    it back, and re-derive ancestry FROM THE FILE PATH ALONE via
+    ``add_ancestry_id``. The oracle derives the same value from the data —
+    if path extraction drifts, the hashes diverge. The scratch dir is
+    deterministic and the write idempotent (mode=overwrite)."""
+    d = load(spark, sf_dir, "nation")
+    staged = d.select(
+        "n_nationkey",
+        "n_name",
+        F.concat(F.lit("reg"), F.col("n_regionkey").cast("string")).alias("ancestry"),
+    )
+    out = "/root/repo/spark-warehouse/t16_ancestry"
+    staged.write.mode("overwrite").partitionBy("ancestry").parquet(out)
+    # drop the discovered partition column so the value can ONLY come from
+    # the path regex
+    back = spark.read.parquet(out).drop("ancestry")
+    return tr.add_ancestry_id(back, strict=True).select("n_nationkey", "n_name", "ancestry")
+
+
+T16_SQL = """
+SELECT n_nationkey, n_name, 'reg' || CAST(n_regionkey AS VARCHAR) AS ancestry
+FROM nation
+"""
 
 
 QUERIES = {
@@ -327,5 +356,7 @@ QUERIES = {
     "q_salted_join": QuerySpec(q_salted_join, Q_SALTED_SQL, "skew-safe salted join"),
     "q_merge_upsert": QuerySpec(q_merge_upsert, Q_MERGE_SQL, "latest-wins upsert merge"),
     "q_profile": QuerySpec(q_profile, Q_PROFILE_SQL, "one-pass exact data profile"),
-    "t16_path_column": QuerySpec(t16_path_column, None, "T16 path-derived column (rows-only)"),
+    "t16_path_column": QuerySpec(
+        t16_path_column, T16_SQL, "T16 path-derived column (partition-dir round-trip)"
+    ),
 }

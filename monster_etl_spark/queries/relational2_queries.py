@@ -383,16 +383,20 @@ def q_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst lambda surface (DuckDB mirrors with list_* lambdas)."""
     l = load(spark, sf_dir, "lineitem")
     arr = F.array(F.col("l_quantity"), F.col("l_discount") * 100, F.col("l_tax") * 100)
+    # Array-typed outputs are JSON-serialized (to_json matches DuckDB
+    # byte-for-byte) so the driver's pandas canonicalizer hashes scalars.
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        F.transform(arr, lambda x: F.round(x * 2, 4)).alias("doubled"),
-        F.filter(arr, lambda x: x > 5).alias("big_vals"),
+        F.to_json(F.transform(arr, lambda x: F.round(x * 2, 4))).alias("doubled"),
+        F.to_json(F.filter(arr, lambda x: x > 5)).alias("big_vals"),
         F.exists(arr, lambda x: x > 40).alias("any_big"),
         F.forall(arr, lambda x: x >= 0).alias("all_nonneg"),
         F.round(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), 4).alias("arr_sum"),
-        F.array_sort(F.transform(arr, lambda x: F.round(x, 4))).alias("sorted_vals"),
-        F.slice(F.array_sort(F.transform(arr, lambda x: F.round(x, 4))), 1, 2).alias("smallest2"),
+        F.to_json(F.array_sort(F.transform(arr, lambda x: F.round(x, 4)))).alias("sorted_vals"),
+        F.to_json(
+            F.slice(F.array_sort(F.transform(arr, lambda x: F.round(x, 4))), 1, 2)
+        ).alias("smallest2"),
         F.round(
             F.aggregate(
                 F.zip_with(arr, F.reverse(arr), lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
@@ -404,13 +408,13 @@ def q_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_ARRAY_HOF_SQL = """
 SELECT l_orderkey, l_linenumber,
-  list_transform(arr, x -> round(x * 2, 4)) AS doubled,
-  list_filter(arr, x -> x > 5) AS big_vals,
+  CAST(to_json(list_transform(arr, x -> round(x * 2, 4))) AS VARCHAR) AS doubled,
+  CAST(to_json(list_filter(arr, x -> x > 5)) AS VARCHAR) AS big_vals,
   len(list_filter(arr, x -> x > 40)) > 0 AS any_big,
   len(list_filter(arr, x -> NOT x >= 0)) = 0 AS all_nonneg,
   round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr), (acc, x) -> acc + x), 4) AS arr_sum,
-  list_sort(list_transform(arr, x -> round(x, 4))) AS sorted_vals,
-  list_sort(list_transform(arr, x -> round(x, 4)))[1:2] AS smallest2,
+  CAST(to_json(list_sort(list_transform(arr, x -> round(x, 4)))) AS VARCHAR) AS sorted_vals,
+  CAST(to_json(list_sort(list_transform(arr, x -> round(x, 4)))[1:2]) AS VARCHAR) AS smallest2,
   round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
           list_transform(range(1, len(arr) + 1), i -> arr[i] * list_reverse(arr)[i])),
         (acc, x) -> acc + x), 4) AS rev_dot
@@ -429,7 +433,7 @@ def q_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         F.regexp_extract(F.col("p_name"), "([a-z]+) ([a-z]+)", 2).alias("second_word"),
-        F.regexp_extract_all(F.col("p_name"), F.lit("[aeiou]"), 0).alias("vowels"),
+        F.to_json(F.regexp_extract_all(F.col("p_name"), F.lit("[aeiou]"), 0)).alias("vowels"),
         F.regexp_count(F.col("p_name"), F.lit("[aeiou]")).cast("long").alias("n_vowels"),
         F.col("p_name").rlike("^(small|large)").alias("sized"),
         F.regexp_instr(F.col("p_name"), F.lit("widget")).cast("long").alias("widget_pos"),
@@ -439,7 +443,7 @@ def q_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_REGEX_SQL = """
 SELECT p_partkey,
   regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
-  regexp_extract_all(p_name, '[aeiou]') AS vowels,
+  CAST(to_json(regexp_extract_all(p_name, '[aeiou]')) AS VARCHAR) AS vowels,
   len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
   regexp_matches(p_name, '^(small|large)') AS sized,
   CASE WHEN strpos(p_name, 'widget') > 0 THEN strpos(p_name, 'widget') ELSE 0 END AS widget_pos

@@ -85,7 +85,9 @@ GROUP BY l_returnflag, l_linestatus
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact joins -> agg -> top-k.
     customer/orders filters push to the scans; the final top-10 is a global
-    sort of an already-small aggregate."""
+    sort of an already-small aggregate. customer grows with SF, so no
+    forced broadcast — AQE/autoBroadcastJoinThreshold picks the strategy
+    (broadcast at small SF, shuffle-hash at 100 TB)."""
     cutoff = "1997-06-01"
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(cutoff))
@@ -93,7 +95,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(DEC_RATE)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_p("l_extendedprice") * (one - _r("l_discount"))).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -118,8 +120,11 @@ LIMIT 10
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: star join through region->nation with the
-    customer-and-supplier-same-nation constraint. All dimension sides are
-    broadcast; the only shuffle is the final groupBy on n_name."""
+    customer-and-supplier-same-nation constraint. Only the bounded dims
+    (region: 5 rows, nation: 25 rows) are force-broadcast; customer and
+    supplier grow with SF, so their join strategy is left to
+    AQE/autoBroadcastJoinThreshold — a forced broadcast would OOM at
+    the 100 TB target."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
@@ -129,8 +134,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(DEC_RATE)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

@@ -87,7 +87,9 @@ SELECT c_count, COUNT(*) AS custdist FROM (
 
 
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q14 shape: conditional revenue share (promo parts / all parts)."""
+    """Q14 shape: conditional revenue share (promo parts / all parts).
+    part is SF-proportional — join strategy left to AQE, no forced
+    broadcast."""
     l = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-06-01")) & (F.col("l_shipdate") < F.lit("1997-07-01"))
     )
@@ -95,7 +97,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast(DEC_P) * (F.lit(1).cast(DEC_R) - F.col("l_discount").cast(DEC_R))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC_P))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias("promo_share_pct")
         )
@@ -148,7 +150,8 @@ WHERE l_quantity < 0.5 * avg_qty
 
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: HAVING-filtered keys feed an IN over the join (big-order
-    customers)."""
+    customers). customer is SF-proportional, so no forced broadcast —
+    AQE decides (and at small SF still picks broadcast on its own)."""
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -159,7 +162,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",

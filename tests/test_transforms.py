@@ -93,6 +93,20 @@ def test_parse_longs_failure_raises_strict(spark):
         tr.parse_longs(df, {"n"}).collect()
 
 
+def test_parse_strict_error_names_field(spark):
+    # reference parity: parse failures carry the field name
+    # (MsgTransformations.scala:216-221)
+    df = spark.createDataFrame([("12.5", "ok")], ["qty_raw", "other"])
+    with pytest.raises(PySparkException, match=r"qty_raw.*12\.5"):
+        tr.parse_longs(df, {"qty_raw"}).collect()
+    df2 = spark.createDataFrame([("abc",)], ["eaf"])
+    with pytest.raises(PySparkException, match=r"eaf.*abc"):
+        tr.parse_doubles(df2, {"eaf"}).collect()
+    df3 = spark.createDataFrame([("1,x,3",)], ["vals"])
+    with pytest.raises(PySparkException, match=r"vals.*'x'"):
+        tr.parse_long_arrays(df3, {"vals"}, ",").collect()
+
+
 def test_parse_longs_nan_whitelist(spark):
     # nanValues -> missing (reference emits literal "nan"; we emit NULL,
     # SURVEY.md §7.3.1)
