@@ -83,7 +83,13 @@ def compact(
     """Rewrite a directory to ``target_files`` files (coalesce — a narrow
     repartitioning; use a higher target to keep write parallelism). Returns
     the file count before compaction. Distributed end to end: writes to a
-    temp dir and swaps, never reading and overwriting one path in a job."""
+    temp dir and swaps, never reading and overwriting one path in a job.
+
+    The swap is retire-then-replace (target -> .old, tmp -> target,
+    delete .old): the target path is missing only for the instant between
+    the two renames, not for the duration of a directory delete. Not
+    transactional — a concurrent reader can still race the rename window;
+    a table format (Iceberg/Delta) is the real fix at scale."""
     import shutil
 
     pattern = os.path.join(path, "part-*")
@@ -94,6 +100,10 @@ def compact(
     spark.read.format(fmt).load(path).coalesce(target_files).write.mode(
         "overwrite"
     ).format(fmt).save(tmp)
-    shutil.rmtree(path)
+    old = path.rstrip("/") + ".compact-old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.replace(path, old)
     os.replace(tmp, path)
+    shutil.rmtree(old)
     return before

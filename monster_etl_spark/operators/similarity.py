@@ -160,6 +160,71 @@ def embedding_dup_pairs(
 
 IVF_CENTROIDS = 16
 IVF_PROBES = 4
+IVF_KMEANS_ITERS = 3
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = IVF_CENTROIDS,
+    iters: int = IVF_KMEANS_ITERS,
+) -> DataFrame:
+    """Deterministic spherical-k-means centroids, all-DataFrame Lloyd
+    iterations: seed with the ``n_centroids`` lowest-id vectors, then
+    ``iters`` rounds of (assign each vector to its most-cosine-similar
+    centroid, recompute each centroid as the element-wise mean of its
+    members).
+
+    Scale shape per round: the centroid table is tiny and broadcast; the
+    assignment is a broadcast-NL over k rows reduced by a map-side-
+    combinable ``max_by`` (no window, one shuffle on the group key); the
+    mean is posexplode -> groupBy(cent, pos) -> avg, linear in corpus
+    size x dims. Centroids are ``localCheckpoint``-ed each round so the
+    lineage stays one-round deep. Components are rounded (9dp) so the
+    result is reproducible across partition orders. Cells that lose all
+    members drop out (k shrinks, never grows). Returns (cent_id, cv).
+    """
+    v = _spread(corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v")))
+    w = Window.orderBy("cid")
+    cent = (
+        v.orderBy("cid")
+        .limit(n_centroids)
+        .withColumn("cent_id", F.row_number().over(w).cast("long"))
+        .select("cent_id", F.col("v").alias("cv"))
+    )
+    for _ in range(iters):
+        best = (
+            v.crossJoin(F.broadcast(cent))
+            .select(
+                "cid",
+                "v",
+                "cent_id",
+                cosine(F.col("v"), F.col("cv")).alias("c_sim"),
+            )
+            # argmax by (similarity, then lowest cent_id) — deterministic;
+            # v is functionally dependent on cid so first() is stable
+            .groupBy("cid")
+            .agg(
+                F.max_by("cent_id", F.struct(F.col("c_sim"), -F.col("cent_id"))).alias("cent_id"),
+                F.first("v").alias("v"),
+            )
+        )
+        means = (
+            best.select("cent_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        cent = (
+            means.groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cent_id",
+                F.transform("pm", lambda s: F.round(s.getField("m"), 9)).alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
 
 
 def ivf_topk(
@@ -170,24 +235,23 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = IVF_CENTROIDS,
     n_probes: int = IVF_PROBES,
+    kmeans_iters: int = IVF_KMEANS_ITERS,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is inverted into
     ``n_centroids`` cells (nearest-centroid assignment); a query probes its
     ``n_probes`` closest cells and ranks exactly within them.
 
-    Centroids are a deterministic corpus sample (the ``n_centroids`` lowest
-    ids) — a k-means refinement would drop in here without changing the
-    plan shape. Scale shape: the centroid table broadcasts (tiny); corpus
-    assignment is one narrow pass; the probe join is an equi-join on
-    cell id, so per-query work is linear in the probed cells, never the
-    full corpus. Deterministic given the corpus; recall is tested against
-    the exact brute-force ranking (rows-only in the driver contract —
-    the construction is too stateful for a readable SQL oracle).
+    Centroids come from ``kmeans_centroids`` (deterministic Lloyd
+    refinement; ``kmeans_iters=0`` degrades to the raw lowest-id seed).
+    Scale shape: the centroid table broadcasts (tiny); corpus assignment
+    is one narrow pass; the probe join is an equi-join on cell id, so
+    per-query work is linear in the probed cells, never the full corpus.
+    Deterministic given the corpus; recall is tested against the exact
+    brute-force ranking (rows-only in the driver contract — the
+    construction is too stateful for a readable SQL oracle).
     """
     cent = F.broadcast(
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+        kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters)
     )
 
     def assign(df: DataFrame, idc: str, vecc: str, keep_vec: str, top: int) -> DataFrame:

@@ -264,8 +264,21 @@ def run_extraction_pipeline(spark: SparkSession, input_dir: str, output_dir: str
     (``$outputDir/$filePath``, nested per ``V2FConstants`` file paths —
     e.g. ``variant-effect/transcript-consequences`` — plus ``variants``)."""
     for name, df in build_extraction_tables(spark, input_dir).items():
-        out_path = TSV_TABLE_CONFIGS[name].table_name if name in TSV_TABLE_CONFIGS else name
-        write_json_lines(df, f"{output_dir}/{out_path}", drop_null_fields=True)
+        config = TSV_TABLE_CONFIGS.get(name)
+        out_path = config.table_name if config else name
+        # double-array columns render NULL elements as the reference's
+        # literal "nan" (SURVEY §7.3.1, now closed at the output boundary)
+        nan_arrays = (
+            frozenset().union(*config.double_array_fields.values())
+            if config and config.double_array_fields
+            else ()
+        )
+        write_json_lines(
+            df,
+            f"{output_dir}/{out_path}",
+            drop_null_fields=True,
+            nan_sentinel_arrays=nan_arrays,
+        )
 
 
 def run_dataset_specific_pipeline(spark: SparkSession, input_dir: str, output_dir: str) -> None:

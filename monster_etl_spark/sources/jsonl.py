@@ -20,7 +20,8 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from monster_etl_spark.operators.transforms import parse_longs
@@ -89,18 +90,44 @@ def read_json_lines_quarantine(
     return good, bad
 
 
+def nan_sentinel_array(col: Column) -> Column:
+    """Output-side rewrite closing the SURVEY §7.3.1 representation gap:
+    the reference renders nan-sentinels inside numeric arrays as the
+    literal string ``"nan"`` (``MsgTransformations.scala:236-248``),
+    producing heterogeneous JSON arrays like ``[1.0,"nan"]`` that a
+    relational ``array<double>`` cannot hold. This renders the column as a
+    raw JSON fragment (NULL element -> ``"nan"``) parsed into a VARIANT,
+    which the JSON writer emits verbatim — byte-parity with the
+    reference's golden files. Narrow per-row expression; NULL arrays stay
+    NULL."""
+    frag = F.concat(
+        F.lit("["),
+        F.array_join(
+            F.transform(col, lambda x: F.coalesce(x.cast("string"), F.lit('"nan"'))), ","
+        ),
+        F.lit("]"),
+    )
+    return F.when(col.isNull(), F.lit(None)).otherwise(F.parse_json(frag))
+
+
 def write_json_lines(
     df: DataFrame,
     path: str,
     drop_null_fields: bool = False,
     mode: str = "overwrite",
+    nan_sentinel_arrays: Iterable[str] = (),
 ) -> None:
     """S5/S6 ``writeJsonLists``: compact JSON-lines part-files.
 
     ``drop_null_fields=True`` reproduces the sparse-record outputs of the
     TSV pipelines (absent key omitted); ``False`` preserves explicit nulls
     as the JSON pipeline requires (SURVEY.md §1.5).
+    ``nan_sentinel_arrays``: numeric-array columns to render with the
+    reference's literal ``"nan"`` elements (see :func:`nan_sentinel_array`).
     """
+    sentinel_cols = [c for c in nan_sentinel_arrays if c in df.columns]
+    if sentinel_cols:
+        df = df.withColumns({c: nan_sentinel_array(F.col(c)) for c in sentinel_cols})
     (
         df.write.mode(mode)
         .option("ignoreNullFields", "true" if drop_null_fields else "false")

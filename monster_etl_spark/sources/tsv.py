@@ -44,12 +44,27 @@ def _expand_glob(path: str) -> list[str]:
 
 
 def _read_header(path: str, sep: str = "\t") -> tuple[str, ...] | None:
-    """First line of a file as trimmed column names; None if empty file."""
+    """First line of a file as trimmed column names; None if empty file.
+
+    Validates driver-side so a malformed header fails with a message
+    naming the file, instead of an obscure Spark analysis error (or a
+    silent unusable empty-named column) much later: empty names (e.g. a
+    trailing tab in the header row) and duplicate names are rejected."""
     with open(path, encoding="utf-8") as fh:
         line = fh.readline()
     if not line.strip():
         return None
-    return tuple(c.strip() for c in line.rstrip("\n").rstrip("\r").split(sep))
+    header = tuple(c.strip() for c in line.rstrip("\n").rstrip("\r").split(sep))
+    empties = [i for i, c in enumerate(header) if not c]
+    if empties:
+        raise ValueError(
+            f"{path}: empty column name(s) at position(s) {empties} in header "
+            f"{header!r} (check for trailing/double separators)"
+        )
+    dupes = sorted({c for c in header if header.count(c) > 1})
+    if dupes:
+        raise ValueError(f"{path}: duplicate column name(s) {dupes} in header {header!r}")
+    return header
 
 
 def read_tsv(

@@ -4,6 +4,8 @@ reference never had (SURVEY.md §3: "there is no query language")."""
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -11,7 +13,9 @@ TABLES = (
 )
 
 
-_REGISTERED: set[tuple[int, str]] = set()
+# keyed by the live session OBJECT (weakly), not id(): a stopped session's
+# id can be reused by a new session, which would silently skip registration
+_REGISTERED: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
@@ -20,12 +24,12 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
     table loaders, including the events timestamp reconstruction)."""
     from monster_etl_spark.queries import load
 
-    key = (id(spark), sf_dir)
-    if not force and key in _REGISTERED:
+    seen = _REGISTERED.setdefault(spark, set())
+    if not force and sf_dir in seen:
         return
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
-    _REGISTERED.add(key)
+    seen.add(sf_dir)
 
 
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

@@ -53,8 +53,9 @@ def upsert_sink(stream: DataFrame, target_path: str, key: str, precedence: str, 
 
     Each micro-batch merges into the current snapshot with the same
     ``merge_upsert`` operator the batch engine uses. The write is
-    last-step-atomic per batch (write to tmp, swap by overwrite) — for a
-    transactional table format this becomes a real MERGE.
+    tmp-then-rename per batch (snapshot missing only between two renames,
+    never during a delete); truly transactional swaps need a table format
+    (Iceberg/Delta), where this becomes a real MERGE.
     """
     import os
     import shutil
@@ -75,13 +76,21 @@ def upsert_sink(stream: DataFrame, target_path: str, key: str, precedence: str, 
             if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
                 raise
             merged = batch_df
-        # write-to-tmp + swap: stays distributed (no driver collect) and
-        # never reads and overwrites the same path in one job
+        # write-to-tmp + retire-then-replace swap: stays distributed (no
+        # driver collect), never reads and overwrites one path in a job,
+        # and the snapshot is missing only between the two renames (not
+        # for a whole directory delete). Not transactional — a table
+        # format (Iceberg/Delta) is the real MERGE at scale.
         tmp = target_path.rstrip("/") + f".tmp-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        old = target_path.rstrip("/") + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         if os.path.isdir(target_path):
-            shutil.rmtree(target_path)
+            os.replace(target_path, old)
         os.replace(tmp, target_path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     return (
         stream.writeStream.foreachBatch(_apply)

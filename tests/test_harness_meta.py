@@ -34,6 +34,20 @@ def test_compare_catches_float_drift(spark, sf_dir):
     assert problems, "sub-ulp-scale drift must still be detected (exact canon)"
 
 
+def test_queries_md_in_sync():
+    # QUERIES.md is generated (tools/gen_queries_md.py); its headline counts
+    # must match the live registry so docs can't drift again
+    import re
+
+    with open("/root/repo/QUERIES.md") as f:
+        head = f.read(400)
+    m = re.search(r"(\d+) queries; (\d+) oracle-backed", head)
+    assert m, "QUERIES.md missing count line"
+    registry = all_queries()
+    assert int(m.group(1)) == len(registry)
+    assert int(m.group(2)) == sum(1 for s in registry.values() if s.oracle is not None)
+
+
 def test_concurrent_queries_one_session(spark, sf_dir):
     qs = all_queries()
     names = ["q1_pricing_summary", "t9_parse_longs", "text_token_stats", "q_window_topk"]

@@ -46,3 +46,5 @@ def test_compact_reduces_file_count(spark, tmp_path):
     assert reported == 8
     assert len(glob.glob(f"{path}/part-*")) == 1
     assert spark.read.parquet(path).count() == 1000
+    # swap leaves no scratch dirs behind
+    assert glob.glob(f"{path}.compact-*") == []

@@ -12,15 +12,41 @@ def _topk_sets(df):
     return out
 
 
+def _recall(exact, approx):
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    return hits / sum(len(exact[q]) for q in exact)
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(emb.vec_id % 50 == 0)
     exact = _topk_sets(sim.brute_force_topk(queries, emb, k=5))
     approx = _topk_sets(sim.ivf_topk(queries, emb, k=5))
     assert approx.keys() == exact.keys()
-    hits = sum(len(exact[q] & approx[q]) for q in exact)
-    total = sum(len(exact[q]) for q in exact)
-    assert hits / total >= 0.5, f"IVF recall too low: {hits}/{total}"
+    assert _recall(exact, approx) >= 0.5, f"IVF recall too low: {_recall(exact, approx)}"
+
+
+def test_ivf_kmeans_refinement_helps(spark, sf_dir):
+    # Lloyd-refined centroids must not lose recall vs the raw lowest-id
+    # seed (and typically gain it): balanced cells keep more true
+    # neighbors inside the probed set.
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id % 50 == 0)
+    exact = _topk_sets(sim.brute_force_topk(queries, emb, k=5))
+    seeded = _recall(exact, _topk_sets(sim.ivf_topk(queries, emb, k=5, kmeans_iters=0)))
+    refined = _recall(exact, _topk_sets(sim.ivf_topk(queries, emb, k=5)))
+    assert refined >= seeded - 0.05, f"refinement hurt recall: {seeded} -> {refined}"
+
+
+def test_kmeans_centroids_shape(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cent = sim.kmeans_centroids(emb, n_centroids=8, iters=2).collect()
+    dims = len(emb.first()["embedding"])
+    assert 1 <= len(cent) <= 8
+    assert all(len(r["cv"]) == dims for r in cent)
+    # deterministic across invocations
+    cent2 = sim.kmeans_centroids(emb, n_centroids=8, iters=2).collect()
+    assert sorted(map(str, cent)) == sorted(map(str, cent2))
 
 
 def test_lsh_topk_subset_of_bucket(spark, sf_dir):

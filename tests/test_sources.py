@@ -48,6 +48,17 @@ def test_tsv_header_only_and_empty_alone(spark, fixture_dir):
     assert read_tsv(spark, f"{fixture_dir}/completely_empty.tsv").count() == 0
 
 
+def test_tsv_malformed_header_named_in_error(spark, tmp_path):
+    # a trailing tab yields an empty column name; duplicates are ambiguous —
+    # both must fail driver-side naming the offending file
+    _tsv(tmp_path / "trailing_tab.tsv", "key1\tkey2\t\nv1\tv2\tv3\n")
+    with pytest.raises(ValueError, match="trailing_tab.tsv.*empty column"):
+        read_tsv(spark, f"{tmp_path}/trailing_tab.tsv")
+    _tsv(tmp_path / "dupe.tsv", "key1\tkey1\nv1\tv2\n")
+    with pytest.raises(ValueError, match=r"dupe.tsv.*duplicate column.*key1"):
+        read_tsv(spark, f"{tmp_path}/dupe.tsv")
+
+
 def test_hive_partition_layout_and_pruning(spark, tmp_path):
     """The ancestry=X/ directory convention read as a native partition
     column: the value appears without any per-row regex, and a filter on it

@@ -3,11 +3,14 @@ integration-test inputs and compare every output table to its checked-in
 golden outputs as order-insensitive sets of parsed JSON — the reference's
 own comparison strategy (V2FIntegrationSpec.scala:45-57; SURVEY.md §5.4).
 
-Normalizations applied before compare (documented semantic gaps,
-SURVEY.md §7.3.1):
-- reference renders nan-sentinels as literal "nan" inside numeric arrays;
-  this engine emits JSON null;
-- integral floats compare equal to ints (JSON 15225.0 vs 15225).
+The literal-"nan"-in-arrays representation is now produced by the engine
+itself (write_json_lines nan_sentinel_arrays), so no nan normalization is
+applied. Remaining normalization: integral floats compare equal to ints
+(JSON 15225.0 vs 15225 — engines may render either). The TSV-derived
+sparse tables compare with null/absent keys dropped (absent key and
+explicit null are both "missing" there); dataset-specific — whose
+contract is "explicit nulls preserved" — compares records verbatim,
+nulls included.
 """
 
 import glob
@@ -31,6 +34,9 @@ TABLES = {
     )
 }
 
+# explicit-null contract: compare verbatim, keeping null-valued keys
+STRICT_NULL_TABLES = {"dataset-specific"}
+
 
 def _load(pattern):
     recs = []
@@ -43,15 +49,15 @@ def _load(pattern):
 def _norm(v):
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
-    if v == "nan":
-        return None
     if isinstance(v, float) and v == int(v) and abs(v) < 2**53:
         return int(v)
     return v
 
 
-def _key(rec):
-    return tuple(sorted((k, _norm(v)) for k, v in rec.items() if v is not None))
+def _key(rec, keep_nulls=False):
+    return tuple(
+        sorted((k, _norm(v)) for k, v in rec.items() if keep_nulls or v is not None)
+    )
 
 
 @pytest.fixture(scope="module")
@@ -73,4 +79,7 @@ def test_golden_table(pipeline_output, mine):
     got = _load(f"{pipeline_output}/{mine}/part-*.json") or _load(f"{pipeline_output}/{mine}/part-*")
     exp = _load(f"{REFERENCE_IT}/outputs/{gold}/part-*.json")
     assert len(got) == len(exp), f"{mine}: {len(got)} rows vs golden {len(exp)}"
-    assert sorted(map(_key, got)) == sorted(map(_key, exp)), f"{mine}: value mismatch"
+    keep = mine in STRICT_NULL_TABLES
+    got_k = sorted(_key(r, keep_nulls=keep) for r in got)
+    exp_k = sorted(_key(r, keep_nulls=keep) for r in exp)
+    assert got_k == exp_k, f"{mine}: value mismatch"
