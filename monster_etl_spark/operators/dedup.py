@@ -119,6 +119,33 @@ def _exploded_shingles(
     return sh
 
 
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_freq: int | None
+) -> DataFrame:
+    """(doc, h) rows: per-doc-distinct shingles hashed to longs.
+
+    The skew guard runs on the HASH, inverted: count doc frequency per
+    shingle hash (map-side-combinable aggregate), keep only the HOT set
+    (freq > cap), and ``left_anti`` the shingle table against it. The hot
+    set is bounded by total_instances/cap and zipfian-tiny in practice, so
+    AQE executes the anti-join as a broadcast — the shingle table is never
+    re-shuffled for the guard, and the 8-byte hash key beats joining on
+    ~20-byte shingle strings (which the keep-side equi-join formulation
+    required)."""
+    sh = _exploded_shingles(df, id_col, text_col, n, None).select(
+        "doc", _hash64(F.col("shingle")).alias("h")
+    )
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_freq)
+            .select("h")
+        )
+        sh = sh.join(hot, "h", "left_anti")
+    return sh
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -132,14 +159,15 @@ def ngram_jaccard_pairs(
     (co-occurrence = intersection size), then |A|+|B|-inter for the union.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 6dp.
 
-    The self-join keys on the 64-bit shingle hash, not the string: the
-    shuffle moves 8-byte keys instead of ~20-byte strings and the join
-    compares longs. (Identical hashing on the oracle side keeps results
-    bit-equal; a 64-bit collision would need ~2^32 distinct shingles.)
+    The self-join keys on the shingle hash, not the string: the shuffle
+    moves 8-byte keys instead of ~20-byte strings and the join compares
+    longs. (Identical hashing on the oracle side keeps results bit-equal;
+    a collision would need ~2^16+ distinct shingles colliding in the
+    32-bit space — and the oracle reproduces it identically if so.)
     """
     sh = (
-        _exploded_shingles(df, id_col, text_col, n, max_shingle_freq)
-        .select("doc", _hash64(F.col("shingle")).alias("sh"))
+        _hashed_shingles(df, id_col, text_col, n, max_shingle_freq)
+        .withColumnRenamed("h", "sh")
         # pre-partition on the join key: both self-join sides share one
         # identical exchange (ReusedExchange) — the scan+shingle+hash work
         # runs once, and the join itself is co-partitioned (no extra shuffle)
@@ -178,9 +206,7 @@ def minhash_signatures(
     ``max_shingle_freq`` drops stopword-shingles (doc frequency above the
     cap) before signing — the skew guard for 100 TB corpora.
     """
-    sh = _exploded_shingles(df, id_col, text_col, n, max_shingle_freq).withColumn(
-        "h", _hash64(F.col("shingle"))
-    )
+    sh = _hashed_shingles(df, id_col, text_col, n, max_shingle_freq)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_AB[:num_perms])
@@ -239,15 +265,20 @@ def simhash_signatures(
             F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT_RE))
         ).alias("tok"),
     ).withColumn("h", _hash64(F.col("tok")))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
+    # vote_i = (#set - #clear) = 2*sum(bit_i) - n, and sign(vote_i) > 0
+    # iff 2*sum_i > n: pure-arithmetic sums (no per-row CASE branch in the
+    # 32-wide aggregate) plus ONE shared count — identical signatures,
+    # cheaper codegen than 32 conditional sums.
+    sums = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
         for i in range(bits)
     ]
-    agg = toks.groupBy("doc").agg(*votes)
+    agg = toks.groupBy("doc").agg(*sums, F.count(F.lit(1)).alias("n_"))
     sig = reduce(
-        lambda acc, i: acc + F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long")),
+        lambda acc, i: acc
+        + F.when(2 * F.col(f"s{i}") > F.col("n_"), F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
         range(bits),
         F.lit(0).cast("long"),
     )

@@ -145,6 +145,46 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def resize_images(
+    media: DataFrame, width: int, height: int, real_decode: bool = False
+) -> DataFrame:
+    """Resize plumbing: binary in -> binary out through Arrow-batched
+    ``mapInPandas`` (blobs never leave the partition; metadata-only columns
+    prune before the Python hop). The resize KERNEL is the deterministic
+    fake (cycle/truncate bytes to exactly ``width*height``) because no
+    image codec ships in this container — swap the kernel body for
+    PIL's ``Image.resize`` when available; the Spark-side shape (schema,
+    batching, narrow plan) is the real, tested part.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real image resize requires PIL/imageio, not present in this environment"
+        )
+    target = width * height
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            contents = [bytes(c) for c in pdf["content"]]
+            resized = [
+                (c * (target // len(c) + 1))[:target] if c else b"\x00" * target
+                for c in contents
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        _worker, schema="media_id long, content binary, width int, height int"
+    )
+
+
 def frame_sample_ids(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame-sampling shape without a codec: deterministic sample positions
     from metadata only (no decode) — the pre-filter that keeps full decode

@@ -32,18 +32,23 @@ SELECT doc_id AS doc, unnest(list_distinct(
 FROM documents
 WHERE len({_TOKS}) >= {NGRAM_N}
 """
-# doc-frequency-capped shingles: mirrors _exploded_shingles(max_shingle_freq)
-# (rows are distinct per doc, so COUNT(*) per shingle == doc frequency)
-_SHINGLES = f"""
-WITH sh_raw AS ({_SHINGLES_RAW}),
-keep AS (SELECT shingle FROM sh_raw GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_FREQ})
-SELECT doc, shingle FROM sh_raw JOIN keep USING (shingle)
-"""
 
 
 def _sql_hash64(expr: str) -> str:
     # mirror of operators.dedup._hash64
     return f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+
+# (doc, h) hashed shingles with the doc-frequency skew guard applied on the
+# HASH via an anti-join against the hot set — the exact mirror of
+# operators.dedup._hashed_shingles (rows are distinct per doc, so COUNT(*)
+# per hash == doc frequency)
+_HASHED_SHINGLES = f"""
+WITH sh_raw AS ({_SHINGLES_RAW}),
+sh_h AS (SELECT doc, {_sql_hash64('shingle')} AS h FROM sh_raw),
+hot AS (SELECT h FROM sh_h GROUP BY h HAVING COUNT(*) > {MAX_SHINGLE_FREQ})
+SELECT doc, h FROM sh_h ANTI JOIN hot USING (h)
+"""
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,8 +73,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_SQL = f"""
-WITH sh0 AS ({_SHINGLES}),
-sh AS (SELECT doc, {_sql_hash64('shingle')} AS sh FROM sh0),
+WITH sh AS (SELECT doc, h AS sh FROM ({_HASHED_SHINGLES})),
 sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
@@ -101,8 +105,7 @@ def _minhash_sig_sql() -> str:
         for i, (a, b) in enumerate(dd.MINHASH_AB[: dd.MINHASH_PERMS])
     )
     return (
-        f"WITH sh AS ({_SHINGLES}),\n"
-        f"hashed AS (SELECT doc, {_sql_hash64('shingle')} AS h FROM sh)\n"
+        f"WITH hashed AS ({_HASHED_SHINGLES})\n"
         f"SELECT doc,\n  {mins}\nFROM hashed GROUP BY doc"
     )
 

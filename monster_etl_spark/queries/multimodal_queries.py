@@ -2,14 +2,24 @@
 Arrow-batched mapInPandas. The media table is synthesized from documents
 (no real blobs ship with the corpus); the decode step is the deterministic
 fake (see operators.multimodal), so the byte-level features are
-oracle-checkable (byte_crc excluded — DuckDB has no crc32)."""
+oracle-checkable (byte_crc excluded — DuckDB has no crc32).
+
+``s7_untar_roundtrip`` drives the S7 untar source end-to-end through the
+driver contract: a distributed mapInPandas pass packs document texts into
+real tarballs under the scratch dir (the inverse of extraction, no driver
+collect), ``untar_members`` scatters + extracts them back, and the oracle
+derives each member's name and byte size from the data alone."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from monster_etl_spark.operators.multimodal import documents_as_media, extract_image_features
 from monster_etl_spark.queries import QuerySpec, load
+
+_S7_SCRATCH = "/root/repo/spark-warehouse/s7_tarballs"
+_S7_MAX_ID = 20
 
 
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -26,8 +36,66 @@ FROM documents
 """
 
 
+def s7_untar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 oracle-backed: pack docs into tarballs (distributed, one tarball
+    per partition, nested member paths), extract with ``untar_members``
+    (flatten + extension filter, UntarFiles.wdl:24-54 semantics), emit
+    (member, size)."""
+    import shutil
+
+    from monster_etl_spark.sources.untar import untar_members
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _S7_MAX_ID)
+        .filter(F.col("text").isNotNull())
+    )
+    shutil.rmtree(_S7_SCRATCH, ignore_errors=True)
+    scratch = _S7_SCRATCH
+
+    def pack(batches):
+        import io
+        import os
+        import tarfile
+
+        import pandas as pd
+
+        os.makedirs(scratch, exist_ok=True)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tf:
+                for _, r in pdf.sort_values("doc_id").iterrows():
+                    data = str(r["text"]).encode("utf-8")
+                    info = tarfile.TarInfo(f"nested/dir/doc_{int(r['doc_id'])}.txt")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+            with open(os.path.join(scratch, f"part-{int(pdf['doc_id'].min())}.tar"), "wb") as f:
+                f.write(buf.getvalue())
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    # action (count) materializes the tarballs; nothing returns to the driver
+    docs.repartition(4, "doc_id").mapInPandas(pack, "n long").count()
+    return untar_members(spark, f"{_S7_SCRATCH}/*.tar", file_extension=".txt").select(
+        "member", "size"
+    )
+
+
+S7_UNTAR_SQL = f"""
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
+       CAST(octet_length(encode(text)) AS BIGINT) AS size
+FROM documents
+WHERE doc_id < {_S7_MAX_ID} AND text IS NOT NULL
+"""
+
+
 QUERIES = {
     "multimodal_image_features": QuerySpec(
         multimodal_image_features, MULTIMODAL_SQL, "binary column -> mapInPandas features"
+    ),
+    "s7_untar_roundtrip": QuerySpec(
+        s7_untar_roundtrip, S7_UNTAR_SQL, "S7 untar scatter/extract round-trip"
     ),
 }

@@ -65,6 +65,24 @@ def test_module_fn_and_worker_closure_agree(media):
     assert module_out.astype("int64").equals(dist_norm)
 
 
+def test_resize_images_plumbing(media):
+    out = mm.resize_images(media, width=16, height=12).collect()
+    src = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    assert {r["media_id"] for r in out} == src.keys()
+    for r in out:
+        c = bytes(r["content"])
+        assert len(c) == 16 * 12  # fake kernel: exact target byte count
+        assert (r["width"], r["height"]) == (16, 12)
+        # cycle/truncate is deterministic from the source bytes
+        s = src[r["media_id"]]
+        assert c == (s * (192 // len(s) + 1))[:192] if s else c == b"\x00" * 192
+
+
+def test_resize_real_decode_is_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        mm.resize_images(media, 4, 4, real_decode=True)
+
+
 def test_frame_sample_ids(media):
     out = mm.frame_sample_ids(media, every_nth=100).limit(5).collect()
     for r in out:

@@ -46,10 +46,22 @@ def test_q1_scan_pushdown_and_pruning(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
-def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+def test_q5_joins_broadcast_at_small_sf(spark, sf_dir):
+    # region/nation are force-broadcast (bounded dims); customer/supplier
+    # are left to AQE/autoBroadcastJoinThreshold, which still picks
+    # broadcast at this SF — at 100 TB they'd switch to shuffle joins
+    # instead of OOMing on a forced hint
     plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_token_packing_window_is_sharded(spark, sf_dir):
+    # the running-sum window must be partitioned by the shard key — a
+    # global (empty-partition) window funnels every row through one task
+    plan = plan_of(spark, sf_dir, "q_token_packing")
+    assert "SinglePartition" not in plan, "token packing regressed to a global window"
+    assert "Window" in plan
 
 
 def test_q3_pushes_dim_filters(spark, sf_dir):
