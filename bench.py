@@ -51,7 +51,10 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "knn_brute_force",
     "knn_lsh",
+    "knn_ivf",
     "embedding_dup_pairs",
+    "dedup_decontaminate",
+    "q_token_packing",
 ]
 
 

@@ -191,6 +191,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_shared: int = 1,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Train/eval decontamination: flag train docs sharing >= ``min_shared``
+    distinct word n-grams with any eval/benchmark doc — the standard
+    pre-training hygiene pass for eval-set leakage. Expressed as an
+    inverted-index equi-join between the two hashed shingle tables: work is
+    linear in shared-shingle instances, never |train| x |eval|, and the
+    (small) eval side broadcasts under AQE. ``max_shingle_freq`` drops
+    boilerplate n-grams from BOTH sides first when set. Returns
+    (train_id, eval_id, shared_ngrams), one row per contaminated pair.
+    """
+    t = _hashed_shingles(train, id_col, text_col, n, max_shingle_freq).withColumnRenamed(
+        "doc", "train_id"
+    )
+    e = _hashed_shingles(eval_df, id_col, text_col, n, max_shingle_freq).withColumnRenamed(
+        "doc", "eval_id"
+    )
+    return (
+        t.join(e, "h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -21,17 +21,24 @@ MAX_SHINGLE_FREQ = 100
 
 # SQL building blocks mirroring operators.dedup (shared constants)
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
-# gram term list derived from NGRAM_N so the oracle construction cannot
-# drift from the Spark side's parameterized n
-_GRAM_TERMS = " || ' ' || ".join(f"{_TOKS}[i+{j}]" for j in range(NGRAM_N))
-_SHINGLES_RAW = f"""
+
+
+def _shingles_raw_sql(n: int, source: str = "documents") -> str:
+    """(doc, shingle) rows for word n-grams over ``source`` — the gram
+    construction is derived from ``n`` so the oracle cannot drift from the
+    Spark side's parameterized builder."""
+    gram_terms = " || ' ' || ".join(f"{_TOKS}[i+{j}]" for j in range(n))
+    return f"""
 SELECT doc_id AS doc, unnest(list_distinct(
-  list_transform(range(1, len({_TOKS}) - ({NGRAM_N} - 2)),
-    i -> {_GRAM_TERMS})
+  list_transform(range(1, len({_TOKS}) - ({n} - 2)),
+    i -> {gram_terms})
 )) AS shingle
-FROM documents
-WHERE len({_TOKS}) >= {NGRAM_N}
+FROM {source}
+WHERE len({_TOKS}) >= {n}
 """
+
+
+_SHINGLES_RAW = _shingles_raw_sql(NGRAM_N)
 
 
 def _sql_hash64(expr: str) -> str:
@@ -198,8 +205,44 @@ SELECT a AS node, least(a, MIN(b)) AS component FROM reach GROUP BY a
 """
 
 
+# decontamination: eval set = every 25th doc, n-grams shorter than the
+# dedup shingles (n=5) with >= 2 shared grams flagging a pair
+DECONTAM_N = 5
+DECONTAM_MIN_SHARED = 2
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ev = d.filter(d.doc_id % 25 == 0)
+    tr = d.filter(d.doc_id % 25 != 0)
+    return dd.ngram_contamination(
+        tr, ev, "doc_id", "text", n=DECONTAM_N, min_shared=DECONTAM_MIN_SHARED
+    )
+
+
+def _decontam_sql() -> str:
+    tr_sh = _shingles_raw_sql(
+        DECONTAM_N, "(SELECT * FROM documents WHERE doc_id % 25 <> 0)"
+    )
+    ev_sh = _shingles_raw_sql(
+        DECONTAM_N, "(SELECT * FROM documents WHERE doc_id % 25 = 0)"
+    )
+    h = _sql_hash64("shingle")
+    return f"""
+WITH tr AS (SELECT doc, {h} AS h FROM ({tr_sh})),
+ev AS (SELECT doc, {h} AS h FROM ({ev_sh}))
+SELECT tr.doc AS train_id, ev.doc AS eval_id, COUNT(*) AS shared_ngrams
+FROM tr JOIN ev USING (h)
+GROUP BY tr.doc, ev.doc
+HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, EXACT_SQL, "exact content-hash dedup"),
+    "dedup_decontaminate": QuerySpec(
+        dedup_decontaminate, _decontam_sql(), "train/eval n-gram decontamination"
+    ),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, JACCARD_SQL, "n-gram Jaccard pairs"),
     "dedup_minhash_signatures": QuerySpec(
         dedup_minhash_signatures, _minhash_sig_sql(), "MinHash signatures"

@@ -248,14 +248,43 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog approximate distinct counts. Rows-only: sketch
-    implementations differ across engines by construction; the exact-count
-    sanity bound is asserted in tests/test_relational2.py."""
+    """HyperLogLog approximate distinct counts, oracle-checked via the
+    error CONTRACT rather than the estimate: sketch values differ across
+    engines by construction, but |approx/exact - 1| <= 3*rsd is the
+    HLL++ guarantee the estimate must satisfy (Spark's sketch is
+    deterministic for fixed data, so the boolean is hash-stable). The
+    oracle pins exact counts and asserts the bounds truthfully. Raw
+    estimates are still produced (sanity-bounded in
+    tests/test_relational2.py)."""
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    rsd = 0.05
+    agg = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    within = (
+        lambda a, e: (F.abs(F.col(a) / F.col(e) - 1) <= 3 * rsd).alias(a + "_within_bounds")
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        within("approx_orders", "exact_orders"),
+        within("approx_parts", "exact_parts"),
+    )
+
+
+Q_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_orders_within_bounds,
+       TRUE AS approx_parts_within_bounds
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,7 +491,9 @@ QUERIES = {
     "q_string_functions": QuerySpec(q_string_functions, Q_STRING_SQL, "scalar string function suite"),
     "q_date_functions": QuerySpec(q_date_functions, Q_DATE_SQL, "scalar date function suite"),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "TPC-H Q6 scan-filter-agg"),
-    "q_approx_distinct": QuerySpec(q_approx_distinct, None, "HLL approx distinct (rows-only)"),
+    "q_approx_distinct": QuerySpec(
+        q_approx_distinct, Q_APPROX_DISTINCT_SQL, "HLL approx distinct, error-contract checked"
+    ),
     "q_percentiles": QuerySpec(q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles"),
     "q_stats_exact": QuerySpec(q_stats_exact, Q_STATS_SQL, "mean/stddev from exact sums"),
     "q_trailing_range_window": QuerySpec(q_trailing_range_window, Q_TRAILING_SQL, "RANGE-frame trailing window"),

@@ -35,6 +35,23 @@ def test_hot_shingles_do_not_pair(spark):
     assert len(unguarded) == 10  # sanity: the guard is what removed them
 
 
+def test_ngram_contamination_flags_leaked_eval_text(spark):
+    evald = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    train = _docs(
+        spark,
+        [
+            # verbatim leak of a long eval span
+            (1, "noise before the quick brown fox jumps over the lazy dog and after"),
+            # shares only a 4-gram, below the n=5 window
+            (2, "quick brown fox jumps somewhere else entirely today"),
+            (3, "completely unrelated text with no overlap whatsoever here"),
+        ],
+    )
+    out = dd.ngram_contamination(train, evald, "doc_id", "text", n=5, min_shared=2).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in out} == {(1, 100)}
+    assert out[0]["shared_ngrams"] >= 2
+
+
 def test_guard_changes_minhash_signatures_consistently(spark):
     rows = [(i, "common words shared by all docs plus unique" + "x" * i) for i in range(1, 5)]
     sig_g = dd.minhash_signatures(_docs(spark, rows), "doc_id", "text", n=3, max_shingle_freq=2)
