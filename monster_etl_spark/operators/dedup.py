@@ -39,8 +39,15 @@ from monster_etl_spark.operators.text import TOKEN_SPLIT_RE
 # MinHash parameters shared with the SQL oracles.
 MINHASH_PERMS = 8
 MINHASH_BAND_SIZE = 2  # 4 bands of 2 signatures
-SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 4  # 8 bits per chunk; finds all pairs with distance <= 3
+# 60-bit signatures, 15-bit chunks: 2^15 buckets per chunk. 32-bit/8-bit
+# chunks degenerate at corpus scale — only 256 buckets per chunk means a
+# 50k-doc corpus averages ~200 docs per bucket and the candidate join goes
+# quadratic (measured: 143 s / 94M pairs at 50k docs; the 60-bit layout
+# keeps buckets sparse AND makes distance<=3 a 20x stricter match). 60 not
+# 64: the signature must fit a signed BIGINT in both engines (2^59 max).
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # 15 bits per chunk; finds all pairs with distance <= 3
+SIMHASH_HEX_CHARS = 15  # 60-bit token hash (md5 prefix)
 
 # Universal-hash permutation constants for MinHash: perm_i(h) = (a_i*h + b_i)
 # mod p. One base hash per shingle (md5 is the expensive part) + cheap
@@ -54,12 +61,14 @@ MINHASH_AB: tuple[tuple[int, int], ...] = tuple(
 )[:MINHASH_PERMS]
 
 
-def _hash64(col: Column, salt: str = "") -> Column:
-    """Deterministic 32-bit-range hash as a long: first 8 hex chars of
-    md5(salt || value). Identical SQL: CAST(concat('0x', substr(md5(...),1,8)) AS UBIGINT).
+def _hash64(col: Column, salt: str = "", hex_chars: int = 8) -> Column:
+    """Deterministic hash as a long: first ``hex_chars`` hex chars of
+    md5(salt || value) — 8 chars = 32-bit range (shingle index keys),
+    15 chars = 60-bit range (simhash). Identical SQL:
+    CAST(concat('0x', substr(md5(...),1,N)) AS UBIGINT).
     """
     payload = F.concat(F.lit(salt), F.lit("|"), col) if salt else col
-    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+    return F.conv(F.substring(F.md5(payload), 1, hex_chars), 16, 10).cast("long")
 
 
 def _grams_from_tokens(toks: Column, n: int) -> Column:
@@ -296,7 +305,7 @@ def simhash_signatures(
         F.explode(
             F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT_RE))
         ).alias("tok"),
-    ).withColumn("h", _hash64(F.col("tok")))
+    ).withColumn("h", _hash64(F.col("tok"), hex_chars=SIMHASH_HEX_CHARS))
     # vote_i = (#set - #clear) = 2*sum(bit_i) - n, and sign(vote_i) > 0
     # iff 2*sum_i > n: pure-arithmetic sums (no per-row CASE branch in the
     # 32-wide aggregate) plus ONE shared count — identical signatures,

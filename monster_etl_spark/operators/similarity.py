@@ -186,6 +186,11 @@ def kmeans_centroids(
     members drop out (k shrinks, never grows). Returns (cent_id, cv).
     """
     v = _spread(corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v")))
+    if iters > 0:
+        # every Lloyd round rescans the vectors; cache them for the loop
+        # (MEMORY_AND_DISK default — spills instead of OOM at scale, the
+        # same contract MLlib's k-means uses for its input)
+        v = v.persist()
     w = Window.orderBy("cid")
     cent = (
         v.orderBy("cid")
@@ -224,6 +229,10 @@ def kmeans_centroids(
             )
             .localCheckpoint(eager=True)
         )
+    if iters > 0:
+        # the final centroids are checkpoint-materialized; the cached
+        # vectors are no longer referenced
+        v.unpersist(blocking=False)
     return cent
 
 

@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational2_queries,
         relational_queries,
         similarity_queries,
+        streaming_queries,
         text_queries,
         tpch_queries,
     )
@@ -82,6 +83,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity_queries,
         multimodal_queries,
         curation_queries,
+        streaming_queries,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

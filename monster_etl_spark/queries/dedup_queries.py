@@ -41,9 +41,11 @@ WHERE len({_TOKS}) >= {n}
 _SHINGLES_RAW = _shingles_raw_sql(NGRAM_N)
 
 
-def _sql_hash64(expr: str) -> str:
+def _sql_hash64(expr: str, hex_chars: int = 8) -> str:
     # mirror of operators.dedup._hash64
-    return f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
+    return (
+        f"CAST(CAST(concat('0x', substr(md5({expr}), 1, {hex_chars})) AS UBIGINT) AS BIGINT)"
+    )
 
 
 # (doc, h) hashed shingles with the doc-frequency skew guard applied on the
@@ -163,7 +165,7 @@ def _simhash_sql() -> str:
 WITH toks AS (
   SELECT DISTINCT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents
 ),
-hashed AS (SELECT doc, {_sql_hash64('tok')} AS h FROM toks),
+hashed AS (SELECT doc, {_sql_hash64('tok', dd.SIMHASH_HEX_CHARS)} AS h FROM toks),
 votes AS (SELECT doc,
   {votes}
 FROM hashed GROUP BY doc),

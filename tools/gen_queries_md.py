@@ -21,6 +21,7 @@ SECTIONS = {
     "similarity_queries": "Similarity search (ANN)",
     "multimodal_queries": "Multimodal columns",
     "curation_queries": "Corpus curation",
+    "streaming_queries": "Structured Streaming (driven to completion)",
 }
 
 
