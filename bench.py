@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q18_large_orders",
+    "q7_volume_shipping",
+    "q21_waiting_supplier",
     "q_corpus_curation",
     "q_sessionize",
     "q_hourly_rollup",
