@@ -168,6 +168,78 @@ def scrub_pii(col: Column) -> Column:
     return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-size token windows with overlap — the context/RAG chunking
+    pass. Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short; a doc
+    shorter than one chunk yields exactly one chunk. Narrow explode — no
+    shuffle; output size is ~n_tokens/stride rows per doc.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    # materialize the token array first: lambda subtrees are not CSE'd
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("long"), F.lit(1))
+    chunked = base.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return chunked.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic corpus mixing: per-source sampling weight w means each
+    doc appears floor(w) times plus one more with probability frac(w) —
+    up-sampling (epochs) for w>1, down-sampling for w<1, decided by a
+    content-independent md5 hash of the id (reproducible across engines,
+    reruns, and partitioning; never a seeded sample). Adds an ``epoch``
+    column (0-based copy index) so downstream shuffling can interleave
+    copies. The explode is narrow — no shuffle.
+    """
+    w = F.lit(float(default_weight))
+    for src, wt in sorted(weights.items()):
+        w = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(w)
+    # uniform in [0,1): 6 md5 hex chars = 24 bits
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix|"), F.col(id_col).cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 24))
+    )
+    n_copies = (F.floor(w) + (u < (w - F.floor(w))).cast("long")).cast("long")
+    out = df.withColumn("__n_copies", n_copies).filter(F.col("__n_copies") > 0)
+    return out.select(
+        *[c for c in df.columns],
+        F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)).alias("epoch"),
+    ).withColumn("epoch", F.col("epoch").cast("long"))
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full feature set as columns."""
     c = F.col(text_col)

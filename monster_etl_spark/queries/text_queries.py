@@ -163,8 +163,61 @@ FROM documents
 """
 
 
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.chunk_documents(
+        load(spark, sf_dir, "documents"), "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP
+    )
+
+
+CHUNKING_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+        unnest(range(0, CAST(greatest(ceil((len(toks) - {CHUNK_OVERLAP}) / {_STRIDE}.0), 1) AS BIGINT))) AS chunk_id
+      FROM t)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id*{_STRIDE}+1, chunk_id*{_STRIDE}+{CHUNK_TOKENS})) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_id*{_STRIDE}+1, chunk_id*{_STRIDE}+{CHUNK_TOKENS}), ' ') AS chunk_text
+FROM c
+"""
+
+# up-sample src0 (2.5 epochs), down-sample src1 (keep 1/4), drop src2,
+# everything else passes through once
+MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+
+
+def text_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return tx.mixture_weights(d, "source", MIX_WEIGHTS, id_col="doc_id")
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items()))
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source {cases} ELSE 1.0 END AS wt,
+         CAST(CAST(concat('0x', substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 6)) AS UBIGINT) AS BIGINT) / 16777216.0 AS u
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM w
+)
+SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS BIGINT) AS epoch
+FROM n WHERE n_copies > 0
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token counting + ratios"),
+    "text_chunking": QuerySpec(text_chunking, CHUNKING_SQL, "overlapping token-window chunking"),
+    "text_mixture": QuerySpec(text_mixture, _mixture_sql(), "deterministic corpus mixture weights"),
     "text_quality": QuerySpec(text_quality, QUALITY_SQL, "quality scoring"),
     "text_lang_id": QuerySpec(text_lang_id, _langid_sql(), "stopword language-ID"),
     "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_SQL, "document fingerprint"),
