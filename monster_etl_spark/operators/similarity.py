@@ -88,6 +88,25 @@ def sign_bucket(vec: Column, dims: int = SIGN_LSH_DIMS) -> Column:
     return F.concat(*bits)
 
 
+def multiprobe_buckets(vec: Column, dims: int = SIGN_LSH_DIMS) -> Column:
+    """Multi-probe LSH probe set: the exact sign pattern plus every
+    1-bit-flipped pattern (``dims + 1`` probes). Probing neighbors in
+    sign-space recovers most of the recall lost to bucketing WITHOUT
+    growing corpus-side buckets — only the (small) query side fans out,
+    so the join stays linear in bucket sizes."""
+    bits = [
+        F.when(F.element_at(vec, i + 1).cast("double") >= 0, F.lit(1)).otherwise(F.lit(0))
+        for i in range(dims)
+    ]
+
+    def pattern(flip: int) -> Column:
+        return F.concat(
+            *[(F.lit(1) - b if i == flip else b).cast("string") for i, b in enumerate(bits)]
+        )
+
+    return F.array(pattern(-1), *[pattern(i) for i in range(dims)])
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -95,16 +114,27 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     dims: int = SIGN_LSH_DIMS,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking *within* the query's sign-LSH
     bucket. The join is an equi-join on the bucket key — shuffle-partitioned
     by bucket, linear in bucket sizes, never all-pairs. Recall is traded via
-    ``dims`` (fewer bits -> bigger buckets -> higher recall)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        sign_bucket(F.col(vec_col), dims).alias("bucket"),
-    )
+    ``dims`` (fewer bits -> bigger buckets -> higher recall) and recovered
+    via ``multiprobe`` (query also probes all 1-bit-neighbor buckets; a
+    (query, neighbor) pair still meets at most once since the corpus side
+    keeps a single bucket)."""
+    if multiprobe:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(multiprobe_buckets(F.col(vec_col), dims)).alias("bucket"),
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            sign_bucket(F.col(vec_col), dims).alias("bucket"),
+        )
     c = _spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),

@@ -84,6 +84,45 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 """
 
 
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(_queries_df(spark, sf_dir), emb, k=TOP_K, multiprobe=True)
+
+
+def _probe_sql(col: str) -> str:
+    """unnest-able list of the base sign pattern + every 1-bit flip —
+    mirror of operators.similarity.multiprobe_buckets."""
+
+    def pattern(flip: int) -> str:
+        return " || ".join(
+            f"CASE WHEN CAST({col}[{i + 1}] AS DOUBLE) >= 0 THEN "
+            + ("'0' ELSE '1'" if i == flip else "'1' ELSE '0'")
+            + " END"
+            for i in range(sim.SIGN_LSH_DIMS)
+        )
+
+    probes = ", ".join(f"({pattern(f)})" for f in [-1, *range(sim.SIGN_LSH_DIMS)])
+    return f"[{probes}]"
+
+
+KNN_LSH_MP_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, {_DVEC.format(col='embedding')} AS qv,
+                  unnest({_probe_sql('embedding')}) AS bucket
+           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS neighbor_id, {_DVEC.format(col='embedding')} AS nv,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cosine_sim
+  FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return sim.embedding_dup_pairs(emb, threshold=DUP_THRESHOLD)
@@ -119,6 +158,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
     "knn_lsh": QuerySpec(knn_lsh, KNN_LSH_SQL, "sign-LSH bucketed top-k"),
+    "knn_lsh_multiprobe": QuerySpec(
+        knn_lsh_multiprobe, KNN_LSH_MP_SQL, "multi-probe sign-LSH top-k"
+    ),
     "knn_ivf": QuerySpec(knn_ivf, None, "IVF-cell approximate top-k (rows-only)"),
     "embedding_dup_pairs": QuerySpec(embedding_dup_pairs, EMB_DUP_SQL, "embedding near-dup pairs"),
 }

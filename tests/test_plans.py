@@ -90,6 +90,42 @@ def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_runtime_bloom_filter_injects_for_selective_join(spark, sf_dir):
+    """Spark's runtime bloom-filter pruning (row-level semi-join reduction)
+    activates for selective fact-fact joins. The size thresholds default to
+    cluster scale (10 GB application-side scan) — lowered here to simulate
+    it locally; at the 100 TB target the defaults trigger naturally. Pinned
+    so a conf/regression can't silently disable the capability."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_totalprice") > 400000)
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(True)
+        assert "bloom_filter_agg" in buf.getvalue(), "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_no_python_udfs_on_relational_paths(spark, sf_dir):
     """Everything except the multimodal mapInPandas stays JVM-side."""
     for name, spec in QUERIES.items():

@@ -94,6 +94,34 @@ def test_java_split_matches_model(spark_global, values):
     assert out == expected
 
 
+@given(
+    st.integers(min_value=0, max_value=40),  # token count
+    st.integers(min_value=2, max_value=10),  # chunk size
+    st.integers(min_value=0, max_value=8),  # overlap (clamped below chunk)
+)
+@settings(max_examples=25, deadline=None)
+def test_chunking_reconstructs_document(spark_global, n_tokens, chunk, raw_overlap):
+    """Stripping each chunk's leading overlap and concatenating in chunk_id
+    order must reconstruct the original token sequence exactly — no token
+    lost or duplicated for ANY (n, chunk, overlap)."""
+    from monster_etl_spark.operators.text import chunk_documents
+
+    overlap = min(raw_overlap, chunk - 1)
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark_global.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    rebuilt: list[str] = []
+    for r in rows:
+        toks = r["chunk_text"].split(" ") if r["chunk_text"] else [""]
+        rebuilt.extend(toks if not rebuilt else toks[overlap:])
+    # empty text tokenizes to [''] on both sides (split semantics)
+    expected = text.split(" ") if text else [""]
+    assert rebuilt == expected
+
+
 # hypothesis can't take the function-scoped spark fixture directly; use a
 # module-level handle initialized lazily from the session fixture
 import pytest  # noqa: E402

@@ -49,6 +49,26 @@ def test_kmeans_centroids_shape(spark, sf_dir):
     assert sorted(map(str, cent)) == sorted(map(str, cent2))
 
 
+def test_multiprobe_improves_lsh_recall(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id % 50 == 0)
+    exact = _topk_sets(sim.brute_force_topk(queries, emb, k=5))
+    single = _topk_sets(sim.lsh_topk(queries, emb, k=5))
+    multi = _topk_sets(sim.lsh_topk(queries, emb, k=5, multiprobe=True))
+
+    def rec(approx):
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        return hits / sum(len(exact[q]) for q in exact)
+
+    # guarantee: the probe set is a superset of the single bucket, so
+    # multiprobe can only add candidates — recall is monotone
+    assert rec(multi) >= rec(single), f"multiprobe lost recall: {rec(single)} -> {rec(multi)}"
+    assert rec(multi) > 0
+    # candidate sets themselves are supersets per query
+    for q in single:
+        assert single[q] <= multi.get(q, set()) or len(multi.get(q, set())) == 5
+
+
 def test_lsh_topk_subset_of_bucket(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(emb.vec_id % 50 == 0)
