@@ -68,6 +68,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity_queries,
         streaming_queries,
         text_queries,
+        tpch_partsupp_queries,
         tpch_queries,
     )
 
@@ -77,6 +78,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_queries,
         relational2_queries,
         tpch_queries,
+        tpch_partsupp_queries,
         events_queries,
         text_queries,
         dedup_queries,

@@ -15,6 +15,7 @@ SECTIONS = {
     "relational_queries": "Relational core (TPC-H shapes, windows, joins)",
     "relational2_queries": "Relational surface 2 (set ops, subqueries, scalar suites)",
     "tpch_queries": "More TPC-H shapes",
+    "tpch_partsupp_queries": "TPC-H partsupp shapes (derived partsupp)",
     "events_queries": "Event-time analytics",
     "text_queries": "Text analysis",
     "dedup_queries": "Deduplication",
