@@ -221,12 +221,19 @@ def kmeans_centroids(
         # (MEMORY_AND_DISK default — spills instead of OOM at scale, the
         # same contract MLlib's k-means uses for its input)
         v = v.persist()
-    w = Window.orderBy("cid")
+    # seed ranks via a single-row collect_list aggregate rather than a
+    # row_number window: same deterministic ids, but no unpartitioned
+    # WindowExec (its "all data to a single partition" warning is noise —
+    # only n_centroids rows reach this — yet reads like a plan defect)
     cent = (
         v.orderBy("cid")
         .limit(n_centroids)
-        .withColumn("cent_id", F.row_number().over(w).cast("long"))
-        .select("cent_id", F.col("v").alias("cv"))
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "v"))).alias("seeds"))
+        .select(F.posexplode("seeds").alias("idx", "s"))
+        .select(
+            (F.col("idx") + 1).cast("long").alias("cent_id"),
+            F.col("s.v").alias("cv"),
+        )
     )
     for _ in range(iters):
         best = (
