@@ -1,0 +1,133 @@
+"""Deterministic sampling operators for corpus curation.
+
+Seeded random samples are not reproducible across engines (or even across
+Spark partition layouts), so every sampler here ranks rows by an
+engine-agnostic content hash (md5 of a salted id, first 8 hex digits as a
+bigint — the same construction ``operators.dedup`` uses) and takes the
+lowest-hash rows. The result is a uniform pseudo-random sample that is
+bit-identical in Spark, DuckDB, and across reruns/cluster sizes.
+
+Scale design:
+
+- ``reservoir_sample`` (global n): ``ORDER BY hash LIMIT n`` compiles to
+  TakeOrderedAndProject — per-partition partial top-n then a driver merge
+  of #partitions * n rows; no full sort, no shuffle of the corpus.
+- ``stratified_sample`` (n per stratum): the naive plan (rank window per
+  stratum) moves every row of a stratum through one task, which dies on
+  a 100 TB stratum. Instead: (1) count each stratum (map-side-combinable
+  agg), (2) pre-filter to rows whose hash falls under an oversampled
+  threshold — a narrow map that discards ~(1 - oversample*n/c) of every
+  big stratum before any shuffle, (3) exact hash-rank the survivors per
+  stratum. The window now sees ~oversample*n rows per stratum regardless
+  of corpus size. With ``oversample`` >= 4 the chance the true n-th
+  lowest hash exceeds the threshold is astronomically small (Chernoff on
+  a binomial with mean 4n); both engines run the identical pipeline, so
+  the outputs agree even in that tail case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPACE = 1 << 32
+DEFAULT_OVERSAMPLE = 4.0
+
+
+def sample_hash(id_col: Column, salt: str = "sample") -> Column:
+    """Engine-agnostic uniform hash in [0, 2^32): first 8 md5 hex digits
+    of ``salt|id``. Mirrors the SQL expression in ``sample_hash_sql``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def sample_hash_sql(id_expr: str, salt: str = "sample") -> str:
+    """DuckDB twin of :func:`sample_hash` for oracle strings."""
+    return (
+        f"CAST(CAST(concat('0x', substr(md5(concat('{salt}|', CAST({id_expr} AS VARCHAR))), 1, 8)) "
+        "AS UBIGINT) AS BIGINT)"
+    )
+
+
+def reservoir_sample(df: DataFrame, n: int, id_col: str, salt: str = "sample") -> DataFrame:
+    """Deterministic global sample of ``n`` rows: the n lowest-hash ids.
+
+    Equivalent in distribution to a uniform reservoir sample, but stable
+    across engines and reruns. Plan: TakeOrderedAndProject (partial
+    top-n per partition), never a full sort.
+    """
+    h = sample_hash(F.col(id_col), salt)
+    return df.orderBy(h.asc(), F.col(id_col).asc()).limit(n)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    id_col: str,
+    salt: str = "sample",
+    oversample: float = DEFAULT_OVERSAMPLE,
+) -> DataFrame:
+    """Deterministic exact-quota sample: the ``n_per_stratum`` lowest-hash
+    rows of every stratum (all rows if the stratum is smaller).
+
+    Columns: input columns + ``sample_rank`` (1-based within stratum).
+    """
+    h = sample_hash(F.col(id_col), salt).alias("_h")
+    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_c"))
+    # threshold per stratum: hash cutoff expected to admit oversample*n rows
+    cutoff = F.least(
+        F.lit(HASH_SPACE - 1).cast("double"),
+        F.ceil(F.lit(float(oversample * n_per_stratum)) / F.col("_c") * HASH_SPACE).cast(
+            "double"
+        ),
+    )
+    pre = (
+        df.select("*", h)
+        .join(counts.select(*strata, cutoff.alias("_cut")), on=strata)
+        .filter(F.col("_h") <= F.col("_cut"))
+    )
+    w = Window.partitionBy(*strata).orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        pre.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .drop("_h", "_cut")
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    strata: list[str],
+    n_per_stratum: int,
+    id_expr: str,
+    select_cols: list[str],
+    salt: str = "sample",
+    oversample: float = DEFAULT_OVERSAMPLE,
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` (same two-phase plan so
+    the tail-case behavior is identical, not just usually-identical)."""
+    h = sample_hash_sql(id_expr, salt)
+    keys = ", ".join(strata)
+    cols = ", ".join(select_cols)
+    return f"""
+WITH hashed AS (
+  SELECT *, {h} AS _h FROM {table}
+),
+counts AS (
+  SELECT {keys}, COUNT(*) AS _c,
+         least(CAST({HASH_SPACE - 1} AS DOUBLE),
+               ceil({float(oversample * n_per_stratum)} / COUNT(*) * {HASH_SPACE})) AS _cut
+  FROM {table} GROUP BY {keys}
+),
+pre AS (
+  SELECT hashed.*
+  FROM hashed JOIN counts USING ({keys})
+  WHERE _h <= _cut
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY _h ASC, {id_expr} ASC) AS sample_rank
+  FROM pre
+)
+SELECT {cols}, sample_rank FROM ranked WHERE sample_rank <= {n_per_stratum}
+"""

@@ -65,6 +65,7 @@ def all_queries() -> dict[str, QuerySpec]:
         refops_queries,
         relational2_queries,
         relational_queries,
+        sampling_queries,
         similarity_queries,
         streaming_queries,
         text_queries,
@@ -83,6 +84,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text_queries,
         dedup_queries,
         similarity_queries,
+        sampling_queries,
         multimodal_queries,
         curation_queries,
         streaming_queries,

@@ -1,0 +1,101 @@
+"""Sampling + quantile-gating queries over the documents corpus.
+
+Training-data curation staples: deterministic global and per-stratum
+samples (reproducible across engines/cluster layouts — see
+``operators/sampling.py`` for the scale plan) and a per-group quantile
+filter (keep documents above their language's median quality), the shape
+behind "top-X% by quality per language" corpus gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monster_etl_spark.operators import text as tx
+from monster_etl_spark.operators.sampling import (
+    reservoir_sample,
+    sample_hash_sql,
+    stratified_sample,
+    stratified_sample_sql,
+)
+from monster_etl_spark.queries import QuerySpec, load
+from monster_etl_spark.queries.text_queries import QUALITY_SQL
+
+RESERVOIR_N = 50
+STRATUM_N = 10
+QUANTILE = 0.5
+
+
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic 50-document sample (lowest content hashes)."""
+    d = load(spark, sf_dir, "documents")
+    return reservoir_sample(d, RESERVOIR_N, "doc_id").select("doc_id", "lang", "source")
+
+
+SAMPLE_RESERVOIR_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+ORDER BY {sample_hash_sql('doc_id')} ASC, doc_id ASC
+LIMIT {RESERVOIR_N}
+"""
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota per-language sample: 10 lowest-hash docs per lang."""
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(d, ["lang"], STRATUM_N, "doc_id").select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+SAMPLE_STRATIFIED_SQL = stratified_sample_sql(
+    "documents", ["lang"], STRATUM_N, "doc_id", ["doc_id", "lang"]
+)
+
+
+def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile filter: keep documents whose quality score is >=
+    their language's median. Exact interpolated percentile per group
+    (map-side-combinable partial agg via Spark's percentile; one shuffle
+    on lang), joined back as the gate — never a global sort. The quality
+    score is rounded (6dp) upstream so the cross-engine median and the
+    >= comparison bit-agree."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang", tx.quality_score(F.col("text")).alias("quality"))
+    med = scored.groupBy("lang").agg(
+        F.expr(f"percentile(quality, {QUANTILE})").alias("q_med")
+    )
+    return (
+        scored.join(med, on="lang")
+        .filter(F.col("quality") >= F.col("q_med"))
+        .select("doc_id", "lang", "quality", F.round("q_med", 6).alias("lang_median"))
+    )
+
+
+QUANTILE_GATE_SQL = f"""
+WITH scored AS (
+  SELECT s.doc_id, d.lang, s.quality
+  FROM ({QUALITY_SQL}) s JOIN documents d USING (doc_id)
+),
+med AS (
+  SELECT lang, percentile_cont({QUANTILE}) WITHIN GROUP (ORDER BY quality) AS q_med
+  FROM scored GROUP BY lang
+)
+SELECT doc_id, lang, quality, round(q_med, 6) AS lang_median
+FROM scored JOIN med USING (lang)
+WHERE quality >= q_med
+"""
+
+
+QUERIES = {
+    "sample_reservoir": QuerySpec(
+        sample_reservoir, SAMPLE_RESERVOIR_SQL, "deterministic global top-n-by-hash sample"
+    ),
+    "sample_stratified": QuerySpec(
+        sample_stratified, SAMPLE_STRATIFIED_SQL, "exact-quota per-stratum sample"
+    ),
+    "q_quantile_gate": QuerySpec(
+        q_quantile_gate, QUANTILE_GATE_SQL, "per-language median quality gate"
+    ),
+}
