@@ -20,6 +20,7 @@ SECTIONS = {
     "text_queries": "Text analysis",
     "dedup_queries": "Deduplication",
     "similarity_queries": "Similarity search (ANN)",
+    "sampling_queries": "Deterministic sampling + quantile gates",
     "multimodal_queries": "Multimodal columns",
     "curation_queries": "Corpus curation",
     "streaming_queries": "Structured Streaming (driven to completion)",
@@ -44,6 +45,9 @@ def main() -> None:
         "Source of truth: `monster_etl_spark/queries/` (this file mirrors `all_queries()`;",
         "regenerate with `python tools/gen_queries_md.py`).",
     ]
+    unknown = set(by_module) - set(SECTIONS)
+    if unknown:
+        raise SystemExit(f"query modules missing a SECTIONS entry: {sorted(unknown)}")
     for mod, title in SECTIONS.items():
         entries = sorted(by_module.get(mod, []))
         if not entries:
