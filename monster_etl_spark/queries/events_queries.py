@@ -154,10 +154,115 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill + LOCF: hourly purchase totals per user,
+    with missing hours materialized from a generated series and filled by
+    the last observed value. Plan: one agg shuffle (hourly), a per-user
+    span agg whose sequence() explode generates the grid executor-side
+    (never a driver loop), a co-partitioned left join, and one window per
+    user — every stage is keyed on user_id, so 1000 executors each fill
+    their own users. Output is |users| x span-hours rows; the sum goes
+    through DECIMAL so the carried-forward doubles bit-agree."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"))
+    span = hourly.groupBy("user_id").agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour")
+    )
+    filled = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "user_id",
+        "hour",
+        F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("v").isNull().alias("gap_filled"),
+    )
+
+
+Q_GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY user_id),
+grid AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span),
+filled AS (
+  SELECT g.user_id, g.hour, h.v FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+)
+SELECT user_id, hour,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+       v IS NULL AS gap_filled
+FROM filled
+"""
+
+
+BAND_SECONDS = 1800  # +/- 30 minutes
+
+
+def q_time_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded time-join (range join): for every error event, how many
+    same-user purchases happened within +/-30 minutes. The naive plan is
+    a non-equi theta join (quadratic); instead each error explodes to its
+    three adjacent 30-min buckets and joins purchases on
+    (user_id, bucket) — an equi shuffle join linear in matches, the
+    standard interval-join strategy (cf. Flink interval joins /
+    TimescaleDB range partitioning). A purchase sits in exactly one
+    bucket, so no pair appears twice; zero-match errors survive via the
+    final left join."""
+    e = load(spark, sf_dir, "events")
+    bucket = lambda c: F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c}) div {BAND_SECONDS}"
+    )
+    err = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts"), bucket("ts").alias("jb")
+    )
+    err_b = err.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.explode(F.array(bucket("ts") - 1, bucket("ts"), bucket("ts") + 1)).alias("jb"),
+    )
+    matches = (
+        err_b.join(pur, (err_b.user_id == pur.p_user) & (err_b.jb == pur.jb))
+        .filter(F.abs(F.expr("timestampdiff(SECOND, pts, ts)")) <= BAND_SECONDS)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return err.join(matches, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_nearby_purchases"),
+    )
+
+
+Q_TIME_BAND_SQL = f"""
+SELECT e.event_id, e.user_id,
+       COUNT(p.ts) AS n_nearby_purchases
+FROM events e
+LEFT JOIN events p
+  ON p.event_type = 'purchase' AND p.user_id = e.user_id
+ AND abs(date_diff('second', p.ts, e.ts)) <= {BAND_SECONDS}
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+"""
+
+
 QUERIES = {
     "q_json_extract": QuerySpec(q_json_extract, Q_JSON_SQL, "JSON-path extraction + agg"),
     "q_sessionize": QuerySpec(q_sessionize, Q_SESSIONIZE_SQL, "gap-based sessionization"),
     "q_tumbling_window": QuerySpec(q_tumbling_window, Q_TUMBLING_SQL, "tumbling window agg"),
     "q_hourly_rollup": QuerySpec(q_hourly_rollup, Q_HOURLY_SQL, "hourly time rollup"),
     "q_scd2_intervals": QuerySpec(q_scd2_intervals, Q_SCD2_SQL, "SCD2 validity intervals from a change stream"),
+    "q_gap_fill": QuerySpec(q_gap_fill, Q_GAP_FILL_SQL, "hourly gap-fill + LOCF per user"),
+    "q_time_band_join": QuerySpec(q_time_band_join, Q_TIME_BAND_SQL, "bucketed +/-30min range join"),
 }
