@@ -287,6 +287,38 @@ GROUP BY l_returnflag
 """
 
 
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch (Greenwald-Khanna) estimate, oracle-checked via the
+    error contract like q_approx_distinct: with accuracy A the sketch's
+    rank error is <= N/A, so the approximate median must land between the
+    exact 45th and 55th percentiles (N/A is far below 5% of N at every
+    SF). The oracle pins the exact bounds and asserts the contract."""
+    l = load(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("ap50"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("p45", 6).alias("p45"),
+        F.round("p55", 6).alias("p55"),
+        ((F.col("ap50") >= F.col("p45")) & (F.col("ap50") <= F.col("p55"))).alias(
+            "p50_within_bounds"
+        ),
+    )
+
+
+Q_APPROX_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       round(percentile_cont(0.45) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p45,
+       round(percentile_cont(0.55) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p55,
+       TRUE AS p50_within_bounds
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (both engines use the same
     continuous-quantile definition on the sorted values)."""
@@ -493,6 +525,9 @@ QUERIES = {
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "TPC-H Q6 scan-filter-agg"),
     "q_approx_distinct": QuerySpec(
         q_approx_distinct, Q_APPROX_DISTINCT_SQL, "HLL approx distinct, error-contract checked"
+    ),
+    "q_approx_percentile": QuerySpec(
+        q_approx_percentile, Q_APPROX_PERCENTILE_SQL, "GK quantile sketch, error-contract checked"
     ),
     "q_percentiles": QuerySpec(q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles"),
     "q_stats_exact": QuerySpec(q_stats_exact, Q_STATS_SQL, "mean/stddev from exact sums"),
