@@ -90,7 +90,7 @@ def stratified_sample(
     )
     w = Window.partitionBy(*strata).orderBy(F.col("_h").asc(), F.col(id_col).asc())
     return (
-        pre.withColumn("sample_rank", F.row_number().over(w))
+        pre.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= n_per_stratum)
         .drop("_h", "_cut")
     )
