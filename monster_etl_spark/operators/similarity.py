@@ -193,12 +193,74 @@ IVF_PROBES = 4
 IVF_KMEANS_ITERS = 3
 
 
+def _centroid_array(cent: DataFrame) -> DataFrame:
+    """Collapse a (cent_id, cv) centroid table into ONE row holding the
+    sorted ``array<struct<cent_id,cv>>`` — the broadcastable form that lets
+    nearest-centroid assignment run as a narrow projection (crossJoin with
+    a 1-row broadcast preserves row count; the argmax is per-row
+    higher-order-function arithmetic, no shuffle, no window)."""
+    return cent.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("cents")
+    )
+
+
+def _with_unit(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Append a unit-normalized double copy of ``vec_col`` (null for
+    zero-norm vectors, which have no direction).
+
+    CollapseProject trap: a ``transform(vec, x -> x / norm_expr)`` lambda
+    would get the norm AGGREGATE inlined into its body (Catalyst collapses
+    single-use aliases without knowing lambda bodies run per element),
+    re-running the norm |vec| times per row. ``zip_with`` against
+    ``array_repeat(norm, size)`` keeps the norm in argument position —
+    evaluated once per row no matter how projections collapse."""
+    vnorm = norm(_as_double(F.col(vec_col)))
+    return df.withColumn(
+        out_col,
+        F.when(
+            vnorm > 0,
+            F.zip_with(
+                F.col(vec_col),
+                F.array_repeat(vnorm, F.size(F.col(vec_col))),
+                lambda x, n: x.cast("double") / n,
+            ),
+        ),
+    )
+
+
+def _scored_cents(vec: Column) -> Column:
+    """Per-row (c_sim, -cent_id, cent_id) structs for every centroid in the
+    broadcast ``cents`` array. Centroids are UNIT vectors, so ordering by
+    plain dot product equals ordering by cosine for any (non-negated)
+    input scaling — the input vector is deliberately NOT normalized here:
+    per-row normalization would be inlined into this per-centroid lambda
+    by CollapseProject and recomputed k times per row. One zip_with + one
+    aggregate per centroid (the cast rides inside the multiply lambda) is
+    the minimal interpreted-lambda count. Struct field order makes
+    lexicographic max/sort mean "highest similarity, ties to the lowest
+    cent_id"; ``c_sim`` is NOT a cosine (unnormalized) — use it only to
+    rank cells for one fixed input vector."""
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c.getField("cv"), lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("c_sim"),
+            (-c.getField("cent_id")).alias("neg_id"),
+            c.getField("cent_id").alias("cent_id"),
+        ),
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = IVF_CENTROIDS,
     iters: int = IVF_KMEANS_ITERS,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Deterministic spherical-k-means centroids, all-DataFrame Lloyd
     iterations: seed with the ``n_centroids`` lowest-id vectors, then
@@ -206,16 +268,37 @@ def kmeans_centroids(
     centroid, recompute each centroid as the element-wise mean of its
     members).
 
-    Scale shape per round: the centroid table is tiny and broadcast; the
-    assignment is a broadcast-NL over k rows reduced by a map-side-
-    combinable ``max_by`` (no window, one shuffle on the group key); the
-    mean is posexplode -> groupBy(cent, pos) -> avg, linear in corpus
-    size x dims. Centroids are ``localCheckpoint``-ed each round so the
-    lineage stays one-round deep. Components are rounded (9dp) so the
-    result is reproducible across partition orders. Cells that lose all
-    members drop out (k shrinks, never grows). Returns (cent_id, cv).
+    Spherical form: vectors are unit-normalized ONCE up front (zero-norm
+    vectors are excluded — they have no direction) and centroids are kept
+    unit-normalized, so every similarity in the loop is a single dot
+    product instead of a full cosine (~3x fewer interpreted-lambda
+    invocations — the dominant constant factor of HOF math). Centroid
+    DIRECTIONS are identical to cosine-against-raw-means: assignment by
+    cosine is invariant to centroid scaling.
+
+    Scale shape per round: the centroid table collapses to a 1-row array
+    (``_centroid_array``) and broadcasts; assignment is then a NARROW
+    projection (per-row argmax over k structs — no groupBy, no window, the
+    corpus is never shuffled for assignment); the only shuffle per round is
+    the mean recompute (posexplode -> groupBy(cent, pos) -> avg, map-side
+    combinable, linear in corpus size x dims). Every
+    ``checkpoint_every``-th round the 16-row centroid table is
+    ``localCheckpoint``-ed (eager): the materialization job is trivially
+    cheap, while skipping it nests each round's plan as a broadcast
+    subquery of the next — measured 3-4x slower end-to-end at sf0.1.
+    Components are rounded (9dp) so the result is reproducible across
+    partition orders. Cells that lose all members drop out (k shrinks,
+    never grows). Returns (cent_id, cv) with ``cv`` a unit vector.
     """
-    v = _spread(corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v")))
+    v = (
+        _with_unit(
+            _spread(corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("raw"))),
+            "raw",
+            "v",
+        )
+        .filter(F.col("v").isNotNull())
+        .select("cid", "v")
+    )
     if iters > 0:
         # every Lloyd round rescans the vectors; cache them for the loop
         # (MEMORY_AND_DISK default — spills instead of OOM at scale, the
@@ -232,24 +315,18 @@ def kmeans_centroids(
         .select(F.posexplode("seeds").alias("idx", "s"))
         .select(
             (F.col("idx") + 1).cast("long").alias("cent_id"),
-            F.col("s.v").alias("cv"),
+            F.transform("s.v", lambda x: F.round(x, 9)).alias("cv"),
         )
     )
-    for _ in range(iters):
+    for it in range(iters):
+        # narrow argmax assignment: 1-row broadcast of the centroid array,
+        # per-row HOF max — the corpus is not shuffled to pick its centroid
         best = (
-            v.crossJoin(F.broadcast(cent))
+            v.crossJoin(F.broadcast(_centroid_array(cent)))
             .select(
                 "cid",
                 "v",
-                "cent_id",
-                cosine(F.col("v"), F.col("cv")).alias("c_sim"),
-            )
-            # argmax by (similarity, then lowest cent_id) — deterministic;
-            # v is functionally dependent on cid so first() is stable
-            .groupBy("cid")
-            .agg(
-                F.max_by("cent_id", F.struct(F.col("c_sim"), -F.col("cent_id"))).alias("cent_id"),
-                F.first("v").alias("v"),
+                F.array_max(_scored_cents(F.col("v"))).getField("cent_id").alias("cent_id"),
             )
         )
         means = (
@@ -262,10 +339,19 @@ def kmeans_centroids(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
                 "cent_id",
-                F.transform("pm", lambda s: F.round(s.getField("m"), 9)).alias("cv"),
+                F.transform("pm", lambda s: s.getField("m")).alias("mv"),
             )
-            .localCheckpoint(eager=True)
+            # re-normalize the mean (spherical k-means): unit centroids keep
+            # the next round's similarity a plain dot product
+            .withColumn("_mnorm", norm(F.col("mv")))
+            .filter(F.col("_mnorm") > 0)
+            .select(
+                "cent_id",
+                F.transform("mv", lambda x: F.round(x / F.col("_mnorm"), 9)).alias("cv"),
+            )
         )
+        if (it + 1) % checkpoint_every == 0 or (it + 1) == iters:
+            cent = cent.localCheckpoint(eager=True)
     if iters > 0:
         # the final centroids are checkpoint-materialized; the cached
         # vectors are no longer referenced
@@ -289,29 +375,48 @@ def ivf_topk(
 
     Centroids come from ``kmeans_centroids`` (deterministic Lloyd
     refinement; ``kmeans_iters=0`` degrades to the raw lowest-id seed).
-    Scale shape: the centroid table broadcasts (tiny); corpus assignment
-    is one narrow pass; the probe join is an equi-join on cell id, so
+    Scale shape: the centroid table collapses to a 1-row array and
+    broadcasts; BOTH assignments (corpus cell, query probe set) are narrow
+    per-row projections — argmax / top-``n_probes`` over k structs via
+    higher-order functions, so neither side is shuffled or windowed to
+    find its cells; the probe join is an equi-join on cell id, so
     per-query work is linear in the probed cells, never the full corpus.
     Deterministic given the corpus; recall is tested against the exact
     brute-force ranking (rows-only in the driver contract — the
     construction is too stateful for a readable SQL oracle).
     """
-    cent = F.broadcast(
-        kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters)
+    cent_arr = F.broadcast(
+        _centroid_array(kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters))
     )
 
     def assign(df: DataFrame, idc: str, vecc: str, keep_vec: str, top: int) -> DataFrame:
-        scored = df.join(cent, how="cross").select(
-            F.col(idc),
-            F.col(vecc).alias(keep_vec),
-            "cent_id",
-            cosine(F.col(vecc), F.col("cv")).alias("c_sim"),
-        )
-        w = Window.partitionBy(idc).orderBy(F.desc("c_sim"), F.asc("cent_id"))
+        # cells are ranked by dot(raw vector, unit centroid) — order-equal
+        # to cosine, with NO per-row normalization (which CollapseProject
+        # would inline into the per-centroid lambda and recompute k times);
+        # two projections because referencing ``vecc`` while re-aliasing it
+        # in one select trips Spark's lateral-column-alias resolution when
+        # combined with explode
+        # the UNIT vector rides along as ``keep_vec`` (referenced once
+        # outside any lambda -> computed once per row even after projection
+        # collapse), so downstream pair scoring is a single dot product
+        scored = _with_unit(df.crossJoin(cent_arr), vecc, "_u")
+        if top == 1:
+            return (
+                scored.withColumn(
+                    "_cell", F.array_max(_scored_cents(F.col(vecc))).getField("cent_id")
+                )
+                .select(F.col(idc), F.col("_u").alias(keep_vec), F.col("_cell").alias("cent_id"))
+            )
+        # top-n probes: sort descending (reverse of ascending lexicographic
+        # struct sort), slice, explode — still a narrow projection
+        probes = F.slice(F.reverse(F.array_sort(_scored_cents(F.col(vecc)))), 1, top)
         return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= top)
-            .select(idc, keep_vec, "cent_id")
+            scored.withColumn("_probes", F.transform(probes, lambda s: s.getField("cent_id")))
+            .select(
+                F.col(idc),
+                F.col("_u").alias(keep_vec),
+                F.explode("_probes").alias("cent_id"),
+            )
         )
 
     c_assigned = assign(
@@ -328,7 +433,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+            # both sides are unit vectors: cosine == plain dot (one HOF
+            # aggregate per pair instead of three)
+            F.round(dot(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
