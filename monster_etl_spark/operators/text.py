@@ -240,6 +240,54 @@ def mixture_weights(
     ).withColumn("epoch", F.col("epoch").cast("long"))
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-derived unigram language-model score: per-document mean
+    log-probability of its tokens under the corpus's own unigram
+    distribution — the classic cheap "how typical is this text" quality
+    signal (very negative = rare/garbled vocabulary).
+
+    Two shuffles, both scale-safe at 100 TB:
+      1. ``(doc, token) -> count`` then ``token -> corpus tf`` — both
+         map-side combinable aggregations; collapsing per-doc duplicate
+         tokens FIRST bounds the join input to distinct (doc, token)
+         pairs rather than every token occurrence.
+      2. join doc-level counts with the vocabulary on ``token``. The
+         vocabulary is Zipf-bounded (millions of rows, MBs at 100 TB) so
+         AQE broadcasts it; worst case it is an ordinary shuffle join
+         whose key duplication is only on the probe side — no row
+         explosion even for stopwords.
+
+    The corpus-total scalar rides along via an explicit 1-row broadcast,
+    never ``collect()``. Output: (id, n_tokens, unigram_logprob) with the
+    score rounded so cross-engine float summation order cannot flip the
+    driver hash. Docs with zero tokens have no (doc, token) rows and drop
+    out — identically in the SQL oracle.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    doc_tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = doc_tf.groupBy("tok").agg(F.sum("cnt").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("total"))
+    logp = F.log(F.col("tf").cast("double")) - F.log(F.col("total").cast("double"))
+    return (
+        doc_tf.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round(F.sum(F.col("cnt") * logp) / F.sum("cnt"), round_to).alias(
+                "unigram_logprob"
+            ),
+        )
+    )
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full feature set as columns."""
     c = F.col(text_col)

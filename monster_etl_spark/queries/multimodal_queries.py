@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from monster_etl_spark.operators.multimodal import documents_as_media, extract_image_features
+from monster_etl_spark.operators.multimodal import (
+    documents_as_media,
+    extract_image_features,
+    resize_images,
+)
 from monster_etl_spark.queries import QuerySpec, load
 
 _S7_SCRATCH = "/root/repo/spark-warehouse/s7_tarballs"
@@ -33,6 +37,39 @@ SELECT doc_id AS media_id,
        CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS width,
        CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS height
 FROM documents
+"""
+
+
+_RESIZE_W, _RESIZE_H = 64, 48
+_RESIZE_BYTES = _RESIZE_W * _RESIZE_H
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary->binary resize plumbing through Arrow mapInPandas; the fake
+    kernel cycles/truncates bytes to width*height, so the oracle can
+    reproduce it in the hex domain (cycling bytes == cycling hex pairs —
+    DuckDB has no BLOB substring). md5-of-hex verifies the full payload."""
+    media = documents_as_media(load(spark, sf_dir, "documents"))
+    out = resize_images(media, _RESIZE_W, _RESIZE_H)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        F.md5(F.hex("content")).alias("content_md5"),
+    )
+
+
+RESIZE_SQL = f"""
+WITH b AS (SELECT doc_id AS media_id, hex(encode(text)) AS h FROM documents)
+SELECT media_id,
+       CAST({_RESIZE_W} AS INT) AS width,
+       CAST({_RESIZE_H} AS INT) AS height,
+       CAST({_RESIZE_BYTES} AS BIGINT) AS n_bytes,
+       md5(CASE WHEN length(h) = 0 THEN repeat('00', {_RESIZE_BYTES})
+            ELSE substring(repeat(h, CAST(floor({_RESIZE_BYTES * 2} / length(h)) AS INT) + 1),
+                           1, {_RESIZE_BYTES * 2}) END) AS content_md5
+FROM b
 """
 
 
@@ -94,6 +131,9 @@ WHERE doc_id < {_S7_MAX_ID} AND text IS NOT NULL
 QUERIES = {
     "multimodal_image_features": QuerySpec(
         multimodal_image_features, MULTIMODAL_SQL, "binary column -> mapInPandas features"
+    ),
+    "multimodal_resize": QuerySpec(
+        multimodal_resize, RESIZE_SQL, "binary resize plumbing, md5-of-hex payload check"
     ),
     "s7_untar_roundtrip": QuerySpec(
         s7_untar_roundtrip, S7_UNTAR_SQL, "S7 untar scatter/extract round-trip"

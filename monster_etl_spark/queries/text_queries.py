@@ -214,8 +214,34 @@ FROM n WHERE n_copies > 0
 """
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived unigram LM quality score (see operators.text.unigram_logprob)."""
+    return tx.unigram_logprob(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+UNIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+doc_tf AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+),
+vocab AS (SELECT tok, sum(cnt) AS tf FROM doc_tf GROUP BY tok),
+tot AS (SELECT sum(tf) AS total FROM vocab)
+SELECT doc_id,
+  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+  round(sum(cnt * (ln(CAST(tf AS DOUBLE)) - ln(CAST(total AS DOUBLE)))) / sum(cnt), 6)
+    AS unigram_logprob
+FROM doc_tf JOIN vocab USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token counting + ratios"),
+    "text_unigram_logprob": QuerySpec(
+        text_unigram_logprob, UNIGRAM_SQL, "corpus-unigram LM mean log-prob quality score"
+    ),
     "text_chunking": QuerySpec(text_chunking, CHUNKING_SQL, "overlapping token-window chunking"),
     "text_mixture": QuerySpec(text_mixture, _mixture_sql(), "deterministic corpus mixture weights"),
     "text_quality": QuerySpec(text_quality, QUALITY_SQL, "quality scoring"),
