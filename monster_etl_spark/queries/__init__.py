@@ -34,19 +34,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects outright (PARQUET_TYPE_ILLEGAL). Read the nanos as raw longs
-    (legacy conf) and rebuild a timestamp_ntz floored to microseconds —
-    exactly what DuckDB's reader produces, so oracles agree.
+    """Type-adaptive events reader. Some testdata generations store ``ts``
+    as TIMESTAMP(NANOS), which Spark's parquet reader rejects outright
+    (PARQUET_TYPE_ILLEGAL); others store plain TIMESTAMP(MICROS), which
+    reads natively as timestamp_ntz. Handle both: read with the legacy
+    nanos-as-long conf enabled, and only if ``ts`` actually arrives as a
+    long rebuild a timestamp_ntz floored to microseconds — exactly what
+    DuckDB's reader produces, so oracles agree either way.
 
     The reconstruction is timezone-independent: epoch arithmetic on an ntz
     literal, never via the session timezone. The day/fraction split keeps
     every intermediate inside exact double range (rem_us < 8.64e10).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not isinstance(df.schema["ts"].dataType, T.LongType):
+        return df
     # integer div/mod (never double) until the final sub-day fraction
     ts = F.expr(
         "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ) + make_dt_interval("

