@@ -76,3 +76,35 @@ def test_lsh_topk_subset_of_bucket(spark, sf_dir):
     # ranks are dense and start at 1 per query
     for q, rows in _topk_sets(out).items():
         assert 1 <= len(rows) <= 5
+
+
+def test_embedding_dup_pairs_finds_planted_dups(spark):
+    """The testdata embeddings are near-orthogonal random vectors (max
+    pairwise cosine ~0.48), so the oracle-checked registry query legitimately
+    returns 0 rows at every SF. This test supplies what the fixtures can't:
+    planted near-duplicates, which the operator must recover exactly."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dims = 16
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = [unit([rng.gauss(0, 1) for _ in range(dims)]) for _ in range(20)]
+    rows = [(i, base[i]) for i in range(20)]
+    # plant: 100=near-dup of 3 (tiny noise), 101=exact copy of 7
+    noisy = unit([x + rng.gauss(0, 0.01) for x in base[3]])
+    rows.append((100, noisy))
+    rows.append((101, list(base[7])))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in sim.embedding_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert set(got) == {(3, 100), (7, 101)}, got
+    assert got[(7, 101)] == 1.0
+    assert got[(3, 100)] >= 0.99
