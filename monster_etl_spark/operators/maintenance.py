@@ -75,3 +75,77 @@ def exact_profile(df: DataFrame, columns: list[str]) -> DataFrame:
         aggs.append(F.min(name).alias(f"{name}__min"))
         aggs.append(F.max(name).alias(f"{name}__max"))
     return df.agg(*aggs)
+
+
+def zorder_key(
+    cols: list[str],
+    mins: dict[str, Column],
+    maxs: dict[str, Column],
+    bits: int = 8,
+) -> Column:
+    """Morton (Z-curve) key over ``cols``: each column is scaled to a
+    ``bits``-bit integer inside its [min, max] range, then the bit planes
+    are interleaved (column j contributes bit position ``b * ncols + j``).
+    Rows close in every dimension land close on the curve, so a file
+    layout sorted by this key gets NARROW per-file min/max ranges on ALL
+    participating columns at once — multi-dimensional data skipping from
+    ordinary parquet column statistics, no table format needed.
+
+    Pure integer column arithmetic (scale, shift, mask, add) —
+    whole-stage-codegen friendly, ``bits * ncols`` terms. Nulls scale to
+    slot 0 (sorted first, deterministic).
+    """
+    ncols = len(cols)
+    slots = (1 << bits) - 1
+    z: Column = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        span = F.nullif(
+            maxs[c].cast("double") - mins[c].cast("double"), F.lit(0.0)
+        )
+        scaled = F.coalesce(
+            F.floor(
+                (F.col(c).cast("double") - mins[c].cast("double")) / span * slots
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        )
+        # clamp FP round-up at the top edge
+        scaled = F.least(F.greatest(scaled, F.lit(0).cast("long")), F.lit(slots).cast("long"))
+        for b in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(scaled, b).bitwiseAND(F.lit(1)), b * ncols + j
+            )
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Return ``df`` re-laid-out along the Z-curve of ``cols``: one
+    aggregate pass computes per-column min/max, broadcast back as a 1-row
+    crossJoin (no driver collect), every row gets its Morton key, and the
+    result is range-repartitioned + sorted on it. Writing the result
+    yields files whose parquet min/max stats are tight on every ``cols``
+    member — the scan-pruning layout step of a 100 TB maintenance pass
+    (the analogue of Delta/Iceberg OPTIMIZE ZORDER BY, expressed as plain
+    DataFrame ops).
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    bounds = df.agg(*aggs)
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    mins = {c: F.col(f"__min_{c}") for c in cols}
+    maxs = {c: F.col(f"__max_{c}") for c in cols}
+    keyed = with_bounds.withColumn("__z__", zorder_key(cols, mins, maxs, bits)).drop(
+        *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]
+    )
+    n = num_files or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return (
+        keyed.repartitionByRange(int(n), F.col("__z__"))
+        .sortWithinPartitions("__z__")
+        .drop("__z__")
+    )

@@ -338,6 +338,53 @@ FROM nation
 """
 
 
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-curve) key over (o_custkey, o_totalprice): the layout
+    step of a multi-dimensional data-skipping OPTIMIZE pass
+    (operators/maintenance.py::zorder_layout). The key itself is emitted
+    per order so the oracle can pin every scale/shift/interleave bit; the
+    repartitionByRange+sort layout around it is exercised in
+    tests/test_maintenance.py against real parquet file statistics."""
+    from monster_etl_spark.operators.maintenance import zorder_key
+
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice"]
+    bounds = o.agg(
+        *[a for c in cols for a in (F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}"))]
+    )
+    mins = {c: F.col(f"__min_{c}") for c in cols}
+    maxs = {c: F.col(f"__max_{c}") for c in cols}
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select("o_orderkey", zorder_key(cols, mins, maxs, bits=8).alias("zval"))
+    )
+
+
+_Z_SCALED = """least(greatest(coalesce(CAST(floor(
+      (CAST({c} AS DOUBLE) - CAST(mn{j} AS DOUBLE))
+      / nullif(CAST(mx{j} AS DOUBLE) - CAST(mn{j} AS DOUBLE), 0.0) * 255
+    ) AS BIGINT), 0), 0), 255)"""
+
+
+def _z_interleave_sql() -> str:
+    terms = []
+    for j, c in enumerate(["o_custkey", "o_totalprice"]):
+        scaled = _Z_SCALED.format(c=c, j=j)
+        for b in range(8):
+            terms.append(f"((({scaled} >> {b}) & 1) << {b * 2 + j})")
+    return " + ".join(terms)
+
+
+Q_ZORDER_SQL = f"""
+WITH bnd AS (SELECT min(o_custkey) AS mn0, max(o_custkey) AS mx0,
+                    min(o_totalprice) AS mn1, max(o_totalprice) AS mx1
+             FROM orders)
+SELECT o_orderkey, CAST({_z_interleave_sql()} AS BIGINT) AS zval
+FROM orders CROSS JOIN bnd
+"""
+
+
 QUERIES = {
     "t1_rename_fields": QuerySpec(t1_rename_fields, T1_SQL, "T1 renameFields"),
     "t2_remove_fields": QuerySpec(t2_remove_fields, T2_SQL, "T2 removeFields"),
@@ -356,6 +403,7 @@ QUERIES = {
     "q_salted_join": QuerySpec(q_salted_join, Q_SALTED_SQL, "skew-safe salted join"),
     "q_merge_upsert": QuerySpec(q_merge_upsert, Q_MERGE_SQL, "latest-wins upsert merge"),
     "q_profile": QuerySpec(q_profile, Q_PROFILE_SQL, "one-pass exact data profile"),
+    "q_zorder_key": QuerySpec(q_zorder_key, Q_ZORDER_SQL, "Morton z-curve layout key"),
     "t16_path_column": QuerySpec(
         t16_path_column, T16_SQL, "T16 path-derived column (partition-dir round-trip)"
     ),
