@@ -444,3 +444,83 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = IVF_CENTROIDS,
+    kmeans_iters: int = IVF_KMEANS_ITERS,
+) -> DataFrame:
+    """SemDeDup-style candidate pairs: embed-space near-duplicates found
+    WITHIN k-means cells (Abbas et al. 2023 — semantic dedup prunes pairs
+    by clustering first; cross-cell near-dups are the documented
+    approximation, exactly as in the paper). Returns (id_a, id_b,
+    cosine_sim) with id_a < id_b, cosine >= threshold.
+
+    Scale shape: centroid fit + assignment are the IVF machinery (1-row
+    broadcast centroid array, narrow per-row argmax — the corpus is never
+    shuffled to find its cell); the pair join is an equi-join on cell id,
+    so candidate work is sum of squared CELL sizes, never corpus², and
+    both unit-vector sides make the pair score one dot product."""
+    cent_arr = F.broadcast(
+        _centroid_array(
+            kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters)
+        )
+    )
+    v = (
+        _with_unit(
+            _spread(
+                corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("raw"))
+            ).crossJoin(cent_arr),
+            "raw",
+            "u",
+        )
+        .filter(F.col("u").isNotNull())
+        .withColumn("_cell", F.array_max(_scored_cents(F.col("raw"))).getField("cent_id"))
+        .select("vid", "u", "_cell")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a._cell") == F.col("b._cell")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(dot(F.col("a.u"), F.col("b.u")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = IVF_CENTROIDS,
+    kmeans_iters: int = IVF_KMEANS_ITERS,
+) -> DataFrame:
+    """Full semantic-dedup verdict per document: (id, rep_id, keep) where
+    ``rep_id`` is the minimum id of the document's near-duplicate
+    component (itself when unduplicated) and ``keep`` marks the one
+    survivor per component. Pairs from ``semantic_dup_pairs``; components
+    from the size-adaptive connected-components operator (driver
+    union-find for small pair graphs, distributed min-label propagation
+    above 1M edges)."""
+    from monster_etl_spark.operators.graph import connected_components
+
+    pairs = semantic_dup_pairs(
+        corpus, id_col, vec_col, threshold, n_centroids, kmeans_iters
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    ids = corpus.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(comp.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("rep_id"),
+            (F.coalesce(F.col("component"), F.col("id")) == F.col("id")).alias("keep"),
+        )
+    )

@@ -212,6 +212,27 @@ FROM exact
 """
 
 
+
+def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style per-document verdict (id, rep_id, keep): k-means
+    cells -> within-cell cosine pairs -> connected components -> min-id
+    survivor (operators/similarity.py::semantic_dedup). The fixture
+    embeddings are near-orthogonal (max pairwise cosine ~0.60 across all
+    SFs), so the truthful oracle is the identity verdict — which is a
+    REAL one-sided check: any spurious merge the cell-bucketed pair join
+    or the component propagation invented would flip rep_id/keep and
+    hash-mismatch. The recall direction (planted duplicate groups
+    collapse to one survivor) is pinned by
+    tests/test_similarity.py::test_semantic_dedup_planted."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, threshold=DUP_THRESHOLD)
+
+
+SEMANTIC_DEDUP_SQL = """
+SELECT vec_id AS id, vec_id AS rep_id, TRUE AS keep FROM embeddings
+"""
+
+
 QUERIES = {
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
     "knn_lsh": QuerySpec(knn_lsh, KNN_LSH_SQL, "sign-LSH bucketed top-k"),
@@ -223,4 +244,7 @@ QUERIES = {
         knn_ivf_recall, KNN_IVF_RECALL_SQL, "IVF recall>=0.5 error contract vs brute force"
     ),
     "embedding_dup_pairs": QuerySpec(embedding_dup_pairs, EMB_DUP_SQL, "embedding near-dup pairs"),
+    "semantic_dedup_verdicts": QuerySpec(
+        semantic_dedup_verdicts, SEMANTIC_DEDUP_SQL, "SemDeDup cell-bucketed dedup verdicts"
+    ),
 }

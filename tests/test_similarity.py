@@ -108,3 +108,39 @@ def test_embedding_dup_pairs_finds_planted_dups(spark):
     assert set(got) == {(3, 100), (7, 101)}, got
     assert got[(7, 101)] == 1.0
     assert got[(3, 100)] >= 0.99
+
+
+def test_semantic_dedup_planted(spark):
+    """Plant two groups of embed-space near-duplicates among random
+    vectors; semantic_dedup must keep exactly one representative (the min
+    id) per group and every unduplicated vector."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    dims = 16
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = [unit([rng.gauss(0, 1) for _ in range(dims)]) for _ in range(30)]
+    rows = [(i, base[i]) for i in range(30)]
+    # group A: 2, 200, 201 mutual near-dups; group B: 9, 300
+    for nid, src in ((200, 2), (201, 2), (300, 9)):
+        rows.append((nid, unit([x + rng.gauss(0, 0.005) for x in base[src]])))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    out = {r["id"]: (r["rep_id"], r["keep"]) for r in sim.semantic_dedup(
+        df, threshold=0.97, n_centroids=4, kmeans_iters=2
+    ).collect()}
+    assert len(out) == 33
+    assert out[2] == (2, True)
+    assert out[200] == (2, False)
+    assert out[201] == (2, False)
+    assert out[9] == (9, True)
+    assert out[300] == (9, False)
+    # everyone else survives as their own representative
+    for i in range(30):
+        if i not in (2, 9):
+            assert out[i] == (i, True), (i, out[i])
