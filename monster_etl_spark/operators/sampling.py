@@ -131,3 +131,58 @@ ranked AS (
 )
 SELECT {cols}, sample_rank FROM ranked WHERE sample_rank <= {n_per_stratum}
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    weight_col: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis &
+    Spirakis 2006 exponential race): each row draws a pseudo-uniform
+    u in (0, 1] from the engine-agnostic content hash and competes with
+    key = -ln(u) / w; the n SMALLEST keys win. Inclusion probability is
+    proportional to weight (exactly the A-ES reservoir semantics), yet
+    the outcome is bit-identical across engines, reruns, and partition
+    layouts — the property seeded ``rand()`` cannot give.
+
+    Scale shape: the key is a narrow per-row projection;
+    ``ORDER BY key LIMIT n`` compiles to TakeOrderedAndProject (partial
+    top-n per partition, driver merges #partitions * n rows) — no global
+    sort, no shuffle of the corpus. Zero/negative/null weights are
+    excluded (their race key is undefined), matching the A-ES contract.
+    """
+    # (hash + 1) / 2^32: u in (0, 1], never 0 -> ln is finite
+    u = (sample_hash(F.col(id_col), salt) + F.lit(1).cast("double")) / F.lit(
+        float(HASH_SPACE)
+    )
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__wkey__", key)
+        .orderBy(F.col("__wkey__").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__wkey__")
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    n: int,
+    id_expr: str,
+    weight_expr: str,
+    salt: str = "wsample",
+    projection: str = "*",
+) -> str:
+    """DuckDB twin of ``weighted_sample`` (identical hash, identical
+    double math, identical tiebreak)."""
+    h = sample_hash_sql(id_expr, salt)
+    return f"""
+SELECT {projection} FROM {table}
+WHERE CAST({weight_expr} AS DOUBLE) > 0
+ORDER BY -ln(({h} + 1.0) / {float(HASH_SPACE)}) / CAST({weight_expr} AS DOUBLE) ASC,
+         {id_expr} ASC
+LIMIT {n}
+"""

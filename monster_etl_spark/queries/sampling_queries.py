@@ -18,6 +18,8 @@ from monster_etl_spark.operators.sampling import (
     sample_hash_sql,
     stratified_sample,
     stratified_sample_sql,
+    weighted_sample,
+    weighted_sample_sql,
 )
 from monster_etl_spark.queries import QuerySpec, load
 from monster_etl_spark.queries.text_queries import QUALITY_SQL
@@ -88,12 +90,44 @@ WHERE quality >= q_med
 """
 
 
+
+WEIGHTED_N = 50
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample (Efraimidis-Spirakis race,
+    operators/sampling.py::weighted_sample): longer documents are
+    proportionally likelier to win — the "sample tokens, not documents"
+    shape used when balancing a training mixture by token mass. Weight =
+    BPE-ish token count (exact integer, bit-identical cross-engine);
+    docs with zero tokens are excluded by the race contract (w > 0)."""
+    d = load(spark, sf_dir, "documents")
+    weighted = d.select(
+        "doc_id", "lang", tx.bpe_token_count(F.col("text")).alias("w_tokens")
+    )
+    return weighted_sample(weighted, WEIGHTED_N, "doc_id", "w_tokens")
+
+
+SAMPLE_WEIGHTED_SQL = weighted_sample_sql(
+    f"""(SELECT doc_id, lang,
+        len(regexp_extract_all(text, '{tx.BPE_TOKEN_RE}')) AS w_tokens
+        FROM documents)""",
+    WEIGHTED_N,
+    "doc_id",
+    "w_tokens",
+    projection="doc_id, lang, w_tokens",
+)
+
+
 QUERIES = {
     "sample_reservoir": QuerySpec(
         sample_reservoir, SAMPLE_RESERVOIR_SQL, "deterministic global top-n-by-hash sample"
     ),
     "sample_stratified": QuerySpec(
         sample_stratified, SAMPLE_STRATIFIED_SQL, "exact-quota per-stratum sample"
+    ),
+    "sample_weighted": QuerySpec(
+        sample_weighted, SAMPLE_WEIGHTED_SQL, "token-mass-weighted E-S race sample"
     ),
     "q_quantile_gate": QuerySpec(
         q_quantile_gate, QUANTILE_GATE_SQL, "per-language median quality gate"

@@ -59,3 +59,34 @@ def test_salt_changes_sample(spark, sf_dir):
     a = {r["doc_id"] for r in reservoir_sample(d, 20, "doc_id", salt="a").collect()}
     b = {r["doc_id"] for r in reservoir_sample(d, 20, "doc_id", salt="b").collect()}
     assert a != b  # different salt -> a different (still deterministic) draw
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from monster_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 10 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id: long, w: double")
+    got = [r["id"] for r in weighted_sample(df, 100, "id", "w").collect()]
+    # the 10 weight-100 rows each beat ~99% of weight-1 rows for a slot
+    assert len(got) == 100
+    assert sum(1 for i in got if i < 10) >= 8
+    # bit-identical under a different partition layout
+    got2 = [r["id"] for r in weighted_sample(df.repartition(13), 100, "id", "w").collect()]
+    assert sorted(got) == sorted(got2)
+    # zero/negative/null weights never win
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 5.0)], "id: long, w: double"
+    )
+    assert [r["id"] for r in weighted_sample(df2, 10, "id", "w").collect()] == [4]
+
+
+def test_weighted_sample_plan_is_partial_topn(spark):
+    """ORDER BY key LIMIT n must compile to TakeOrderedAndProject —
+    per-partition partial top-n, no global sort of the corpus."""
+    from monster_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    plan = weighted_sample(df, 10, "id", "w")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
