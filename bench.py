@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "embedding_dup_pairs",
     "dedup_decontaminate",
     "q_token_packing",
+    "q_zorder_key",
+    "semantic_dedup_verdicts",
+    "sample_weighted",
 ]
 
 
