@@ -134,3 +134,34 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} uses a Pandas UDF unexpectedly"
+
+
+def test_semantic_pairs_join_is_equi_not_cartesian(spark, sf_dir):
+    """The within-cell pair join must hash on cell id — a regression to
+    CartesianProduct/BroadcastNestedLoop would be corpus-squared work."""
+    plan = plan_of(spark, sf_dir, "semantic_dedup_verdicts")
+    # the only BroadcastNestedLoop allowed is the 1-row centroid-array attach
+    bnl = re.findall(r"BroadcastNestedLoopJoin", plan)
+    assert "CartesianProduct" not in plan, "semantic pair join degraded to a cartesian product"
+    # pair join itself must be an equi join on _cell
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert len(bnl) <= 4, f"unexpected nested-loop joins: {len(bnl)}"
+
+
+def test_zorder_key_stays_in_codegen(spark, sf_dir):
+    """The Morton interleave must ride whole-stage codegen — pure integer
+    expressions, no Python crossing, no exchange beyond the 1-row bounds
+    broadcast."""
+    plan = plan_of(spark, sf_dir, "q_zorder_key")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly one exchange: the 1-row min/max bounds aggregate; the corpus
+    # itself is never shuffled to get its key
+    assert shuffle_count(plan) <= 1, plan
+    # AQE hides codegen ids pre-execution; materialize and read the final plan
+    df = QUERIES["q_zorder_key"].fn(spark, sf_dir)
+    df.collect()  # count() would execute a different (count-only) plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # the "*(n)" prefix is the WholeStageCodegen marker in executedPlan text
+    assert re.search(r"\*\(\d+\) Project \[o_orderkey", final), (
+        "interleave fell out of whole-stage codegen"
+    )
