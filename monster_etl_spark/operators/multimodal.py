@@ -195,3 +195,48 @@ def frame_sample_ids(media: DataFrame, every_nth: int = 10) -> DataFrame:
             F.lit(0), (F.octet_length("content") / F.lit(every_nth)).cast("int")
         ).alias("frame_ids"),
     )
+
+
+def audio_window_spans(
+    media: DataFrame,
+    sample_rate_col: str = "sample_rate",
+    n_samples_col: str = "n_samples",
+    win_s: float = 1.0,
+    hop_s: float = 0.5,
+) -> DataFrame:
+    """Audio framing plumbing (the windowing pass of an ASR/feature
+    pipeline) from typed metadata only — no decode, no Python. One span
+    per hop while the window start is inside the clip; the final window
+    is truncated at the clip end (every sample is covered, trailing
+    partials included). Pure `sequence` + `explode` + arithmetic — a
+    narrow map whose output is ~n/hop rows per clip, so at 100 TB the
+    spans table streams straight into the (stubbed) decode stage with no
+    shuffle.
+
+    Returns (media_id, win_id, start_sample, end_sample, start_sec,
+    end_sec); rows with zero samples produce no spans.
+    """
+    sr = F.col(sample_rate_col).cast("long")
+    n = F.col(n_samples_col).cast("long")
+    win = F.floor(sr * F.lit(float(win_s))).cast("long")
+    hop = F.floor(sr * F.lit(float(hop_s))).cast("long")
+    spans = media.filter(n > 0).select(
+        "media_id",
+        sr.alias("__sr__"),
+        n.alias("__n__"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.floor((n - 1) / hop).cast("long"))
+        ).alias("win_id"),
+        win.alias("__win__"),
+        hop.alias("__hop__"),
+    )
+    start = F.col("win_id") * F.col("__hop__")
+    end = F.least(start + F.col("__win__"), F.col("__n__"))
+    return spans.select(
+        "media_id",
+        "win_id",
+        start.alias("start_sample"),
+        end.alias("end_sample"),
+        F.round(start.cast("double") / F.col("__sr__"), 6).alias("start_sec"),
+        F.round(end.cast("double") / F.col("__sr__"), 6).alias("end_sec"),
+    )

@@ -128,7 +128,51 @@ WHERE doc_id < {_S7_MAX_ID} AND text IS NOT NULL
 """
 
 
+
+_AUDIO_SR = 16000
+
+
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing over synthetic typed metadata: each document stands in
+    for a clip whose sample count derives from its byte length (256 samples
+    per byte at 16 kHz — deterministic, engine-agnostic), then
+    operators/multimodal.py::audio_window_spans emits 1 s windows at 0.5 s
+    hop with the trailing partial truncated at the clip end. The decode
+    stage stays stubbed; this is the real Spark-side windowing plumbing."""
+    from monster_etl_spark.operators.multimodal import audio_window_spans
+
+    media = documents_as_media(load(spark, sf_dir, "documents")).select(
+        "media_id",
+        F.lit(_AUDIO_SR).alias("sample_rate"),
+        (F.octet_length("content") * 256).cast("long").alias("n_samples"),
+    )
+    return audio_window_spans(media)
+
+
+AUDIO_WINDOWS_SQL = f"""
+WITH clips AS (
+  SELECT doc_id AS media_id, {_AUDIO_SR} AS sr,
+         CAST(octet_length(encode(text)) * 256 AS BIGINT) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+spans AS (
+  SELECT media_id, CAST(k AS BIGINT) AS win_id, sr, n,
+         CAST(k * (sr / 2) AS BIGINT) AS start_sample
+  FROM clips, unnest(range(0, CAST(floor((n - 1) / (sr / 2)) AS BIGINT) + 1)) AS t(k)
+)
+SELECT media_id, win_id, start_sample,
+       least(start_sample + sr, n) AS end_sample,
+       round(CAST(start_sample AS DOUBLE) / sr, 6) AS start_sec,
+       round(CAST(least(start_sample + sr, n) AS DOUBLE) / sr, 6) AS end_sec
+FROM spans
+"""
+
+
 QUERIES = {
+    "multimodal_audio_windows": QuerySpec(
+        multimodal_audio_windows, AUDIO_WINDOWS_SQL, "1s/0.5s audio framing from typed metadata"
+    ),
     "multimodal_image_features": QuerySpec(
         multimodal_image_features, MULTIMODAL_SQL, "binary column -> mapInPandas features"
     ),

@@ -88,3 +88,29 @@ def test_frame_sample_ids(media):
     for r in out:
         assert r["frame_ids"][0] == 0
         assert len(r["frame_ids"]) >= 1
+
+
+def test_audio_window_spans_edges(spark):
+    from monster_etl_spark.operators.multimodal import audio_window_spans
+
+    media = spark.createDataFrame(
+        [
+            ("a", 16000, 40000),  # 2.5s: windows at 0/8k/16k/24k/32k, last two truncated
+            ("b", 16000, 16000),  # exactly 1s: [0,16k), [8k,16k) partial
+            ("c", 16000, 1),      # single sample: one tiny window
+            ("d", 16000, 0),      # empty clip: no spans
+        ],
+        "media_id: string, sample_rate: long, n_samples: long",
+    )
+    rows = {
+        (r["media_id"], r["win_id"]): (r["start_sample"], r["end_sample"], r["end_sec"])
+        for r in audio_window_spans(media).collect()
+    }
+    assert sum(1 for k in rows if k[0] == "a") == 5
+    assert rows[("a", 4)] == (32000, 40000, 2.5)
+    assert rows[("b", 0)] == (0, 16000, 1.0)
+    assert rows[("b", 1)] == (8000, 16000, 1.0)
+    assert rows[("c", 0)] == (0, 1, round(1 / 16000, 6))
+    assert not any(k[0] == "d" for k in rows)
+    # every clip's samples are fully covered: max end == n
+    assert max(v[1] for k, v in rows.items() if k[0] == "a") == 40000
