@@ -302,3 +302,54 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF: tf = term count / document
+    token count, idf = ln(N / df_t) over documents that have at least one
+    token. The keyword-extraction staple, and the canonical corpus-wide
+    statistic joined back to its rows.
+
+    Scale shape mirrors ``unigram_logprob``: distinct (doc, token) counts
+    first (map-side combinable, bounds the join input), document
+    frequencies over that pair table (second combinable agg), the N
+    scalar as an explicit 1-row broadcast (never a collect), and the
+    vocabulary join is Zipf-bounded so AQE broadcasts it. The final
+    top-``k`` is a per-document window — millions of small partitions,
+    no global sort. Ties break lexicographically (identical IEEE doubles
+    both engines, so rank order is engine-agnostic). Output:
+    (id, term, tfidf, term_rank).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    doc_tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_len = doc_tf.groupBy(id_col).agg(F.sum("cnt").alias("doc_len"))
+    doc_freq = doc_tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = doc_len.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = (F.col("cnt").cast("double") / F.col("doc_len")) * F.log(
+        F.col("n_docs").cast("double") / F.col("df_t")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__tfidf__"), F.asc("tok"))
+    return (
+        doc_tf.join(doc_len, id_col)
+        .join(doc_freq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("__tfidf__", tfidf)
+        .withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            id_col,
+            F.col("tok").alias("term"),
+            F.round(F.col("__tfidf__"), round_to).alias("tfidf"),
+            "term_rank",
+        )
+    )

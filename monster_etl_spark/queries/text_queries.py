@@ -237,12 +237,48 @@ GROUP BY doc_id
 """
 
 
+
+TFIDF_K = 3
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (operators/text.py::tfidf_top_terms):
+    keyword extraction as corpus-statistic-joined-back-to-rows."""
+    return tx.tfidf_top_terms(load(spark, sf_dir, "documents"), k=TFIDF_K)
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+doc_tf AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+),
+doc_len AS (SELECT doc_id, sum(cnt) AS doc_len FROM doc_tf GROUP BY doc_id),
+doc_freq AS (SELECT tok, count(*) AS df_t FROM doc_tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM doc_len),
+scored AS (
+  SELECT doc_id, tok,
+         (CAST(cnt AS DOUBLE) / doc_len) * ln(CAST(n_docs AS DOUBLE) / df_t) AS tfidf_raw
+  FROM doc_tf JOIN doc_len USING (doc_id) JOIN doc_freq USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok AS term, round(tfidf_raw, 6) AS tfidf, term_rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, tok) AS BIGINT)
+            AS term_rank
+  FROM scored
+)
+WHERE term_rank <= {TFIDF_K}
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token counting + ratios"),
     "text_unigram_logprob": QuerySpec(
         text_unigram_logprob, UNIGRAM_SQL, "corpus-unigram LM mean log-prob quality score"
     ),
     "text_chunking": QuerySpec(text_chunking, CHUNKING_SQL, "overlapping token-window chunking"),
+    "text_tfidf": QuerySpec(text_tfidf, TFIDF_SQL, "per-doc top-3 TF-IDF keyword terms"),
     "text_mixture": QuerySpec(text_mixture, _mixture_sql(), "deterministic corpus mixture weights"),
     "text_quality": QuerySpec(text_quality, QUALITY_SQL, "quality scoring"),
     "text_lang_id": QuerySpec(text_lang_id, _langid_sql(), "stopword language-ID"),
