@@ -481,6 +481,10 @@ def semantic_dup_pairs(
         .filter(F.col("u").isNotNull())
         .withColumn("_cell", F.array_max(_scored_cents(F.col("raw"))).getField("cent_id"))
         .select("vid", "u", "_cell")
+        # explicit pre-shuffle on the join key: both self-join sides read
+        # ONE ReusedExchange instead of each re-running the k-means
+        # assignment subtree (same trick as the shingle-index self-join)
+        .repartition(F.col("_cell"))
     )
     a, b = v.alias("a"), v.alias("b")
     return (
