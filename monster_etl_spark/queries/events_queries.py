@@ -257,6 +257,109 @@ GROUP BY e.event_id, e.user_id
 """
 
 
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (signup -> click -> purchase), first-touch
+    semantics: a user completes step k at the EARLIEST event of step k's
+    type strictly after their step k-1 completion. Three per-user min
+    aggregations chained by equi-joins on user_id — every stage is
+    map-side combinable and keyed on the same column, so at 100 TB the
+    plan is three combinable shuffles on user_id (AQE coalesces the tiny
+    step-2/3 sides to broadcasts); no windows, no sort of the event log.
+    Emits one row per funnel step with the surviving-user count."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_after(step: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col("prev_ts"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("prev_ts"))
+
+    s1 = first_after(FUNNEL_STEPS[0], None)
+    s2 = first_after(FUNNEL_STEPS[1], s1)
+    s3 = first_after(FUNNEL_STEPS[2], s2)
+    counts = [
+        s.agg(F.count(F.lit(1)).alias("users")).withColumn(
+            "step", F.lit(i + 1).cast("long")
+        ).withColumn("event_type", F.lit(t))
+        for i, (s, t) in enumerate(zip((s1, s2, s3), FUNNEL_STEPS))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.select("step", "event_type", "users")
+
+
+Q_FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS prev_ts FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS prev_ts FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.prev_ts GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS prev_ts FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.prev_ts GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, '{FUNNEL_STEPS[0]}' AS event_type, count(*) AS users FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), '{FUNNEL_STEPS[1]}', count(*) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), '{FUNNEL_STEPS[2]}', count(*) FROM s3
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the Monday of their
+    first-ever event; each (cohort_week, week_offset) cell counts the
+    distinct users of that cohort active in that week. Two shuffles
+    (first-event per user; distinct-user count per cell) — both
+    combinable, no window, the standard retention-matrix plan."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorted = ev.join(first, "user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("first_ts")).alias("cohort_week"),
+        (
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.date_trunc("week", F.col("first_ts")).cast("date"),
+                )
+                / 7
+            )
+        ).cast("long").alias("week_offset"),
+    )
+    return (
+        cohorted.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .select(
+            F.col("cohort_week").cast("timestamp_ntz").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+        )
+    )
+
+
+Q_COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT date_trunc('week', first_ts) AS cohort_week,
+       CAST(floor(date_diff('day', CAST(date_trunc('week', first_ts) AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7) AS BIGINT)
+         AS week_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q_json_extract": QuerySpec(q_json_extract, Q_JSON_SQL, "JSON-path extraction + agg"),
     "q_sessionize": QuerySpec(q_sessionize, Q_SESSIONIZE_SQL, "gap-based sessionization"),
@@ -265,4 +368,6 @@ QUERIES = {
     "q_scd2_intervals": QuerySpec(q_scd2_intervals, Q_SCD2_SQL, "SCD2 validity intervals from a change stream"),
     "q_gap_fill": QuerySpec(q_gap_fill, Q_GAP_FILL_SQL, "hourly gap-fill + LOCF per user"),
     "q_time_band_join": QuerySpec(q_time_band_join, Q_TIME_BAND_SQL, "bucketed +/-30min range join"),
+    "q_funnel": QuerySpec(q_funnel, Q_FUNNEL_SQL, "ordered 3-step first-touch funnel"),
+    "q_cohort_retention": QuerySpec(q_cohort_retention, Q_COHORT_SQL, "weekly cohort retention matrix"),
 }
