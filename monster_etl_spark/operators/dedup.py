@@ -366,3 +366,79 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_distance)
         .distinct()
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    max_block: int | None = 1000,
+    n_keys: int = 2,
+) -> DataFrame:
+    """Record-linkage fuzzy duplicate pairs: multi-key rarest-token canopy
+    blocking + Levenshtein verification. Each record enters the blocks of
+    its ``n_keys`` globally rarest tokens (ties broken lexicographically;
+    the (df, tok) pair is encoded as one sortable string so both engines
+    pick identical keys). Multi-key matters for recall: a typo usually
+    makes that token UNIQUE (df=1), so with a single rarest-token key the
+    two variants of a pair land in different blocks and are never
+    compared; with K>=2 they still meet through a shared rare token.
+    Candidate work is bounded by block sizes (never corpus²) and a pair
+    found through several shared keys is deduplicated before
+    verification. ``max_block`` drops pathological blocks (a stopword as
+    someone's rarest token) the same way the shingle-frequency guard
+    protects the Jaccard join; engaged by default.
+
+    Verification is JVM-side ``levenshtein`` after the distinct — no UDF.
+    A true pair sharing none of their ``n_keys`` rarest tokens is still
+    missed (the canopy approximation, tunable via ``n_keys``). Returns
+    (id_a, id_b, dist), id_a < id_b, dist <= max_dist.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("rid"), F.col(text_col).alias("rtext"))
+        .select("rid", "rtext", F.explode(F.split(F.col("rtext"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    df_t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    keyed = (
+        toks.join(df_t, "tok")
+        .groupBy("rid")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.format_string("%010d|%s", F.col("tok_df"), F.col("tok")))
+                ),
+                1,
+                n_keys,
+            ).alias("bkeys"),
+            F.first("rtext").alias("rtext"),
+        )
+        .select("rid", "rtext", F.explode("bkeys").alias("bkey"))
+    )
+    if max_block is not None:
+        big = (
+            keyed.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") > max_block)
+            .select("bkey")
+        )
+        keyed = keyed.join(big, "bkey", "left_anti")
+    keyed = keyed.repartition(F.col("bkey"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cands = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.rid") < F.col("b.rid")))
+        .select(
+            F.col("a.rid").alias("id_a"),
+            F.col("b.rid").alias("id_b"),
+            F.col("a.rtext").alias("text_a"),
+            F.col("b.rtext").alias("text_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        F.levenshtein(F.col("text_a"), F.col("text_b")).alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

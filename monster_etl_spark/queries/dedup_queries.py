@@ -6,6 +6,7 @@ no rows-only escape hatch needed)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from monster_etl_spark.operators import dedup as dd
 from monster_etl_spark.queries import QuerySpec, load
@@ -240,6 +241,64 @@ HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
 """
 
 
+
+FUZZY_MAX_DIST = 2
+FUZZY_MAX_BLOCK = 500
+FUZZY_N_KEYS = 2
+
+
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage shape (operators/dedup.py::fuzzy_pairs): rarest-token
+    canopy blocking over part names, JVM levenshtein verify, block-size
+    guard engaged. Output is grouped to distinct (name_a, name_b, dist)
+    with pair counts — the fixture reuses a small name vocabulary, so the
+    grouped form pins the full pair computation without emitting tens of
+    thousands of identical-name rows."""
+    from monster_etl_spark.operators.dedup import fuzzy_pairs
+
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = fuzzy_pairs(
+        p, "p_partkey", "p_name", max_dist=FUZZY_MAX_DIST,
+        max_block=FUZZY_MAX_BLOCK, n_keys=FUZZY_N_KEYS,
+    )
+    named = (
+        pairs.join(p.withColumnRenamed("p_partkey", "id_a"), "id_a")
+        .withColumnRenamed("p_name", "name_a")
+        .join(
+            p.withColumnRenamed("p_partkey", "id_b").withColumnRenamed("p_name", "name_b"),
+            "id_b",
+        )
+    )
+    return named.groupBy("name_a", "name_b", "dist").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+FUZZY_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT p_partkey AS rid, p_name AS rtext, unnest(string_split(p_name, ' ')) AS tok
+  FROM part
+),
+df_t AS (SELECT tok, count(*) AS tok_df FROM toks GROUP BY tok),
+ranked AS (
+  SELECT rid, rtext, printf('%010d|%s', tok_df, tok) AS bkey,
+         row_number() OVER (PARTITION BY rid ORDER BY printf('%010d|%s', tok_df, tok)) AS rn
+  FROM toks JOIN df_t USING (tok)
+),
+keyed AS (SELECT rid, rtext, bkey FROM ranked WHERE rn <= {FUZZY_N_KEYS}),
+ok AS (SELECT bkey FROM keyed GROUP BY bkey HAVING count(*) <= {FUZZY_MAX_BLOCK}),
+k2 AS (SELECT keyed.* FROM keyed JOIN ok USING (bkey)),
+cands AS (
+  SELECT DISTINCT a.rid AS id_a, b.rid AS id_b, a.rtext AS name_a, b.rtext AS name_b
+  FROM k2 a JOIN k2 b ON a.bkey = b.bkey AND a.rid < b.rid
+),
+pairs AS (
+  SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist FROM cands
+)
+SELECT name_a, name_b, dist, count(*) AS n_pairs
+FROM pairs WHERE dist <= {FUZZY_MAX_DIST}
+GROUP BY name_a, name_b, dist
+"""
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, EXACT_SQL, "exact content-hash dedup"),
     "dedup_decontaminate": QuerySpec(
@@ -252,4 +311,7 @@ QUERIES = {
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_lsh_sql(), "MinHash-LSH candidate pairs"),
     "dedup_simhash": QuerySpec(dedup_simhash_pairs, _simhash_sql(), "SimHash near-dup pairs"),
     "dedup_clusters": QuerySpec(dedup_clusters, CLUSTERS_SQL, "near-dup connected components"),
+    "dedup_fuzzy_names": QuerySpec(
+        dedup_fuzzy_names, FUZZY_SQL, "rarest-token canopy + levenshtein linkage"
+    ),
 }

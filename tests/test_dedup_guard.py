@@ -60,3 +60,32 @@ def test_guard_changes_minhash_signatures_consistently(spark):
     # remaining hashes can only move; both variants stay deterministic
     assert sig_g.count() == sig_u.count() == 4
     assert sig_g.collect() == sig_g.collect()
+
+
+def test_fuzzy_pairs_planted_typos(spark):
+    """Planted dirty names: typo variants sharing their rarest token must
+    pair; unrelated records must not; the block guard must drop a
+    stopword-flooded block."""
+    from monster_etl_spark.operators.dedup import fuzzy_pairs
+
+    rows = [
+        (1, "acme corporation zurich"),
+        (2, "acme corporaton zurich"),   # 1 deletion
+        (3, "acme corp zurich"),         # too far (dist 7 from 1)
+        (4, "globex industries geneva"),
+        (5, "globex industries genevva"), # 1 insertion
+        (6, "initech llc dallas"),
+    ]
+    df = spark.createDataFrame(rows, "rid: long, name: string")
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in fuzzy_pairs(
+        df, "rid", "name", max_dist=2, max_block=None
+    ).collect()}
+    assert got == {(1, 2): 1, (4, 5): 1}, got
+
+    # guard: give every record the same rare token -> one giant block,
+    # max_block=3 drops it entirely
+    flood = spark.createDataFrame(
+        [(i, f"zzz name{i}") for i in range(10)], "rid: long, name: string"
+    )
+    assert fuzzy_pairs(flood, "rid", "name", max_dist=99, max_block=3).count() == 0
+    assert fuzzy_pairs(flood, "rid", "name", max_dist=99, max_block=None).count() == 45
