@@ -385,6 +385,55 @@ FROM orders CROSS JOIN bnd
 """
 
 
+
+HIST_BUCKETS = 10
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of o_totalprice (10 buckets over the observed
+    [min, max]): the profiling companion to exact_profile. One bounds
+    aggregate broadcast back as a 1-row crossJoin (no driver collect),
+    then width_bucket + count per bucket — two map-side-combinable
+    aggregations, no sort. The max value folds into the last bucket,
+    matching the usual histogram convention."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    # explicit arithmetic instead of width_bucket (absent in DuckDB):
+    # identical IEEE expression both sides keeps bucket edges bit-equal
+    bucket = F.least(
+        (
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / HIST_BUCKETS)
+            )
+            + 1
+        ).cast("long"),
+        F.lit(HIST_BUCKETS).cast("long"),
+    )
+    b = o.crossJoin(F.broadcast(bounds)).select(
+        bucket.alias("bucket"), "o_totalprice"
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+Q_HISTOGRAM_SQL = f"""
+WITH bounds AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+SELECT least(CAST(floor((o_totalprice - mn) / ((mx - mn) / {HIST_BUCKETS})) AS BIGINT) + 1,
+             CAST({HIST_BUCKETS} AS BIGINT)) AS bucket,
+       count(*) AS n_rows,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders CROSS JOIN bounds
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "t1_rename_fields": QuerySpec(t1_rename_fields, T1_SQL, "T1 renameFields"),
     "t2_remove_fields": QuerySpec(t2_remove_fields, T2_SQL, "T2 removeFields"),
@@ -404,6 +453,7 @@ QUERIES = {
     "q_merge_upsert": QuerySpec(q_merge_upsert, Q_MERGE_SQL, "latest-wins upsert merge"),
     "q_profile": QuerySpec(q_profile, Q_PROFILE_SQL, "one-pass exact data profile"),
     "q_zorder_key": QuerySpec(q_zorder_key, Q_ZORDER_SQL, "Morton z-curve layout key"),
+    "q_histogram": QuerySpec(q_histogram, Q_HISTOGRAM_SQL, "equi-width histogram profile"),
     "t16_path_column": QuerySpec(
         t16_path_column, T16_SQL, "T16 path-derived column (partition-dir round-trip)"
     ),
