@@ -360,6 +360,94 @@ GROUP BY 1, 2
 """
 
 
+
+PROFILE_DIMS = 24
+PROFILE_BUCKET_BITS = 4
+PROFILE_MIN_CORR = 0.5
+
+
+def q_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over usage profiles (the REPOSE /
+    streaming-similarity papers' problem shape, Spark-first): each user
+    becomes a 24-dim hour-of-day activity vector (24 conditional sums —
+    one combinable aggregate), vectors are row-centered so cosine equals
+    the PEARSON CORRELATION of the usage patterns, and candidate pairs
+    come from the similarity layer's sign-LSH bucketing on the centered
+    vector (above/below own average per hour) — never an all-pairs join,
+    since users grow with SF. Within-bucket pairs with corr >= 0.5 are
+    emitted. Composition proof: the ANN machinery applies unchanged to
+    DERIVED time-series features, not just stored embeddings."""
+    from monster_etl_spark.operators import similarity as sim
+
+    ev = load(spark, sf_dir, "events")
+    sums = [
+        F.sum(F.when(F.hour("ts") == h, 1).otherwise(0)).alias(f"h{h}")
+        for h in range(PROFILE_DIMS)
+    ]
+    prof = ev.groupBy("user_id").agg(*sums)
+    vec = F.array(*[F.col(f"h{h}").cast("double") for h in range(PROFILE_DIMS)])
+    mean = sum(F.col(f"h{h}") for h in range(PROFILE_DIMS)) / F.lit(PROFILE_DIMS)
+    centered = F.transform(vec, lambda x: x - F.col("__m__"))
+    v = (
+        prof.withColumn("__m__", mean.cast("double"))
+        .select(
+            "user_id",
+            centered.alias("v"),
+            sim.sign_bucket(centered, PROFILE_BUCKET_BITS).alias("bucket"),
+        )
+        .repartition(F.col("bucket"))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.round(sim.cosine(F.col("a.v"), F.col("b.v")), 6).alias("pattern_corr"),
+        )
+        .filter(F.col("pattern_corr") >= PROFILE_MIN_CORR)
+    )
+
+
+def _activity_sql() -> str:
+    sums = ",\n    ".join(
+        f"CAST(sum(CASE WHEN hour(ts) = {h} THEN 1 ELSE 0 END) AS DOUBLE) AS h{h}"
+        for h in range(PROFILE_DIMS)
+    )
+    vec = "[" + ", ".join(f"h{h}" for h in range(PROFILE_DIMS)) + "]"
+    mean = "(" + " + ".join(f"h{h}" for h in range(PROFILE_DIMS)) + f") / {PROFILE_DIMS}"
+    bits = " || ".join(
+        f"CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(PROFILE_BUCKET_BITS)
+    )
+    cos = (
+        "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
+        " / nullif(sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(b.v, x -> x * x))), 0.0)"
+    )
+    return f"""
+WITH prof AS (
+  SELECT user_id,
+    {sums}
+  FROM events GROUP BY user_id
+),
+cent AS (
+  SELECT user_id,
+         list_transform({vec}, x -> x - ({mean})) AS v
+  FROM prof
+),
+keyed AS (SELECT user_id, v, ({bits}) AS bucket FROM cent)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       round({cos}, 6) AS pattern_corr
+FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.user_id < b.user_id
+WHERE round({cos}, 6) >= {PROFILE_MIN_CORR}
+"""
+
+
 QUERIES = {
     "q_json_extract": QuerySpec(q_json_extract, Q_JSON_SQL, "JSON-path extraction + agg"),
     "q_sessionize": QuerySpec(q_sessionize, Q_SESSIONIZE_SQL, "gap-based sessionization"),
@@ -370,4 +458,7 @@ QUERIES = {
     "q_time_band_join": QuerySpec(q_time_band_join, Q_TIME_BAND_SQL, "bucketed +/-30min range join"),
     "q_funnel": QuerySpec(q_funnel, Q_FUNNEL_SQL, "ordered 3-step first-touch funnel"),
     "q_cohort_retention": QuerySpec(q_cohort_retention, Q_COHORT_SQL, "weekly cohort retention matrix"),
+    "q_activity_similarity": QuerySpec(
+        q_activity_similarity, _activity_sql(), "sign-LSH usage-pattern correlation pairs"
+    ),
 }
