@@ -52,3 +52,67 @@ def test_running_totals_across_batches(spark, tmp_path):
         assert latest_u1 == (3, 10.0)
     finally:
         q.stop()
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path, sf_dir):
+    """Batch/stream parity: replay the fixture event log as a stream and
+    the per-user furthest-step distribution must equal the batch funnel's
+    step counts (first-touch strictly-after semantics on both paths)."""
+    from pyspark.sql import functions as F
+
+    from monster_etl_spark.queries import load
+    from monster_etl_spark.queries.events_queries import FUNNEL_STEPS, q_funnel
+    from monster_etl_spark.streaming.stateful import streaming_funnel
+
+    # replay fixture events as two micro-batches (split by event_id parity)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    d = tmp_path / "replay"
+    d.mkdir()
+    for i, half in enumerate((ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1"))):
+        rows = half.select(
+            "user_id", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+        ).collect()
+        _write(
+            d / f"b{i}.json",
+            [
+                {"user_id": r["user_id"], "ts": r["ts"], "event_type": r["event_type"]}
+                for r in rows
+            ],
+        )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        streaming_funnel(stream, FUNNEL_STEPS)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # latest snapshot per user across all update rows
+        snap = {}
+        for r in spark.sql("SELECT * FROM funnel_out").collect():
+            snap[r["user_id"]] = max(snap.get(r["user_id"], 0), r["furthest_step"])
+    finally:
+        q.stop()
+
+    got = {
+        step: sum(1 for v in snap.values() if v >= step) for step in (1, 2, 3)
+    }
+    batch = {r["step"]: r["users"] for r in q_funnel(spark, sf_dir).collect()}
+    assert got == batch, (got, batch)
