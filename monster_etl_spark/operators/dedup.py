@@ -440,5 +440,5 @@ def fuzzy_pairs(
     return cands.select(
         "id_a",
         "id_b",
-        F.levenshtein(F.col("text_a"), F.col("text_b")).alias("dist"),
+        F.levenshtein(F.col("text_a"), F.col("text_b")).cast("long").alias("dist"),
     ).filter(F.col("dist") <= max_dist)
