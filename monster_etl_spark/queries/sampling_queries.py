@@ -119,6 +119,55 @@ SAMPLE_WEIGHTED_SQL = weighted_sample_sql(
 )
 
 
+
+NORM_P_LO, NORM_P_HI = 0.05, 0.95
+
+
+def q_quality_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorized min-max normalization of the quality score:
+    clip to the language's [p5, p95] band, scale to [0, 1]. The standard
+    robust feature-scaling pass before mixing corpora whose score
+    distributions differ. One exact-percentile aggregate per language
+    (map-side combinable) joined back — same shape as the quantile gate,
+    no global sort. Degenerate bands (p5 == p95) normalize to 0.5 on
+    both engines."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang", tx.quality_score(F.col("text")).alias("quality"))
+    bands = scored.groupBy("lang").agg(
+        F.expr(f"percentile(quality, {NORM_P_LO})").alias("p_lo"),
+        F.expr(f"percentile(quality, {NORM_P_HI})").alias("p_hi"),
+    )
+    clipped = F.least(F.greatest(F.col("quality"), F.col("p_lo")), F.col("p_hi"))
+    norm = F.when(F.col("p_hi") == F.col("p_lo"), F.lit(0.5)).otherwise(
+        (clipped - F.col("p_lo")) / (F.col("p_hi") - F.col("p_lo"))
+    )
+    return scored.join(bands, "lang").select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.round(norm, 6).alias("quality_norm"),
+    )
+
+
+QUALITY_NORMALIZE_SQL = f"""
+WITH scored AS (
+  SELECT s.doc_id, d.lang, s.quality
+  FROM ({QUALITY_SQL}) s JOIN documents d USING (doc_id)
+),
+bands AS (
+  SELECT lang,
+         percentile_cont({NORM_P_LO}) WITHIN GROUP (ORDER BY quality) AS p_lo,
+         percentile_cont({NORM_P_HI}) WITHIN GROUP (ORDER BY quality) AS p_hi
+  FROM scored GROUP BY lang
+)
+SELECT doc_id, lang, quality,
+       round(CASE WHEN p_hi = p_lo THEN 0.5
+                  ELSE (least(greatest(quality, p_lo), p_hi) - p_lo) / (p_hi - p_lo)
+             END, 6) AS quality_norm
+FROM scored JOIN bands USING (lang)
+"""
+
+
 QUERIES = {
     "sample_reservoir": QuerySpec(
         sample_reservoir, SAMPLE_RESERVOIR_SQL, "deterministic global top-n-by-hash sample"
@@ -131,5 +180,8 @@ QUERIES = {
     ),
     "q_quantile_gate": QuerySpec(
         q_quantile_gate, QUANTILE_GATE_SQL, "per-language median quality gate"
+    ),
+    "q_quality_normalize": QuerySpec(
+        q_quality_normalize, QUALITY_NORMALIZE_SQL, "winsorized per-language min-max scaling"
     ),
 }
