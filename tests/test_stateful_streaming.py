@@ -116,3 +116,54 @@ def test_streaming_funnel_matches_batch(spark, tmp_path, sf_dir):
     }
     batch = {r["step"]: r["users"] for r in q_funnel(spark, sf_dir).collect()}
     assert got == batch, (got, batch)
+
+
+def test_stateful_state_survives_restart(spark, tmp_path):
+    """Stop the query after batch 1, restart from the same checkpoint,
+    feed batch 2: per-user state must carry across the restart (the
+    recovery contract a 100 TB pipeline leans on after executor loss or
+    redeploy)."""
+    d = tmp_path / "in"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write(
+        d / "b1.json",
+        [{"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 7, "event_type": "c",
+          "value": 2.0, "props": "{}"}],
+    )
+
+    out = str(tmp_path / "out")
+
+    def start():
+        # memory sink cannot recover from a checkpoint; foreachBatch with a
+        # durable (append) sink is the recovery-capable pattern
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        return (
+            running_user_totals(read_json_stream(spark, str(d)))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _write(
+        d / "b2.json",
+        [{"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 7, "event_type": "c",
+          "value": 5.0, "props": "{}"}],
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    latest = max((r["n_events"], r["total_value"]) for r in rows if r["user_id"] == 7)
+    assert latest == (2, 7.0), rows
