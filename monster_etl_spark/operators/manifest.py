@@ -98,37 +98,61 @@ def build_manifest(spark: SparkSession, path: str, columns: list[str]) -> DataFr
     return files_df.repartition(min(len(files), 64)).mapInPandas(_scan, MANIFEST_SCHEMA)
 
 
+class ManifestIndex:
+    """The manifest collected to the driver — files x columns of bands,
+    metadata-sized, exactly how a table format's planner holds manifests.
+    Pruning is then pure in-memory band math per query: no Spark job, no
+    scan, microseconds — the design point that makes file skipping a net
+    win even for small interactive queries."""
+
+    def __init__(self, bands: dict[str, dict[str, tuple[float | None, float | None]]]):
+        self._bands = bands  # file -> column -> (vmin, vmax)
+
+    @classmethod
+    def from_df(cls, manifest: DataFrame) -> "ManifestIndex":
+        bands: dict[str, dict[str, tuple[float | None, float | None]]] = {}
+        for r in manifest.collect():
+            bands.setdefault(r["file"], {})[r["column"]] = (r["vmin"], r["vmax"])
+        return cls(bands)
+
+    def pruned_paths(self, predicates: dict[str, tuple[float, float]]) -> list[str]:
+        """Files whose stats band overlaps EVERY ``col: (lo, hi)``
+        predicate. A file missing stats for a predicate column is kept
+        (cannot prove it prunable) — skipping is a superset guarantee,
+        rows are never lost."""
+        out = []
+        for f, cols in self._bands.items():
+            keep = True
+            for c, (lo, hi) in predicates.items():
+                vmin, vmax = cols.get(c, (None, None))
+                if vmin is None or vmax is None:
+                    continue
+                if vmax < lo or vmin > hi:
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+        return sorted(out)
+
+
 def pruned_paths(manifest: DataFrame, predicates: dict[str, tuple[float, float]]) -> list[str]:
-    """Files whose stats band overlaps EVERY ``col: (lo, hi)`` predicate.
-    A file missing stats for a predicate column is kept (cannot prove it
-    prunable) — the manifest can only skip, never lose rows. The manifest
-    is metadata-sized (files x columns), so the driver collect here is the
-    planner's normal file-listing cost, not a data collect."""
-    keep = None
-    for c, (lo, hi) in predicates.items():
-        m = manifest.filter(F.col("column") == c)
-        ok = m.filter(
-            F.col("vmin").isNull()
-            | F.col("vmax").isNull()
-            | ((F.col("vmax") >= lo) & (F.col("vmin") <= hi))
-        ).select("file")
-        keep = ok if keep is None else keep.join(ok, "file")
-    if keep is None:
-        return sorted(r["file"] for r in manifest.select("file").distinct().collect())
-    return sorted(r["file"] for r in keep.distinct().collect())
+    """One-shot convenience: collect the manifest and band-overlap (see
+    ManifestIndex; hold the index instead when pruning repeatedly)."""
+    return ManifestIndex.from_df(manifest).pruned_paths(predicates)
 
 
 def pruned_read(
     spark: SparkSession,
     path: str,
-    manifest: DataFrame,
+    manifest: DataFrame | ManifestIndex,
     predicates: dict[str, tuple[float, float]],
 ) -> DataFrame:
     """Read only the manifest-surviving files, with the predicates
     re-applied as ordinary filters (file skipping is a superset guarantee;
     row-level filtering still belongs to the scan, where it also rides
     parquet row-group pushdown)."""
-    paths = pruned_paths(manifest, predicates)
+    index = manifest if isinstance(manifest, ManifestIndex) else ManifestIndex.from_df(manifest)
+    paths = index.pruned_paths(predicates)
     if not paths:
         # no file can match: an empty frame with the right schema
         df = spark.read.parquet(path)
