@@ -149,3 +149,41 @@ def zorder_layout(
         .sortWithinPartitions("__z__")
         .drop("__z__")
     )
+
+
+def expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Data-quality expectations: each rule is a BOOLEAN column expression
+    that must hold per row; the result is one row per rule with its
+    violation count and pass flag — the contract gate of a pipeline stage
+    (Delta Live Tables / Great Expectations shape, engine-native).
+
+    One aggregate pass evaluates every rule simultaneously (map-side
+    combinable conditional sums — cost is one scan regardless of rule
+    count); a NULL rule result counts as a violation (unknown is not
+    compliant). Uniqueness-style rules need a distinct count and cannot
+    ride a per-row expression; express them via ``unique_rule``.
+    """
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+        ).alias(name)
+        for name, cond in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(f"'{n}', CAST({n} AS BIGINT)" for n in rules)
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stacked}) AS (rule, n_violations)"
+    ).select("rule", "n_violations", (F.col("n_violations") == 0).alias("passed"))
+
+
+def unique_rule(df: DataFrame, cols: list[str], rule_name: str) -> DataFrame:
+    """Uniqueness expectation in the same (rule, n_violations, passed)
+    shape: violations = rows beyond the first per key (count - distinct).
+    Two combinable aggregates, no window."""
+    total = F.count(F.lit(1))
+    distinct = F.count_distinct(*[F.col(c) for c in cols])
+    return df.agg(
+        F.lit(rule_name).alias("rule"),
+        (total - distinct).cast("long").alias("n_violations"),
+        ((total - distinct) == 0).alias("passed"),
+    ).select("rule", "n_violations", "passed")

@@ -434,6 +434,49 @@ GROUP BY 1
 """
 
 
+
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate over orders (operators/maintenance.py::
+    expectations): five per-row rules in ONE aggregate scan plus a
+    uniqueness rule (count - distinct), stacked into the standard
+    (rule, n_violations, passed) report. The deliberately-failing rule
+    (totalprice <= 400000) proves violations are counted, not just
+    flagged."""
+    from monster_etl_spark.operators.maintenance import expectations, unique_rule
+
+    o = load(spark, sf_dir, "orders")
+    per_row = expectations(
+        o,
+        {
+            "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "totalprice_under_400k": F.col("o_totalprice") <= 400000,
+            "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "date_in_range": F.col("o_orderdate") >= F.lit("1992-01-01").cast("date"),
+        },
+    )
+    uniq = unique_rule(o, ["o_orderkey"], "orderkey_unique")
+    return per_row.unionByName(uniq)
+
+
+Q_EXPECTATIONS_SQL = """
+WITH agg AS (
+  SELECT
+    sum(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS orderkey_not_null,
+    sum(CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS totalprice_positive,
+    sum(CASE WHEN coalesce(o_totalprice <= 400000, FALSE) THEN 0 ELSE 1 END) AS totalprice_under_400k,
+    sum(CASE WHEN coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE) THEN 0 ELSE 1 END) AS status_in_domain,
+    sum(CASE WHEN coalesce(o_orderdate >= DATE '1992-01-01', FALSE) THEN 0 ELSE 1 END) AS date_in_range,
+    count(*) - count(DISTINCT o_orderkey) AS orderkey_unique
+  FROM orders
+)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n_violations = 0 AS passed
+FROM agg UNPIVOT (n_violations FOR rule IN (
+  orderkey_not_null, totalprice_positive, totalprice_under_400k,
+  status_in_domain, date_in_range, orderkey_unique))
+"""
+
+
 QUERIES = {
     "t1_rename_fields": QuerySpec(t1_rename_fields, T1_SQL, "T1 renameFields"),
     "t2_remove_fields": QuerySpec(t2_remove_fields, T2_SQL, "T2 removeFields"),
@@ -454,6 +497,7 @@ QUERIES = {
     "q_profile": QuerySpec(q_profile, Q_PROFILE_SQL, "one-pass exact data profile"),
     "q_zorder_key": QuerySpec(q_zorder_key, Q_ZORDER_SQL, "Morton z-curve layout key"),
     "q_histogram": QuerySpec(q_histogram, Q_HISTOGRAM_SQL, "equi-width histogram profile"),
+    "q_expectations": QuerySpec(q_expectations, Q_EXPECTATIONS_SQL, "data-contract expectations gate"),
     "t16_path_column": QuerySpec(
         t16_path_column, T16_SQL, "T16 path-derived column (partition-dir round-trip)"
     ),

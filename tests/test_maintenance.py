@@ -130,3 +130,21 @@ def test_zorder_key_locality(spark):
 
     for (x, y), z in got.items():
         assert z == morton(x, y), (x, y, z, morton(x, y))
+
+
+def test_expectations_nulls_are_violations(spark):
+    from pyspark.sql import functions as F
+
+    from monster_etl_spark.operators.maintenance import expectations, unique_rule
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -1.0), (3, 5.0)], "id: long, v: double"
+    )
+    got = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in expectations(df, {"v_positive": F.col("v") > 0}).collect()
+    }
+    # NULL comparison result counts as a violation (unknown != compliant)
+    assert got == {"v_positive": (2, False)}
+    uniq = unique_rule(df, ["id"], "id_unique").collect()[0]
+    assert (uniq["rule"], uniq["n_violations"], uniq["passed"]) == ("id_unique", 1, False)
