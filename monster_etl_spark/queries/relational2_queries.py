@@ -512,6 +512,85 @@ FROM part
 """
 
 
+
+_CORR_PAIRS = (
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+)
+
+
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (upper triangle) over lineitem numeric
+    columns, derived from EXACT decimal sums — corr() proper accumulates
+    floats in partition order and is not reproducible across engines, so
+    every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact DECIMAL aggregate,
+    converted to double once, and corr is a deterministic closed-form of
+    those six numbers. One aggregate pass computes every pair's moments
+    simultaneously (all map-side combinable); output is one row per
+    column pair."""
+    l = load(spark, sf_dir, "lineitem")
+    dec = {
+        "l_quantity": F.col("l_quantity").cast("decimal(12,2)"),
+        "l_extendedprice": F.col("l_extendedprice").cast("decimal(12,2)"),
+        "l_discount": F.col("l_discount").cast("decimal(12,2)"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    seen = set()
+    for x, y in _CORR_PAIRS:
+        for c in (x, y):
+            if c not in seen:
+                seen.add(c)
+                aggs.append(F.sum(dec[c]).cast("double").alias(f"s_{c}"))
+                aggs.append(F.sum(dec[c] * dec[c]).cast("double").alias(f"ss_{c}"))
+        aggs.append(F.sum(dec[x] * dec[y]).cast("double").alias(f"sp_{x}_{y}"))
+    wide = l.agg(*aggs)
+
+    rows = []
+    for x, y in _CORR_PAIRS:
+        n = F.col("n")
+        num = n * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+        den = F.sqrt(n * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")) * F.sqrt(
+            n * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")
+        )
+        rows.append(
+            wide.select(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.round(num / den, 6).alias("pearson_r"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _corr_sql() -> str:
+    def d(c):
+        return f"CAST({c} AS DECIMAL(12,2))"
+
+    moments = ["count(*) AS n"]
+    seen = set()
+    for x, y in _CORR_PAIRS:
+        for c in (x, y):
+            if c not in seen:
+                seen.add(c)
+                moments.append(f"CAST(SUM({d(c)}) AS DOUBLE) AS s_{c}")
+                moments.append(f"CAST(SUM({d(c)} * {d(c)}) AS DOUBLE) AS ss_{c}")
+        moments.append(f"CAST(SUM({d(x)} * {d(y)}) AS DOUBLE) AS sp_{x}_{y}")
+    selects = []
+    for x, y in _CORR_PAIRS:
+        selects.append(
+            f"""SELECT '{x}' AS col_x, '{y}' AS col_y,
+  round((n * sp_{x}_{y} - s_{x} * s_{y})
+        / (sqrt(n * ss_{x} - s_{x} * s_{x}) * sqrt(n * ss_{y} - s_{y} * s_{y})), 6)
+    AS pearson_r FROM agg"""
+        )
+    u = "\nUNION ALL\n".join(selects)
+    return f"WITH agg AS (SELECT {', '.join(moments)} FROM lineitem)\n{u}"
+
+
 QUERIES = {
     "q_cube": QuerySpec(q_cube, Q_CUBE_SQL, "CUBE grouping sets"),
     "q_grouping_sets": QuerySpec(q_grouping_sets, Q_GROUPING_SETS_SQL, "explicit grouping sets + GROUPING()"),
@@ -531,6 +610,7 @@ QUERIES = {
     ),
     "q_percentiles": QuerySpec(q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles"),
     "q_stats_exact": QuerySpec(q_stats_exact, Q_STATS_SQL, "mean/stddev from exact sums"),
+    "q_correlation": QuerySpec(q_correlation, _corr_sql(), "Pearson matrix from exact moments"),
     "q_trailing_range_window": QuerySpec(q_trailing_range_window, Q_TRAILING_SQL, "RANGE-frame trailing window"),
     "q_window_suite": QuerySpec(q_window_suite, Q_WINDOW_SUITE_SQL, "ranking/distribution window functions"),
     "q_array_hof_suite": QuerySpec(q_array_hof_suite, Q_ARRAY_HOF_SQL, "higher-order array functions"),
