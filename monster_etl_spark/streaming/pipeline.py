@@ -15,7 +15,7 @@ surface (``applyInPandasWithState``) lives in ``streaming.stateful``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -89,4 +89,54 @@ def sessionize_stream(
             F.col("sw.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def minhash_signature_col(text: Column) -> Column:
+    """Per-ROW MinHash signature as a string key — the streaming-safe
+    formulation. The batch operators (operators/dedup.py) explode shingles
+    and groupBy-aggregate because the inverted index needs (doc, shingle)
+    rows anyway; a stream cannot afford per-doc aggregation state, so here
+    each permutation's minimum runs as a higher-order ``array_min`` over
+    the in-row shingle array: a NARROW projection, no shuffle, no state.
+    Same md5 base hash + affine permutations (shared constants), so batch
+    and stream signatures agree bit-for-bit for the same text."""
+    from monster_etl_spark.operators.dedup import (
+        MINHASH_AB,
+        MINHASH_PRIME,
+        shingles,
+    )
+
+    sh = shingles(text)
+    base = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    mins = [
+        F.array_min(F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME))
+        for a, b in MINHASH_AB
+    ]
+    return F.concat_ws("|", *[m.cast("string") for m in mins])
+
+
+def stream_dedup_near(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming NEAR-duplicate dedup: drop any document whose full
+    MinHash signature was already seen inside the watermark window.
+    Signature-exact matching is the high-threshold point of the MinHash
+    family (all bands agree — stricter than the batch LSH candidate
+    join, no false positives at the signature level); state is one row
+    per distinct signature, bounded by the watermark exactly like the
+    built-in exact dedup. Empty/sub-shingle texts hash to the empty
+    signature and dedup among themselves — filter upstream if that is
+    not wanted."""
+    sig = minhash_signature_col(F.col(text_col))
+    return (
+        docs.withColumn("__sig__", sig)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__sig__"])
+        .drop("__sig__")
     )

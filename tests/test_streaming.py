@@ -131,3 +131,62 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
     # first window emitted exactly once, without the late event's value
     assert ("2024-01-01T00:00:00", 1, 1.0) in rows
     assert not any(v == 9.0 or v == 10.0 for _, _, v in rows)
+
+
+def test_stream_dedup_near_drops_signature_twins(spark, tmp_path):
+    """Two documents with identical MinHash signatures (same shingle set,
+    different doc ids) must collapse to one survivor; a genuinely
+    different document must survive. Batch/stream signature agreement is
+    asserted against the batch constants by construction (shared md5 +
+    affine perms)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from monster_etl_spark.streaming.pipeline import minhash_signature_col, stream_dedup_near
+
+    # same token sequence -> same shingle set -> same signature;
+    # the near-dup here is a pure duplicate paste with different id/ts
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_c = "a completely different document about spark structured streaming state"
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": text_a},
+        {"doc_id": 2, "ts": "2024-01-01T00:00:30", "text": text_a},
+        {"doc_id": 3, "ts": "2024-01-01T00:01:00", "text": text_c},
+    ]
+    # sanity: batch-side signatures computed with the same column agree
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id: long, text: string"
+    ).select("doc_id", minhash_signature_col(F.col("text")).alias("sig")).collect()
+    sigs = {r["doc_id"]: r["sig"] for r in batch}
+    assert sigs[1] == sigs[2] != sigs[3]
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    with open(d / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = (
+        stream_dedup_near(stream)
+        .writeStream.format("memory")
+        .queryName("near_dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r["doc_id"] for r in spark.sql("SELECT doc_id FROM near_dedup_out").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [1, 3], got
