@@ -448,12 +448,93 @@ WHERE round({cos}, 6) >= {PROFILE_MIN_CORR}
 """
 
 
+
+def q_scd2_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dimensional-model staple: attribute each fact (purchase) to the
+    SCD2 dimension version valid AT ITS TIMESTAMP. The dimension is the
+    signup-change stream turned into [valid_from, valid_to) intervals
+    (same lead() build as q_scd2_intervals); the join is an EQUI-join on
+    user_id with the interval predicate as a post-join filter — each fact
+    meets only its user's versions (bounded per key), so the plan is an
+    ordinary keyed shuffle join at any scale, never an unbounded range
+    join. Facts before their user's first version get version_ts NULL
+    (left join), matching the oracle."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("value").alias("dim_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("fact_ts"), "value"
+    )
+    joined = facts.join(dim, "user_id", "left").filter(
+        F.col("valid_from").isNull()
+        | (
+            (F.col("fact_ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("fact_ts") < F.col("valid_to")))
+        )
+    )
+    # left-join facts with no valid version at all must still appear once
+    matched = joined.filter(F.col("valid_from").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "fact_ts",
+        F.round("value", 6).alias("fact_value"),
+        F.round("dim_value", 6).alias("dim_value"),
+        F.col("valid_from").alias("version_ts"),
+    )
+    unmatched = (
+        facts.join(
+            matched.select("event_id").withColumn("__m__", F.lit(1)), "event_id", "left"
+        )
+        .filter(F.col("__m__").isNull())
+        .select(
+            "event_id",
+            "user_id",
+            "fact_ts",
+            F.round("value", 6).alias("fact_value"),
+            F.lit(None).cast("double").alias("dim_value"),
+            F.lit(None).cast("timestamp_ntz").alias("version_ts"),
+        )
+    )
+    return matched.unionByName(unmatched)
+
+
+Q_SCD2_POINT_SQL = """
+WITH dim AS (
+  SELECT user_id, value AS dim_value, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events WHERE event_type = 'signup'
+),
+facts AS (
+  SELECT event_id, user_id, ts AS fact_ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.fact_ts,
+       round(f.value, 6) AS fact_value,
+       round(d.dim_value, 6) AS dim_value,
+       d.valid_from AS version_ts
+FROM facts f LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.fact_ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.fact_ts < d.valid_to)
+"""
+
+
 QUERIES = {
     "q_json_extract": QuerySpec(q_json_extract, Q_JSON_SQL, "JSON-path extraction + agg"),
     "q_sessionize": QuerySpec(q_sessionize, Q_SESSIONIZE_SQL, "gap-based sessionization"),
     "q_tumbling_window": QuerySpec(q_tumbling_window, Q_TUMBLING_SQL, "tumbling window agg"),
     "q_hourly_rollup": QuerySpec(q_hourly_rollup, Q_HOURLY_SQL, "hourly time rollup"),
     "q_scd2_intervals": QuerySpec(q_scd2_intervals, Q_SCD2_SQL, "SCD2 validity intervals from a change stream"),
+    "q_scd2_point_join": QuerySpec(
+        q_scd2_point_join, Q_SCD2_POINT_SQL, "fact-to-SCD2-version point-in-interval join"
+    ),
     "q_gap_fill": QuerySpec(q_gap_fill, Q_GAP_FILL_SQL, "hourly gap-fill + LOCF per user"),
     "q_time_band_join": QuerySpec(q_time_band_join, Q_TIME_BAND_SQL, "bucketed +/-30min range join"),
     "q_funnel": QuerySpec(q_funnel, Q_FUNNEL_SQL, "ordered 3-step first-touch funnel"),
