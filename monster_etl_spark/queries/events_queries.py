@@ -526,9 +526,73 @@ FROM facts f LEFT JOIN dim d
 """
 
 
+
+PATH_TOP_N = 20
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: the most common within-session
+    event-type sequences. Sessions come from the same gap rule as
+    q_sessionize; each (user, session) folds to its ordered path string
+    via array_sort(collect_list(struct)) — partition-order-proof, the
+    struct sort key (ts, event_id) makes the path deterministic in both
+    engines — then one combinable count per path and a top-20 with a
+    lexicographic tiebreak (TakeOrderedAndProject, no global sort)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_exceeded = F.col("ts") - prev > F.expr(f"INTERVAL {SESSION_GAP_MINUTES} MINUTES")
+    new_session = F.when(prev.isNull() | gap_exceeded, 1).otherwise(0)
+    sessions = e.withColumn("new_s", new_session).withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs"))
+        .select(
+            F.array_join(
+                F.transform("evs", lambda s: s.getField("event_type")), "->"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP_N)
+    )
+
+
+Q_SESSION_PATHS_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+           OR epoch(ts) - lag(epoch(ts)) OVER w > {{gap}} THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+paths AS (
+  SELECT string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {{topn}}
+""".format(gap=SESSION_GAP_MINUTES * 60, topn=PATH_TOP_N)
+
+
 QUERIES = {
     "q_json_extract": QuerySpec(q_json_extract, Q_JSON_SQL, "JSON-path extraction + agg"),
     "q_sessionize": QuerySpec(q_sessionize, Q_SESSIONIZE_SQL, "gap-based sessionization"),
+    "q_session_paths": QuerySpec(
+        q_session_paths, Q_SESSION_PATHS_SQL, "top within-session event-type paths"
+    ),
     "q_tumbling_window": QuerySpec(q_tumbling_window, Q_TUMBLING_SQL, "tumbling window agg"),
     "q_hourly_rollup": QuerySpec(q_hourly_rollup, Q_HOURLY_SQL, "hourly time rollup"),
     "q_scd2_intervals": QuerySpec(q_scd2_intervals, Q_SCD2_SQL, "SCD2 validity intervals from a change stream"),
