@@ -528,3 +528,63 @@ def semantic_dedup(
             (F.coalesce(F.col("component"), F.col("id")) == F.col("id")).alias("keep"),
         )
     )
+
+
+def brute_force_topk_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exhaustive cosine top-k for LARGE query sets — the formulation that
+    replaces ``brute_force_topk`` when |Q| no longer broadcasts. The
+    corpus is hashed into ``n_blocks`` disjoint blocks; each query row is
+    replicated to every block (a narrow posexplode — the REPLICATED side
+    is the per-row-cheap one, the corpus is never duplicated); the pair
+    generation is then an EQUI-join on block id, so the n_q x n_c work
+    spreads evenly over n_blocks x shuffle-partitions tasks with no
+    single task holding more than |Q| x |corpus|/n_blocks pairs.
+
+    Two-stage ranking keeps the shuffle bounded: a per-(query, block)
+    partial top-k first (each window sees only a block's candidates),
+    then the global top-k merges n_blocks x k rows per query — the same
+    partial->final shape as a combinable aggregate, never one window
+    over all |corpus| candidates of a query. Results are identical to
+    ``brute_force_topk`` (asserted in tests); at 1000 executors pick
+    n_blocks ~ cluster cores / |Q|-batch so blocks stay cache-sized."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("block"),
+    )
+    c = _spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nv"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("block"),
+        )
+    )
+    scored = (
+        q.join(c, "block")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "block",
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+        )
+    )
+    wb = Window.partitionBy("query_id", "block").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    partial = scored.withColumn("prank", F.row_number().over(wb)).filter(
+        F.col("prank") <= k
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

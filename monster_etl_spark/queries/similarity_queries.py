@@ -233,8 +233,22 @@ SELECT vec_id AS id, vec_id AS rep_id, TRUE AS keep FROM embeddings
 """
 
 
+
+def knn_brute_force_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked exhaustive top-k (operators/similarity.py::
+    brute_force_topk_blocked): the large-|Q| formulation — corpus hashed
+    into disjoint blocks, queries replicated per block, equi-join on
+    block id, partial-then-global top-k. Bit-identical results to the
+    broadcast baseline, so it shares its oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk_blocked(_queries_df(spark, sf_dir), emb, k=TOP_K)
+
+
 QUERIES = {
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
+    "knn_brute_force_blocked": QuerySpec(
+        knn_brute_force_blocked, KNN_BRUTE_SQL, "grid-blocked exhaustive top-k (large |Q|)"
+    ),
     "knn_lsh": QuerySpec(knn_lsh, KNN_LSH_SQL, "sign-LSH bucketed top-k"),
     "knn_lsh_multiprobe": QuerySpec(
         knn_lsh_multiprobe, KNN_LSH_MP_SQL, "multi-probe sign-LSH top-k"

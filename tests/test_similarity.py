@@ -144,3 +144,18 @@ def test_semantic_dedup_planted(spark):
     for i in range(30):
         if i not in (2, 9):
             assert out[i] == (i, True), (i, out[i])
+
+
+def test_blocked_brute_force_equals_broadcast(spark, sf_dir):
+    """The grid-blocked exhaustive formulation must return exactly the
+    broadcast baseline's result (same scores, same tie-breaks)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id % 50 == 0)
+    a = sim.brute_force_topk(queries, emb, k=5).collect()
+    b = sim.brute_force_topk_blocked(queries, emb, k=5, n_blocks=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every query got exactly k rows in both
+    from collections import Counter
+
+    assert Counter(r["query_id"] for r in a) == Counter(r["query_id"] for r in b)
