@@ -218,8 +218,10 @@ def audio_window_spans(
     """
     sr = F.col(sample_rate_col).cast("long")
     n = F.col(n_samples_col).cast("long")
-    win = F.floor(sr * F.lit(float(win_s))).cast("long")
-    hop = F.floor(sr * F.lit(float(hop_s))).cast("long")
+    # clamp to >= 1 sample: a sub-sample window/hop (sr * secs < 1) would
+    # otherwise divide by zero and silently drop the clip
+    win = F.greatest(F.floor(sr * F.lit(float(win_s))).cast("long"), F.lit(1).cast("long"))
+    hop = F.greatest(F.floor(sr * F.lit(float(hop_s))).cast("long"), F.lit(1).cast("long"))
     spans = media.filter(n > 0).select(
         "media_id",
         sr.alias("__sr__"),

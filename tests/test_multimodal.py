@@ -114,3 +114,16 @@ def test_audio_window_spans_edges(spark):
     assert not any(k[0] == "d" for k in rows)
     # every clip's samples are fully covered: max end == n
     assert max(v[1] for k, v in rows.items() if k[0] == "a") == 40000
+
+
+def test_audio_window_spans_subsample_rate(spark):
+    """sr so low the hop rounds to zero samples must not divide by zero or
+    drop the clip — window/hop clamp to one sample."""
+    from monster_etl_spark.operators.multimodal import audio_window_spans
+
+    media = spark.createDataFrame(
+        [("tiny", 1, 3)], "media_id: string, sample_rate: long, n_samples: long"
+    )
+    rows = audio_window_spans(media, win_s=0.5, hop_s=0.25).collect()
+    # hop clamps to 1 sample -> 3 windows, each 1 sample wide (win also clamps)
+    assert [(r["start_sample"], r["end_sample"]) for r in rows] == [(0, 1), (1, 2), (2, 3)]
