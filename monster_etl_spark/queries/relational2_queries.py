@@ -591,6 +591,86 @@ def _corr_sql() -> str:
     return f"WITH agg AS (SELECT {', '.join(moments)} FROM lineitem)\n{u}"
 
 
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation, scale-safe: per-customer
+    recency/frequency/monetary in one combinable aggregate, quartile
+    BOUNDARIES from one global percentile aggregate broadcast back as a
+    1-row crossJoin, and the quartile assignment as plain comparisons
+    (1 + Σ metric > q_i). The usual ntile(4) formulation is a
+    single-partition global sort — the same plan defect the sharded
+    token packer avoids; boundary-assignment gives identical
+    segmentation semantics with no window at all. Monetary goes through
+    DECIMAL; output is segment cell -> customer count."""
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("monetary"),
+    )
+    # recency as a number both engines order identically: epoch seconds
+    base = base.withColumn("recency", F.unix_timestamp(F.col("last_order")).cast("double"))
+    qs = base.agg(
+        *[
+            F.expr(f"percentile({m}, {p})").alias(f"{m}_q{i}")
+            for m in ("recency", "frequency", "monetary")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def quartile(m: str):
+        c = F.col(m)
+        return (
+            F.lit(1)
+            + (c > F.col(f"{m}_q1")).cast("int")
+            + (c > F.col(f"{m}_q2")).cast("int")
+            + (c > F.col(f"{m}_q3")).cast("int")
+        ).cast("long")
+
+    seg = base.crossJoin(F.broadcast(qs)).select(
+        quartile("recency").alias("r_quartile"),
+        quartile("frequency").alias("f_quartile"),
+        quartile("monetary").alias("m_quartile"),
+    )
+    return seg.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+Q_RFM_SQL = """
+WITH base AS (
+  SELECT o_custkey,
+         CAST(epoch(max(o_orderdate)) AS DOUBLE) AS recency,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+qs AS (
+  SELECT
+    percentile_cont(0.25) WITHIN GROUP (ORDER BY recency) AS recency_q1,
+    percentile_cont(0.5)  WITHIN GROUP (ORDER BY recency) AS recency_q2,
+    percentile_cont(0.75) WITHIN GROUP (ORDER BY recency) AS recency_q3,
+    percentile_cont(0.25) WITHIN GROUP (ORDER BY frequency) AS frequency_q1,
+    percentile_cont(0.5)  WITHIN GROUP (ORDER BY frequency) AS frequency_q2,
+    percentile_cont(0.75) WITHIN GROUP (ORDER BY frequency) AS frequency_q3,
+    percentile_cont(0.25) WITHIN GROUP (ORDER BY monetary) AS monetary_q1,
+    percentile_cont(0.5)  WITHIN GROUP (ORDER BY monetary) AS monetary_q2,
+    percentile_cont(0.75) WITHIN GROUP (ORDER BY monetary) AS monetary_q3
+  FROM base
+)
+SELECT
+  CAST(1 + (recency > recency_q1)::INT + (recency > recency_q2)::INT
+         + (recency > recency_q3)::INT AS BIGINT) AS r_quartile,
+  CAST(1 + (frequency > frequency_q1)::INT + (frequency > frequency_q2)::INT
+         + (frequency > frequency_q3)::INT AS BIGINT) AS f_quartile,
+  CAST(1 + (monetary > monetary_q1)::INT + (monetary > monetary_q2)::INT
+         + (monetary > monetary_q3)::INT AS BIGINT) AS m_quartile,
+  count(*) AS n_customers
+FROM base CROSS JOIN qs
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q_cube": QuerySpec(q_cube, Q_CUBE_SQL, "CUBE grouping sets"),
     "q_grouping_sets": QuerySpec(q_grouping_sets, Q_GROUPING_SETS_SQL, "explicit grouping sets + GROUPING()"),
@@ -611,6 +691,7 @@ QUERIES = {
     "q_percentiles": QuerySpec(q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles"),
     "q_stats_exact": QuerySpec(q_stats_exact, Q_STATS_SQL, "mean/stddev from exact sums"),
     "q_correlation": QuerySpec(q_correlation, _corr_sql(), "Pearson matrix from exact moments"),
+    "q_rfm_segments": QuerySpec(q_rfm_segments, Q_RFM_SQL, "window-free RFM quartile segmentation"),
     "q_trailing_range_window": QuerySpec(q_trailing_range_window, Q_TRAILING_SQL, "RANGE-frame trailing window"),
     "q_window_suite": QuerySpec(q_window_suite, Q_WINDOW_SUITE_SQL, "ranking/distribution window functions"),
     "q_array_hof_suite": QuerySpec(q_array_hof_suite, Q_ARRAY_HOF_SQL, "higher-order array functions"),
