@@ -272,6 +272,65 @@ WHERE term_rank <= {TFIDF_K}
 """
 
 
+
+def text_ols_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language closed-form OLS of quality score on token count — the
+    per-group model-fitting shape (the degenerate-but-common case where
+    the "model" has a closed form, so it stays a pure aggregate: one
+    combinable pass of exact moments per group, slope/intercept/r2 as
+    deterministic functions of them; an applyInPandas per-group fit is
+    only needed when no closed form exists). Tokens are exact integers
+    and quality is pre-rounded, so the moments bit-agree cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    # decimal moments: quality is a 6dp float, and float sums accumulate
+    # in partition order — exact DECIMAL keeps every moment
+    # order-independent (same discipline as q_stats_exact)
+    scored = d.select(
+        "lang",
+        tx.ws_token_count(F.col("text")).cast("decimal(12,2)").alias("x"),
+        tx.quality_score(F.col("text")).cast("decimal(12,6)").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r_num = n * sxy - sx * sy
+    r2 = (r_num * r_num) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return scored.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+OLS_SQL = f"""
+WITH scored AS (
+  SELECT d.lang,
+         CAST(len({_TOKS}) AS DECIMAL(12,2)) AS x,
+         CAST(s.quality AS DECIMAL(12,6)) AS y
+  FROM documents d JOIN ({QUALITY_SQL}) s ON d.doc_id = s.doc_id
+),
+mom AS (
+  SELECT lang, count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM scored GROUP BY lang
+)
+SELECT lang, n AS n_docs,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM mom
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token counting + ratios"),
     "text_unigram_logprob": QuerySpec(
@@ -279,6 +338,7 @@ QUERIES = {
     ),
     "text_chunking": QuerySpec(text_chunking, CHUNKING_SQL, "overlapping token-window chunking"),
     "text_tfidf": QuerySpec(text_tfidf, TFIDF_SQL, "per-doc top-3 TF-IDF keyword terms"),
+    "text_ols_quality": QuerySpec(text_ols_quality, OLS_SQL, "per-language closed-form OLS fit"),
     "text_mixture": QuerySpec(text_mixture, _mixture_sql(), "deterministic corpus mixture weights"),
     "text_quality": QuerySpec(text_quality, QUALITY_SQL, "quality scoring"),
     "text_lang_id": QuerySpec(text_lang_id, _langid_sql(), "stopword language-ID"),
