@@ -331,6 +331,49 @@ FROM mom
 """
 
 
+
+INVIDX_TOP = 50
+INVIDX_POSTINGS = 10
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (the IR primitive behind the dedup shingle joins,
+    surfaced as its own table): distinct (doc, token) explode -> one
+    combinable aggregate per token building document frequency and the
+    sorted posting list. Output keeps the 50 highest-df tokens
+    (deterministic df-then-token order, TakeOrderedAndProject) with the
+    first 10 postings JSON-serialized so the driver can hash the array."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    idx = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, INVIDX_POSTINGS).alias("postings"),
+    )
+    return (
+        idx.orderBy(F.desc("df"), F.asc("tok"))
+        .limit(INVIDX_TOP)
+        .select("tok", "df", F.to_json("postings").alias("postings_head"))
+    )
+
+
+INVIDX_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+idx AS (
+  SELECT tok, count(*) AS df,
+         list_slice(list_sort(list(doc_id)), 1, {INVIDX_POSTINGS}) AS postings
+  FROM toks WHERE tok <> '' GROUP BY tok
+)
+SELECT tok, df, to_json(postings) AS postings_head
+FROM idx ORDER BY df DESC, tok ASC LIMIT {INVIDX_TOP}
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token counting + ratios"),
     "text_unigram_logprob": QuerySpec(
@@ -339,6 +382,9 @@ QUERIES = {
     "text_chunking": QuerySpec(text_chunking, CHUNKING_SQL, "overlapping token-window chunking"),
     "text_tfidf": QuerySpec(text_tfidf, TFIDF_SQL, "per-doc top-3 TF-IDF keyword terms"),
     "text_ols_quality": QuerySpec(text_ols_quality, OLS_SQL, "per-language closed-form OLS fit"),
+    "text_inverted_index": QuerySpec(
+        text_inverted_index, INVIDX_SQL, "top-df posting lists (inverted index)"
+    ),
     "text_mixture": QuerySpec(text_mixture, _mixture_sql(), "deterministic corpus mixture weights"),
     "text_quality": QuerySpec(text_quality, QUALITY_SQL, "quality scoring"),
     "text_lang_id": QuerySpec(text_lang_id, _langid_sql(), "stopword language-ID"),
