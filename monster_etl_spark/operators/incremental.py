@@ -19,7 +19,7 @@ import os
 import re
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -107,3 +107,39 @@ def compact(
     os.replace(tmp, path)
     shutil.rmtree(old)
     return before
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-feed between two table snapshots: (key, change_type)
+    with change_type in {inserted, deleted, changed} (unchanged rows are
+    omitted — the useful output is the delta). One full-outer equi-join
+    on the key; change detection hashes the compared columns JVM-side
+    (null-safe: a hash over coalesced markers, not column equality, so
+    NULL -> value transitions register as changes). The audit pass of an
+    incremental pipeline — run per partition at 100 TB, exactly like
+    compact()."""
+    cols = compare_cols or [c for c in new.columns if c != key]
+
+    def content(df: DataFrame) -> Column:
+        return F.xxhash64(
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
+        )
+
+    o = old.select(F.col(key).alias("k"), content(old).alias("h_old"))
+    n = new.select(F.col(key).alias("k"), content(new).alias("h_new"))
+    j = o.join(n, "k", "full_outer")
+    return (
+        j.select(
+            F.col("k").alias(key),
+            F.when(F.col("h_old").isNull(), F.lit("inserted"))
+            .when(F.col("h_new").isNull(), F.lit("deleted"))
+            .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+            .alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

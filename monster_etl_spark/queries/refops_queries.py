@@ -477,6 +477,67 @@ FROM agg UNPIVOT (n_violations FOR rule IN (
 """
 
 
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two synthetic snapshots of orders (operators/
+    incremental.py::snapshot_diff): "new" drops every 50th order
+    (deleted), doubles the price of every 7th (changed), and appends
+    shifted-key copies (inserted). One full-outer join on the key;
+    null-safe content hashing. Summarized as change_type counts so the
+    oracle pins the complete classification."""
+    from monster_etl_spark.operators.incremental import snapshot_diff
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    old = o
+    new = (
+        o.filter(F.col("o_orderkey") % 50 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") * 2, 2)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    return (
+        snapshot_diff(old, new, "o_orderkey")
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+Q_SNAPSHOT_DIFF_SQL = """
+WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 2, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 50 != 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+classified AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+              WHEN n.o_orderkey IS NULL THEN 'deleted'
+              WHEN o.o_totalprice != n.o_totalprice
+                OR o.o_orderstatus != n.o_orderstatus THEN 'changed'
+         END AS change_type
+  FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+)
+SELECT change_type, count(*) AS n_rows
+FROM classified WHERE change_type IS NOT NULL
+GROUP BY change_type
+"""
+
+
 QUERIES = {
     "t1_rename_fields": QuerySpec(t1_rename_fields, T1_SQL, "T1 renameFields"),
     "t2_remove_fields": QuerySpec(t2_remove_fields, T2_SQL, "T2 removeFields"),
@@ -498,6 +559,7 @@ QUERIES = {
     "q_zorder_key": QuerySpec(q_zorder_key, Q_ZORDER_SQL, "Morton z-curve layout key"),
     "q_histogram": QuerySpec(q_histogram, Q_HISTOGRAM_SQL, "equi-width histogram profile"),
     "q_expectations": QuerySpec(q_expectations, Q_EXPECTATIONS_SQL, "data-contract expectations gate"),
+    "q_snapshot_diff": QuerySpec(q_snapshot_diff, Q_SNAPSHOT_DIFF_SQL, "CDC diff between snapshots"),
     "t16_path_column": QuerySpec(
         t16_path_column, T16_SQL, "T16 path-derived column (partition-dir round-trip)"
     ),

@@ -48,3 +48,18 @@ def test_compact_reduces_file_count(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1000
     # swap leaves no scratch dirs behind
     assert glob.glob(f"{path}.compact-*") == []
+
+
+def test_snapshot_diff_null_transitions(spark):
+    """NULL -> value and value -> NULL must register as 'changed' (the
+    naive equality formulation misses them)."""
+    from monster_etl_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "same"), (4, "gone")], "k: long, v: string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now"), (2, None), (3, "same"), (5, "fresh")], "k: long, v: string"
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "changed", 2: "changed", 4: "deleted", 5: "inserted"}
