@@ -353,3 +353,44 @@ def tfidf_top_terms(
             "term_rank",
         )
     )
+
+
+def frequent_token_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_support: int = 10,
+) -> DataFrame:
+    """Frequent co-occurring token pairs (the Apriori second pass,
+    market-basket over documents): a pair can only be frequent if both
+    members are (the Apriori property), so singleton document
+    frequencies prune first — one combinable aggregate, the survivors
+    joined back (Zipf-bounded, AQE broadcasts) — and only then does the
+    per-document pair self-join run, on the pruned token set. Returns
+    (tok_a, tok_b, support) with tok_a < tok_b, support >= min_support.
+
+    Scale: the pair join is an equi-join on the document id; per-doc
+    work is (frequent tokens in doc)², which the support prune keeps
+    small — raising ``min_support`` is the knob, exactly as in Apriori.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") >= min_support)
+        .select("tok")
+    )
+    pruned = toks.join(freq, "tok").repartition(F.col("doc"))
+    a = pruned.select("doc", F.col("tok").alias("tok_a"))
+    b = pruned.select("doc", F.col("tok").alias("tok_b"))
+    return (
+        a.join(b, "doc")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

@@ -374,6 +374,35 @@ FROM idx ORDER BY df DESC, tok ASC LIMIT {INVIDX_TOP}
 """
 
 
+
+PAIR_MIN_SUPPORT = 40
+
+
+def text_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori pass-2 frequent token pairs (operators/text.py::
+    frequent_token_pairs) with support >= 40 documents."""
+    return tx.frequent_token_pairs(
+        load(spark, sf_dir, "documents"), min_support=PAIR_MIN_SUPPORT
+    )
+
+
+FREQ_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents
+),
+pruned AS (
+  SELECT doc, tok FROM toks WHERE tok <> '' AND tok IN (
+    SELECT tok FROM toks WHERE tok <> '' GROUP BY tok
+    HAVING count(*) >= {PAIR_MIN_SUPPORT}
+  )
+)
+SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS support
+FROM pruned a JOIN pruned b ON a.doc = b.doc AND a.tok < b.tok
+GROUP BY a.tok, b.tok
+HAVING count(*) >= {PAIR_MIN_SUPPORT}
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token counting + ratios"),
     "text_unigram_logprob": QuerySpec(
@@ -384,6 +413,9 @@ QUERIES = {
     "text_ols_quality": QuerySpec(text_ols_quality, OLS_SQL, "per-language closed-form OLS fit"),
     "text_inverted_index": QuerySpec(
         text_inverted_index, INVIDX_SQL, "top-df posting lists (inverted index)"
+    ),
+    "text_frequent_pairs": QuerySpec(
+        text_frequent_pairs, FREQ_PAIRS_SQL, "Apriori pass-2 co-occurring token pairs"
     ),
     "text_mixture": QuerySpec(text_mixture, _mixture_sql(), "deterministic corpus mixture weights"),
     "text_quality": QuerySpec(text_quality, QUALITY_SQL, "quality scoring"),
