@@ -50,14 +50,11 @@ def _list_part_files(path: str) -> list[str]:
     return sorted(_glob.glob(path))
 
 
-def build_manifest(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
-    """(file, column, n_rows, n_nulls, vmin, vmax) per data file — footer
-    stats only, read on executors. Non-numeric or stat-less columns get
-    null bands (never pruned)."""
-    files = _list_part_files(path)
-    if not files:
-        raise FileNotFoundError(f"no parquet part files under {path!r}")
-    cols = list(columns)  # ship by value into the closure
+
+def _stats_scanner(cols: list[str]):
+    """Executor-side footer-stats harvester for a batch of file paths —
+    a self-contained closure (``cols`` shipped by value) shared by
+    ``build_manifest`` and ``update_manifest``."""
 
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -93,9 +90,21 @@ def build_manifest(spark: SparkSession, path: str, columns: list[str]) -> DataFr
                 out, columns=["file", "column", "n_rows", "n_nulls", "vmin", "vmax"]
             )
 
+    return _scan
+
+
+def build_manifest(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
+    """(file, column, n_rows, n_nulls, vmin, vmax) per data file — footer
+    stats only, read on executors. Non-numeric or stat-less columns get
+    null bands (never pruned)."""
+    files = _list_part_files(path)
+    if not files:
+        raise FileNotFoundError(f"no parquet part files under {path!r}")
     files_df = spark.createDataFrame([(f,) for f in files], "file: string")
     # one small task per file batch; footer-only IO
-    return files_df.repartition(min(len(files), 64)).mapInPandas(_scan, MANIFEST_SCHEMA)
+    return files_df.repartition(min(len(files), 64)).mapInPandas(
+        _stats_scanner(list(columns)), MANIFEST_SCHEMA
+    )
 
 
 class ManifestIndex:
@@ -162,3 +171,27 @@ def pruned_read(
     for c, (lo, hi) in predicates.items():
         df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
     return df
+
+
+def update_manifest(
+    spark: SparkSession, manifest: DataFrame, path: str, columns: list[str]
+) -> DataFrame:
+    """Incremental manifest maintenance: harvest footer stats ONLY for
+    data files not yet in the manifest and union them in — appends to a
+    100 TB table cost one footer read per NEW file, never a re-scan of
+    the existing manifest's files. Files deleted on disk drop out (the
+    manifest mirrors the current listing)."""
+    current = set(_list_part_files(path))
+    if not current:
+        raise FileNotFoundError(f"no parquet part files under {path!r}")
+    known = {r["file"] for r in manifest.select("file").distinct().collect()}
+    kept = manifest.filter(F.col("file").isin(list(known & current)) if known & current else F.lit(False))
+    new_files = sorted(current - known)
+    if not new_files:
+        return kept
+    cols = list(columns)
+    files_df = spark.createDataFrame([(f,) for f in new_files], "file: string")
+    fresh = files_df.repartition(min(len(new_files), 64)).mapInPandas(
+        _stats_scanner(cols), MANIFEST_SCHEMA
+    )
+    return kept.unionByName(fresh)

@@ -60,3 +60,39 @@ def test_pruned_read_empty_band(spark, sf_dir, tmp_path):
     manifest = build_manifest(spark, out, ["o_totalprice"])
     assert pruned_paths(manifest, {"o_totalprice": (-2.0, -1.0)}) == []
     assert pruned_read(spark, out, manifest, {"o_totalprice": (-2.0, -1.0)}).count() == 0
+
+
+def test_update_manifest_incremental(spark, sf_dir, tmp_path):
+    """Appending files must only harvest the NEW footers; deleted files
+    drop out; the updated manifest equals a from-scratch rebuild."""
+    from monster_etl_spark.operators.manifest import build_manifest, update_manifest
+
+    out = str(tmp_path / "t")
+    o = _orders(spark, sf_dir)
+    o.filter("o_orderkey % 2 = 0").repartition(2).write.parquet(out)
+    m1 = build_manifest(spark, out, ["o_totalprice"])
+    m1_rows = m1.collect()
+
+    # append more files (same dir, new part files)
+    o.filter("o_orderkey % 2 = 1").repartition(2).write.mode("append").parquet(out)
+    m2 = update_manifest(spark, m1, out, ["o_totalprice"])
+    rebuilt = build_manifest(spark, out, ["o_totalprice"])
+    key = lambda r: (r["file"], r["column"])
+    assert sorted(map(tuple, m2.collect())) == sorted(map(tuple, rebuilt.collect()))
+    assert len(m2.collect()) > len(m1_rows)
+
+    # manifests are stored tables between updates — persist before the
+    # next maintenance round (a lazy manifest would re-read its source
+    # footers on every evaluation, including ones since deleted)
+    mdir = str(tmp_path / "manifest")
+    m2.write.parquet(mdir)
+    m2_stored = spark.read.parquet(mdir)
+
+    # delete one file -> it must drop out of the updated manifest
+    import glob
+    import os
+
+    victim = sorted(glob.glob(f"{out}/part-*.parquet"))[0]
+    os.remove(victim)
+    m3 = update_manifest(spark, m2_stored, out, ["o_totalprice"])
+    assert victim not in {r["file"] for r in m3.collect()}
