@@ -248,36 +248,59 @@ FUZZY_N_KEYS = 2
 
 
 def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Record-linkage shape (operators/dedup.py::fuzzy_pairs): rarest-token
-    canopy blocking over part names, JVM levenshtein verify, block-size
-    guard engaged. Output is grouped to distinct (name_a, name_b, dist)
-    with pair counts — the fixture reuses a small name vocabulary, so the
-    grouped form pins the full pair computation without emitting tens of
-    thousands of identical-name rows."""
+    """Record-linkage shape (operators/dedup.py::fuzzy_pairs) in the
+    low-cardinality formulation: the fixture reuses a ~64-name vocabulary
+    across SF-many parts, so the scalable plan matches DISTINCT VALUES
+    and weights every value pair by its multiplicity (cnt_a x cnt_b
+    cross-name, C(cnt,2) same-name) instead of dragging every row through
+    the canopy join — the standard trick for fuzzy-matching a
+    repeated-value column, turning O(rows-in-block squared) into
+    O(values-in-block squared). Blocking/df therefore counts distinct
+    values per token. Output: (name_a, name_b, dist, n_pairs), same-name
+    dist-0 rows included. Planted-typo recall is pinned in
+    tests/test_dedup_guard.py on the raw operator."""
     from monster_etl_spark.operators.dedup import fuzzy_pairs
 
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_name")
-    pairs = fuzzy_pairs(
-        p, "p_partkey", "p_name", max_dist=FUZZY_MAX_DIST,
+    vals = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    fp = fuzzy_pairs(
+        vals, "p_name", "p_name", max_dist=FUZZY_MAX_DIST,
         max_block=FUZZY_MAX_BLOCK, n_keys=FUZZY_N_KEYS,
     )
-    named = (
-        pairs.join(p.withColumnRenamed("p_partkey", "id_a"), "id_a")
-        .withColumnRenamed("p_name", "name_a")
+    cnts = vals.select("p_name", "cnt")
+    cross = (
+        fp.join(
+            cnts.withColumnRenamed("p_name", "id_a").withColumnRenamed("cnt", "cnt_a"),
+            "id_a",
+        )
         .join(
-            p.withColumnRenamed("p_partkey", "id_b").withColumnRenamed("p_name", "name_b"),
+            cnts.withColumnRenamed("p_name", "id_b").withColumnRenamed("cnt", "cnt_b"),
             "id_b",
         )
+        .select(
+            F.col("id_a").alias("name_a"),
+            F.col("id_b").alias("name_b"),
+            "dist",
+            (F.col("cnt_a") * F.col("cnt_b")).alias("n_pairs"),
+        )
     )
-    return named.groupBy("name_a", "name_b", "dist").agg(
-        F.count(F.lit(1)).alias("n_pairs")
+    same = vals.filter(F.col("cnt") >= 2).select(
+        F.col("p_name").alias("name_a"),
+        F.col("p_name").alias("name_b"),
+        F.lit(0).cast("long").alias("dist"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("n_pairs"),
     )
+    return cross.unionByName(same)
 
 
 FUZZY_SQL = f"""
-WITH toks AS (
-  SELECT DISTINCT p_partkey AS rid, p_name AS rtext, unnest(string_split(p_name, ' ')) AS tok
-  FROM part
+WITH vals AS (SELECT p_name, count(*) AS cnt FROM part GROUP BY p_name),
+toks AS (
+  SELECT DISTINCT p_name AS rid, p_name AS rtext, unnest(string_split(p_name, ' ')) AS tok
+  FROM vals
 ),
 df_t AS (SELECT tok, count(*) AS tok_df FROM toks GROUP BY tok),
 ranked AS (
@@ -289,16 +312,21 @@ keyed AS (SELECT rid, rtext, bkey FROM ranked WHERE rn <= {FUZZY_N_KEYS}),
 ok AS (SELECT bkey FROM keyed GROUP BY bkey HAVING count(*) <= {FUZZY_MAX_BLOCK}),
 k2 AS (SELECT keyed.* FROM keyed JOIN ok USING (bkey)),
 cands AS (
-  SELECT DISTINCT a.rid AS id_a, b.rid AS id_b, a.rtext AS name_a, b.rtext AS name_b
+  SELECT DISTINCT a.rid AS name_a, b.rid AS name_b
   FROM k2 a JOIN k2 b ON a.bkey = b.bkey AND a.rid < b.rid
-),
-pairs AS (
-  SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist FROM cands
 )
-SELECT name_a, name_b, dist, count(*) AS n_pairs
-FROM pairs WHERE dist <= {FUZZY_MAX_DIST}
-GROUP BY name_a, name_b, dist
+SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+       ca.cnt * cb.cnt AS n_pairs
+FROM cands
+JOIN vals ca ON ca.p_name = cands.name_a
+JOIN vals cb ON cb.p_name = cands.name_b
+WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
+UNION ALL
+SELECT p_name, p_name, CAST(0 AS BIGINT), CAST(cnt * (cnt - 1) / 2 AS BIGINT)
+FROM vals WHERE cnt >= 2
 """
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, EXACT_SQL, "exact content-hash dedup"),
     "dedup_decontaminate": QuerySpec(
@@ -312,6 +340,6 @@ QUERIES = {
     "dedup_simhash": QuerySpec(dedup_simhash_pairs, _simhash_sql(), "SimHash near-dup pairs"),
     "dedup_clusters": QuerySpec(dedup_clusters, CLUSTERS_SQL, "near-dup connected components"),
     "dedup_fuzzy_names": QuerySpec(
-        dedup_fuzzy_names, FUZZY_SQL, "rarest-token canopy + levenshtein linkage"
+        dedup_fuzzy_names, FUZZY_SQL, "multi-key canopy + levenshtein linkage over distinct values"
     ),
 }
