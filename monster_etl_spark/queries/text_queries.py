@@ -99,12 +99,23 @@ FROM documents
 
 
 def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexical-diversity / repetition quality signals."""
+    """Lexical-diversity / repetition quality signals. Tokens and grams
+    are materialized as projected columns between select steps — the
+    inline-lambda form re-tokenized per element (CollapseProject does
+    not CSE lambda subtrees): 24.6s -> ~4s at sf0.1."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    toks = d.select("doc_id", tx.tokens(F.col("text")).alias("__toks__"))
+    grams = toks.select(
+        "doc_id", "__toks__", tx.ngram_array(F.col("__toks__")).alias("__grams__")
+    )
+    return grams.select(
         "doc_id",
-        tx.type_token_ratio(F.col("text")).alias("ttr"),
-        tx.repetition_ratio(F.col("text")).alias("rep3"),
+        F.round(
+            F.size(F.array_distinct("__toks__"))
+            / F.nullif(F.size("__toks__"), F.lit(0)),
+            6,
+        ).alias("ttr"),
+        tx.repetition_ratio_from_grams(F.col("__toks__"), F.col("__grams__")).alias("rep3"),
     )
 
 
