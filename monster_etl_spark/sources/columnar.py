@@ -78,3 +78,35 @@ def write_columnar(
         writer.orc(path)
     else:
         raise ValueError(f"unknown columnar format {fmt!r}")
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving every other partition of the target untouched — the
+    incremental-rewrite primitive (backfill a day, restate a region)
+    that static overwrite mode gets catastrophically wrong by truncating
+    the whole table first. Implemented with Spark's
+    ``partitionOverwriteMode=dynamic`` session conf, set for the single
+    write and restored afterward (the static default is the safer
+    global)."""
+    if not partition_by:
+        raise ValueError("overwrite_partitions requires at least one partition column")
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        writer = df.write.mode("overwrite").partitionBy(*partition_by)
+        if fmt == "parquet":
+            writer.parquet(path)
+        elif fmt == "orc":
+            writer.orc(path)
+        else:
+            raise ValueError(f"unknown columnar format {fmt!r}")
+    finally:
+        spark.conf.set(key, prev)

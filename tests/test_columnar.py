@@ -55,3 +55,34 @@ def test_avro_gated(spark):
         pytest.skip("avro present; gating path not exercised")
     with pytest.raises(NotImplementedError):
         read_avro(spark, "/tmp/nope.avro")
+
+
+def test_overwrite_partitions_touches_only_written_keys(spark, tmp_path):
+    """Dynamic overwrite must replace exactly the partitions present in
+    the incoming frame; static overwrite would truncate the table."""
+    from monster_etl_spark.sources.columnar import overwrite_partitions
+
+    out = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-02", 2, "b"), ("2024-01-03", 3, "c")],
+        "day: string, id: long, v: string",
+    )
+    overwrite_partitions(base, out, ["day"])
+
+    # restate ONE day with different content
+    fix = spark.createDataFrame(
+        [("2024-01-02", 20, "B-fixed")], "day: string, id: long, v: string"
+    )
+    overwrite_partitions(fix, out, ["day"])
+
+    # partition-column values come back type-inferred (date), stringify
+    got = {
+        (str(r["day"]), r["id"], r["v"]) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1, "a"),
+        ("2024-01-02", 20, "B-fixed"),
+        ("2024-01-03", 3, "c"),
+    }, got
+    # conf restored to its prior value
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
