@@ -165,3 +165,14 @@ def test_zorder_key_stays_in_codegen(spark, sf_dir):
     assert re.search(r"\*\(\d+\) Project \[o_orderkey", final), (
         "interleave fell out of whole-stage codegen"
     )
+
+
+def test_diversity_tokenizes_once(spark, sf_dir):
+    """Regression guard for the CollapseProject lambda trap: the
+    tokenizing split must appear a constant number of times in the
+    optimized plan. When the materialized token column gets re-inlined
+    into the n-gram lambda, the split explodes to ~3 occurrences per
+    gram position (measured 35x slower)."""
+    df = QUERIES["text_diversity"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") <= 4, f"tokenization re-inlined {plan.count('split(')}x"
