@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "q_zorder_key",
     "semantic_dedup_verdicts",
     "sample_weighted",
+    "text_diversity",
+    "q_funnel",
+    "q_histogram",
 ]
 
 
