@@ -14,23 +14,24 @@ readers pay per-file open cost; metadata pressure grows per file).
 
 from __future__ import annotations
 
-import glob as _glob
-import os
 import re
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from monster_etl_spark import fsutil
 
-def list_partitions(path: str, partition_col: str) -> set[str]:
-    """Partition values present on disk under ``path`` (Hive layout)."""
+
+def list_partitions(path: str, partition_col: str, spark: SparkSession | None = None) -> set[str]:
+    """Partition values present under ``path`` (Hive layout) — via the
+    Hadoop FS API when a session is passed, so discovery works on object
+    stores; local glob fallback otherwise."""
     out = set()
-    for d in _glob.glob(os.path.join(path, f"{partition_col}=*")):
-        if os.path.isdir(d):
-            m = re.search(rf"{re.escape(partition_col)}=([^/]+)/?$", d)
-            if m:
-                out.add(m.group(1))
+    for d in fsutil.list_dirs(spark, path, f"{partition_col}=*"):
+        m = re.search(rf"{re.escape(partition_col)}=([^/]+)/?$", d)
+        if m:
+            out.add(m.group(1))
     return out
 
 
@@ -49,7 +50,10 @@ def incremental_backfill(
     of processed partition values (empty = already up to date). Idempotent:
     re-running processes nothing new.
     """
-    missing = sorted(list_partitions(src_path, partition_col) - list_partitions(dst_path, partition_col))
+    missing = sorted(
+        list_partitions(src_path, partition_col, spark)
+        - list_partitions(dst_path, partition_col, spark)
+    )
     if not missing:
         return []
     src = spark.read.format(fmt).load(src_path)
@@ -90,10 +94,7 @@ def compact(
     the two renames, not for the duration of a directory delete. Not
     transactional — a concurrent reader can still race the rename window;
     a table format (Iceberg/Delta) is the real fix at scale."""
-    import shutil
-
-    pattern = os.path.join(path, "part-*")
-    before = len(_glob.glob(pattern))
+    before = len(fsutil.list_files(spark, path, "part-*"))
     # write-to-tmp + swap keeps the rewrite distributed (no driver
     # materialization) and never overwrites the directory being read
     tmp = path.rstrip("/") + ".compact-tmp"
@@ -101,11 +102,10 @@ def compact(
         "overwrite"
     ).format(fmt).save(tmp)
     old = path.rstrip("/") + ".compact-old"
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    os.replace(path, old)
-    os.replace(tmp, path)
-    shutil.rmtree(old)
+    fsutil.delete(spark, old)
+    fsutil.rename(spark, path, old)
+    fsutil.rename(spark, tmp, path)
+    fsutil.delete(spark, old)
     return before
 
 

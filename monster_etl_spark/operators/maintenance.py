@@ -162,18 +162,34 @@ def expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     count); a NULL rule result counts as a violation (unknown is not
     compliant). Uniqueness-style rules need a distinct count and cannot
     ride a per-row expression; express them via ``unique_rule``.
+
+    Rule names are arbitrary user strings: the unpivot is built with the
+    DataFrame API (names only ever appear as ``lit`` values, never
+    interpolated into SQL text), so a name with spaces, quotes, or
+    anything else cannot break or inject into the query.
     """
+    # positional aliases keep user-supplied names out of column-identifier
+    # space entirely; the real names ride as literals in the unpivot below
+    aliased = list(rules.items())
     aggs = [
-        F.sum(
-            F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
-        ).alias(name)
-        for name, cond in rules.items()
+        F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)).alias(f"__rule_{i}")
+        for i, (_, cond) in enumerate(aliased)
     ]
     wide = df.agg(*aggs)
-    stacked = ", ".join(f"'{n}', CAST({n} AS BIGINT)" for n in rules)
-    return wide.selectExpr(
-        f"stack({len(rules)}, {stacked}) AS (rule, n_violations)"
-    ).select("rule", "n_violations", (F.col("n_violations") == 0).alias("passed"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__rule_{i}").cast("long").alias("n_violations"),
+            )
+            for i, (name, _) in enumerate(aliased)
+        ]
+    )
+    return (
+        wide.select(F.explode(pairs).alias("kv"))
+        .select("kv.rule", "kv.n_violations")
+        .select("rule", "n_violations", (F.col("n_violations") == 0).alias("passed"))
+    )
 
 
 def unique_rule(df: DataFrame, cols: list[str], rule_name: str) -> DataFrame:

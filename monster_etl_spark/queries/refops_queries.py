@@ -401,15 +401,22 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
     # explicit arithmetic instead of width_bucket (absent in DuckDB):
-    # identical IEEE expression both sides keeps bucket edges bit-equal
+    # identical IEEE expression both sides keeps bucket edges bit-equal.
+    # nullif guards the degenerate mn == mx column (width 0): the null
+    # division is coalesced to bucket 1 on BOTH engines, instead of
+    # Spark's null-skipping least() folding rows into the top bucket
+    # while DuckDB divides by zero.
     bucket = F.least(
-        (
-            F.floor(
-                (F.col("o_totalprice") - F.col("mn"))
-                / ((F.col("mx") - F.col("mn")) / HIST_BUCKETS)
-            )
-            + 1
-        ).cast("long"),
+        F.coalesce(
+            (
+                F.floor(
+                    (F.col("o_totalprice") - F.col("mn"))
+                    / (F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0)) / HIST_BUCKETS)
+                )
+                + 1
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ),
         F.lit(HIST_BUCKETS).cast("long"),
     )
     b = o.crossJoin(F.broadcast(bounds)).select(
@@ -424,7 +431,8 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_HISTOGRAM_SQL = f"""
 WITH bounds AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
-SELECT least(CAST(floor((o_totalprice - mn) / ((mx - mn) / {HIST_BUCKETS})) AS BIGINT) + 1,
+SELECT least(coalesce(CAST(floor((o_totalprice - mn) / (nullif(mx - mn, 0.0) / {HIST_BUCKETS})) AS BIGINT) + 1,
+                      CAST(1 AS BIGINT)),
              CAST({HIST_BUCKETS} AS BIGINT)) AS bucket,
        count(*) AS n_rows,
        round(min(o_totalprice), 2) AS lo,

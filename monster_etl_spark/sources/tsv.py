@@ -22,36 +22,42 @@ group is still one distributed scan; record data never touches the driver.
 
 from __future__ import annotations
 
-import glob as _glob
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from monster_etl_spark.fsutil import list_files, read_head
 from monster_etl_spark.operators.transforms import union_all
 
 _PROVENANCE_COL = "__source_file__"
 
 
-def _expand_glob(path: str) -> list[str]:
+def _expand_glob(path: str, spark: SparkSession | None = None) -> list[str]:
     """Reference glob semantics (``V2FUtils.scala:42``): empty *wildcard*
-    match is allowed; a missing literal path raises."""
-    files = sorted(f for f in _glob.glob(path, recursive=True) if os.path.isfile(f))
+    match is allowed; a missing literal path raises. Listing goes through
+    the Hadoop FS API (fsutil) so ``file:/`` URIs and remote schemes both
+    resolve; local bare paths keep the ``glob`` fallback."""
+    files = [f.path for f in list_files(spark, path)]
     has_wildcard = any(ch in path for ch in "*?[")
     if not files and not has_wildcard:
         raise FileNotFoundError(path)
     return files
 
 
-def _read_header(path: str, sep: str = "\t") -> tuple[str, ...] | None:
+def _read_header(
+    path: str, sep: str = "\t", spark: SparkSession | None = None
+) -> tuple[str, ...] | None:
     """First line of a file as trimmed column names; None if empty file.
 
-    Validates driver-side so a malformed header fails with a message
-    naming the file, instead of an obscure Spark analysis error (or a
-    silent unusable empty-named column) much later: empty names (e.g. a
-    trailing tab in the header row) and duplicate names are rejected."""
-    with open(path, encoding="utf-8") as fh:
-        line = fh.readline()
+    Reads at most the first 64 KiB via fsutil.read_head (any filesystem),
+    growing once for pathological headers. Validates driver-side so a
+    malformed header fails with a message naming the file, instead of an
+    obscure Spark analysis error (or a silent unusable empty-named column)
+    much later: empty names (e.g. a trailing tab in the header row) and
+    duplicate names are rejected."""
+    head = read_head(spark, path, 65536)
+    if b"\n" not in head and len(head) == 65536:
+        head = read_head(spark, path, 4 * 1024 * 1024)
+    line = head.split(b"\n", 1)[0].decode("utf-8")
     if not line.strip():
         return None
     header = tuple(c.strip() for c in line.rstrip("\n").rstrip("\r").split(sep))
@@ -98,10 +104,10 @@ def read_tsv(
             df = df.withColumn(_PROVENANCE_COL, F.input_file_name())
         return df
 
-    files = _expand_glob(path)
+    files = _expand_glob(path, spark)
     headers: dict[tuple[str, ...], list[str]] = {}
     for f in files:
-        h = _read_header(f, sep)
+        h = _read_header(f, sep, spark)
         if h is None:
             continue  # 0-byte files in the glob are legal (FIXTURES.md §8)
         headers.setdefault(h, []).append(f)

@@ -1,0 +1,104 @@
+"""fsutil: one listing/head-read helper over the Hadoop FS API, exercised
+against both bare local paths and ``file:/`` URIs — the round-2 VERDICT
+gap was helpers that worked only via local ``glob`` and silently saw
+nothing through a URI scheme (the reference's world is ``gs://``,
+``V2FUtilsSpec.scala:196``)."""
+
+from monster_etl_spark.fsutil import (
+    delete,
+    list_dirs,
+    list_files,
+    read_head,
+    rename,
+    strip_local_scheme,
+)
+
+
+def _mk(tmp_path):
+    (tmp_path / "a.tsv").write_text("h1\th2\n1\t2\n")
+    (tmp_path / "b.tsv").write_text("h1\th2\n3\t4\n")
+    (tmp_path / "c.txt").write_text("nope\n")
+    (tmp_path / "day=2024-01-01").mkdir()
+    (tmp_path / "day=2024-01-02").mkdir()
+    (tmp_path / "day=2024-01-01" / "part-0.parquet").write_bytes(b"x" * 10)
+
+
+def test_strip_local_scheme():
+    assert strip_local_scheme("file:/tmp/x") == "/tmp/x"
+    assert strip_local_scheme("file:///tmp/x") == "/tmp/x"
+    assert strip_local_scheme("/tmp/x") == "/tmp/x"
+    assert strip_local_scheme("s3a://bucket/k") == "s3a://bucket/k"
+
+
+def test_list_dir_bare_and_uri(spark, tmp_path):
+    _mk(tmp_path)
+    bare = list_files(spark, str(tmp_path), "*.tsv")
+    uri = list_files(spark, f"file://{tmp_path}", "*.tsv")
+    assert [f.path for f in bare] == [str(tmp_path / "a.tsv"), str(tmp_path / "b.tsv")]
+    assert [f.path for f in uri] == [f.path for f in bare]
+    assert all(f.size == len("h1\th2\n1\t2\n") for f in bare)
+    assert all(f.mtime > 0 for f in bare)
+
+
+def test_list_glob_and_literal(spark, tmp_path):
+    _mk(tmp_path)
+    assert [f.path for f in list_files(spark, f"{tmp_path}/*.tsv")] == [
+        str(tmp_path / "a.tsv"),
+        str(tmp_path / "b.tsv"),
+    ]
+    assert [f.path for f in list_files(spark, f"file://{tmp_path}/*.tsv")] == [
+        str(tmp_path / "a.tsv"),
+        str(tmp_path / "b.tsv"),
+    ]
+    # literal file; missing literal -> empty (existence policy is caller's)
+    assert len(list_files(spark, str(tmp_path / "a.tsv"))) == 1
+    assert list_files(spark, str(tmp_path / "zzz.tsv")) == []
+    # empty glob -> empty, not an error
+    assert list_files(spark, f"{tmp_path}/*.json") == []
+
+
+def test_list_files_no_session_fallback(tmp_path):
+    _mk(tmp_path)
+    got = list_files(None, str(tmp_path), "*.tsv")
+    assert [f.path for f in got] == [str(tmp_path / "a.tsv"), str(tmp_path / "b.tsv")]
+    # recursive ** stays on the local-glob path even with a session absent
+    nested = list_files(None, f"{tmp_path}/**/*.parquet")
+    assert [f.path for f in nested] == [str(tmp_path / "day=2024-01-01" / "part-0.parquet")]
+
+
+def test_list_dirs(spark, tmp_path):
+    _mk(tmp_path)
+    for base in (str(tmp_path), f"file://{tmp_path}"):
+        got = list_dirs(spark, base, "day=*")
+        assert [d.rsplit("/", 1)[-1] for d in got] == ["day=2024-01-01", "day=2024-01-02"]
+
+
+def test_read_head(spark, tmp_path):
+    _mk(tmp_path)
+    assert read_head(spark, str(tmp_path / "a.tsv"), 6) == b"h1\th2\n"
+    assert read_head(spark, f"file://{tmp_path}/a.tsv", 6) == b"h1\th2\n"
+    assert read_head(None, str(tmp_path / "a.tsv"), 6) == b"h1\th2\n"
+    # cap larger than the file reads the whole file, no error
+    assert read_head(spark, f"file://{tmp_path}/c.txt", 1024) == b"nope\n"
+
+
+def test_delete_and_rename(spark, tmp_path):
+    _mk(tmp_path)
+    assert rename(spark, str(tmp_path / "c.txt"), str(tmp_path / "d.txt"))
+    assert (tmp_path / "d.txt").exists() and not (tmp_path / "c.txt").exists()
+    assert delete(spark, str(tmp_path / "d.txt"))
+    assert not (tmp_path / "d.txt").exists()
+    assert delete(spark, str(tmp_path / "d.txt")) is False
+    assert delete(spark, str(tmp_path / "day=2024-01-01"))
+    assert not (tmp_path / "day=2024-01-01").exists()
+
+
+def test_read_tsv_file_uri(spark, tmp_path):
+    """read_tsv through a file:// URI — previously the local-glob path saw
+    nothing through a scheme prefix."""
+    from monster_etl_spark.sources.tsv import read_tsv
+
+    (tmp_path / "t.tsv").write_text("a\tb\n1\tx\n2\ty\n")
+    df = read_tsv(spark, f"file://{tmp_path}/t.tsv")
+    assert df.columns == ["a", "b"]
+    assert df.count() == 2

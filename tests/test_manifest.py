@@ -62,6 +62,80 @@ def test_pruned_read_empty_band(spark, sf_dir, tmp_path):
     assert pruned_read(spark, out, manifest, {"o_totalprice": (-2.0, -1.0)}).count() == 0
 
 
+def test_unknown_stats_never_prune(spark, tmp_path):
+    """A file whose footer lacks usable min/max for a column must get an
+    unknown (None, None) band and survive every predicate — pruning is a
+    superset guarantee even when the writer omitted statistics (round-2
+    ADVICE: a band built only from stat-bearing row groups can be
+    narrower than the data)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path / "nostats"
+    out.mkdir()
+    tbl = pa.table({"x": pa.array([1.0, 2.0, 3.0], pa.float64())})
+    pq.write_table(tbl, out / "part-00000.parquet", write_statistics=False)
+
+    m = build_manifest(spark, str(out), ["x"])
+    rows = m.collect()
+    assert rows[0]["vmin"] is None and rows[0]["vmax"] is None
+    # a predicate far outside the data must NOT prune the unknown-band file
+    assert pruned_paths(m, {"x": (100.0, 200.0)}) == [str(out / "part-00000.parquet")]
+
+
+def test_nan_rowgroup_poisons_band(spark, tmp_path):
+    """NaN min/max (or NaN-suppressed stats) are not a usable band: the
+    file must fall back to unknown rather than a too-narrow band."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path / "nanstats"
+    out.mkdir()
+    # two row groups: one clean, one NaN-bearing — if the NaN group's
+    # stats are absent or NaN, the whole file's band must become unknown
+    tbl = pa.table({"x": pa.array([1.0, 2.0, math.nan, math.nan], pa.float64())})
+    pq.write_table(tbl, out / "part-00000.parquet", row_group_size=2)
+
+    m = build_manifest(spark, str(out), ["x"])
+    r = m.collect()[0]
+    # either pyarrow produced clean stats for both groups (band covers the
+    # finite values) or the band is unknown — it must never be NaN/narrow
+    if r["vmin"] is not None:
+        assert r["vmin"] == r["vmin"] and r["vmax"] == r["vmax"], "NaN band escaped"
+        assert r["vmin"] <= 1.0 and r["vmax"] >= 2.0
+    assert pruned_paths(m, {"x": (1.5, 1.6)}) != []
+
+
+def test_update_manifest_detects_inplace_rewrite(spark, sf_dir, tmp_path):
+    """A part file rewritten under the SAME name must be re-harvested:
+    manifest identity is (path, size, mtime), not path alone."""
+    import glob
+
+    from monster_etl_spark.operators.manifest import update_manifest
+
+    out = str(tmp_path / "rw")
+    _orders(spark, sf_dir).repartition(2).write.parquet(out)
+    m1 = build_manifest(spark, out, ["o_totalprice"])
+    m1.write.parquet(str(tmp_path / "m1"))
+    m1_stored = spark.read.parquet(str(tmp_path / "m1"))
+
+    victim = sorted(glob.glob(f"{out}/part-*.parquet"))[0]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1], pa.int64()),
+                  "o_custkey": pa.array([1], pa.int64()),
+                  "o_totalprice": pa.array([999999.5], pa.float64())}),
+        victim,
+    )
+    m2 = update_manifest(spark, m1_stored, out, ["o_totalprice"])
+    got = {r["file"]: (r["vmin"], r["vmax"]) for r in m2.collect()}
+    assert got[victim] == (999999.5, 999999.5), "stale stats survived an in-place rewrite"
+
+
 def test_update_manifest_incremental(spark, sf_dir, tmp_path):
     """Appending files must only harvest the NEW footers; deleted files
     drop out; the updated manifest equals a from-scratch rebuild."""

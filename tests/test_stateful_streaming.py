@@ -118,6 +118,61 @@ def test_streaming_funnel_matches_batch(spark, tmp_path, sf_dir):
     assert got == batch, (got, batch)
 
 
+def test_funnel_late_earlier_upstream_across_batches(spark, tmp_path):
+    """Cross-batch re-validation (round-2 ADVICE): batch 1 delivers
+    step-2/3 events then a LATER step-1, so nothing downstream is valid;
+    batch 2 delivers a late-but-EARLIER step-1. The stored candidate
+    times from batch 1 must become valid retroactively — the batch funnel
+    over the union would report furthest_step 3, and the stream must
+    agree on any micro-batch slicing."""
+    from pyspark.sql import types as T
+
+    from monster_etl_spark.streaming.stateful import streaming_funnel
+
+    d = tmp_path / "late"
+    d.mkdir()
+    _write(
+        d / "b1.json",
+        [
+            {"user_id": 1, "ts": "2024-01-01T00:00:50", "event_type": "click"},
+            {"user_id": 1, "ts": "2024-01-01T00:01:00", "event_type": "purchase"},
+            {"user_id": 1, "ts": "2024-01-01T00:01:40", "event_type": "signup"},
+        ],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(d))
+    q = (
+        streaming_funnel(stream, ("signup", "click", "purchase"))
+        .writeStream.format("memory")
+        .queryName("late_funnel_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = [r["furthest_step"] for r in spark.sql("SELECT * FROM late_funnel_out").collect()]
+        assert first == [1], first  # signup after click/purchase: only step 1
+
+        # batch 2: late signup EARLIER than the stored click/purchase times
+        _write(
+            d / "b2.json",
+            [{"user_id": 1, "ts": "2024-01-01T00:00:10", "event_type": "signup"}],
+        )
+        q.processAllAvailable()
+        snap = max(
+            r["furthest_step"] for r in spark.sql("SELECT * FROM late_funnel_out").collect()
+        )
+        assert snap == 3, "late-earlier step-1 must re-validate stored step-2/3 events"
+    finally:
+        q.stop()
+
+
 def test_stateful_state_survives_restart(spark, tmp_path):
     """Stop the query after batch 1, restart from the same checkpoint,
     feed batch 2: per-user state must carry across the restart (the
