@@ -6,6 +6,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side collect). One warm-up run of a small query absorbs JVM/codegen
 startup so per-query numbers reflect steady-state execution.
+
+Scale sweep: when larger-scale data exists (generate with
+``python tools/gen_scale.py`` -> ``.scaledata/sf1``, a 10x TPC-H-faithful
+replication of sf0.1), the soak subset — the shuffle-heavy joins plus the
+dedup/ANN/curation families — is re-timed at every available scale factor
+and the JSON line gains ``"sweep": {sf: {query: sec}}`` and
+``"scaling_exponent": {query: alpha}`` where ``t ~ sf^alpha`` is fit on
+the largest sf decade (alpha <= ~1 means linear-or-better scaling; the
+measured answer to "would this plan survive 10x"). Disable with
+``SPARK_GRAFT_SWEEP=0``; override dirs with ``SPARK_GRAFT_SWEEP_DIRS``.
 """
 
 from __future__ import annotations
@@ -66,6 +76,51 @@ BENCH_QUERIES = [
 ]
 
 
+# Soak subset for the scale sweep: the queries whose 100 TB posture the
+# round-2 verdict asked to convert from argument to measurement — SF-growing
+# joins (q3/q5/q18), every candidate-generating dedup family, ANN, curation,
+# packing, and one narrow text pass as the linear yardstick.
+SOAK_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_exact",
+    "semantic_dedup_verdicts",
+    "knn_ivf",
+    "knn_brute_force",
+    "q_corpus_curation",
+    "q_token_packing",
+    "text_quality",
+]
+
+
+def _sweep_dirs(primary: str) -> list[str]:
+    env = os.environ.get("SPARK_GRAFT_SWEEP_DIRS")
+    if env:
+        cands = env.split(",")
+    else:
+        here = os.path.dirname(os.path.abspath(__file__))
+        cands = [
+            "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1",
+            os.path.join(here, ".scaledata", "sf1"),
+        ]
+    out = []
+    for d in cands:
+        d = d.rstrip("/")
+        if os.path.isdir(d) and d != primary:
+            out.append(d)
+    return out
+
+
+def _sf_of(path: str) -> float:
+    return float(os.path.basename(path.rstrip("/")).split("sf", 1)[-1])
+
+
 def _bench_etl_pipeline(spark, sf_dir: str, scratch: str) -> float:
     """The reference's own workload shape, end-to-end: TSV-with-header ->
     snake-case -> rename/remove + typed parses (P2 chain) -> JSON-lines.
@@ -108,7 +163,7 @@ def _bench_etl_pipeline(spark, sf_dir: str, scratch: str) -> float:
 
 
 
-def _bench_zorder_pruning(spark, sf_dir: str, scratch: str) -> tuple[float, float]:
+def _bench_zorder_pruning(spark, sf_dir: str, scratch: str, num_files: int = 32) -> tuple[float, float]:
     """Data-skipping comparison: write lineitem z-ordered on
     (l_orderkey, l_extendedprice), manifest the footers, then time a 2-D
     band query as (a) manifest-pruned read of surviving files vs (b) full
@@ -133,7 +188,7 @@ def _bench_zorder_pruning(spark, sf_dir: str, scratch: str) -> tuple[float, floa
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     if not os.path.isdir(zdir):
         zorder_layout(li.select("l_orderkey", "l_extendedprice", "l_quantity"),
-                      cols, num_files=32).write.parquet(zdir)
+                      cols, num_files=num_files).write.parquet(zdir)
     # the index lives driver-side (as a table format's planner holds
     # manifests); pruning per query is then in-memory band math
     index = ManifestIndex.from_df(build_manifest(spark, zdir, cols))
@@ -196,17 +251,64 @@ def main() -> None:
     timings["scan_zorder_pruned"] = pruned_s
     timings["scan_full_filter"] = full_s
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall-clock, steady-state (best of 2), noop sink",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out: dict = {
+        "metric": "headline query wall-clock, steady-state (best of 2), noop sink",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+
+    # ---- scale sweep: soak subset across every available scale factor ----
+    if os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0":
+        import math
+
+        dirs = sorted({sf_dir.rstrip("/"), *(_sweep_dirs(sf_dir.rstrip("/")))}, key=_sf_of)
+        if len(dirs) >= 2:
+            sweep: dict[str, dict[str, float]] = {}
+            for d in dirs:
+                key = f"{_sf_of(d):g}"
+                per: dict[str, float] = {}
+                for name in SOAK_QUERIES:
+                    if d == sf_dir.rstrip("/") and name in timings:
+                        per[name] = timings[name]  # reuse the primary-run number
+                        continue
+                    fn = registry[name].fn
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        fn(spark, d).write.format("noop").mode("overwrite").save()
+                        best = min(best, time.perf_counter() - t0)
+                    per[name] = round(best, 3)
+                sweep[key] = per
+            # data skipping must WIN where there are enough files to skip:
+            # the pair is re-run at the largest sf with a file count sized
+            # to it (the sf0.1 pair in `queries` shows overhead-dominated
+            # parity; this one shows the payoff)
+            largest = dirs[-1]
+            zscratch = tempfile.mkdtemp(prefix="bench_zsweep_")
+            nf = 64 if _sf_of(largest) >= 1 else 32
+            p_s, f_s = _bench_zorder_pruning(spark, largest, zscratch, num_files=nf)
+            sweep[f"{_sf_of(largest):g}"]["scan_zorder_pruned"] = p_s
+            sweep[f"{_sf_of(largest):g}"]["scan_full_filter"] = f_s
+
+            lo, hi = dirs[-2], dirs[-1]
+            ratio = math.log(_sf_of(hi) / _sf_of(lo))
+            exps: dict[str, float] = {}
+            for name in SOAK_QUERIES:
+                t_lo = sweep[f"{_sf_of(lo):g}"].get(name)
+                t_hi = sweep[f"{_sf_of(hi):g}"].get(name)
+                if t_lo and t_hi:
+                    exps[name] = round(math.log(t_hi / t_lo) / ratio, 2)
+            out["sweep"] = sweep
+            out["scaling_exponent"] = exps
+            out["scaling_note"] = (
+                f"t ~ sf^alpha fit on sf{_sf_of(lo):g}->sf{_sf_of(hi):g}; "
+                "alpha<=1 is linear-or-better (sub-second lo timings inflate alpha "
+                "with fixed overhead)"
+            )
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -45,6 +45,46 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+#: logical nodes that bound the cardinality of whatever sits beneath them —
+#: a broadcast hint above one of these ships a BOUNDED intermediate (a 1-row
+#: global aggregate, a LIMITed subset), not an SF-growing table
+_BOUNDING_NODES = ("Aggregate", "GlobalLimit", "LocalLimit", "Sample", "Deduplicate")
+
+
+def broadcast_hinted_tables(df: DataFrame) -> list[str]:
+    """First column name of every BASE RELATION pinned under an explicit
+    ``broadcast()`` hint in the analyzed logical plan, excluding relations
+    shielded by a cardinality-bounding node (global aggregate / limit).
+
+    This is the durable no-scale-killer guard: AQE may legitimately pick a
+    broadcast join for a genuinely small input at a given SF, but a HINT on
+    an SF-growing table is pinned forever and OOMs the driver at 100 TB —
+    the round-1 q3/q5/q18 defect class. Tests assert the returned set is a
+    subset of the constant-size dims (``n_*``/``r_*``)."""
+    out: list[str] = []
+
+    def relations(node):
+        name = node.nodeName()
+        if any(b in name for b in _BOUNDING_NODES):
+            return  # bounded subtree: broadcast is size-safe by construction
+        if "Relation" in name:
+            m = re.search(r"\[([^#,\]]+)#", node.simpleString(1000))
+            out.append(m.group(1) if m else name)
+            return
+        for i in range(node.children().size()):
+            relations(node.children().apply(i))
+
+    def walk(node):
+        if node.nodeName() == "ResolvedHint" and "broadcast" in node.simpleString(200).lower():
+            relations(node)
+            return
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return out
+
+
 def plan_summary(df: DataFrame) -> PlanSummary:
     plan = formatted_plan(df)
     s = PlanSummary()

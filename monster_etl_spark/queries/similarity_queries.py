@@ -16,7 +16,14 @@ from monster_etl_spark.operators import similarity as sim
 from monster_etl_spark.queries import QuerySpec, load
 
 TOP_K = 5
-QUERY_MOD = 50  # query set = vec_id % 50 == 0
+QUERY_MOD = 50  # query set = vec_id % 50 == 0 ...
+QUERY_CAP = 500  # ... AND vec_id < 500: |Q| is FIXED as the corpus scales.
+# The brute-force/LSH/IVF registry queries broadcast the query side; an
+# SF-growing |Q| would make that broadcast a scale-killer (the round-1
+# q3/q5/q18 defect class, caught by tests/test_explain.py's hint audit).
+# All sf dirs share vec_id 0..499 for the base copy, so the sf0.01 oracle
+# results are unchanged by the cap. knn_brute_force_blocked is the
+# deliberate large-|Q| variant (grid-blocked, nothing broadcast).
 DUP_THRESHOLD = 0.9
 
 _DVEC = "list_transform({col}, x -> CAST(x AS DOUBLE))"
@@ -30,7 +37,16 @@ round(
 
 
 def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % QUERY_MOD == 0)
+    # the trailing limit admits every row the filter passes (exactly
+    # QUERY_CAP/QUERY_MOD ids exist below the cap at every sf) — it is
+    # there to make the boundedness STRUCTURAL, so the broadcast-hint
+    # audit (explain.broadcast_hinted_tables) can prove the hinted side
+    # cannot grow with the corpus
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP))
+        .limit(QUERY_CAP // QUERY_MOD)
+    )
 
 
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,7 +56,7 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_BRUTE_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, {_DVEC.format(col='embedding')} AS qv
-           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP}),
 c AS (SELECT vec_id AS neighbor_id, {_DVEC.format(col='embedding')} AS nv FROM embeddings),
 scored AS (
   SELECT query_id, neighbor_id, {_COS} AS cosine_sim
@@ -69,7 +85,7 @@ def _bucket_sql(col: str) -> str:
 KNN_LSH_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, {_DVEC.format(col='embedding')} AS qv,
                   {_bucket_sql('embedding')} AS bucket
-           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP}),
 c AS (SELECT vec_id AS neighbor_id, {_DVEC.format(col='embedding')} AS nv,
              {_bucket_sql('embedding')} AS bucket
       FROM embeddings),
@@ -108,7 +124,7 @@ def _probe_sql(col: str) -> str:
 KNN_LSH_MP_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, {_DVEC.format(col='embedding')} AS qv,
                   unnest({_probe_sql('embedding')}) AS bucket
-           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP}),
 c AS (SELECT vec_id AS neighbor_id, {_DVEC.format(col='embedding')} AS nv,
              {_bucket_sql('embedding')} AS bucket
       FROM embeddings),
@@ -193,7 +209,7 @@ def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_IVF_RECALL_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, {_DVEC.format(col='embedding')} AS qv
-           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP}),
 c AS (SELECT vec_id AS neighbor_id, {_DVEC.format(col='embedding')} AS nv FROM embeddings),
 scored AS (
   SELECT query_id, neighbor_id, {_COS} AS cosine_sim

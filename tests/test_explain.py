@@ -22,6 +22,28 @@ def test_summary_of_star_join(spark, sf_dir):
     assert any("r_name" in sc.pushed_filters for sc in s.scans)
 
 
+def test_no_broadcast_hint_on_sf_growing_side(spark, sf_dir):
+    """Audit EVERY registry query's analyzed plan: explicit broadcast()
+    hints may pin only the constant-size dims (nation/region) or
+    cardinality-bounded subtrees (global aggregates, limits) — never an
+    SF-growing table. AQE choosing broadcast at a small SF is fine (it
+    re-decides from runtime sizes); a hint is forever, and a hinted
+    growing side is the round-1 q3/q5/q18 scale-killer class."""
+    from monster_etl_spark.explain import broadcast_hinted_tables
+
+    allowed = {"n_nationkey", "r_regionkey"}
+    bad = {}
+    for name, spec in Q.items():
+        flagged = [
+            h
+            for h in broadcast_hinted_tables(spec.fn(spark, sf_dir))
+            if h not in allowed
+        ]
+        if flagged:
+            bad[name] = flagged
+    assert bad == {}, f"broadcast hints on SF-growing relations: {bad}"
+
+
 def test_summary_counts_python_crossing(spark, sf_dir):
     s = plan_summary(Q["multimodal_image_features"].fn(spark, sf_dir))
     assert s.python_evals >= 0  # mapInPandas shows as its own node, not Eval
