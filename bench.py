@@ -213,7 +213,9 @@ def _bench_zorder_pruning(spark, sf_dir: str, scratch: str, num_files: int = 32)
         t0 = time.perf_counter()
         full().write.format("noop").mode("overwrite").save()
         best_f = min(best_f, time.perf_counter() - t0)
-    return round(best_p, 3), round(best_f, 3)
+    n_total = len(index._bands)
+    n_survive = len(index.pruned_paths(band))
+    return round(best_p, 3), round(best_f, 3), n_survive, n_total
 
 
 def main() -> None:
@@ -247,7 +249,7 @@ def main() -> None:
     timings["etl_tsv_to_jsonl"] = _bench_etl_pipeline(spark, sf_dir, scratch)
 
     # measured data-skipping payoff (manifest-pruned vs full scan, same band)
-    pruned_s, full_s = _bench_zorder_pruning(spark, sf_dir, scratch)
+    pruned_s, full_s, _, _ = _bench_zorder_pruning(spark, sf_dir, scratch)
     timings["scan_zorder_pruned"] = pruned_s
     timings["scan_full_filter"] = full_s
 
@@ -288,9 +290,17 @@ def main() -> None:
             largest = dirs[-1]
             zscratch = tempfile.mkdtemp(prefix="bench_zsweep_")
             nf = 64 if _sf_of(largest) >= 1 else 32
-            p_s, f_s = _bench_zorder_pruning(spark, largest, zscratch, num_files=nf)
+            p_s, f_s, n_survive, n_total = _bench_zorder_pruning(
+                spark, largest, zscratch, num_files=nf
+            )
             sweep[f"{_sf_of(largest):g}"]["scan_zorder_pruned"] = p_s
             sweep[f"{_sf_of(largest):g}"]["scan_full_filter"] = f_s
+            out["skipping"] = {
+                "sf": _sf_of(largest),
+                "files_read": n_survive,
+                "files_total": n_total,
+                "note": "manifest band-pruned files vs total for the 2-D band scan pair",
+            }
 
             lo, hi = dirs[-2], dirs[-1]
             ratio = math.log(_sf_of(hi) / _sf_of(lo))

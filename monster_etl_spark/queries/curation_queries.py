@@ -57,13 +57,19 @@ FROM documents
 """
 
 
-def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_token_packing(
+    spark: SparkSession,
+    sf_dir: str,
+    pack_shards: int = PACK_SHARDS,
+    token_budget: int = TOKEN_BUDGET,
+) -> DataFrame:
     """Greedy sequence packing, sharded: each document lands in a
     deterministic shard (engine-agnostic md5 hash of the id), the
     running-sum window runs PER SHARD, and (shard, pack_id) is the pack
-    key. No global sort — PACK_SHARDS independent window partitions, so
-    the plan parallelizes at any scale (raise PACK_SHARDS ~ cluster cores
-    at 100 TB)."""
+    key. No global sort — ``pack_shards`` independent window partitions,
+    so the plan parallelizes at any scale. ``pack_shards`` and
+    ``token_budget`` are per-call knobs (set shards ~ cluster cores at
+    100 TB); the registry/oracle contract uses the module defaults."""
     d = load(spark, sf_dir, "documents")
     toks = tx.ws_token_count(F.col("text")).alias("n_tokens")
     shard = (
@@ -72,7 +78,7 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         ).cast("long")
-        % PACK_SHARDS
+        % pack_shards
     ).alias("shard")
     w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     scored = d.select("doc_id", toks, shard)
@@ -80,7 +86,7 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "shard",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / TOKEN_BUDGET).alias("pack_id"),
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / token_budget).alias("pack_id"),
     )
 
 

@@ -74,11 +74,23 @@ FROM b
 
 
 def s7_untar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7 oracle-backed: pack docs into tarballs (distributed, one tarball
-    per partition, nested member paths), extract with ``untar_members``
-    (flatten + extension filter, UntarFiles.wdl:24-54 semantics), emit
-    (member, size)."""
+    """S7 oracle-backed: pack docs into tarballs, extract with
+    ``untar_members`` (flatten + extension filter, UntarFiles.wdl:24-54
+    semantics), emit (member, size).
+
+    The tarballs are FIXTURES — the inputs of the operator under test,
+    standing in for the NeMO archives that arrive from outside the engine.
+    They are built DRIVER-side (the doc set is bounded by ``_S7_MAX_ID``,
+    so the collect is fixture-sized) and written to ``_S7_SCRATCH``, which
+    must be executor-readable: any shared filesystem or object store in a
+    real deployment — exactly where tarball inputs live — and the local FS
+    under ``local[*]``. No executor-local write is assumed (round-2
+    VERDICT: the previous version packed on executors into node-local
+    scratch, which only driver/executor-shared filesystems survive)."""
+    import io
+    import os
     import shutil
+    import tarfile
 
     from monster_etl_spark.sources.untar import untar_members
 
@@ -89,32 +101,18 @@ def s7_untar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull())
     )
     shutil.rmtree(_S7_SCRATCH, ignore_errors=True)
-    scratch = _S7_SCRATCH
-
-    def pack(batches):
-        import io
-        import os
-        import tarfile
-
-        import pandas as pd
-
-        os.makedirs(scratch, exist_ok=True)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            buf = io.BytesIO()
-            with tarfile.open(fileobj=buf, mode="w") as tf:
-                for _, r in pdf.sort_values("doc_id").iterrows():
-                    data = str(r["text"]).encode("utf-8")
-                    info = tarfile.TarInfo(f"nested/dir/doc_{int(r['doc_id'])}.txt")
-                    info.size = len(data)
-                    tf.addfile(info, io.BytesIO(data))
-            with open(os.path.join(scratch, f"part-{int(pdf['doc_id'].min())}.tar"), "wb") as f:
-                f.write(buf.getvalue())
-            yield pd.DataFrame({"n": [len(pdf)]})
-
-    # action (count) materializes the tarballs; nothing returns to the driver
-    docs.repartition(4, "doc_id").mapInPandas(pack, "n long").count()
+    os.makedirs(_S7_SCRATCH, exist_ok=True)
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    for g in range(4):  # 4 tarballs so extraction still scatters
+        members = [r for r in rows if r["doc_id"] % 4 == g]
+        if not members:
+            continue
+        with tarfile.open(os.path.join(_S7_SCRATCH, f"part-{g}.tar"), "w") as tf:
+            for r in members:
+                data = str(r["text"]).encode("utf-8")
+                info = tarfile.TarInfo(f"nested/dir/doc_{int(r['doc_id'])}.txt")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
     return untar_members(spark, f"{_S7_SCRATCH}/*.tar", file_extension=".txt").select(
         "member", "size"
     )

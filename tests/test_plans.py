@@ -176,3 +176,25 @@ def test_diversity_tokenizes_once(spark, sf_dir):
     df = QUERIES["text_diversity"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") <= 4, f"tokenization re-inlined {plan.count('split(')}x"
+
+
+def test_token_packing_knobs_are_per_call(spark, sf_dir):
+    """Scale knobs must be settable per call (round-2 VERDICT #6), with the
+    registry defaults unchanged: more shards -> same docs, same per-shard
+    packing invariant, shard domain widened."""
+    from monster_etl_spark.queries.curation_queries import PACK_SHARDS, q_token_packing
+
+    default = q_token_packing(spark, sf_dir)
+    wide = q_token_packing(spark, sf_dir, pack_shards=PACK_SHARDS * 4, token_budget=128)
+    d_rows, w_rows = default.collect(), wide.collect()
+    assert len(d_rows) == len(w_rows)
+    assert max(r["shard"] for r in d_rows) < PACK_SHARDS
+    assert max(r["shard"] for r in w_rows) >= PACK_SHARDS  # domain actually widened
+    # packing invariant holds at any knob setting: pack_id is the running
+    # pre-sum divided by the budget, so it is non-decreasing per shard
+    from collections import defaultdict
+
+    per_shard = defaultdict(list)
+    for r in sorted(w_rows, key=lambda r: (r["shard"], r["doc_id"])):
+        per_shard[r["shard"]].append(r["pack_id"])
+    assert all(seq == sorted(seq) for seq in per_shard.values())
