@@ -7,11 +7,15 @@ Arrow-batched ``mapInPandas`` (one Python worker per partition, columnar
 batch transfer), which is the correct shape for Python-only media libs at
 any scale: partitions stream through workers, nothing is collected.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-``decode_image_batch`` routes to a clearly-marked deterministic fake when
-``real_decode=False`` (the default) and raises ``NotImplementedError``
-otherwise. The Spark-side plumbing — schema, batch iteration, partitioning,
-UDF signature — is real and tested either way.
+The actual pixel codecs (PIL/ffmpeg/torchaudio) are NOT in this container.
+Image DIMENSIONS, however, need no codec: PNG (IHDR chunk), JPEG (SOFn
+segment), and GIF (logical screen descriptor) all carry width x height in
+their headers, parsed here in pure Python inside the decode worker
+(``_header_dims``). Content that is not a recognized image container falls
+back to the clearly-marked deterministic fake (the synthetic test corpus is
+text bytes), and full pixel decode (``real_decode=True``) still raises
+``NotImplementedError``. The Spark-side plumbing — schema, batch iteration,
+partitioning, UDF signature — is real and tested either way.
 
 Scale notes: blobs never pass through a shuffle here (mapInPandas is a
 narrow transformation); keep it that way — filter/project on metadata
@@ -59,15 +63,68 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 def _fake_decode(content: bytes) -> tuple[int, int]:
     """Deterministic stand-in for an image decode: 'dimensions' derived from
-    content length. Replace with a real codec when available."""
+    content length. Used only for content that is not a recognized image
+    container (see ``_header_dims``)."""
     n = len(content)
     return (n % 640) + 1, (n % 480) + 1
+
+
+def _header_dims(b: bytes) -> "tuple[int, int] | None":
+    """(width, height) from the image CONTAINER HEADER, no codec needed:
+
+    - PNG: IHDR is mandated to be the first chunk — width/height are
+      big-endian u32 at offsets 16/20 after the 8-byte signature;
+    - GIF87a/89a: logical screen descriptor — little-endian u16 at 6/8;
+    - JPEG: walk the marker stream to the first frame header SOFn
+      (0xC0-0xCF except DHT 0xC4 / JPG 0xC8 / DAC 0xCC); the segment
+      carries height then width as big-endian u16.
+
+    Returns None (caller falls back to the deterministic fake) for
+    anything else or for truncated/corrupt headers — a malformed blob
+    must never raise mid-batch at scale."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if i + 4 > len(b):
+                return None
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(b):
+                    return None
+                return (
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seg_len
+    return None
 
 
 def decode_image_batch(
     batches: "Iterator[pd.DataFrame]", real_decode: bool = False
 ) -> "Iterator[pd.DataFrame]":
     """mapInPandas worker: binary content -> (dims + checksum) features.
+    Real header-parsed dimensions for PNG/JPEG/GIF content, deterministic
+    fake dims otherwise; ``real_decode=True`` (full pixel decode) remains
+    honestly unimplemented.
 
     Batch shape: input columns (media_id, content); output matches
     IMAGE_FEATURES_SCHEMA. Pure per-row computation — safe to run on any
@@ -78,17 +135,18 @@ def decode_image_batch(
 
     if real_decode:
         raise NotImplementedError(
-            "real image decode requires PIL/imageio, not present in this environment"
+            "full pixel decode requires PIL/imageio, not present in this environment"
         )
     for pdf in batches:
-        dims = [_fake_decode(c) for c in pdf["content"]]
+        contents = [bytes(c) for c in pdf["content"]]
+        dims = [_header_dims(c) or _fake_decode(c) for c in contents]
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"].astype("int64"),
-                "n_bytes": [len(c) for c in pdf["content"]],
+                "n_bytes": [len(c) for c in contents],
                 "width": [w for w, _ in dims],
                 "height": [h for _, h in dims],
-                "byte_crc": [zlib.crc32(bytes(c)) for c in pdf["content"]],
+                "byte_crc": [zlib.crc32(c) for c in contents],
             }
         )
 
@@ -96,17 +154,21 @@ def decode_image_batch(
 def extract_image_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Distributed decode/feature pass over a media table: projects the two
     needed columns first (blob + id — nothing else crosses to Python), then
-    streams Arrow batches through the decode worker.
+    streams Arrow batches through the decode worker. Dimensions are REAL
+    for PNG/JPEG/GIF content (header parse, see ``_header_dims``); content
+    that is no recognized image container gets the deterministic fake dims
+    (the synthetic corpus is text bytes). ``real_decode=True`` — full pixel
+    decode — remains honestly unimplemented (no codec in this container).
 
-    The worker function is a self-contained closure (no references to this
-    module) so cloudpickle ships it *by value* — Python workers need neither
-    this package on their path nor any import beyond pandas/zlib. Module-
-    level UDFs pickle by reference and break on executors without the
-    package installed.
+    The worker function is a self-contained closure (the header parser is
+    NESTED, not a module reference) so cloudpickle ships it *by value* —
+    Python workers need neither this package on their path nor any import
+    beyond pandas/zlib. Module-level UDFs pickle by reference and break on
+    executors without the package installed.
     """
     if real_decode:
         raise NotImplementedError(
-            "real image decode requires PIL/imageio, not present in this environment"
+            "full pixel decode requires PIL/imageio, not present in this environment"
         )
 
     def _worker(batches):
@@ -114,14 +176,50 @@ def extract_image_features(media: DataFrame, real_decode: bool = False) -> DataF
 
         import pandas as pd
 
+        def header_dims(b):
+            # nested duplicate of _header_dims: keeps the closure
+            # self-contained (shipped by value, no package on executors)
+            if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+                return int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
+            if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+                return int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little")
+            if len(b) >= 4 and b[:2] == b"\xff\xd8":
+                i = 2
+                while i + 4 <= len(b):
+                    if b[i] != 0xFF:
+                        return None
+                    marker = b[i + 1]
+                    if marker == 0xFF:
+                        i += 1
+                        continue
+                    if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                        i += 2
+                        continue
+                    if i + 4 > len(b):
+                        return None
+                    seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                        if i + 9 > len(b):
+                            return None
+                        return (
+                            int.from_bytes(b[i + 7 : i + 9], "big"),
+                            int.from_bytes(b[i + 5 : i + 7], "big"),
+                        )
+                    i += 2 + seg_len
+            return None
+
         for pdf in batches:
             contents = [bytes(c) for c in pdf["content"]]
+            dims = [
+                header_dims(c) or ((len(c) % 640) + 1, (len(c) % 480) + 1)
+                for c in contents
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
                     "n_bytes": [len(c) for c in contents],
-                    "width": [(len(c) % 640) + 1 for c in contents],
-                    "height": [(len(c) % 480) + 1 for c in contents],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
                     "byte_crc": [zlib.crc32(c) for c in contents],
                 }
             )

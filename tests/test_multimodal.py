@@ -127,3 +127,64 @@ def test_audio_window_spans_subsample_rate(spark):
     rows = audio_window_spans(media, win_s=0.5, hop_s=0.25).collect()
     # hop clamps to 1 sample -> 3 windows, each 1 sample wide (win also clamps)
     assert [(r["start_sample"], r["end_sample"]) for r in rows] == [(0, 1), (1, 2), (2, 3)]
+
+
+def _png(w, h):
+    import struct
+    import zlib as z
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", z.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def _gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+
+def _jpeg(w, h):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHH", 17, 8, h, w) + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_header_dims_pure():
+    """PNG IHDR / JPEG SOF0 / GIF screen descriptor parse to real
+    dimensions; truncated or non-image bytes return None (fake path)."""
+    from monster_etl_spark.operators.multimodal import _header_dims
+
+    assert _header_dims(_png(640, 480)) == (640, 480)
+    assert _header_dims(_png(1, 70000)) == (1, 70000)  # >u16: PNG is u32
+    assert _header_dims(_gif(320, 200)) == (320, 200)
+    assert _header_dims(_jpeg(1024, 768)) == (1024, 768)
+    assert _header_dims(b"plain text payload") is None
+    assert _header_dims(_png(640, 480)[:20]) is None  # truncated header
+    assert _header_dims(b"\xff\xd8\xff\xe0\x00") is None  # truncated JPEG
+    assert _header_dims(b"") is None
+
+
+def test_extract_image_features_real_headers(spark):
+    """The Spark path must report header-parsed dims for real image bytes
+    and fall back to the deterministic fake for everything else, in the
+    same batch."""
+    from monster_etl_spark.operators.multimodal import extract_image_features
+
+    rows = [
+        (1, _png(800, 600)),
+        (2, _jpeg(123, 45)),
+        (3, _gif(64, 32)),
+        (4, b"not an image at all"),
+    ]
+    media = spark.createDataFrame(rows, "media_id: long, content: binary")
+    got = {r["media_id"]: (r["width"], r["height"]) for r in
+           extract_image_features(media).collect()}
+    assert got[1] == (800, 600)
+    assert got[2] == (123, 45)
+    assert got[3] == (64, 32)
+    n = len(b"not an image at all")
+    assert got[4] == ((n % 640) + 1, (n % 480) + 1)
