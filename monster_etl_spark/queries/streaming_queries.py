@@ -80,10 +80,94 @@ HAVING window_start + INTERVAL '{_WINDOW}' <= (SELECT m - INTERVAL '{_DELAY}' FR
 """
 
 
+_SESS_GAP_MIN = 30  # same gap as the batch q_sessionize / q_session_paths
+_SESS_DELAY = "60 minutes"
+
+
+def stream_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session-path analysis driven to completion (the streaming
+    twin q_session_paths lacked, round-2 VERDICT #7): gap sessionization
+    via the built-in session window, each closed session emitting its
+    ordered event-type path. Append mode + final watermark = max(ts) -
+    delay makes the emitted set deterministic, so the oracle mirrors the
+    batch gap rule and keeps only sessions whose window end clears the
+    final watermark."""
+    from monster_etl_spark.streaming.pipeline import session_paths_stream
+
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    stage = _STAGE + "_paths"
+    shutil.rmtree(stage, ignore_errors=True)
+    # session starts are raw event times: stage with FULL microsecond
+    # precision (the JSON default truncates to milliseconds, which the
+    # tumbling query never notices because its windows start on 15-minute
+    # boundaries)
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    e.coalesce(4).write.mode("overwrite").option("timestampNTZFormat", fmt).json(stage)
+
+    stream = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("timestampFormat", fmt)
+        .json(stage)
+    )
+    out = session_paths_stream(stream, gap_minutes=_SESS_GAP_MIN, watermark=_SESS_DELAY)
+    out = out.withColumn("session_start", F.col("session_start").cast("timestamp_ntz"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_session_paths")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table("stream_session_paths")
+
+
+# batch mirror of the stream: same strictly-greater gap rule as
+# q_session_paths (the built-in session window merges inclusively at the
+# window end, matching it), session window end = last_ts + gap, emitted
+# iff end <= max(ts) - delay
+STREAM_SESSION_PATHS_SQL = f"""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+marked AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+           OR epoch(ts) - lag(epoch(ts)) OVER w > {_SESS_GAP_MIN * 60} THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+agg AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) AS last_ts,
+         string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
+         count(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, path, n_events
+FROM agg, mx
+WHERE last_ts + INTERVAL '{_SESS_GAP_MIN} minutes' <= m - INTERVAL '{_SESS_DELAY}'
+"""
+
+
 QUERIES = {
     "stream_tumbling_counts": QuerySpec(
         stream_tumbling_counts,
         STREAM_TUMBLING_SQL,
         "watermarked streaming tumbling agg, driven to completion",
+    ),
+    "stream_session_paths": QuerySpec(
+        stream_session_paths,
+        STREAM_SESSION_PATHS_SQL,
+        "streaming session-window path analysis, driven to completion",
     ),
 }

@@ -1,5 +1,6 @@
 from monster_etl_spark.streaming.pipeline import (
     read_json_stream,
+    session_paths_stream,
     sessionize_stream,
     stream_dedup,
     windowed_event_counts,
@@ -10,4 +11,5 @@ __all__ = [
     "windowed_event_counts",
     "stream_dedup",
     "sessionize_stream",
+    "session_paths_stream",
 ]

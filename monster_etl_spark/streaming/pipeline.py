@@ -92,6 +92,53 @@ def sessionize_stream(
     )
 
 
+def session_paths_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Streaming twin of ``queries.events_queries.q_session_paths``' path
+    derivation: one row per CLOSED session carrying its ordered event-type
+    path. Append mode — a session emits when the watermark passes its end,
+    so state is bounded by (open sessions x watermark) like any session
+    aggregate.
+
+    Gap-rule parity: the batch query starts a new session only when the
+    gap is STRICTLY greater than ``gap_minutes``. The built-in session
+    window merges INCLUSIVELY at the window end (an event exactly ``gap``
+    after the last one still merges — verified empirically, pinned by
+    ``test_session_paths_stream_gap_rule_matches_batch``), which is
+    exactly the batch rule; no gap adjustment is needed.
+
+    Path determinism: ``collect_list`` order is not guaranteed, so events
+    sort by (ts, event_id) inside the aggregate, exactly as the batch twin.
+
+    The top-N path COUNT is deliberately absent: it is a second, unbounded
+    aggregation, which append mode cannot stack on a session aggregate —
+    count the emitted rows in the sink/batch layer (the standard split;
+    see queries/streaming_queries.py::stream_session_paths' oracle).
+    """
+    gap = f"{gap_minutes} minutes"
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.array_join(
+                F.transform("evs", lambda s: s.getField("event_type")), "->"
+            ).alias("path"),
+            "n_events",
+        )
+    )
+
+
 def minhash_signature_col(text: Column) -> Column:
     """Per-ROW MinHash signature as a string key — the streaming-safe
     formulation. The batch operators (operators/dedup.py) explode shingles

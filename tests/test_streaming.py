@@ -190,3 +190,98 @@ def test_stream_dedup_near_drops_signature_twins(spark, tmp_path):
     finally:
         q.stop()
     assert got == [1, 3], got
+
+
+def test_session_paths_stream_gap_rule_matches_batch(spark, tmp_path):
+    """The batch rule starts a new session only when the gap is STRICTLY
+    greater than 30 minutes; the stream's +1us session window must merge
+    an exactly-30-minute gap (same session) and split 30min+1us (new
+    session) — the knife-edge where a naive session_window diverges from
+    q_session_paths."""
+    from monster_etl_spark.streaming import read_json_stream, session_paths_stream
+
+    d = tmp_path / "paths_in"
+    d.mkdir()
+    _write_events(
+        d / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "a", "value": 0.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:30:00", "user_id": 1, "event_type": "b", "value": 0.0, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01T01:00:00.000001", "user_id": 1, "event_type": "c", "value": 0.0, "props": "{}"},
+        ],
+    )
+    # sentinel far in the future: advances the watermark so every real
+    # session closes and emits in append mode (its own session never does)
+    _write_events(
+        d / "b2.json",
+        [{"event_id": 99, "ts": "2024-01-02T00:00:00", "user_id": 99, "event_type": "z", "value": 0.0, "props": "{}"}],
+    )
+    stream = spark.readStream.schema(
+        read_json_stream(spark, str(d)).schema
+    ).option("maxFilesPerTrigger", 1).json(str(d))
+    q = _run_stream(session_paths_stream(stream), "paths_out", "append")
+    try:
+        rows = sorted(
+            (r["user_id"], r["path"], r["n_events"])
+            for r in spark.sql("SELECT * FROM paths_out").collect()
+        )
+    finally:
+        q.stop()
+    # exactly-30min gap merged (a->b), +1us split (c); sentinel unflushed
+    assert rows == [(1, "a->b", 2), (1, "c", 1)], rows
+
+
+def test_session_paths_stream_state_survives_restart(spark, tmp_path):
+    """A session OPEN across a stop/restart must keep accumulating: events
+    before the restart and after it land in one session whose path shows
+    all of them — the checkpoint-recovery contract for session state."""
+    from monster_etl_spark.streaming import read_json_stream, session_paths_stream
+
+    d = tmp_path / "restart_in"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_events(
+        d / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 5, "event_type": "x", "value": 0.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 5, "event_type": "y", "value": 0.0, "props": "{}"},
+        ],
+    )
+    schema = read_json_stream(spark, str(d)).schema
+
+    def start():
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(d))
+        return (
+            session_paths_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # post-restart: an event EXTENDING the open session, plus the flush sentinel
+    _write_events(
+        d / "b2.json",
+        [
+            {"event_id": 3, "ts": "2024-01-01T00:20:00", "user_id": 5, "event_type": "z", "value": 0.0, "props": "{}"},
+            {"event_id": 99, "ts": "2024-01-02T00:00:00", "user_id": 99, "event_type": "q", "value": 0.0, "props": "{}"},
+        ],
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(r["user_id"], r["path"], r["n_events"])
+            for r in spark.read.parquet(out).collect()]
+    assert rows == [(5, "x->y->z", 3)], rows
