@@ -410,3 +410,132 @@ def frequent_token_pairs(
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, "Scaling Language
+# Models" §A1.1): the heuristic gate every web-scale training corpus runs
+# before dedup. All pure column expressions — a narrow map stage at 100 TB.
+# ---------------------------------------------------------------------------
+
+# Gopher filter thresholds (public numbers from the paper's appendix).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.20
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def mean_word_length(toks: Column) -> Column:
+    """Mean characters per token over a MATERIALIZED token array; NULL on
+    empty. 6dp rounding for cross-engine hash stability."""
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.round(total / F.nullif(F.size(toks), F.lit(0)), 6)
+
+
+def alpha_word_frac(toks: Column) -> Column:
+    """Fraction of tokens containing at least one ASCII letter (Gopher's
+    "80% of words contain an alphabetic character" rule)."""
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.round(n_alpha / F.nullif(F.size(toks), F.lit(0)), 6)
+
+
+def top_bigram_frac(toks: Column) -> Column:
+    """Occurrence share of the most frequent word bigram: max gram count /
+    total grams. High values flag looping/boilerplate text (Gopher's
+    top-2-gram rule). Per-row cost is O(distinct_grams * grams) array
+    work — fine for documents, bounded by token count, no shuffle. NULL
+    under 2 tokens."""
+    grams = ngram_array(toks, 2)
+    counts = F.transform(
+        F.array_distinct(grams), lambda g: F.size(F.filter(grams, lambda x: x == g))
+    )
+    return F.when(
+        F.size(toks) >= 2,
+        F.round(F.array_max(counts) / F.nullif(F.size(grams), F.lit(0)), 6),
+    ).otherwise(F.lit(None).cast("double"))
+
+
+def distinct_stopword_count(toks: Column, stopwords: tuple[str, ...] = QUALITY_STOPWORDS) -> Column:
+    """How many DISTINCT common stopwords appear (Gopher requires >= 2 of
+    its stop list as a "is this prose at all" check)."""
+    return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in stopwords])))
+
+
+def gopher_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the Gopher rule inputs + the combined pass flag. Tokenizes
+    ONCE into a materialized column (the tokenize-once discipline pinned
+    by tests/test_explain.py) then evaluates every rule from it."""
+    out = df.withColumn("__toks__", tokens(F.col(text_col)))
+    t = F.col("__toks__")
+    out = out.withColumns(
+        {
+            "n_words": F.size(t).cast("long"),
+            "mean_word_len": mean_word_length(t),
+            "alpha_word_frac": alpha_word_frac(t),
+            "top_bigram_frac": top_bigram_frac(t),
+            "distinct_stopwords": distinct_stopword_count(t).cast("long"),
+        }
+    )
+    passed = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= GOPHER_MAX_TOP_BIGRAM_FRAC)
+        & (F.col("distinct_stopwords") >= GOPHER_MIN_DISTINCT_STOPWORDS)
+    )
+    return out.withColumn("gopher_pass", passed).drop("__toks__")
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set —
+    the lexical-retrieval baseline a RAG/training-data pipeline ranks
+    candidate documents with. Returns (id, bm25) for documents matching
+    at least one term.
+
+    idf(t) = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)   (Lucene's form,
+    always positive), tf normalized by k1/b document-length damping.
+
+    Scale shape: tokens filtered to the query terms BEFORE any shuffle
+    (the explode emits only matching terms — corpus-size-independent
+    output), per-(doc, term) tf and per-term df are both map-side
+    combinable, N/avgdl ride one 1-row broadcast, and the df join is
+    |terms|-bounded so it broadcasts. No full-corpus shuffle anywhere.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok").isin(*query_terms))
+    )
+    doc_len = df.select(
+        F.col(id_col), ws_token_count(F.col(text_col)).alias("dl")
+    )
+    scalars = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(ws_token_count(F.col(text_col))).alias("avgdl"),
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5)) + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf") * (k1 + 1)) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(doc_len, id_col)
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(term_score), round_to).alias("bm25"))
+    )

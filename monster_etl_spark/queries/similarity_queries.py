@@ -260,7 +260,49 @@ def knn_brute_force_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk_blocked(_queries_df(spark, sf_dir), emb, k=TOP_K)
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding column (mean,
+    sample stddev, min, max, null-free count) — the sanity gate before any
+    ANN index build: collapsed or exploded dimensions surface here.
+
+    Scale shape: one posexplode (narrow, |rows|*d) into a d-key groupBy —
+    map-side combinable, d (not corpus) output rows, no join. Sums route
+    through DECIMAL so cross-engine summation order cannot flip the hash.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "v"))
+    dec = F.col("v").cast("decimal(27,12)")
+    return (
+        ex.groupBy((F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round((F.sum(dec) / F.count(F.lit(1))).cast("double"), 6).alias("dim_mean"),
+            F.round(F.stddev_samp(F.col("v").cast("double")), 6).alias("dim_std"),
+            F.round(F.min(F.col("v").cast("double")), 6).alias("dim_min"),
+            F.round(F.max(F.col("v").cast("double")), 6).alias("dim_max"),
+        )
+    )
+
+
+DIM_STATS_SQL = """
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+  count(*) AS n,
+  round(CAST(sum(CAST(v AS DECIMAL(27,12))) / count(*) AS DOUBLE), 6) AS dim_mean,
+  round(stddev_samp(CAST(v AS DOUBLE)), 6) AS dim_std,
+  round(CAST(min(v) AS DOUBLE), 6) AS dim_min,
+  round(CAST(max(v) AS DOUBLE), 6) AS dim_max
+FROM ex GROUP BY dim
+"""
+
+
 QUERIES = {
+    "embedding_dim_stats": QuerySpec(
+        embedding_dim_stats, DIM_STATS_SQL, "per-dimension embedding distribution profile"
+    ),
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
     "knn_brute_force_blocked": QuerySpec(
         knn_brute_force_blocked, KNN_BRUTE_SQL, "grid-blocked exhaustive top-k (large |Q|)"

@@ -414,8 +414,107 @@ HAVING count(*) >= {PAIR_MIN_SUPPORT}
 """
 
 
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher heuristic quality gate (Rae et al. 2021 §A1.1): word count,
+    mean word length, alphabetic-word fraction, top-bigram share, distinct
+    stopwords, and the combined pass flag. Pure narrow map stage."""
+    d = load(spark, sf_dir, "documents")
+    return tx.gopher_features(d).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "top_bigram_frac",
+        "distinct_stopwords",
+        "gopher_pass",
+    )
+
+
+def _gopher_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in tx.QUALITY_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) >= 2
+      THEN list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])
+    END AS grams
+  FROM t
+), f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    round(list_sum(list_transform(toks, x -> len(x))) / nullif(len(toks), 0), 6)
+      AS mean_word_len,
+    round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+          / nullif(len(toks), 0), 6) AS alpha_word_frac,
+    CASE WHEN len(toks) >= 2 THEN
+      round(list_max(list_transform(list_distinct(grams),
+                                    y -> len(list_filter(grams, x -> x = y))))
+            / nullif(len(grams), 0), 6)
+    END AS top_bigram_frac,
+    CAST(len(list_intersect(list_distinct(toks), [{stop_list}])) AS BIGINT)
+      AS distinct_stopwords
+  FROM g
+)
+SELECT *,
+  (n_words BETWEEN {tx.GOPHER_MIN_WORDS} AND {tx.GOPHER_MAX_WORDS}
+   AND mean_word_len BETWEEN {tx.GOPHER_MIN_MEAN_WORD_LEN} AND {tx.GOPHER_MAX_MEAN_WORD_LEN}
+   AND alpha_word_frac >= {tx.GOPHER_MIN_ALPHA_WORD_FRAC}
+   AND coalesce(top_bigram_frac, 0.0) <= {tx.GOPHER_MAX_TOP_BIGRAM_FRAC}
+   AND distinct_stopwords >= {tx.GOPHER_MIN_DISTINCT_STOPWORDS}) AS gopher_pass
+FROM f
+"""
+
+
+# Query terms drawn from the synthetic corpus vocabulary: mid-frequency
+# content words so tf, df, and length damping all vary across documents.
+BM25_TERMS: tuple[str, ...] = ("spark", "window", "customer")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (Lucene idf form) of every matching document against a
+    fixed query-term set — the lexical retrieval baseline."""
+    d = load(spark, sf_dir, "documents")
+    return tx.bm25_scores(d, BM25_TERMS, k1=BM25_K1, b=BM25_B)
+
+
+def _bm25_sql() -> str:
+    inlist = ", ".join(f"'{w}'" for w in BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ({inlist}) GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(*) AS df_t FROM tf GROUP BY tok
+), dl AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents
+), scalars AS (
+  SELECT count(*) AS n_docs, avg(len({_TOKS})) AS avgdl FROM documents
+)
+SELECT tf.doc_id,
+  round(sum(
+    ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+    * (tf * ({BM25_K1} + 1)) / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+  ), 6) AS bm25
+FROM tf JOIN dfreq USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, scalars
+GROUP BY tf.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token counting + ratios"),
+    "text_gopher_quality": QuerySpec(
+        text_gopher_quality, _gopher_sql(), "Gopher heuristic quality gate (Rae et al. 2021)"
+    ),
+    "text_bm25_rank": QuerySpec(
+        text_bm25_rank, _bm25_sql(), "Okapi BM25 lexical relevance vs fixed query terms"
+    ),
     "text_unigram_logprob": QuerySpec(
         text_unigram_logprob, UNIGRAM_SQL, "corpus-unigram LM mean log-prob quality score"
     ),

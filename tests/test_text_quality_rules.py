@@ -1,0 +1,66 @@
+"""Gopher quality-rule and BM25 edge cases that the corpus-level oracle
+parity test cannot reach: empty / single-token / symbol-only documents
+must not trip ANSI element_at errors (the bigram expression lives inside
+a lazy CASE WHEN), and the pass flag must enforce each threshold."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from monster_etl_spark.operators import text as tx
+
+
+def _features(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    return {
+        r["doc_id"]: r.asDict()
+        for r in tx.gopher_features(df).orderBy("doc_id").collect()
+    }
+
+
+def test_gopher_edge_documents(spark):
+    rows = _features(
+        spark,
+        [
+            "",  # empty: split("") -> [""], zero-length token
+            "word",  # single token: no bigrams -> NULL frac
+            "### ### ###",  # symbol-only
+            "the cat sat on the mat and the dog sat on the rug it is fine "
+            + " ".join(f"word{i}" for i in range(40)),
+        ],
+    )
+    # no ANSI error reaching here is the main assertion
+    assert rows[1]["top_bigram_frac"] is None
+    assert rows[1]["n_words"] == 1
+    assert rows[2]["alpha_word_frac"] == 0.0
+    assert rows[2]["gopher_pass"] is False  # alpha + stopword rules fail
+    assert rows[3]["gopher_pass"] is True
+    assert rows[3]["distinct_stopwords"] >= 2
+
+
+def test_gopher_repetition_rule(spark):
+    # 60 copies of the same bigram: top_bigram_frac ~ 1 -> must fail
+    looping = "buy now " * 60
+    rows = _features(spark, [looping.strip()])
+    assert rows[0]["top_bigram_frac"] > tx.GOPHER_MAX_TOP_BIGRAM_FRAC
+    assert rows[0]["gopher_pass"] is False
+
+
+def test_bm25_hand_computed(spark):
+    # 3 docs, term "x": df=2, N=3; doc lengths 2, 4, 3 -> avgdl 3.0
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x x z w"), (3, "a b c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in tx.bm25_scores(df, ("x",), k1=1.2, b=0.75).collect()
+    }
+    assert set(got) == {1, 2}
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def score(tf, dl):
+        return round(idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.0)), 6)
+
+    assert got[1] == pytest.approx(score(1, 2), abs=1e-6)
+    assert got[2] == pytest.approx(score(2, 4), abs=1e-6)
