@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 
 from monster_etl_spark.operators.multimodal import (
     documents_as_media,
+    documents_as_png_media,
     extract_image_features,
+    extract_pixel_stats,
     resize_images,
 )
 from monster_etl_spark.queries import QuerySpec, load
@@ -167,7 +169,53 @@ FROM spans
 """
 
 
+_PNG_W = 32
+
+
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG encode -> decode round-trip, fully distributed: each
+    document's UTF-8 bytes become an 8-bit grayscale PNG (born on
+    executors), then the pure-stdlib pixel decoder recovers dimensions and
+    intensity statistics. The oracle computes the same stats analytically
+    from character code points (the corpus is ASCII, so code point ==
+    pixel byte; zero-padding to whole rows is mirrored on both sides) —
+    a hash-match proves the codec path decodes actual pixels."""
+    media = documents_as_png_media(load(spark, sf_dir, "documents"), width=_PNG_W)
+    return extract_pixel_stats(media).select(
+        "media_id", "width", "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "min_intensity", "max_intensity", "decoded",
+    )
+
+
+PNG_PIXEL_SQL = f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+    list_transform(string_split(text, ''), c -> unicode(c)) AS bytes_
+  FROM documents
+), d AS (
+  SELECT doc_id, n,
+    CAST(ceil(n / {_PNG_W}.0) AS BIGINT) * {_PNG_W} AS total,
+    list_sum(bytes_) AS s, list_min(bytes_) AS mn, list_max(bytes_) AS mx
+  FROM b
+)
+SELECT doc_id AS media_id,
+  {_PNG_W} AS width,
+  CAST(total / {_PNG_W} AS INT) AS height,
+  round(s / CAST(total AS DOUBLE), 6) AS mean_intensity,
+  CAST(CASE WHEN total > n THEN 0 ELSE mn END AS INT) AS min_intensity,
+  CAST(mx AS INT) AS max_intensity,
+  true AS decoded
+FROM d
+"""
+
+
 QUERIES = {
+    "multimodal_png_pixel_stats": QuerySpec(
+        multimodal_png_pixel_stats,
+        PNG_PIXEL_SQL,
+        "real PNG encode->pixel-decode round-trip, analytic oracle",
+    ),
     "multimodal_audio_windows": QuerySpec(
         multimodal_audio_windows, AUDIO_WINDOWS_SQL, "1s/0.5s audio framing from typed metadata"
     ),

@@ -188,3 +188,116 @@ def test_extract_image_features_real_headers(spark):
     assert got[3] == (64, 32)
     n = len(b"not an image at all")
     assert got[4] == ((n % 640) + 1, (n % 480) + 1)
+
+
+# ---- real PNG pixel decode (pure stdlib) ----
+
+
+def _filter_row(ftype, line, prev, channels):
+    """Apply a PNG scanline filter FORWARD (what an encoder does), so the
+    decoder's reversal can be verified against the original bytes."""
+    out = bytearray()
+    for x, b in enumerate(line):
+        a = line[x - channels] if x >= channels else 0
+        up = prev[x]
+        c = prev[x - channels] if x >= channels else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (a + up) >> 1
+        else:  # Paeth
+            p = a + up - c
+            pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+        out.append((b - pred) & 0xFF)
+    return bytes(out)
+
+
+def _png_with_filters(width, height, channels, pixels, ftypes):
+    """Hand-built PNG using a chosen filter type per scanline."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        raw += bytes([ftypes[y]]) + _filter_row(ftypes[y], line, prev, channels)
+        prev = line
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_decode_all_filters_roundtrip(channels):
+    """Every scanline filter (None/Sub/Up/Average/Paeth) and every
+    supported color type must decode back to the exact original pixels."""
+    width, height = 7, 5
+    stride = width * channels
+    pixels = bytes((i * 37 + 11) % 256 for i in range(stride * height))
+    blob = _png_with_filters(width, height, channels, pixels, ftypes=[0, 1, 2, 3, 4])
+    got = mm.png_decode(blob)
+    assert got is not None
+    w, h, ch, px = got
+    assert (w, h, ch) == (width, height, channels)
+    assert px == pixels
+
+
+def test_png_encode_decode_roundtrip():
+    payload = bytes(range(256)) * 3
+    blob = mm.png_encode_gray8(payload, width=32)
+    w, h, ch, px = mm.png_decode(blob)
+    assert (w, ch) == (32, 1)
+    assert h == -(-len(payload) // 32)
+    assert px[: len(payload)] == payload
+    assert set(px[len(payload):]) <= {0}
+
+
+def test_png_decode_rejects_unsupported():
+    # palette type, 16-bit depth, truncated stream, non-PNG
+    import struct
+    import zlib
+
+    def png(depth, ctype):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, 0)
+        body = struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
+            ">I", zlib.crc32(b"IHDR" + ihdr)
+        )
+        return b"\x89PNG\r\n\x1a\n" + body
+
+    assert mm.png_decode(png(8, 3)) is None  # palette
+    assert mm.png_decode(png(16, 0)) is None  # 16-bit
+    assert mm.png_decode(b"\x89PNG\r\n\x1a\ntruncated") is None
+    assert mm.png_decode(b"GIF89a\x00\x00") is None
+
+
+def test_extract_pixel_stats_mixed_batch(spark):
+    """Real PNGs decode to true stats; junk rows yield decoded=false with
+    null stats — never an exception mid-batch."""
+    gray = mm.png_encode_gray8(bytes([10, 20, 30, 40]), width=2)
+    rows = [(1, gray), (2, b"definitely not a png")]
+    media = spark.createDataFrame(rows, "media_id: long, content: binary")
+    got = {r["media_id"]: r for r in mm.extract_pixel_stats(media).collect()}
+    assert got[1]["decoded"] is True
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (2, 2, 1)
+    assert got[1]["mean_intensity"] == pytest.approx(25.0)
+    assert (got[1]["min_intensity"], got[1]["max_intensity"]) == (10, 40)
+    assert got[2]["decoded"] is False
+    assert got[2]["width"] is None and got[2]["mean_intensity"] is None
