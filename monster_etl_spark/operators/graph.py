@@ -130,3 +130,76 @@ def dedup_survivors(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    base: int = 10**12,
+) -> DataFrame:
+    """PageRank over a directed edge list in FIXED-POINT integer
+    arithmetic: ranks are scaled to ``base`` (1.0 == 10^12) and every
+    step uses only long addition/multiplication and floor division, so
+    the result is bit-identical on any engine and any partitioning — an
+    iterative algorithm that can be HASH-verified against an unrolled-CTE
+    SQL oracle, where float PageRank could only ever be approximately
+    compared. (Floor division sheds up to ``out_deg`` units of 1e-12 mass
+    per node per round — a deterministic variant, documented, not drift.)
+
+        r0(n)   = base div N
+        r_{k+1} = ((100 - d) * base) div (100 * N)
+                  + (d * sum over in-neighbors m of r_k(m) div out_deg(m)) div 100
+
+    Dangling nodes (no out-edges) keep their rank but contribute nothing —
+    standard simplified PageRank; symmetrize the edge list to avoid them.
+
+    Scale shape: each round is one equi-join of the rank table with the
+    edge list plus one map-side-combinable sum — the canonical iterative-
+    join loop. The plan grows linearly with ``iterations`` (no
+    checkpointing needed at <=10 rounds); for long runs insert
+    ``localCheckpoint`` every ~10 rounds as ``connected_components`` does.
+
+    Returns (node, rank_fp, rank) — the exact fixed-point long and the
+    convenience double ``rank_fp / base`` rounded 6dp.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("out_deg"))
+    n_total = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    d = int(damping_pct)
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_total))
+        .select("node", "n_nodes", F.expr(f"{base} div n_nodes").alias("rank_fp"))
+    )
+    tele = F.expr(f"({100 - d} * {base}) div (100 * n_nodes)")
+    # name-keyed edge copy: every join below is a USING-style equi-join on
+    # "node", which sidesteps ambiguous-attribute resolution when ranks
+    # (whose lineage contains the edge list, via nodes) re-joins the edges
+    e_by_src = e.select(F.col("src").alias("node"), "dst")
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(deg, "node")
+            .join(e_by_src, "node")
+            .select(F.col("dst").alias("node"), F.expr("rank_fp div out_deg").alias("c"))
+        )
+        in_sum = contrib.groupBy("node").agg(F.sum("c").alias("in_sum"))
+        ranks = (
+            ranks.drop("rank_fp")
+            .join(in_sum, "node", "left")
+            .select(
+                "node",
+                "n_nodes",
+                (tele + F.expr(f"({d} * coalesce(in_sum, 0)) div 100")).alias("rank_fp"),
+            )
+        )
+    return ranks.select(
+        "node",
+        "rank_fp",
+        F.round(F.col("rank_fp").cast("double") / F.lit(float(base)), 6).alias("rank"),
+    )

@@ -546,7 +546,96 @@ GROUP BY change_type
 """
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: per-key row counts of ``lineitem.l_suppkey``
+    reduced to the distribution summary that decides the join strategy
+    (plain shuffle vs AQE skew split vs explicit salting — see
+    ``operators.joins.salted_join`` and the SCALE.md skew experiment).
+    One combinable groupBy then a single-row aggregate over the (small)
+    key-count table; the hottest key is tie-broken to the smallest id.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_per_key"),
+        F.round(F.avg("cnt"), 6).alias("avg_per_key"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50_per_key"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_per_key"),
+        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
+    )
+    top = (
+        counts.join(stats.select("max_per_key"), counts["cnt"] == F.col("max_per_key"))
+        .agg(F.min("l_suppkey").alias("hottest_key"))
+    )
+    return stats.crossJoin(F.broadcast(top))
+
+
+Q_KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+), stats AS (
+  SELECT count(*) AS n_keys,
+    max(cnt) AS max_per_key,
+    round(avg(cnt), 6) AS avg_per_key,
+    round(quantile_cont(cnt, 0.5), 6) AS p50_per_key,
+    round(quantile_cont(cnt, 0.99), 6) AS p99_per_key,
+    round(max(cnt) / avg(cnt), 6) AS skew_ratio
+  FROM counts
+)
+SELECT stats.*,
+  (SELECT min(l_suppkey) FROM counts, stats WHERE cnt = max_per_key) AS hottest_key
+FROM stats
+"""
+
+
+EQUIDEPTH_BINS = 8
+
+
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning of ``o_totalprice`` via ``ntile`` —
+    the feature-discretization / range-partition-boundary primitive (the
+    histogram twin of ``q_histogram``'s equi-width buckets). ntile over a
+    global sort locally; at scale the same boundaries come from
+    ``repartitionByRange`` + per-partition min/max, which is the layout
+    the writer path already uses (``zorder_layout``). Deterministic: the
+    sort is keyed (o_totalprice, o_orderkey) so ties are totally ordered
+    and bin membership is engine-agnostic."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", "o_orderkey")
+        .withColumn("bin", F.ntile(EQUIDEPTH_BINS).over(w).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+Q_EQUIDEPTH_SQL = f"""
+WITH t AS (
+  SELECT o_totalprice,
+    ntile({EQUIDEPTH_BINS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_rows,
+  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+FROM t GROUP BY bin
+"""
+
+
 QUERIES = {
+    "q_key_skew_profile": QuerySpec(
+        q_key_skew_profile, Q_KEY_SKEW_SQL, "join-key skew distribution profile"
+    ),
+    "q_equidepth_bins": QuerySpec(
+        q_equidepth_bins, Q_EQUIDEPTH_SQL, "equi-depth quantile binning (ntile)"
+    ),
     "t1_rename_fields": QuerySpec(t1_rename_fields, T1_SQL, "T1 renameFields"),
     "t2_remove_fields": QuerySpec(t2_remove_fields, T2_SQL, "T2 removeFields"),
     "t3_extract_fields": QuerySpec(t3_extract_fields, T3_SQL, "T3 extractFields"),

@@ -507,8 +507,82 @@ GROUP BY tf.doc_id
 """
 
 
+PAGERANK_ITERS = 5
+_PR_BASE = 10**12
+
+
+def text_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of tokens over the symmetrized co-occurrence
+    graph (edges = Apriori frequent pairs): which vocabulary terms sit at
+    the center of the corpus. Runs the FIXED-POINT integer PageRank
+    (``operators.graph.pagerank_fixed_point``) so the iterative result is
+    hash-verifiable against a 5x unrolled-CTE SQL oracle — float PageRank
+    could only ever be approximately compared."""
+    from monster_etl_spark.operators.graph import pagerank_fixed_point
+
+    pairs = tx.frequent_token_pairs(
+        load(spark, sf_dir, "documents"), min_support=PAIR_MIN_SUPPORT
+    )
+    edges = pairs.select(
+        F.col("tok_a").alias("src"), F.col("tok_b").alias("dst")
+    ).unionAll(pairs.select(F.col("tok_b").alias("src"), F.col("tok_a").alias("dst")))
+    return pagerank_fixed_point(edges, iterations=PAGERANK_ITERS)
+
+
+def _pagerank_sql() -> str:
+    iter_cte = """
+r{k} AS (
+  SELECT nodes.node,
+    (SELECT (15 * {base}) // (100 * n) FROM nn)
+    + (85 * coalesce(s.in_sum, 0)) // 100 AS rank_fp
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank_fp // d.out_deg) AS in_sum
+    FROM r{prev} r JOIN deg d ON r.node = d.node JOIN edges e ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON nodes.node = s.node
+)"""
+    iters = ",".join(
+        iter_cte.format(k=k, prev=k - 1, base=_PR_BASE)
+        for k in range(1, PAGERANK_ITERS + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents
+),
+pruned AS (
+  SELECT doc, tok FROM toks WHERE tok <> '' AND tok IN (
+    SELECT tok FROM toks WHERE tok <> '' GROUP BY tok
+    HAVING count(*) >= {PAIR_MIN_SUPPORT}
+  )
+),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b
+  FROM pruned a JOIN pruned b ON a.doc = b.doc AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+  HAVING count(*) >= {PAIR_MIN_SUPPORT}
+),
+edges AS (
+  SELECT tok_a AS src, tok_b AS dst FROM pairs
+  UNION ALL SELECT tok_b AS src, tok_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, (SELECT {_PR_BASE} // n FROM nn) AS rank_fp FROM nodes),
+{iters}
+SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp,
+  round(CAST(rank_fp AS BIGINT) / {_PR_BASE}.0, 6) AS rank
+FROM r{PAGERANK_ITERS}
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token counting + ratios"),
+    "text_token_pagerank": QuerySpec(
+        text_token_pagerank,
+        _pagerank_sql(),
+        "fixed-point PageRank over the token co-occurrence graph",
+    ),
     "text_gopher_quality": QuerySpec(
         text_gopher_quality, _gopher_sql(), "Gopher heuristic quality gate (Rae et al. 2021)"
     ),
