@@ -73,6 +73,12 @@ BENCH_QUERIES = [
     "text_diversity",
     "q_funnel",
     "q_histogram",
+    "text_gopher_quality",
+    "text_bm25_rank",
+    "text_token_pagerank",
+    "embedding_dim_stats",
+    "multimodal_png_pixel_stats",
+    "q_key_skew_profile",
 ]
 
 

@@ -442,3 +442,47 @@ def fuzzy_pairs(
         "id_b",
         F.levenshtein(F.col("text_a"), F.col("text_b")).cast("long").alias("dist"),
     ).filter(F.col("dist") <= max_dist)
+
+
+def span_dup_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_w: int = 8,
+    max_span_freq: int | None = None,
+) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of a document's
+    distinct ``span_w``-token spans that also occur in at least one other
+    document (the doc-level signal of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — exact substring overlap,
+    where the shingle families measure set similarity). High ``dup_frac``
+    = boilerplate or copied passages; the standard curation gate drops or
+    trims such docs.
+
+    Scale shape: reuses the hashed-shingle machinery — spans are per-doc
+    distinct BEFORE the explode (no global distinct), span frequency is a
+    map-side-combinable count on the 8-byte hash, and the join back is an
+    equi-join on that hash. Long spans are zipf-cold so no guard is
+    engaged by default; pass ``max_span_freq`` if a template sentence
+    longer than ``span_w`` dominates a corpus.
+
+    Returns (id, n_spans, n_shared_spans, dup_frac) for docs with at
+    least ``span_w`` tokens.
+    """
+    sh = _hashed_shingles(df, id_col, text_col, span_w, max_span_freq)
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("long")
+    return (
+        sh.join(dfreq, "h")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            shared.alias("n_shared_spans"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_spans",
+            "n_shared_spans",
+            F.round(F.col("n_shared_spans") / F.col("n_spans"), 6).alias("dup_frac"),
+        )
+    )

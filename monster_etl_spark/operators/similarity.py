@@ -605,3 +605,105 @@ def brute_force_topk_blocked(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def covariance_moments(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle exact covariance of the embedding dimensions —
+    DECIMAL(18,9) per-element casts so products (DECIMAL(37,18)) and sums
+    are exact and partition-order independent. Narrow pair expansion
+    (d²/2 structs per row, no shuffle), one map-side-combinable (i, j)
+    aggregate; see ``queries.similarity_queries.embedding_covariance``
+    for the hash-matched SQL twin. Returns (dim_i, dim_j, cov) 1-based.
+    """
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, size({vec_col})), i ->
+                     transform(sequence(i, size({vec_col})), j ->
+                       struct(i AS i, j AS j,
+                         CAST(CAST(element_at({vec_col}, i) AS DECIMAL(18,9))
+                              * CAST(element_at({vec_col}, j) AS DECIMAL(18,9))
+                              AS DECIMAL(38,18)) AS xy))))"""
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xy")
+    sums = pairs.groupBy("i", "j").agg(F.sum("xy").alias("sxy"))
+    dims = emb.select(F.posexplode(vec_col).alias("pos", "v")).select(
+        (F.col("pos") + 1).alias("d"), F.col("v").cast("decimal(18,9)").alias("x")
+    )
+    means = dims.groupBy("d").agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+    mi = means.select(F.col("d").alias("i"), F.col("sx").alias("sx_i"), "n")
+    mj = means.select(F.col("d").alias("j"), F.col("sx").alias("sx_j"))
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx_i").cast("double") * F.col("sx_j").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return (
+        sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            F.col("i").cast("long").alias("dim_i"),
+            F.col("j").cast("long").alias("dim_j"),
+            cov.alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PCA, the canonical two-phase shape: (1) the d x d
+    covariance reduces across the cluster (``covariance_moments`` — one
+    corpus pass, map-side combinable); (2) eigendecomposition runs on the
+    driver over the d² matrix (numpy `eigh` — metadata-sized, the same
+    design point as the manifest collect); (3) projection is a narrow
+    per-row dot product against the top-``k`` eigenvectors shipped as
+    broadcast literals. The corpus is read twice and never shuffled.
+
+    Deterministic: `eigh` is deterministic for a fixed matrix (which the
+    exact-decimal covariance guarantees), and each component's sign is
+    canonicalized (largest-|loading| coordinate made positive) so the
+    output does not flip between runs. Centering uses the exact per-dim
+    means. Returns (id, pc1..pck) with 6dp rounding.
+    """
+    import numpy as np
+
+    cov_rows = covariance_moments(emb, vec_col).collect()
+    d = max(r["dim_j"] for r in cov_rows)
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
+        cov[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order]  # d x k
+    for c in range(comps.shape[1]):
+        pivot = int(np.argmax(np.abs(comps[:, c])))
+        if comps[pivot, c] < 0:
+            comps[:, c] = -comps[:, c]
+    mean_rows = (
+        emb.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in mean_rows:
+        mu[r["pos"]] = r["m"]
+
+    # (x - mu) . w == x . w - mu . w: the mean shift folds into a scalar
+    # offset, so the per-row work is one zip_with dot product
+    out_cols = [F.col(id_col)]
+    for c in range(comps.shape[1]):
+        weights = F.array(*[F.lit(float(x)) for x in comps[:, c]])
+        dot_xw = F.aggregate(
+            F.zip_with(_as_double(F.col(vec_col)), weights, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        offset = float(mu @ comps[:, c])
+        out_cols.append(F.round(dot_xw - F.lit(offset), 6).alias(f"pc{c + 1}"))
+    return emb.select(*out_cols)

@@ -327,7 +327,35 @@ FROM vals WHERE cnt >= 2
 """
 
 
+SPAN_W = 8
+
+
+def dedup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span fraction (exact ``SPAN_W``-token substring
+    overlap, Lee et al. 2022) — the doc-level curation gate the set-based
+    shingle families don't give you."""
+    return dd.span_dup_report(
+        load(spark, sf_dir, "documents"), "doc_id", "text", span_w=SPAN_W
+    )
+
+
+SPAN_REPORT_SQL = f"""
+WITH sh_raw AS ({_shingles_raw_sql(SPAN_W)}),
+sh AS (SELECT doc, {_sql_hash64('shingle')} AS h FROM sh_raw),
+dfreq AS (SELECT h, count(*) AS n_docs FROM sh GROUP BY h)
+SELECT doc AS doc_id, count(*) AS n_spans,
+  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+  round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+    AS dup_frac
+FROM sh JOIN dfreq USING (h)
+GROUP BY doc
+"""
+
+
 QUERIES = {
+    "dedup_span_report": QuerySpec(
+        dedup_span_report, SPAN_REPORT_SQL, "per-doc duplicated-span fraction (exact substrings)"
+    ),
     "dedup_exact": QuerySpec(dedup_exact, EXACT_SQL, "exact content-hash dedup"),
     "dedup_decontaminate": QuerySpec(
         dedup_decontaminate, _decontam_sql(), "train/eval n-gram decontamination"

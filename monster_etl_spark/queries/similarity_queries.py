@@ -299,7 +299,87 @@ FROM ex GROUP BY dim
 """
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sample covariance matrix of the embedding columns (upper
+    triangle, 1-based dims) — the distributed first step of PCA/whitening:
+    the d x d moment matrix reduces map-side, then eigendecomposition of
+    the tiny result is a driver/numpy step (see tests/test_similarity.py).
+
+    Determinism: per-row products are computed in DECIMAL(18,9) x
+    DECIMAL(18,9) -> DECIMAL(37,18) arithmetic — exact, so the sums are
+    independent of partition/summation order and cross-engine identical;
+    the covariance formula runs in double only on the final exact sums.
+
+    Scale shape: the pair expansion is a NARROW per-row transform (d²/2
+    struct rows per vector, no shuffle), the (i, j) aggregate is map-side
+    combinable with d²/2 output groups, and the per-dim mean join is
+    d-bounded (broadcasts). One corpus pass total.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(sequence(1, size(embedding)), i ->
+                     transform(sequence(i, size(embedding)), j ->
+                       struct(i AS i, j AS j,
+                         CAST(CAST(element_at(embedding, i) AS DECIMAL(18,9))
+                              * CAST(element_at(embedding, j) AS DECIMAL(18,9))
+                              AS DECIMAL(38,18)) AS xy))))"""
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xy")
+    sums = pairs.groupBy("i", "j").agg(F.sum("xy").alias("sxy"))
+    dims = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select((F.col("pos") + 1).alias("d"), F.col("v").cast("decimal(18,9)").alias("x"))
+    means = dims.groupBy("d").agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+    mi = means.select(F.col("d").alias("i"), F.col("sx").alias("sx_i"), "n")
+    mj = means.select(F.col("d").alias("j"), F.col("sx").alias("sx_j"))
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx_i").cast("double") * F.col("sx_j").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return (
+        sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            F.col("i").cast("long").alias("dim_i"),
+            F.col("j").cast("long").alias("dim_j"),
+            F.round(cov, 6).alias("cov"),
+        )
+    )
+
+
+COVARIANCE_SQL = """
+WITH pr AS (
+  SELECT unnest(flatten(list_transform(range(1, len(embedding) + 1), i ->
+           list_transform(range(i, len(embedding) + 1), j ->
+             {'i': i, 'j': j,
+              'xy': CAST(embedding[i] AS DECIMAL(18,9))
+                    * CAST(embedding[j] AS DECIMAL(18,9))})))) AS p
+  FROM embeddings
+), sums AS (
+  SELECT p.i AS i, p.j AS j, sum(CAST(p.xy AS DECIMAL(38,18))) AS sxy
+  FROM pr GROUP BY p.i, p.j
+), dims AS (
+  SELECT generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DECIMAL(18,9)) AS x
+  FROM embeddings
+), means AS (
+  SELECT d, sum(x) AS sx, count(*) AS n FROM dims GROUP BY d
+)
+SELECT CAST(s.i AS BIGINT) AS dim_i, CAST(s.j AS BIGINT) AS dim_j,
+  round((CAST(s.sxy AS DOUBLE)
+         - CAST(mi.sx AS DOUBLE) * CAST(mj.sx AS DOUBLE) / mi.n)
+        / (mi.n - 1), 6) AS cov
+FROM sums s JOIN means mi ON s.i = mi.d JOIN means mj ON s.j = mj.d
+"""
+
+
 QUERIES = {
+    "embedding_covariance": QuerySpec(
+        embedding_covariance, COVARIANCE_SQL, "exact decimal-moment covariance matrix (PCA step)"
+    ),
     "embedding_dim_stats": QuerySpec(
         embedding_dim_stats, DIM_STATS_SQL, "per-dimension embedding distribution profile"
     ),

@@ -1,6 +1,8 @@
 """ANN recall: the approximate paths must recover most of the exact
 brute-force top-k."""
 
+import pytest
+
 from monster_etl_spark.operators import similarity as sim
 from monster_etl_spark.queries import load
 
@@ -159,3 +161,54 @@ def test_blocked_brute_force_equals_broadcast(spark, sf_dir):
     from collections import Counter
 
     assert Counter(r["query_id"] for r in a) == Counter(r["query_id"] for r in b)
+
+
+def test_pca_project_matches_numpy(spark, sf_dir):
+    """Distributed PCA (exact-decimal covariance + driver eigh + narrow
+    projection) must agree with a straight numpy PCA of the same vectors
+    to float tolerance, for every requested component."""
+    import numpy as np
+
+    from monster_etl_spark.operators.similarity import pca_project
+    from monster_etl_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in pca_project(emb, k=2).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    comps = vecs[:, order]
+    for c in range(2):
+        pivot = int(np.argmax(np.abs(comps[:, c])))
+        if comps[pivot, c] < 0:
+            comps[:, c] = -comps[:, c]
+    expected = (X - mu) @ comps
+
+    for i, vid in enumerate(ids):
+        assert got[vid][0] == pytest.approx(expected[i, 0], abs=5e-4)
+        assert got[vid][1] == pytest.approx(expected[i, 1], abs=5e-4)
+
+
+def test_covariance_moments_symmetric_psd(spark, sf_dir):
+    import numpy as np
+
+    from monster_etl_spark.operators.similarity import covariance_moments
+    from monster_etl_spark.queries import load
+
+    rows = covariance_moments(load(spark, sf_dir, "embeddings")).collect()
+    d = max(r["dim_j"] for r in rows)
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
+        cov[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
+    evs = np.linalg.eigvalsh(cov)
+    assert evs.min() > -1e-9  # PSD up to float noise
+    assert cov.diagonal().min() > 0
