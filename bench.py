@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "embedding_dim_stats",
     "multimodal_png_pixel_stats",
     "q_key_skew_profile",
+    "dedup_window_rewrite",
+    "text_classifier_score",
+    "text_bigram_logprob",
+    "knn_pq",
+    "q_quality_survivor",
 ]
 
 
@@ -101,6 +106,9 @@ SOAK_QUERIES = [
     "q_corpus_curation",
     "q_token_packing",
     "text_quality",
+    "dedup_window_rewrite",
+    "text_bigram_logprob",
+    "knn_pq",
 ]
 
 

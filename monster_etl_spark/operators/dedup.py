@@ -486,3 +486,81 @@ def span_dup_report(
             F.round(F.col("n_shared_spans") / F.col("n_spans"), 6).alias("dup_frac"),
         )
     )
+
+
+# pos packs into the low 20 bits of the first-occurrence key; documents
+# longer than 2^20 segments (~8M tokens at seg_w=8) would need a wider
+# shift. Shared with the SQL oracle.
+SEG_POS_BITS = 20
+
+
+def window_dedup_rewrite(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_w: int = 8,
+) -> DataFrame:
+    """Sub-document corpus dedup with reconstruction (C4 / Lee et al. 2022
+    style): cut every document into consecutive ``seg_w``-token segments,
+    keep only each distinct segment's globally-first occurrence (minimum
+    ``(doc, position)``), and rebuild the cleaned text from the surviving
+    segments in order. Unlike :func:`span_dup_report` (which only scores),
+    this REMOVES repeated passages — the boilerplate-stripping rewrite an
+    LLM curation pipeline runs corpus-wide.
+
+    Scale shape (100 TB posture):
+    - Segmentation is narrow: one pass builds the segment array per row
+      (tokens materialized once; lambda subtrees are not CSE'd).
+    - The only corpus-wide state is ``segment-hash -> min first-occurrence
+      key``: a map-side-combinable MIN aggregate over 8-byte hashes, then
+      an equi-join back — shuffle bytes are proportional to distinct
+      segments, never to text volume.
+    - Reconstruction groups per document (bounded by document length);
+      ``array_sort`` on (pos, seg) structs keeps it deterministic under
+      any partitioning.
+    - The first-occurrence rule needs a total order; ``doc * 2^20 + pos``
+      packs it into one BIGINT so the MIN stays a primitive aggregate
+      (struct-min would disable map-side partials in some engines).
+
+    Returns (id, n_segs, n_kept, clean_text); documents whose every
+    segment occurred earlier elsewhere come back with ``n_kept=0`` and
+    empty ``clean_text``.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+    base = _spread(df.select(F.col(id_col).alias("doc"), toks.alias("toks")))
+    n_segs = F.ceil(F.size("toks") / F.lit(float(seg_w))).cast("long")
+    seg_at = lambda s: F.array_join(  # noqa: E731
+        F.slice(F.col("toks"), s * seg_w + 1, seg_w), " "
+    )
+    segs = base.select(
+        "doc",
+        n_segs.alias("n_segs"),
+        F.posexplode(F.transform(F.sequence(F.lit(0), n_segs - 1), seg_at)).alias(
+            "pos", "seg"
+        ),
+    )
+    key = F.col("doc") * (1 << SEG_POS_BITS) + F.col("pos")
+    hashed = segs.select(
+        "doc", "n_segs", "pos", "seg", _hash64(F.col("seg"), salt="c4seg").alias("h")
+    )
+    firsts = hashed.groupBy("h").agg(F.min(key).alias("min_key"))
+    kept = hashed.join(firsts, "h").filter(key == F.col("min_key"))
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))), lambda x: x["seg"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc", n_segs.alias("n_segs"))
+        .join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

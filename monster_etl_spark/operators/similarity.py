@@ -707,3 +707,282 @@ def pca_project(
         offset = float(mu @ comps[:, c])
         out_cols.append(F.round(dot_xw - F.lit(offset), 6).alias(f"pc{c + 1}"))
     return emb.select(*out_cols)
+
+
+# --- Product Quantization (PQ) approximate top-k --------------------------
+
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+PQ_KMEANS_ITERS = 2
+PQ_SHORTLIST_FACTOR = 12  # ADC shortlist size = k * this, before exact re-rank
+# map key for (subspace, centroid) -> one int; codebooks are far smaller
+PQ_KEY_STRIDE = 1 << 20
+
+
+def _sub_rows(df: DataFrame, id_col: str, vec_col: str, m: int) -> DataFrame:
+    """(id, sub_id, sv): each vector split into ``m`` contiguous sub-vectors
+    (last subspace takes any remainder dimension). Narrow — one slice per
+    subspace, no shuffle."""
+    d = F.size(F.col(vec_col))
+    dsub = (d / m).cast("int")  # floor
+    rows = df.select(
+        F.col(id_col).alias("cid"),
+        _as_double(F.col(vec_col)).alias("v"),
+        dsub.alias("dsub"),
+        d.alias("d"),
+    )
+    return rows.select(
+        "cid",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(
+                    F.col("v"),
+                    s * F.col("dsub") + 1,
+                    F.when(s == m - 1, F.col("d") - s * F.col("dsub")).otherwise(
+                        F.col("dsub")
+                    ),
+                ),
+            )
+        ).alias("sub_id", "sv"),
+    )
+
+
+def _pq_cent_array(cent: DataFrame) -> DataFrame:
+    """1-row broadcastable array of ALL subspace codebooks:
+    array<struct<sub_id, cent_id, cv, c2>> (c2 = |cv|^2 precomputed so the
+    L2 argmin is a single fused dot per candidate)."""
+    return cent.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "sub_id",
+                    "cent_id",
+                    "cv",
+                    F.aggregate(
+                        F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x
+                    ).alias("c2"),
+                )
+            )
+        ).alias("cents")
+    )
+
+
+def _pq_best_code(sv: Column, sub_id: Column) -> Column:
+    """argmin_c ||sv - c||^2 over the row's subspace codebook, expressed as
+    argmax (sv.c - 0.5*|c|^2) so only the codebook's own norms are needed.
+    Ties break to the lowest cent_id via struct ordering."""
+    scored = F.transform(
+        F.filter(F.col("cents"), lambda c: c.getField("sub_id") == sub_id),
+        lambda c: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(sv, c.getField("cv"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                - 0.5 * c.getField("c2")
+            ).alias("score"),
+            (-c.getField("cent_id")).alias("neg_id"),
+            c.getField("cent_id").alias("cent_id"),
+        ),
+    )
+    return F.array_max(scored).getField("cent_id")
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    iters: int = PQ_KMEANS_ITERS,
+) -> DataFrame:
+    """Euclidean (not spherical) k-means codebooks for all ``m`` PQ
+    subspaces, fitted simultaneously in ONE Lloyd loop: the grouped
+    centroid table is keyed (sub_id, cent_id) and collapses to a single
+    broadcast array, so each round is one narrow argmin pass over the
+    (id, sub) rows plus one map-side-combinable mean — m never multiplies
+    the number of jobs. Seeds are the ``n_codes`` lowest-id vectors'
+    sub-slices (deterministic, id-stable). Returns (sub_id, cent_id, cv)
+    with components rounded 9dp for partition-order reproducibility.
+    """
+    sub = _spread(_sub_rows(corpus, id_col, vec_col, m))
+    if iters > 0:
+        sub = sub.persist()
+    cent = (
+        sub.filter(
+            F.col("cid").isin(
+                # bounded: n_codes lowest ids — collected via limit on the
+                # tiny distinct-id projection, not a corpus sort
+                [r[0] for r in corpus.select(id_col).orderBy(id_col).limit(n_codes).collect()]
+            )
+        )
+        .groupBy("sub_id")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "sv"))).alias("seeds"))
+        .select("sub_id", F.posexplode("seeds").alias("idx", "s"))
+        .select(
+            "sub_id",
+            (F.col("idx") + 1).cast("long").alias("cent_id"),
+            F.transform("s.sv", lambda x: F.round(x, 9)).alias("cv"),
+        )
+    )
+    for it in range(iters):
+        best = sub.crossJoin(F.broadcast(_pq_cent_array(cent))).select(
+            "cid",
+            "sub_id",
+            "sv",
+            _pq_best_code(F.col("sv"), F.col("sub_id")).alias("cent_id"),
+        )
+        cent = (
+            best.select("sub_id", "cent_id", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub_id", "cent_id", "pos")
+            .agg(F.avg("val").alias("mval"))
+            .groupBy("sub_id", "cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .select(
+                "sub_id",
+                "cent_id",
+                F.transform("pm", lambda s: F.round(s.getField("mval"), 9)).alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    if iters > 0:
+        sub.unpersist(blocking=False)
+    return cent
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES,
+) -> DataFrame:
+    """Quantize: (id, codes array<long> of length m). THIS is PQ's scale
+    story — at 100 TB the float vectors (d doubles/row) compress to m
+    small codes/row; every downstream scoring pass reads codes, never
+    vectors. Narrow: broadcast codebooks, per-row argmin, per-row
+    array_sort-by-sub reassembly (no shuffle at all)."""
+    sub = _sub_rows(corpus, id_col, vec_col, m)
+    coded = sub.crossJoin(F.broadcast(_pq_cent_array(codebooks))).select(
+        "cid",
+        F.struct("sub_id", _pq_best_code(F.col("sv"), F.col("sub_id")).alias("code")).alias("sc"),
+    )
+    return (
+        coded.groupBy("cid")
+        .agg(F.array_sort(F.collect_list("sc")).alias("scs"))
+        .select(
+            F.col("cid").alias(id_col),
+            F.transform("scs", lambda s: s.getField("code")).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    kmeans_iters: int = PQ_KMEANS_ITERS,
+    shortlist_factor: int = PQ_SHORTLIST_FACTOR,
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact re-rank: fit codebooks, encode
+    the corpus once, build each query's lookup table (its dot product
+    against every codebook entry — m*n_codes doubles per query), score
+    every (query, corpus) pair as m map lookups instead of d multiplies
+    (asymmetric distance computation), shortlist the top
+    ``k * shortlist_factor`` per query, and re-rank ONLY the shortlist by
+    true cosine — the standard IVF-PQ deployment shape (Jégou et al.
+    2011): quantized scores find the neighborhood, exact math orders it.
+
+    Scale shape: the LUT side is |Q|*m*n_codes values — broadcast at any
+    corpus size (|Q| is the caller's responsibility to bound, same
+    contract as ``brute_force_topk``); the corpus side streams CODES (m
+    longs/row, not d floats), so the scoring pass moves ~d/m-fold fewer
+    bytes and does ~d/m-fold fewer multiplies than brute force while
+    remaining embarrassingly parallel. The exact re-rank touches raw
+    vectors for only |Q|*k*shortlist_factor rows (an equi-join on
+    neighbor id), independent of corpus size. Ranking windows partition
+    per query; ties break to the lowest neighbor id.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank) — the final order
+    and similarity are exact within the quantizer-chosen shortlist.
+    """
+    books = pq_codebooks(corpus, id_col, vec_col, m, n_codes, kmeans_iters)
+    codes = pq_encode(corpus, books, id_col, vec_col, m)
+    qsub = _sub_rows(queries, id_col, vec_col, m)
+    lut = (
+        qsub.join(
+            F.broadcast(books),
+            qsub.sub_id == books.sub_id,
+        )
+        .select(
+            F.col("cid").alias("qid"),
+            (qsub.sub_id * PQ_KEY_STRIDE + F.col("cent_id")).alias("key"),
+            F.aggregate(
+                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dp"),
+        )
+        .groupBy("qid")
+        .agg(F.map_from_entries(F.array_sort(F.collect_list(F.struct("key", "dp")))).alias("lut"))
+    )
+    score = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.col("codes"),
+                lambda s, c: F.element_at(F.col("lut"), s * PQ_KEY_STRIDE + c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    pairs = codes.crossJoin(F.broadcast(lut)).filter(F.col(id_col) != F.col("qid"))
+    from pyspark.sql import Window
+
+    shortlist = (
+        pairs.select(
+            F.col("qid").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            score.alias("approx_score"),
+        )
+        .withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("approx_score"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("arank") <= k * shortlist_factor)
+        .drop("arank", "approx_score")
+    )
+    # exact re-rank: raw vectors for shortlist rows only (equi-joins whose
+    # probe side is |Q| * k * shortlist_factor rows, corpus-size-free)
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine_sim"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -539,3 +539,155 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.round(F.sum(term_score), round_to).alias("bm25"))
     )
+
+
+# --- hashed linear classifier (fastText-style inference, no Python) -------
+
+# weight range: w_milli in [-1000, 1000], i.e. weights in [-1, 1] with
+# exactly 3 decimals — integer accumulation keeps scoring bit-exact across
+# partition orders (the float sum never happens; doubles appear only once,
+# at the final logit division). Shared with the SQL oracle.
+CLF_WEIGHT_MOD = 2001
+CLF_BUCKETS = 256
+
+
+def _md5_long(col: Column, salt: str) -> Column:
+    """First 8 md5 hex chars of ``salt|value`` as a non-negative long —
+    the same deterministic cross-engine hash as ``dedup._hash64`` (local
+    copy: ``dedup`` imports this module, so it cannot be imported here)."""
+    payload = F.concat(F.lit(salt), F.lit("|"), col)
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = CLF_BUCKETS,
+    round_to: int = 6,
+) -> DataFrame:
+    """Linear text-classifier INFERENCE as pure column expressions — the
+    fastText/quality-filter shape every corpus curation pipeline runs at
+    full scale (CCNet/LLaMA wiki-likeness filters): feature-hash tokens
+    into ``n_buckets``, join a bucket->weight vector, mean-pool the
+    per-token weights, squash with a sigmoid, and gate on the sign.
+
+    The weight "model" here is a deterministic function of the bucket id
+    (md5-derived, mirrored in the SQL oracle) standing in for trained
+    parameters; a real deployment swaps in a weights table of identical
+    shape — the plan is the point:
+
+    - tokens collapse to per-doc (bucket, count) BEFORE any join, so the
+      weight join probes distinct features, not token occurrences;
+    - the weight vector is O(n_buckets) rows — broadcast at any corpus
+      scale; inference never shuffles the corpus, only the (doc, bucket)
+      feature table (map-side-combinable counts);
+    - weights are integer milli-units: the pooled logit accumulates in
+      LONG (exact, partition-order independent); the only float ops are
+      the final divide + sigmoid, rounded.
+
+    Returns (id, n_tokens, logit, score, keep) — ``keep`` is decided on
+    the integer sum (sign of the logit), never on a rounded float.
+    """
+    spark = df.sparkSession
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (_md5_long(F.col("id").cast("string"), "w") % CLF_WEIGHT_MOD - 1000).alias(
+            "w_milli"
+        ),
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    feats = toks.groupBy(
+        "doc", (_md5_long(F.col("tok"), "b") % n_buckets).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    agg = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("w_milli")).alias("s_milli"),
+        )
+    )
+    logit = F.col("s_milli") / (F.col("n_tokens") * 1000.0)
+    return agg.select(
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        F.round(logit, round_to).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), round_to).alias("score"),
+        (F.col("s_milli") >= 0).alias("keep"),
+    )
+
+
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram term (KenLM-ish)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = BIGRAM_LAMBDA,
+    round_to: int = 6,
+) -> DataFrame:
+    """Interpolated bigram language-model score: per-document mean
+    ``ln(lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/total)`` under the
+    corpus's own counts — the KenLM-perplexity-style fluency signal one
+    step up from :func:`unigram_logprob` (which cannot see scrambled
+    word order; this can). Low score = disfluent/garbled sequences.
+
+    Scale shape: per-doc bigram occurrence counts collapse BEFORE any
+    corpus-wide join (the join probes distinct (doc, bigram) rows, not
+    token positions). The bigram vocabulary is the one corpus-sized
+    aggregate; it is Zipf-bounded and map-side combinable, and the two
+    unigram joins hit a vocabulary small enough for AQE to broadcast.
+    Interpolation (not backoff) keeps every probability strictly
+    positive, so ``ln`` never sees zero — and every count the formula
+    needs is already in the joined row, no conditional second lookup.
+
+    Returns (id, n_bigrams, bigram_logprob); documents with fewer than
+    two tokens have no bigram rows and drop out — identically in SQL.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+    n = F.size("toks")
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = base.select("doc", F.explode(pairs).alias("p")).select(
+        "doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bgd = bg.groupBy("doc", "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    bgc = bgd.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    uni = (
+        base.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("total"))
+    p = F.lit(lam) * (F.col("c12") / F.col("c1")) + F.lit(1.0 - lam) * (
+        F.col("c2") / F.col("total")
+    )
+    return (
+        bgd.join(bgc, ["w1", "w2"])
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(F.sum(F.col("cnt") * F.log(p)) / F.sum("cnt"), round_to).alias(
+                "bigram_logprob"
+            ),
+        )
+        .select(F.col("doc").alias(id_col), "n_bigrams", "bigram_logprob")
+    )

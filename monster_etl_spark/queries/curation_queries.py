@@ -166,8 +166,82 @@ WHERE quality >= {QUALITY_MIN}
 """
 
 
+
+
+def q_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: inside every near-dup cluster
+    keep the HIGHEST-quality member (ties -> lowest id), not the lowest
+    id — the curation-grade dedup rule (min-id keeps whichever copy
+    happened to be crawled first; this keeps the cleanest copy). One row
+    per multi-member cluster: (cluster, survivor_id, n_members,
+    best_quality). The per-cluster window runs on CC output (rows =
+    clustered docs only, a small fraction of the corpus), never on the
+    full corpus."""
+    from monster_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from monster_etl_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text",
+        n=NGRAM_N, threshold=JACCARD_THRESHOLD, max_shingle_freq=MAX_SHINGLE_FREQ,
+    )
+    comps = connected_components(pairs)
+    scored = d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+    joined = comps.join(scored, comps.node == scored.doc_id).select(
+        F.col("component").alias("cluster"), "node", "quality"
+    )
+    w = Window.partitionBy("cluster")
+    ranked = joined.select(
+        "cluster", "node", "quality",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        F.row_number()
+        .over(w.orderBy(F.desc("quality"), F.asc("node")))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster",
+        F.col("node").alias("survivor_id"),
+        "n_members",
+        F.col("quality").alias("best_quality"),
+    )
+
+
+def _quality_survivor_sql() -> str:
+    from monster_etl_spark.queries.text_queries import QUALITY_SQL
+
+    return f"""
+WITH RECURSIVE jp AS ({JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jp
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS node, least(a, MIN(b)) AS component FROM reach GROUP BY a),
+q AS ({QUALITY_SQL}),
+ranked AS (
+  SELECT c.component AS cluster, c.node, q.quality,
+         count(*) OVER (PARTITION BY c.component) AS n_members,
+         row_number() OVER (
+           PARTITION BY c.component ORDER BY q.quality DESC, c.node ASC
+         ) AS rn
+  FROM comp c JOIN q ON q.doc_id = c.node
+)
+SELECT cluster, node AS survivor_id, n_members, quality AS best_quality
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q_train_val_split": QuerySpec(q_train_val_split, TRAIN_VAL_SQL, "deterministic train/val split"),
     "q_token_packing": QuerySpec(q_token_packing, TOKEN_PACKING_SQL, "token-budget sequence packing"),
     "q_corpus_curation": QuerySpec(q_corpus_curation, CURATION_SQL, "quality + dedup curation pass"),
+    "q_quality_survivor": QuerySpec(
+        q_quality_survivor, _quality_survivor_sql(),
+        "quality-argmax survivor per near-dup cluster"
+    ),
 }

@@ -352,9 +352,61 @@ GROUP BY doc
 """
 
 
+
+
+SEG_W = 6  # segment width for the sub-document rewrite (tokens)
+
+
+def dedup_window_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup WITH reconstruction: globally keep each
+    distinct ``SEG_W``-token segment's first occurrence and rebuild the
+    cleaned text — the corpus-wide boilerplate-stripping rewrite (where
+    ``dedup_span_report`` only scores the overlap)."""
+    return dd.window_dedup_rewrite(
+        load(spark, sf_dir, "documents"), "doc_id", "text", seg_w=SEG_W
+    )
+
+
+def _window_rewrite_sql() -> str:
+    w = SEG_W
+    shift = 1 << dd.SEG_POS_BITS
+    nseg = f"CAST(ceil(len(toks) / CAST({w} AS DOUBLE)) AS BIGINT)"
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, {_TOKS} AS toks FROM documents
+),
+segs AS (
+  SELECT doc, {nseg} AS n_segs, t.s AS pos,
+         array_to_string(list_slice(toks, t.s*{w}+1, t.s*{w}+{w}), ' ') AS seg
+  FROM base, LATERAL (SELECT unnest(range(0, {nseg})) AS s) t
+),
+hashed AS (
+  SELECT doc, n_segs, pos, seg, {_sql_hash64("'c4seg|' || seg")} AS h FROM segs
+),
+firsts AS (SELECT h, min(doc*{shift}+pos) AS min_key FROM hashed GROUP BY h),
+kept AS (
+  SELECT doc, pos, seg FROM hashed JOIN firsts USING (h)
+  WHERE doc*{shift}+pos = min_key
+),
+agg AS (
+  SELECT doc, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc
+)
+SELECT b.doc AS doc_id, {nseg} AS n_segs,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM base b LEFT JOIN agg a ON a.doc = b.doc
+"""
+
+
 QUERIES = {
     "dedup_span_report": QuerySpec(
         dedup_span_report, SPAN_REPORT_SQL, "per-doc duplicated-span fraction (exact substrings)"
+    ),
+    "dedup_window_rewrite": QuerySpec(
+        dedup_window_rewrite, _window_rewrite_sql(),
+        "C4-style sub-document dedup with text reconstruction"
     ),
     "dedup_exact": QuerySpec(dedup_exact, EXACT_SQL, "exact content-hash dedup"),
     "dedup_decontaminate": QuerySpec(

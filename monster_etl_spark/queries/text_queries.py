@@ -576,6 +576,84 @@ FROM r{PAGERANK_ITERS}
 """
 
 
+
+
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear classifier inference (fastText-style quality filter)
+    as columnar expressions: feature-hash -> broadcast weight join ->
+    integer-exact mean pooling -> sigmoid."""
+    return tx.hashed_linear_score(load(spark, sf_dir, "documents"))
+
+
+def _classifier_sql() -> str:
+    b = tx.CLF_BUCKETS
+    mod = tx.CLF_WEIGHT_MOD
+    h = lambda expr: (  # mirror of tx._md5_long
+        f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents
+),
+feats AS (
+  SELECT doc, {h("'b|' || tok")} % {b} AS bucket, count(*) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY doc, bucket
+),
+weights AS (
+  SELECT t.b AS bucket,
+         {h("'w|' || CAST(t.b AS VARCHAR)")} % {mod} - 1000 AS w_milli
+  FROM range(0, {b}) t(b)
+),
+agg AS (
+  SELECT doc, sum(cnt) AS n_tokens, sum(cnt * w_milli) AS s_milli
+  FROM feats JOIN weights USING (bucket) GROUP BY doc
+)
+SELECT doc AS doc_id, n_tokens,
+  round(s_milli / (n_tokens * 1000.0), 6) AS logit,
+  round(1.0 / (1.0 + exp(-(s_milli / (n_tokens * 1000.0)))), 6) AS score,
+  s_milli >= 0 AS keep
+FROM agg
+"""
+
+
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM fluency score (KenLM-style perplexity
+    signal; sees scrambled word order where the unigram LM cannot)."""
+    return tx.bigram_logprob(load(spark, sf_dir, "documents"))
+
+
+def _bigram_sql() -> str:
+    lam = tx.BIGRAM_LAMBDA
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents
+),
+bg AS (
+  SELECT doc, toks[t.i] AS w1, toks[t.i + 1] AS w2
+  FROM base, LATERAL (SELECT unnest(range(1, len(toks))) AS i) t
+),
+bgd AS (SELECT doc, w1, w2, count(*) AS cnt FROM bg GROUP BY doc, w1, w2),
+bgc AS (SELECT w1, w2, sum(cnt) AS c12 FROM bgd GROUP BY w1, w2),
+uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY tok
+),
+tot AS (SELECT sum(c) AS total FROM uni)
+SELECT doc AS doc_id, sum(cnt) AS n_bigrams,
+  round(sum(cnt * ln({lam} * (c12 / CAST(u1.c AS DOUBLE))
+                     + {1 - lam} * (u2.c / CAST(total AS DOUBLE)))) / sum(cnt), 6)
+    AS bigram_logprob
+FROM bgd
+JOIN bgc USING (w1, w2)
+JOIN uni u1 ON u1.tok = bgd.w1
+JOIN uni u2 ON u2.tok = bgd.w2
+CROSS JOIN tot
+GROUP BY doc
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token counting + ratios"),
     "text_token_pagerank": QuerySpec(
@@ -588,6 +666,10 @@ QUERIES = {
     ),
     "text_bm25_rank": QuerySpec(
         text_bm25_rank, _bm25_sql(), "Okapi BM25 lexical relevance vs fixed query terms"
+    ),
+    "text_bigram_logprob": QuerySpec(
+        text_bigram_logprob, _bigram_sql(),
+        "interpolated bigram LM mean log-prob (fluency/perplexity signal)"
     ),
     "text_unigram_logprob": QuerySpec(
         text_unigram_logprob, UNIGRAM_SQL, "corpus-unigram LM mean log-prob quality score"
@@ -602,6 +684,10 @@ QUERIES = {
         text_frequent_pairs, FREQ_PAIRS_SQL, "Apriori pass-2 co-occurring token pairs"
     ),
     "text_mixture": QuerySpec(text_mixture, _mixture_sql(), "deterministic corpus mixture weights"),
+    "text_classifier_score": QuerySpec(
+        text_classifier_score, _classifier_sql(),
+        "hashed linear classifier inference (fastText-style filter)"
+    ),
     "text_quality": QuerySpec(text_quality, QUALITY_SQL, "quality scoring"),
     "text_lang_id": QuerySpec(text_lang_id, _langid_sql(), "stopword language-ID"),
     "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_SQL, "document fingerprint"),

@@ -212,3 +212,48 @@ def test_covariance_moments_symmetric_psd(spark, sf_dir):
     evs = np.linalg.eigvalsh(cov)
     assert evs.min() > -1e-9  # PSD up to float noise
     assert cov.diagonal().min() > 0
+
+
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id % 50 == 0)
+    exact = _topk_sets(sim.brute_force_topk(queries, emb, k=5))
+    approx = _topk_sets(sim.pq_topk(queries, emb, k=5))
+    assert approx.keys() == exact.keys()
+    assert _recall(exact, approx) >= 0.5, f"PQ recall too low: {_recall(exact, approx)}"
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    books = sim.pq_codebooks(emb, m=4, n_codes=8, iters=1)
+    codes = sim.pq_encode(emb, books, m=4).collect()
+    assert len(codes) == emb.count()
+    # m codes per vector, every code a valid id of its subspace codebook
+    valid = {
+        (r["sub_id"], r["cent_id"]) for r in books.collect()
+    }
+    for r in codes[:50]:
+        assert len(r["codes"]) == 4
+        for sub, code in enumerate(r["codes"]):
+            assert (sub, code) in valid
+    codes2 = sim.pq_encode(emb, books, m=4).collect()
+    assert sorted(map(str, codes)) == sorted(map(str, codes2))
+
+
+def test_pq_identical_vectors_rank_first(spark):
+    # plant: vec 100 duplicates vec 0 exactly; PQ must place it at rank 1
+    # (identical codes -> identical ADC score; exact re-rank puts the
+    # true duplicate on top with cosine 1.0)
+    import math
+
+    rows = []
+    for i in range(40):
+        v = [math.sin(0.1 * (i + 1) * (j + 1)) for j in range(16)]
+        rows.append((i, v))
+    rows.append((100, rows[0][1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(emb.vec_id == 0)
+    top = sim.pq_topk(q, emb, k=3, m=4, n_codes=8).collect()
+    best = [r for r in top if r["rank"] == 1][0]
+    assert best["neighbor_id"] == 100
+    assert abs(best["cosine_sim"] - 1.0) < 1e-6
