@@ -203,3 +203,51 @@ def unique_rule(df: DataFrame, cols: list[str], rule_name: str) -> DataFrame:
         (total - distinct).cast("long").alias("n_violations"),
         ((total - distinct) == 0).alias("passed"),
     ).select("rule", "n_violations", "passed")
+
+
+def compaction_plan(
+    inventory: DataFrame,
+    unit_col: str,
+    size_col: str,
+    target_size: int,
+) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE bin-packing step of
+    Delta/Iceberg): assign every inventory unit (a part file from a
+    manifest, or a partition from a listing) to a merge group whose
+    combined size approximates ``target_size``.
+
+    Packing rule — cumulative-sum binning over the size-descending order:
+    ``group = floor(cum_size_before / target)``. Deterministic, totally
+    ordered, engine-agnostic (windows over exact integers — no greedy
+    state machine, which neither SQL engine could replay identically).
+    FFD-quality packing is NOT the goal; bounded groups with one pass is:
+    every group's size is < target + max_unit_size.
+
+    Scale shape: the inventory is metadata (one row per file/partition —
+    millions of rows at 100 TB, not billions). The single global-order
+    window is a range-partitioned sort of metadata, never of data. The
+    output feeds a ``repartition``-by-group rewrite job.
+    """
+    w = Window.orderBy(F.col(size_col).desc(), F.col(unit_col).asc())
+    cum_before = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return inventory.select(
+        F.col(unit_col),
+        F.col(size_col),
+        F.floor(cum_before / F.lit(target_size)).cast("long").alias("merge_group"),
+    )
+
+
+def compaction_plan_sql(
+    inventory_sql: str, unit_col: str, size_col: str, target_size: int
+) -> str:
+    """DuckDB twin of :func:`compaction_plan` (identical order + binning)."""
+    return f"""
+SELECT {unit_col}, {size_col},
+       CAST(floor(coalesce(SUM({size_col}) OVER (
+              ORDER BY {size_col} DESC, {unit_col} ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {target_size}) AS BIGINT) AS merge_group
+FROM ({inventory_sql}) AS inv
+"""

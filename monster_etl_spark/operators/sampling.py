@@ -186,3 +186,131 @@ ORDER BY -ln(({h} + 1.0) / {float(HASH_SPACE)}) / CAST({weight_expr} AS DOUBLE) 
          {id_expr} ASC
 LIMIT {n}
 """
+
+
+def temperature_quotas(
+    df: DataFrame,
+    strata: list[str],
+    total_n: int,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Temperature-rescaled per-stratum quotas (the multilingual-corpus
+    rebalancing rule of mBERT/XLM-R and the mixture-reweighting step of
+    DoReMi-style pipelines): stratum l with c_l rows gets sampling mass
+    proportional to c_l ** tau. tau = 1 reproduces natural proportions;
+    tau -> 0 approaches uniform, upweighting rare languages/domains.
+
+    Exactness contract (the part seeded samplers cannot give): quotas are
+    apportioned by the largest-remainder method over INTEGER micro-weights
+    ``w6 = round(c^tau * 1e6)``; the one division (base share) is IEEE
+    double division of exact integers — deterministic and identical in
+    Spark and DuckDB — and remainders are pure integer arithmetic, so the
+    quotas bit-agree regardless of aggregation order.
+    ``sum(quota) == min(total_n, sum(least(quota_raw, c)))``; a stratum is
+    never asked for more rows than it has (without-replacement cap), and
+    capped surplus is NOT redistributed (single-pass apportionment — the
+    deterministic, engine-agreeing choice).
+
+    Scale shape: one map-side-combinable count per stratum; everything
+    after operates on #strata rows (metadata-sized).
+    """
+    pow_col = (
+        F.sqrt(F.col("_c").cast("double"))
+        if tau == 0.5
+        else F.pow(F.col("_c").cast("double"), F.lit(float(tau)))
+    )
+    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_c"))
+    w = counts.withColumn("w6", F.round(pow_col * 1e6).cast("long"))
+    tot = w.agg(F.sum("w6").alias("_w_tot"))
+    j = w.crossJoin(F.broadcast(tot))
+    base = (F.lit(total_n) * F.col("w6")) / F.col("_w_tot")
+    j = j.withColumn("q_base", F.floor(base).cast("long")).withColumn(
+        "rem", F.lit(total_n) * F.col("w6") - F.col("q_base") * F.col("_w_tot")
+    )
+    slots = j.agg((F.lit(total_n) - F.sum("q_base")).alias("_slots"))
+    ranked = (
+        j.crossJoin(F.broadcast(slots))
+        .withColumn(
+            "rem_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("rem").desc(), *[F.col(c).asc() for c in strata])
+            ),
+        )
+        .withColumn(
+            "quota",
+            F.least(
+                F.col("q_base")
+                + F.when(F.col("rem_rank") <= F.col("_slots"), F.lit(1)).otherwise(F.lit(0)),
+                F.col("_c"),
+            ).cast("long"),
+        )
+    )
+    return ranked.select(*strata, F.col("_c").alias("stratum_rows"), "quota")
+
+
+def temperature_quotas_sql(
+    table: str, strata: list[str], total_n: int, tau: float = 0.5
+) -> str:
+    """DuckDB twin of :func:`temperature_quotas` (identical integer
+    apportionment; sqrt for tau=0.5 so the micro-weights bit-agree)."""
+    keys = ", ".join(strata)
+    powe = "sqrt(CAST(_c AS DOUBLE))" if tau == 0.5 else f"pow(CAST(_c AS DOUBLE), {tau})"
+    order = ", ".join(f"{c} ASC" for c in strata)
+    return f"""
+WITH counts AS (SELECT {keys}, COUNT(*) AS _c FROM {table} GROUP BY {keys}),
+w AS (SELECT *, CAST(round({powe} * 1e6) AS BIGINT) AS w6 FROM counts),
+tot AS (SELECT CAST(sum(w6) AS BIGINT) AS _w_tot FROM w),
+j AS (
+  SELECT w.*, _w_tot,
+         CAST(floor(({total_n} * w6) / CAST(_w_tot AS DOUBLE)) AS BIGINT) AS q_base,
+         {total_n} * w6 - CAST(floor(({total_n} * w6) / CAST(_w_tot AS DOUBLE)) AS BIGINT) * _w_tot AS rem
+  FROM w, tot
+),
+slots AS (SELECT {total_n} - CAST(sum(q_base) AS BIGINT) AS _slots FROM j),
+ranked AS (
+  SELECT j.*, _slots,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, {order}) AS rem_rank
+  FROM j, slots
+)
+SELECT {keys}, _c AS stratum_rows,
+       CAST(least(q_base + CASE WHEN rem_rank <= _slots THEN 1 ELSE 0 END, _c) AS BIGINT) AS quota
+FROM ranked
+"""
+
+
+def quota_sample(
+    df: DataFrame,
+    quotas: DataFrame,
+    strata: list[str],
+    id_col: str,
+    salt: str = "sample",
+    oversample: float = DEFAULT_OVERSAMPLE,
+) -> DataFrame:
+    """Variable-quota stratified sample: take each stratum's ``quota``
+    lowest-hash rows, where ``quotas`` carries (strata..., stratum_rows,
+    quota) — e.g. the output of :func:`temperature_quotas`.
+
+    Same two-phase scale shape as :func:`stratified_sample`: a narrow
+    hash-threshold prefilter discards all but ~oversample*quota rows of
+    every stratum BEFORE the per-stratum rank window, so no task ever
+    sees a whole 100 TB stratum. The quotas frame is #strata rows —
+    always broadcast.
+    """
+    h = sample_hash(F.col(id_col), salt).alias("_h")
+    cutoff = F.least(
+        F.lit(HASH_SPACE - 1).cast("double"),
+        F.ceil(
+            F.lit(float(oversample)) * F.col("quota") / F.col("stratum_rows") * HASH_SPACE
+        ).cast("double"),
+    )
+    pre = (
+        df.select("*", h)
+        .join(F.broadcast(quotas.withColumn("_cut", cutoff)), on=strata)
+        .filter(F.col("_h") <= F.col("_cut"))
+    )
+    w = Window.partitionBy(*strata).orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        pre.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .drop("_h", "_cut")
+    )

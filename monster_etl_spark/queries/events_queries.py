@@ -607,3 +607,80 @@ QUERIES = {
         q_activity_similarity, _activity_sql(), "sign-LSH usage-pattern correlation pairs"
     ),
 }
+
+
+EWMA_K = 8  # trailing window length (observed hourly buckets)
+EWMA_SPIKE = 1.5  # n / baseline ratio flagged as a spike
+
+
+def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA spike detection over the hourly event-type series: each
+    bucket's count is compared against an exponentially-weighted baseline
+    of its 8 prior observed buckets (alpha = 0.5 -> weights 2^-1 ... 2^-8,
+    normalized by 1 - 2^-8). The monitoring-alert primitive behind
+    "traffic doubled vs trend".
+
+    Determinism contract: alpha = 0.5 makes every weight an exact binary
+    fraction, and hourly counts are integers, so every weighted term and
+    every partial sum is EXACT in IEEE double — the baseline bit-agrees
+    across engines and aggregation orders (no decimal detour needed). The
+    only roundings are the final display round(6) and the spike-ratio
+    compare, computed identically on both sides.
+
+    Scale shape: one map-side-combinable groupBy to hourly grain (output
+    is #types * #hours — time-series-sized, not event-sized), then one
+    window shuffle partitioned by event_type. Explicit lag(i) terms keep
+    the frame bounded at K rows regardless of history length."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    norm = 1.0 - 0.5**EWMA_K
+    weighted = sum(
+        (F.coalesce(F.lag("n", i).over(w), F.lit(0)) * F.lit(0.5**i) for i in range(1, EWMA_K + 1)),
+        start=F.lit(0.0),
+    )
+    full = F.lag("n", EWMA_K).over(w).isNotNull()
+    out = (
+        hourly.withColumn("baseline", weighted / F.lit(norm))
+        .withColumn("_full", full)
+        .filter(F.col("_full"))
+        .withColumn("spike", (F.col("n") >= F.lit(EWMA_SPIKE) * F.col("baseline")))
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round("baseline", 6).alias("ewma_baseline"),
+            F.col("spike").alias("is_spike"),
+        )
+    )
+    return out
+
+
+def _ewma_sql() -> str:
+    terms = " + ".join(
+        f"coalesce(lag(n, {i}) OVER w, 0) * {0.5 ** i!r}" for i in range(1, EWMA_K + 1)
+    )
+    norm = repr(1.0 - 0.5**EWMA_K)
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour, n,
+         ({terms}) / {norm} AS baseline,
+         lag(n, {EWMA_K}) OVER w IS NOT NULL AS _full
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+)
+SELECT event_type, hour, n, round(baseline, 6) AS ewma_baseline,
+       n >= {EWMA_SPIKE} * baseline AS is_spike
+FROM scored WHERE _full
+"""
+
+
+QUERIES["q_ewma_anomaly"] = QuerySpec(
+    q_ewma_anomaly, _ewma_sql(), "EWMA trailing-baseline spike detection (exact-binary weights)"
+)

@@ -661,3 +661,71 @@ QUERIES = {
         t16_path_column, T16_SQL, "T16 path-derived column (partition-dir round-trip)"
     ),
 }
+
+
+CMS_MIN_COUNT = 75  # ~p85 of the sf0.01 per-user distribution: non-trivial at every sf
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the event stream's user_id
+    (operators/sketches.py): d x w = 4 x 512 cells estimate every user's
+    event count in bounded memory; users whose estimate reaches the
+    threshold are returned with the exact count beside the estimate, so
+    the CMS no-underestimate guarantee (estimate >= exact, always) is
+    hash-checked row by row. Sketch build shuffles at most
+    #partitions * d * w cells (map-side combine); the probe is d
+    broadcast joins of the 2k-cell sketch — the cardinality-unbounded
+    twin of q_key_skew_profile's exact top-k."""
+    from monster_etl_spark.operators.sketches import cms_heavy_hitters
+
+    ev = load(spark, sf_dir, "events")
+    return cms_heavy_hitters(ev, "user_id", CMS_MIN_COUNT).select(
+        "user_id", "exact_count", "cms_estimate"
+    )
+
+
+def _cms_sql() -> str:
+    from monster_etl_spark.operators.sketches import cms_heavy_hitters_sql
+
+    return cms_heavy_hitters_sql("events", "user_id", CMS_MIN_COUNT)
+
+
+QUERIES["q_heavy_hitters_cms"] = QuerySpec(
+    q_heavy_hitters_cms, _cms_sql(), "count-min-sketch heavy hitters with exact audit"
+)
+
+
+COMPACT_TARGET = 1000  # rows per compacted unit (bytes in prod; rows here)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style compaction plan (operators/maintenance.py
+    ``compaction_plan``): month-grained order partitions are the
+    small-file inventory (unit = month, size = row count — the oracle-
+    visible stand-in for manifest byte sizes); cumulative-sum binning in
+    size-descending order assigns each unit a merge group of ~target
+    combined size. In production the same operator runs over
+    ``manifest_table`` part-file rows and the groups feed a
+    repartition-rewrite; the plan itself is metadata-sized."""
+    from monster_etl_spark.operators.maintenance import compaction_plan
+
+    o = load(spark, sf_dir, "orders")
+    inv = o.groupBy(
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("part_month")
+    ).agg(F.count(F.lit(1)).alias("part_rows"))
+    return compaction_plan(inv, "part_month", "part_rows", COMPACT_TARGET)
+
+
+def _compaction_sql() -> str:
+    from monster_etl_spark.operators.maintenance import compaction_plan_sql
+
+    inv = (
+        "SELECT strftime(o_orderdate, '%Y-%m') AS part_month, "
+        "CAST(COUNT(*) AS BIGINT) AS part_rows FROM orders GROUP BY 1"
+    )
+    return compaction_plan_sql(inv, "part_month", "part_rows", COMPACT_TARGET)
+
+
+QUERIES["q_compaction_plan"] = QuerySpec(
+    q_compaction_plan, _compaction_sql(), "small-file compaction bin-packing plan"
+)

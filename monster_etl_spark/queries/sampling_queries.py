@@ -185,3 +185,62 @@ QUERIES = {
         q_quality_normalize, QUALITY_NORMALIZE_SQL, "winsorized per-language min-max scaling"
     ),
 }
+
+
+TEMP_TOTAL = 60
+TEMP_TAU = 0.5
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rescaled corpus resampling (tau = 0.5): per-language
+    quotas proportional to count^tau (largest-remainder apportionment,
+    integer-exact cross-engine), then each language's quota lowest-hash
+    documents. The multilingual rebalancing pass (mBERT/XLM-R style) that
+    upweights rare languages without replacement. Quota math runs on
+    #langs rows; the corpus pass is the same prefilter + bounded window
+    as ``sample_stratified`` — no stratum ever funnels through one task.
+    """
+    from monster_etl_spark.operators.sampling import quota_sample, temperature_quotas
+
+    d = load(spark, sf_dir, "documents")
+    q = temperature_quotas(d, ["lang"], TEMP_TOTAL, TEMP_TAU)
+    return quota_sample(d, q, ["lang"], "doc_id").select(
+        "doc_id", "lang", "stratum_rows", "quota", "sample_rank"
+    )
+
+
+def _sample_temperature_sql() -> str:
+    from monster_etl_spark.operators.sampling import (
+        DEFAULT_OVERSAMPLE,
+        HASH_SPACE,
+        sample_hash_sql,
+        temperature_quotas_sql,
+    )
+
+    tq = temperature_quotas_sql("documents", ["lang"], TEMP_TOTAL, TEMP_TAU)
+    h = sample_hash_sql("doc_id")
+    return f"""
+WITH quotas AS ({tq}),
+hashed AS (SELECT doc_id, lang, {h} AS _h FROM documents),
+pre AS (
+  SELECT hashed.*, stratum_rows, quota
+  FROM hashed JOIN quotas USING (lang)
+  WHERE _h <= least(CAST({HASH_SPACE - 1} AS DOUBLE),
+                    ceil({float(DEFAULT_OVERSAMPLE)} * quota / stratum_rows * {HASH_SPACE}))
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY _h ASC, doc_id ASC) AS sample_rank
+  FROM pre
+)
+SELECT doc_id, lang, stratum_rows, quota, sample_rank
+FROM ranked WHERE sample_rank <= quota
+"""
+
+
+SAMPLE_TEMPERATURE_SQL = _sample_temperature_sql()
+
+QUERIES["sample_temperature"] = QuerySpec(
+    sample_temperature,
+    SAMPLE_TEMPERATURE_SQL,
+    "temperature-rescaled (count^0.5) per-language resampling",
+)

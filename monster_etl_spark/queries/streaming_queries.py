@@ -171,3 +171,46 @@ QUERIES = {
         "streaming session-window path analysis, driven to completion",
     ),
 }
+
+
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup driven to completion: the streaming twin of
+    ``dedup_exact`` / A2 ``distinctBy``. The stream carries only the key
+    projection (user_id, event_type) and ``dropDuplicates`` emits each
+    key exactly once, on first sight — so the completed emission set IS
+    the distinct-key set, deterministic regardless of file arrival order
+    (which row of a key wins is arrival-dependent; the key itself never
+    is). State is one entry per distinct key — exact dedup's floor; the
+    bounded-state variant (``dropDuplicatesWithinWatermark``, state
+    evicted at the watermark at the cost of re-admitting late repeats) is
+    ``streaming/pipeline.py::stream_dedup``, batch-parity-tested in
+    ``tests/test_streaming.py``."""
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    stage = _STAGE + "_dedup"
+    shutil.rmtree(stage, ignore_errors=True)
+    e.coalesce(4).write.mode("overwrite").json(stage)
+
+    stream = spark.readStream.schema(_STREAM_SCHEMA).option("maxFilesPerTrigger", 1).json(stage)
+    out = stream.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_exact_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table("stream_exact_dedup")
+
+
+STREAM_EXACT_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+QUERIES["stream_exact_dedup"] = QuerySpec(
+    stream_exact_dedup,
+    STREAM_EXACT_DEDUP_SQL,
+    "streaming exact dedup (dropDuplicates), driven to completion",
+)

@@ -608,7 +608,7 @@ agg AS (
   SELECT doc, sum(cnt) AS n_tokens, sum(cnt * w_milli) AS s_milli
   FROM feats JOIN weights USING (bucket) GROUP BY doc
 )
-SELECT doc AS doc_id, n_tokens,
+SELECT doc AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
   round(s_milli / (n_tokens * 1000.0), 6) AS logit,
   round(1.0 / (1.0 + exp(-(s_milli / (n_tokens * 1000.0)))), 6) AS score,
   s_milli >= 0 AS keep
@@ -641,7 +641,7 @@ uni AS (
   FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY tok
 ),
 tot AS (SELECT sum(c) AS total FROM uni)
-SELECT doc AS doc_id, sum(cnt) AS n_bigrams,
+SELECT doc AS doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
   round(sum(cnt * ln({lam} * (c12 / CAST(u1.c AS DOUBLE))
                      + {1 - lam} * (u2.c / CAST(total AS DOUBLE)))) / sum(cnt), 6)
     AS bigram_logprob

@@ -1,0 +1,104 @@
+"""Operator-level invariants for round-3 additions: count-min sketch,
+temperature quotas, compaction planning, EWMA baseline."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from monster_etl_spark.operators.maintenance import compaction_plan
+from monster_etl_spark.operators.sampling import quota_sample, temperature_quotas
+from monster_etl_spark.operators.sketches import cms_build, cms_estimate, cms_heavy_hitters
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # 3 hot keys (60, 40, 30 rows) + 100 singletons
+    rows = (
+        [("hot_a",)] * 60
+        + [("hot_b",)] * 40
+        + [("hot_c",)] * 30
+        + [(f"cold_{i}",) for i in range(100)]
+    )
+    return spark.createDataFrame(rows, "k: string")
+
+
+def test_cms_never_underestimates(spark, keyed):
+    hh = cms_heavy_hitters(keyed, "k", min_count=1).toPandas()
+    assert len(hh) == 103
+    assert (hh.cms_estimate >= hh.exact_count).all()
+
+
+def test_cms_finds_heavy_hitters_exactly_at_threshold(spark, keyed):
+    hh = cms_heavy_hitters(keyed, "k", min_count=30).toPandas()
+    # no-underestimate => every true heavy hitter is present
+    assert {"hot_a", "hot_b", "hot_c"} <= set(hh.k)
+    # 4x512 cells vs 103 keys: collisions possible but estimates stay
+    # within the CMS bound (e/w * N ~ 1 here); hot keys dominate
+    est = dict(zip(hh.k, hh.cms_estimate))
+    assert est["hot_a"] >= 60 and est["hot_b"] >= 40 and est["hot_c"] >= 30
+
+
+def test_cms_sketch_size_bounded(spark, keyed):
+    sketch = cms_build(keyed, "k", depth=4, width=512)
+    assert sketch.count() <= 4 * 512
+
+
+def test_cms_estimate_matches_manual_min(spark, keyed):
+    sketch = cms_build(keyed, "k", depth=4, width=512)
+    cand = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(cand, sketch, "k").toPandas()
+    # every key occurs, estimate is a positive long
+    assert len(est) == 103 and (est.cms_estimate >= 1).all()
+
+
+@pytest.fixture(scope="module")
+def skewed_langs(spark):
+    rows = [(i, "en") for i in range(900)] + [(i + 1000, "fr") for i in range(90)] + [
+        (i + 2000, "sw") for i in range(10)
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, lang: string")
+
+
+def test_temperature_quotas_sum_and_cap(spark, skewed_langs):
+    q = temperature_quotas(skewed_langs, ["lang"], total_n=100, tau=0.5).toPandas()
+    assert q.quota.sum() == 100  # largest-remainder hits the total exactly
+    assert (q.quota <= q.stratum_rows).all()
+    by = dict(zip(q.lang, q.quota))
+    # sqrt scaling: en/sw quota ratio ~ sqrt(900/10) ~ 9.5, far below the
+    # natural 90x — rare languages upweighted
+    assert by["en"] < 9 * by["sw"]
+    assert by["en"] > by["fr"] > by["sw"]
+
+
+def test_temperature_tau_one_is_proportional(spark, skewed_langs):
+    q = temperature_quotas(skewed_langs, ["lang"], total_n=100, tau=1.0).toPandas()
+    by = dict(zip(q.lang, q.quota))
+    assert by["en"] == 90 and by["fr"] == 9 and by["sw"] == 1
+
+
+def test_quota_sample_exact_quotas(spark, skewed_langs):
+    quotas = temperature_quotas(skewed_langs, ["lang"], total_n=100, tau=0.5)
+    s = quota_sample(skewed_langs, quotas, ["lang"], "doc_id").toPandas()
+    got = s.groupby("lang").size().to_dict()
+    want = dict(
+        zip(*(lambda p: (p.lang, p.quota))(quotas.toPandas()))
+    )
+    assert got == {k: v for k, v in want.items() if v > 0}
+    assert s.sample_rank.le(s.quota).all()
+
+
+def test_compaction_plan_groups_bounded(spark):
+    inv = spark.createDataFrame(
+        [(f"f{i}", (i * 37) % 400 + 20) for i in range(50)], "f: string, sz: long"
+    )
+    plan = compaction_plan(inv, "f", "sz", target_size=1000).toPandas()
+    assert len(plan) == 50
+    sizes = plan.groupby("merge_group").sz.sum()
+    max_unit = plan.sz.max()
+    # every group except possibly the last is >= target - max_unit and
+    # every group is < target + max_unit
+    assert (sizes < 1000 + max_unit).all()
+    # groups are contiguous 0..G
+    gs = sorted(plan.merge_group.unique())
+    assert gs == list(range(len(gs)))
