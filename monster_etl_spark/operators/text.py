@@ -691,3 +691,148 @@ def bigram_logprob(
         )
         .select(F.col("doc").alias(id_col), "n_bigrams", "bigram_logprob")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (Sennrich et al. 2016, "Neural Machine Translation of
+# Rare Words with Subword Units") — the tokenizer-training step of an LLM
+# data pipeline, run over the word-frequency dictionary, not the corpus.
+
+BPE_WORD_RE = "[a-z]+"  # alphabetic word-forms; digits/punct are single tokens anyway
+BPE_MAX_WORD_LEN = 20
+
+
+def _bpe_sym_init(word: Column) -> Column:
+    """Initial symbol string: every character delimited by '|' on both
+    sides ("abc" -> "|a|b|c|"). The delimiter makes merge application a
+    plain substring replace with exact symbol-boundary semantics."""
+    return F.concat(F.regexp_replace(word, "(.)", r"|$1"), F.lit("|"))
+
+
+def _bpe_apply_merge(sym: Column, w1: str, w2: str) -> Column:
+    """Merge one learned pair everywhere in a symbol string: replace
+    "|w1|w2|" with "|w1w2|", twice. Left-to-right non-overlapping replace
+    consumes the shared boundary delimiter, so in a run of adjacent
+    occurrences the first pass merges the odd ones; the survivors are
+    then cleanly delimited and the second pass takes them all — two
+    passes reproduce greedy left-to-right BPE application exactly, in
+    any engine with a plain literal replace (no lookahead regex, which
+    RE2-based engines lack)."""
+    pat, rep = f"|{w1}|{w2}|", f"|{w1}{w2}|"
+    one = F.replace(sym, F.lit(pat), F.lit(rep))
+    return F.replace(one, F.lit(pat), F.lit(rep))
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency. Input must
+    carry (sym, freq); the frame is vocabulary-sized, so every stage here
+    is metadata-scale relative to the corpus."""
+    syms = F.filter(F.split(F.col("sym"), r"\|"), lambda x: x != "")
+    pairs = F.expr(
+        "transform(sequence(1, size(_syms) - 1), i -> struct(_syms[i - 1] AS w1, _syms[i] AS w2))"
+    )
+    return (
+        words.withColumn("_syms", syms)
+        .filter(F.size("_syms") >= 2)
+        .withColumn("_p", F.explode(pairs))
+        .groupBy(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 6,
+    max_word_len: int = BPE_MAX_WORD_LEN,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge operations from a corpus.
+
+    Distributed shape (the reason BPE training fits Spark at 100 TB):
+    the corpus pass is ONE tokenize + groupBy producing the
+    word-frequency dictionary — vocabulary-sized (bounded by language,
+    not data). Every Lloyd-style iteration after that (count pairs, take
+    the argmax, apply the merge) runs over the cached dictionary; the
+    driver pulls exactly one row per iteration (the winning pair), the
+    same metadata-sized collect the IVF k-means fit uses. Word-boundary
+    markers (</w>) are omitted — merges act strictly within words.
+
+    Deterministic: integer counts, total-order tiebreak (count DESC,
+    pair ASC). Returns (merge_rank, w1, w2, merged, pair_count).
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_WORD_RE}', 0)")
+            ).alias("word")
+        )
+        .filter(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("sym", _bpe_sym_init(F.col("word")))
+        .select("sym", "freq")
+    )
+    words = words.persist()
+    try:
+        merges: list[tuple[int, str, str, str, int]] = []
+        for k in range(n_merges):
+            top = (
+                _bpe_pair_counts(words)
+                .orderBy(F.col("pair_count").desc(), F.col("w1").asc(), F.col("w2").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            w1, w2, cnt = top[0]["w1"], top[0]["w2"], int(top[0]["pair_count"])
+            merges.append((k + 1, w1, w2, w1 + w2, cnt))
+            words = words.withColumn("sym", _bpe_apply_merge(F.col("sym"), w1, w2))
+        return spark.createDataFrame(
+            merges, "merge_rank: long, w1: string, w2: string, merged: string, pair_count: long"
+        )
+    finally:
+        words.unpersist()
+
+
+def bpe_learn_merges_sql(
+    table: str, text_expr: str, n_merges: int = 6, max_word_len: int = BPE_MAX_WORD_LEN
+) -> str:
+    """DuckDB twin of :func:`bpe_learn_merges`: the iteration unrolls into
+    a chain of CTE levels (level_k -> pairs_k -> top_k), each applying
+    the same two-pass boundary-delimited replace."""
+    parts = [
+        f"""level0 AS (
+  SELECT regexp_replace(word, '(.)', '|\\1', 'g') || '|' AS sym, freq FROM (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      SELECT unnest(regexp_extract_all(lower({text_expr}), '{BPE_WORD_RE}')) AS word
+      FROM {table}
+    ) AS toks WHERE len(word) <= {max_word_len} GROUP BY word
+  ) AS wf
+)"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"""pairs{k} AS (
+  SELECT syms[i] AS w1, syms[i + 1] AS w2, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (
+    SELECT list_filter(string_split(sym, '|'), x -> x <> '') AS syms, freq FROM level{k}
+  ) AS s, unnest(range(1, len(syms))) AS t(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+),
+top{k} AS (
+  SELECT w1, w2, pair_count FROM pairs{k}
+  ORDER BY pair_count DESC, w1 ASC, w2 ASC LIMIT 1
+),
+level{k + 1} AS (
+  SELECT replace(replace(sym, '|' || w1 || '|' || w2 || '|', '|' || w1 || w2 || '|'),
+                 '|' || w1 || '|' || w2 || '|', '|' || w1 || w2 || '|') AS sym, freq
+  FROM level{k}, top{k}
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {k + 1} AS merge_rank, w1, w2, w1 || w2 AS merged, pair_count FROM top{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",\n".join(parts) + "\nSELECT * FROM (" + finals + ") AS m"

@@ -697,3 +697,72 @@ QUERIES = {
     "q_array_hof_suite": QuerySpec(q_array_hof_suite, Q_ARRAY_HOF_SQL, "higher-order array functions"),
     "q_regex_suite": QuerySpec(q_regex_suite, Q_REGEX_SQL, "regex scalar surface"),
 }
+
+
+MAD_K = 3.0  # flag beyond 3 robust sigmas
+MAD_SIGMA = 1.4826  # consistency constant: MAD -> sigma under normality
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: flag events whose value sits
+    more than 3 robust sigmas (1.4826 * MAD) from their event type's
+    median. The median/MAD pair survives the heavy tails that wreck
+    mean/stddev z-scores — the standard data-quality screen before
+    training-set statistics.
+
+    Two exact interpolated percentiles (both map-side-combinable
+    aggregates, grouped on the small event-type key), each joined back
+    broadcast; no window, no global sort. Returns only the flagged rows
+    plus the per-group stats so the oracle hashes a small frame. Median
+    and MAD are rounded 6dp BEFORE the comparison on both engines so the
+    flag decision bit-agrees."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), on="event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), on="event_type")
+        .filter(F.col("adev") > F.lit(MAD_K * MAD_SIGMA) * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            "med",
+            "mad",
+            F.round(F.col("adev") / (F.lit(MAD_SIGMA) * F.col("mad")), 6).alias(
+                "robust_z"
+            ),
+        )
+    )
+
+
+Q_MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type,
+         round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.*, med, abs(value - med) AS adev
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         round(percentile_cont(0.5) WITHIN GROUP (ORDER BY adev), 6) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT event_id, event_type, round(value, 6) AS value, med, mad,
+       round(adev / ({MAD_SIGMA} * mad), 6) AS robust_z
+FROM dev JOIN mad USING (event_type)
+WHERE adev > {MAD_K * MAD_SIGMA} * mad
+"""
+
+QUERIES["q_mad_outliers"] = QuerySpec(
+    q_mad_outliers, Q_MAD_SQL, "median/MAD robust per-group outlier screen"
+)

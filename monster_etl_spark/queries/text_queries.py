@@ -695,3 +695,31 @@ QUERIES = {
     "text_rolling_fingerprint": QuerySpec(text_rolling_fingerprint, ROLLING_SQL, "polynomial rolling-hash fingerprint"),
     "text_pii_scrub": QuerySpec(text_pii_scrub, PII_SQL, "regex PII redaction"),
 }
+
+
+BPE_N_MERGES = 6
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first 6 merges (operators/text.py
+    ``bpe_learn_merges``): one corpus pass builds the word-frequency
+    dictionary; each merge iteration counts adjacent symbol pairs over
+    the cached vocabulary-sized dictionary and the driver collects only
+    the winning pair. The oracle unrolls the same iteration into chained
+    CTEs with the identical two-pass boundary-delimited replace, so the
+    learned merge table hash-matches."""
+    from monster_etl_spark.operators.text import bpe_learn_merges
+
+    d = load(spark, sf_dir, "documents")
+    return bpe_learn_merges(d, "text", n_merges=BPE_N_MERGES)
+
+
+def _bpe_merges_sql() -> str:
+    from monster_etl_spark.operators.text import bpe_learn_merges_sql
+
+    return bpe_learn_merges_sql("documents", "text", n_merges=BPE_N_MERGES)
+
+
+QUERIES["text_bpe_merges"] = QuerySpec(
+    text_bpe_merges, _bpe_merges_sql(), "distributed BPE merge-pair learning (first 6 merges)"
+)

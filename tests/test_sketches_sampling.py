@@ -102,3 +102,54 @@ def test_compaction_plan_groups_bounded(spark):
     # groups are contiguous 0..G
     gs = sorted(plan.merge_group.unique())
     assert gs == list(range(len(gs)))
+
+
+def test_bpe_two_pass_replace_equals_greedy(spark):
+    # runs of adjacent pair occurrences are the adversarial case for
+    # non-overlapping replace (the shared '|' boundary is consumed)
+    from monster_etl_spark.operators.text import _bpe_apply_merge
+
+    df = spark.createDataFrame(
+        [("|a|b|a|b|a|b|",), ("|a|a|a|",), ("|a|a|a|a|",), ("|x|a|b|y|",)], "sym: string"
+    )
+    got = [r.m for r in df.select(_bpe_apply_merge(F.col("sym"), "a", "b").alias("m")).collect()]
+    assert got[0] == "|ab|ab|ab|"
+    assert got[3] == "|x|ab|y|"
+    got_aa = [r.m for r in df.select(_bpe_apply_merge(F.col("sym"), "a", "a").alias("m")).collect()]
+    # greedy left-to-right on "a a a" -> "aa a"; on "a a a a" -> "aa aa"
+    assert got_aa[1] == "|aa|a|"
+    assert got_aa[2] == "|aa|aa|"
+
+
+def test_bpe_learns_expected_merges_on_toy_corpus(spark):
+    from monster_etl_spark.operators.text import bpe_learn_merges
+
+    # "low" x5, "lower" x2, "newest" x6 (Sennrich-style toy). Hand-derived
+    # sequence: (w,e) 8 (2 in lower + 6 in newest), then (l,o) 7, then the
+    # 6-count tie broken lexicographically -> (e,we).
+    docs = spark.createDataFrame(
+        [(" ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6),)], "text: string"
+    )
+    m = bpe_learn_merges(docs, "text", n_merges=3).toPandas()
+    assert list(m.merge_rank) == [1, 2, 3]
+    assert (m.iloc[0].w1, m.iloc[0].w2, m.iloc[0].pair_count) == ("w", "e", 8)
+    assert (m.iloc[1].w1, m.iloc[1].w2, m.iloc[1].pair_count) == ("l", "o", 7)
+    assert (m.iloc[2].w1, m.iloc[2].w2, m.iloc[2].pair_count) == ("e", "we", 6)
+
+
+def test_mad_outliers_flags_planted_outlier(spark):
+    import pyspark.sql.functions as SF
+
+    from monster_etl_spark.queries.relational2_queries import MAD_K, MAD_SIGMA
+
+    # reuse the operator shape inline on a controlled frame
+    rows = [(i, "t", float(50 + (i % 11))) for i in range(200)] + [(999, "t", 5000.0)]
+    df = spark.createDataFrame(rows, "event_id: long, event_type: string, value: double")
+    med = df.groupBy("event_type").agg(SF.expr("percentile(value, 0.5)").alias("med"))
+    dev = df.join(med, "event_type").withColumn("adev", SF.abs(SF.col("value") - SF.col("med")))
+    mad = dev.groupBy("event_type").agg(SF.expr("percentile(adev, 0.5)").alias("mad"))
+    out = dev.join(mad, "event_type").filter(
+        SF.col("adev") > SF.lit(MAD_K * MAD_SIGMA) * SF.col("mad")
+    )
+    ids = [r.event_id for r in out.collect()]
+    assert ids == [999]
