@@ -165,7 +165,12 @@ def pagerank_fixed_point(
     Returns (node, rank_fp, rank) — the exact fixed-point long and the
     convenience double ``rank_fp / base`` rounded 6dp.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the edge list ONCE before iterating: every round joins
+    # it, and so do nodes/deg — without this the edge lineage (often an
+    # expensive derivation, e.g. the Apriori pair mine feeding
+    # text_token_pagerank) re-executes per iteration. Same discipline as
+    # connected_components' localCheckpoint.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
