@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "q_running_total",
     "q_rollup",
     "q_asof_last_order",
+    "q_asof_merge_join",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q18_large_orders",
@@ -84,6 +85,10 @@ BENCH_QUERIES = [
     "text_bigram_logprob",
     "knn_pq",
     "q_quality_survivor",
+    "q_heavy_hitters_cms",
+    "text_bpe_merges",
+    "q_mad_outliers",
+    "sample_temperature",
 ]
 
 

@@ -65,3 +65,59 @@ def write_bucketed(df: DataFrame, name: str, key: str, num_buckets: int = 16) ->
         .format("parquet")
         .saveAsTable(name)
     )
+
+
+def asof_join_merge(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    count_col: str | None = None,
+) -> DataFrame:
+    """As-of join as a range-partitioned MERGE instead of an inequality
+    join: for every left row, the latest right row of the same key at or
+    before the left timestamp.
+
+    The inequality-join form (``l.key = r.key AND r.ts <= l.ts`` then
+    max/last per left row) expands to |matches| intermediate rows — per
+    key, events x orders — before the aggregate collapses them; fine on a
+    dimension-sized right side, quadratic pain when both sides are facts.
+    This form never expands: tag both sides, union, and take one running
+    ``last(value, ignoreNulls)`` over (key ORDER BY ts, side) — right
+    rows sort BEFORE left rows at equal timestamps, so "at or before"
+    includes ties. One shuffle of |L| + |R| rows on the key, O(1) state
+    per row. This is the classic sort-merge as-of (kdb's aj, pandas
+    merge_asof) distributed over Spark's window machinery.
+
+    ``value_cols`` are carried from the right side (running last);
+    ``count_col`` (optional) adds a running count of right rows at or
+    before. Returns all left rows + those columns. Timestamps are
+    compared on a common timestamp cast; the carried values keep their
+    original types.
+    """
+    from pyspark.sql import Window
+
+    lt = F.col(left_ts).cast("timestamp_ntz")
+    rt = F.col(right_ts).cast("timestamp_ntz")
+    l2 = left.select(
+        F.col(left_key).alias("_k"), lt.alias("_t"), F.lit(1).alias("_side"), "*"
+    )
+    r2 = right.select(
+        F.col(right_key).alias("_k"), rt.alias("_t"), F.lit(0).alias("_side"), *value_cols
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for v in value_cols:
+        u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
+    if count_col:
+        u = u.withColumn(
+            count_col, F.sum(F.lit(1) - F.col("_side")).over(w).cast("long")
+        )
+    return u.filter(F.col("_side") == 1).drop("_k", "_t", "_side")

@@ -294,3 +294,31 @@ QUERIES = {
     "q_semi_join": QuerySpec(q_semi_join, Q_SEMI_SQL, "left-semi join"),
     "q_asof_last_order": QuerySpec(q_asof_last_order, Q_ASOF_SQL, "as-of range join"),
 }
+
+
+def q_asof_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as q_asof_last_order, executed as the
+    range-partitioned merge (operators/joins.py::asof_join_merge): tag
+    both sides, union, one running last/count per key — |L| + |R| rows
+    through one shuffle instead of the inequality join's |matches|
+    expansion. Sharing q_asof_last_order's oracle pins that the two
+    physical strategies are value-identical; at fact-fact scale this is
+    the one that survives."""
+    from monster_etl_spark.operators.joins import asof_join_merge
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    e = load(spark, sf_dir, "events")
+    merged = asof_join_merge(
+        e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        value_cols=["o_orderdate"], count_col="n_orders_before",
+    )
+    return merged.select(
+        "event_id", "user_id",
+        F.col("o_orderdate").alias("last_order_date"),
+        "n_orders_before",
+    )
+
+
+QUERIES["q_asof_merge_join"] = QuerySpec(
+    q_asof_merge_join, Q_ASOF_SQL, "as-of join via range-partitioned merge (same oracle as the range-join form)"
+)

@@ -72,3 +72,24 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         assert joined.count() > 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_asof_merge_matches_range_join_form(spark, sf_dir):
+    from monster_etl_spark.queries.relational_queries import (
+        q_asof_last_order,
+        q_asof_merge_join,
+    )
+
+    a = {tuple(r) for r in q_asof_last_order(spark, sf_dir).collect()}
+    b = {tuple(r) for r in q_asof_merge_join(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_asof_merge_plan_has_no_join(spark, sf_dir):
+    """The merge form's whole point: one union + one window shuffle,
+    never a join-expansion of |matches| rows."""
+    from monster_etl_spark.queries.relational_queries import q_asof_merge_join
+
+    plan = _explain(q_asof_merge_join(spark, sf_dir))
+    assert re.search(r"Join", plan) is None, plan[:2000]
+    assert re.search(r"Window", plan) is not None
