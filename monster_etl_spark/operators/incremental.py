@@ -143,3 +143,42 @@ def snapshot_diff(
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+# Aggregate-state columns understood by merge_aggregate_states: suffix ->
+# re-combine function. avg is NOT a state (derive it as sum/count after
+# merging) — the classic incremental-view-maintenance rule.
+_MERGE_FNS = {
+    "sum": F.sum,
+    "count": F.sum,  # counts add
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def merge_aggregate_states(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    columns: dict[str, str],
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: combine
+    an existing per-key aggregate table with the same aggregation of a
+    new delta, WITHOUT rescanning history. ``columns`` maps column name
+    -> state kind ('sum' | 'count' | 'min' | 'max'); both inputs must
+    carry exactly (keys + columns). Algebraic aggregates (avg, stddev)
+    are derived from these states after the merge — never stored.
+
+    Union + one groupBy on the keys: shuffle volume is 2x the group
+    cardinality, independent of how much history the state summarizes.
+    Exactness: run sums in DECIMAL state (the engine-wide discipline) so
+    merge order cannot change a bit; holistic aggregates (exact median)
+    do not fit this contract and need the full data by definition.
+    """
+    for c, kind in columns.items():
+        if kind not in _MERGE_FNS:
+            raise ValueError(f"unsupported state kind {kind!r} for {c!r}")
+    u = state.select(*keys, *columns).unionByName(delta.select(*keys, *columns))
+    return u.groupBy(*keys).agg(
+        *[_MERGE_FNS[kind](c).alias(c) for c, kind in columns.items()]
+    )

@@ -729,3 +729,66 @@ def _compaction_sql() -> str:
 QUERIES["q_compaction_plan"] = QuerySpec(
     q_compaction_plan, _compaction_sql(), "small-file compaction bin-packing plan"
 )
+
+
+INC_SPLIT = "1997-01-01"  # state = history before, delta = rows at/after
+
+
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/incremental.py
+    ``merge_aggregate_states``): a monthly orders aggregate maintained as
+    distributive states (count / decimal sum / min / max), where the
+    pre-split history aggregate and the post-split delta aggregate are
+    merged WITHOUT rescanning history — union + one groupBy on 2x group
+    cardinality. avg is derived from the merged states. The oracle
+    aggregates the full table directly, pinning that merge(state(A),
+    state(B)) == state(A union B) exactly (decimal sums make the merge
+    order bitwise-irrelevant)."""
+    from monster_etl_spark.operators.incremental import merge_aggregate_states
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format(F.col("o_orderdate"), "yyyy-MM")
+    )
+
+    def month_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("order_month").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_total"),
+            F.min("o_totalprice").alias("min_total"),
+            F.max("o_totalprice").alias("max_total"),
+        )
+
+    state = month_state(o.filter(F.col("o_orderdate") < F.lit(INC_SPLIT)))
+    delta = month_state(o.filter(F.col("o_orderdate") >= F.lit(INC_SPLIT)))
+    merged = merge_aggregate_states(
+        state,
+        delta,
+        ["order_month"],
+        {"n_orders": "count", "sum_total": "sum", "min_total": "min", "max_total": "max"},
+    )
+    return merged.select(
+        "order_month",
+        "n_orders",
+        F.col("sum_total").cast("double").alias("sum_total"),
+        "min_total",
+        "max_total",
+        F.round(F.col("sum_total").cast("double") / F.col("n_orders"), 6).alias("avg_total"),
+    )
+
+
+Q_INC_MERGE_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       MIN(o_totalprice) AS min_total,
+       MAX(o_totalprice) AS max_total,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_total
+FROM orders
+GROUP BY 1
+"""
+
+QUERIES["q_incremental_agg_merge"] = QuerySpec(
+    q_incremental_agg_merge,
+    Q_INC_MERGE_SQL,
+    "incremental aggregate-state merge == full recompute (IVM contract)",
+)

@@ -63,3 +63,37 @@ def test_snapshot_diff_null_transitions(spark):
     )
     got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, "k").collect()}
     assert got == {1: "changed", 2: "changed", 4: "deleted", 5: "inserted"}
+
+
+def test_merge_aggregate_states_equals_full_recompute(spark):
+    import pyspark.sql.functions as F
+
+    from monster_etl_spark.operators.incremental import merge_aggregate_states
+
+    rows = [(i % 3, float(i), 1) for i in range(30)]
+    df = spark.createDataFrame(rows, "k: int, v: double, one: int")
+
+    def state(d):
+        return d.groupBy("k").agg(
+            F.sum("one").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+
+    merged = merge_aggregate_states(
+        state(df.filter("v < 15")), state(df.filter("v >= 15")),
+        ["k"], {"n": "count", "s": "sum", "mn": "min", "mx": "max"},
+    )
+    full = state(df)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_merge_aggregate_states_rejects_unknown_kind(spark):
+    import pytest as _pt
+
+    from monster_etl_spark.operators.incremental import merge_aggregate_states
+
+    df = spark.range(1).selectExpr("id AS k", "id AS a")
+    with _pt.raises(ValueError):
+        merge_aggregate_states(df, df, ["k"], {"a": "avg"})
