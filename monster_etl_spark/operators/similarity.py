@@ -359,6 +359,41 @@ def kmeans_centroids(
     return cent
 
 
+def _ivf_assign(
+    df: DataFrame, cent_arr: DataFrame, idc: str, vecc: str, keep_vec: str, top: int
+) -> DataFrame:
+    """Cell assignment against a broadcast 1-row centroid array: top=1 ->
+    (id, unit vec, cent_id); top=n -> one exploded row per probed cell.
+
+    Cells are ranked by dot(raw vector, unit centroid) — order-equal to
+    cosine, with NO per-row normalization (which CollapseProject would
+    inline into the per-centroid lambda and recompute k times); two
+    projections because referencing ``vecc`` while re-aliasing it in one
+    select trips Spark's lateral-column-alias resolution when combined
+    with explode. The UNIT vector rides along as ``keep_vec`` (referenced
+    once outside any lambda -> computed once per row even after
+    projection collapse), so downstream pair scoring is a single dot."""
+    scored = _with_unit(df.crossJoin(cent_arr), vecc, "_u")
+    if top == 1:
+        return (
+            scored.withColumn(
+                "_cell", F.array_max(_scored_cents(F.col(vecc))).getField("cent_id")
+            )
+            .select(F.col(idc), F.col("_u").alias(keep_vec), F.col("_cell").alias("cent_id"))
+        )
+    # top-n probes: sort descending (reverse of ascending lexicographic
+    # struct sort), slice, explode — still a narrow projection
+    probes = F.slice(F.reverse(F.array_sort(_scored_cents(F.col(vecc)))), 1, top)
+    return (
+        scored.withColumn("_probes", F.transform(probes, lambda s: s.getField("cent_id")))
+        .select(
+            F.col(idc),
+            F.col("_u").alias(keep_vec),
+            F.explode("_probes").alias("cent_id"),
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -388,44 +423,13 @@ def ivf_topk(
     cent_arr = F.broadcast(
         _centroid_array(kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters))
     )
-
-    def assign(df: DataFrame, idc: str, vecc: str, keep_vec: str, top: int) -> DataFrame:
-        # cells are ranked by dot(raw vector, unit centroid) — order-equal
-        # to cosine, with NO per-row normalization (which CollapseProject
-        # would inline into the per-centroid lambda and recompute k times);
-        # two projections because referencing ``vecc`` while re-aliasing it
-        # in one select trips Spark's lateral-column-alias resolution when
-        # combined with explode
-        # the UNIT vector rides along as ``keep_vec`` (referenced once
-        # outside any lambda -> computed once per row even after projection
-        # collapse), so downstream pair scoring is a single dot product
-        scored = _with_unit(df.crossJoin(cent_arr), vecc, "_u")
-        if top == 1:
-            return (
-                scored.withColumn(
-                    "_cell", F.array_max(_scored_cents(F.col(vecc))).getField("cent_id")
-                )
-                .select(F.col(idc), F.col("_u").alias(keep_vec), F.col("_cell").alias("cent_id"))
-            )
-        # top-n probes: sort descending (reverse of ascending lexicographic
-        # struct sort), slice, explode — still a narrow projection
-        probes = F.slice(F.reverse(F.array_sort(_scored_cents(F.col(vecc)))), 1, top)
-        return (
-            scored.withColumn("_probes", F.transform(probes, lambda s: s.getField("cent_id")))
-            .select(
-                F.col(idc),
-                F.col("_u").alias(keep_vec),
-                F.explode("_probes").alias("cent_id"),
-            )
-        )
-
-    c_assigned = assign(
+    c_assigned = _ivf_assign(
         _spread(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))),
-        "neighbor_id", "nv", "nv", 1,
+        cent_arr, "neighbor_id", "nv", "nv", 1,
     )
-    q_assigned = assign(
+    q_assigned = _ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        "query_id", "qv", "qv", n_probes,
+        cent_arr, "query_id", "qv", "qv", n_probes,
     )
     scored = (
         q_assigned.join(c_assigned, "cent_id")
@@ -983,6 +987,127 @@ def pq_topk(
                     F.desc("cosine_sim"), F.asc("neighbor_id")
                 )
             ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = IVF_PROBES + 2,  # pruning + quantization losses compound
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    shortlist_factor: int = PQ_SHORTLIST_FACTOR,
+) -> DataFrame:
+    """IVF-PQ: the full FAISS-style ANN deployment shape (Jégou et al.
+    2011) — coarse cells PRUNE (a query's ADC pass touches only its
+    ``n_probes`` cells, not the corpus), PQ codes COMPRESS (the scoring
+    pass inside a cell reads m small codes per vector, not d floats),
+    and an exact cosine re-rank over the |Q|*k*shortlist rows ORDERS.
+    Composes the engine's IVF (coarse k-means, broadcast 1-row centroid
+    array, narrow assignment) and PQ (per-subspace codebooks, broadcast
+    query LUTs) primitives; vs ``pq_topk`` this replaces the
+    corpus-wide code scan with a cell equi-join, and vs ``ivf_topk`` the
+    in-cell scoring moves codes instead of vectors — both cuts multiply
+    at 100 TB. (Codebooks here quantize raw vectors, not cell residuals:
+    residual PQ adds a subtraction per row but makes codebooks
+    cell-conditional; documented simplification.)
+
+    Scale shape: one shuffle joins codes to cell ids on the vector id
+    (slim rows: id + cell + m codes); the probe pass is an equi-join on
+    cent_id against broadcast per-query LUTs; the exact re-rank touches
+    raw vectors for shortlist rows only. Deterministic end to end.
+    """
+    cent_arr = F.broadcast(
+        _centroid_array(kmeans_centroids(corpus, id_col, vec_col, n_centroids, IVF_KMEANS_ITERS))
+    )
+    c_cells = _ivf_assign(
+        _spread(corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))),
+        cent_arr, "nid", "nv", "nv", 1,
+    ).select("nid", "cent_id")
+    books = pq_codebooks(corpus, id_col, vec_col, m, n_codes)
+    codes = pq_encode(corpus, books, id_col, vec_col, m).select(
+        F.col(id_col).alias("nid"), "codes"
+    )
+    # slim corpus index: (nid, cent_id, codes) — id + cell + m codes/row
+    index = c_cells.join(codes, "nid")
+
+    q_probes = _ivf_assign(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        cent_arr, "qid", "qv", "qv", n_probes,
+    ).select("qid", "cent_id")
+    qsub = _sub_rows(queries, id_col, vec_col, m)
+    lut = (
+        qsub.join(F.broadcast(books), qsub.sub_id == books.sub_id)
+        .select(
+            F.col("cid").alias("qid"),
+            (qsub.sub_id * PQ_KEY_STRIDE + F.col("cent_id")).alias("key"),
+            F.aggregate(
+                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dp"),
+        )
+        .groupBy("qid")
+        .agg(F.map_from_entries(F.array_sort(F.collect_list(F.struct("key", "dp")))).alias("lut"))
+    )
+    probes_with_lut = q_probes.join(F.broadcast(lut), "qid")
+
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.col("codes"),
+                lambda s, c: F.element_at(F.col("lut"), s * PQ_KEY_STRIDE + c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    pairs = (
+        probes_with_lut.join(index, "cent_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            adc.alias("approx_score"),
+        )
+    )
+    shortlist = (
+        pairs.withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("approx_score"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("arank") <= k * shortlist_factor)
+        .drop("arank", "approx_score")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine_sim"), F.asc("neighbor_id")
+                )
+            ).cast("long"),
         )
         .filter(F.col("rank") <= k)
     )

@@ -257,3 +257,27 @@ def test_pq_identical_vectors_rank_first(spark):
     best = [r for r in top if r["rank"] == 1][0]
     assert best["neighbor_id"] == 100
     assert abs(best["cosine_sim"] - 1.0) < 1e-6
+
+
+def test_ivfpq_topk_shape_and_recall(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from monster_etl_spark.operators import similarity as sim
+    from monster_etl_spark.queries import load
+    from monster_etl_spark.queries.similarity_queries import TOP_K, _queries_df
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    res = sim.ivfpq_topk(q, emb, k=TOP_K)
+    pdf = res.toPandas()
+    # exactly k rows per query, ranks 1..k, no self matches
+    per = pdf.groupby("query_id")["rank"].agg(["count", "min", "max"])
+    assert (per["count"] == TOP_K).all() and (per["min"] == 1).all() and (per["max"] == TOP_K).all()
+    assert (pdf.query_id != pdf.neighbor_id).all()
+    # composition recall floor against brute force
+    exact = sim.brute_force_topk(q, emb, k=TOP_K).select("query_id", "neighbor_id")
+    hit = exact.join(
+        res.select("query_id", "neighbor_id", F.lit(1).alias("hit")),
+        ["query_id", "neighbor_id"], "left",
+    ).agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias("r")).collect()[0]
+    assert hit.r >= 0.5
