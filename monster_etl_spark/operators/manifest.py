@@ -240,3 +240,118 @@ def update_manifest(
     if not new_files:
         return kept
     return kept.unionByName(_scan_files(spark, new_files, list(columns)))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter skipping: equality predicates on high-cardinality columns,
+# where a min/max band spans nearly the whole domain and prunes nothing.
+
+BLOOM_BITS = 1 << 13  # 8192 bits = 1 KiB per (file, column)
+BLOOM_HASHES = 4
+
+_BLOOM_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("n_distinct", T.LongType()),
+        T.StructField("bloom", T.BinaryType()),
+    ]
+)
+
+
+def bloom_positions(value, n_bits: int = BLOOM_BITS, n_hashes: int = BLOOM_HASHES) -> list[int]:
+    """The k bit positions of a value: salted-md5 family (the engine-wide
+    deterministic hash), identical at build and probe time. Values are
+    keyed by their canonical string (str(int) for integrals), so probing
+    with 42 finds files built from int64 data."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int(hashlib.md5(f"bloom{j}|{s}".encode()).hexdigest()[:8], 16) % n_bits
+        for j in range(n_hashes)
+    ]
+
+
+def build_bloom_manifest(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Per-file, per-column bloom filters for equality-predicate file
+    skipping — the complement of ``build_manifest``'s min/max bands (a
+    uniformly-distributed key's band covers the domain in every file;
+    its bloom still kills the lookup in every file but the hits).
+
+    Cost model, honestly: unlike the footer-only stats harvest this READS
+    each indexed column once at build time (column-pruned pages, so
+    ~1/n_cols of the file bytes) — the same one-time cost class as a
+    z-order rewrite, amortized over every subsequent point lookup. The
+    scan distributes over executors via the same mapInPandas shape; the
+    finished manifest is 1 KiB per (file, column) — metadata-sized,
+    collected driver-side for planning exactly like ManifestIndex.
+
+    No false negatives by construction (a present value always set its
+    bits), so pruning keeps the superset guarantee; false positives only
+    cost an extra file read.
+    """
+    files = _list_part_files(spark, path)
+    if not files:
+        raise FileNotFoundError(f"no part files under {path}")
+    files_df = spark.createDataFrame([(f.path, f.size, f.mtime) for f in files], _FILES_SCHEMA)
+    cols = list(columns)
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for f in pdf["file"]:
+                tbl = pq.ParquetFile(f).read(columns=cols)
+                for c in cols:
+                    vals = tbl.column(c).to_pylist()
+                    distinct = {str(v) for v in vals if v is not None}
+                    bits = bytearray(n_bits // 8)
+                    for s in distinct:
+                        for pos in bloom_positions(s, n_bits, n_hashes):
+                            bits[pos >> 3] |= 1 << (pos & 7)
+                    out.append((f, c, len(distinct), bytes(bits)))
+            yield pd.DataFrame(out, columns=["file", "column", "n_distinct", "bloom"])
+
+    return files_df.repartition(min(len(files), 64)).mapInPandas(_scan, _BLOOM_SCHEMA)
+
+
+def bloom_pruned_paths(
+    bloom_manifest: DataFrame,
+    column: str,
+    value,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> list[str]:
+    """Files that MAY contain ``column = value``: every file whose bloom
+    has all k bits set (sorted; superset of the true hit set)."""
+    pos = bloom_positions(value, n_bits, n_hashes)
+    rows = bloom_manifest.filter(F.col("column") == column).select("file", "bloom").collect()
+    out = [
+        r.file
+        for r in rows
+        if all(r.bloom[p >> 3] & (1 << (p & 7)) for p in pos)
+    ]
+    return sorted(out)
+
+
+def bloom_pruned_read(
+    spark: SparkSession,
+    path: str,
+    bloom_manifest: DataFrame,
+    column: str,
+    value,
+) -> DataFrame:
+    """Point-lookup read: only bloom-surviving files, the equality filter
+    re-applied row-level (skipping is a superset guarantee)."""
+    paths = bloom_pruned_paths(bloom_manifest, column, value)
+    if not paths:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*paths).filter(F.col(column) == value)

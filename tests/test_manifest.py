@@ -170,3 +170,62 @@ def test_update_manifest_incremental(spark, sf_dir, tmp_path):
     os.remove(victim)
     m3 = update_manifest(spark, m2_stored, out, ["o_totalprice"])
     assert victim not in {r["file"] for r in m3.collect()}
+
+
+class TestBloomSkipping:
+    @staticmethod
+    def _staged(spark, sf_dir, tmp_path):
+        out = str(tmp_path / "li_bloom")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        # range-partition on orderkey: each key lands in exactly one file
+        li.repartitionByRange(16, "l_orderkey").write.mode("overwrite").parquet(out)
+        return out
+
+    def test_bloom_prunes_to_superset_of_hits(self, spark, sf_dir, tmp_path):
+        from monster_etl_spark.operators.manifest import (
+            bloom_pruned_paths,
+            build_bloom_manifest,
+        )
+
+        out = self._staged(spark, sf_dir, tmp_path)
+        bm = build_bloom_manifest(spark, out, ["l_orderkey"]).cache()
+        key = spark.read.parquet(out).agg(F.max("l_orderkey")).collect()[0][0]
+        surviving = bloom_pruned_paths(bm, "l_orderkey", key)
+        # the key exists: at least its file survives, and far fewer than all
+        assert 1 <= len(surviving) < 16
+        # true containing file is in the surviving set (no false negatives)
+        actual = {
+            r.f
+            for r in spark.read.parquet(out)
+            .filter(F.col("l_orderkey") == key)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        assert all(
+            any(a.endswith(s.rsplit("/", 1)[-1]) for s in surviving) for a in actual
+        )
+
+    def test_bloom_pruned_read_matches_full_filter(self, spark, sf_dir, tmp_path):
+        from monster_etl_spark.operators.manifest import (
+            bloom_pruned_read,
+            build_bloom_manifest,
+        )
+
+        out = self._staged(spark, sf_dir, tmp_path)
+        bm = build_bloom_manifest(spark, out, ["l_orderkey"]).cache()
+        key = spark.read.parquet(out).agg(F.min("l_orderkey")).collect()[0][0]
+        got = bloom_pruned_read(spark, out, bm, "l_orderkey", key)
+        want = spark.read.parquet(out).filter(F.col("l_orderkey") == key)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_bloom_absent_value_prunes_everything_or_reads_empty(self, spark, sf_dir, tmp_path):
+        from monster_etl_spark.operators.manifest import (
+            bloom_pruned_read,
+            build_bloom_manifest,
+        )
+
+        out = self._staged(spark, sf_dir, tmp_path)
+        bm = build_bloom_manifest(spark, out, ["l_orderkey"]).cache()
+        got = bloom_pruned_read(spark, out, bm, "l_orderkey", -987654321)
+        assert got.count() == 0
