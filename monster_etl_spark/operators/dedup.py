@@ -564,3 +564,51 @@ def window_dedup_rewrite(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def contamination_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+    max_shingle_freq: int | None = 100,
+) -> DataFrame:
+    """Cross-group contamination matrix: for every pair of corpus groups
+    (sources, splits, crawls), how much n-gram content they share — the
+    corpus-level generalization of train/eval ``decontaminate`` (which
+    answers the same question for one ordered pair at document grain).
+
+    Per group, the distinct shingle-hash set (skew-guarded like every
+    shingle consumer: super-common grams carry no contamination signal
+    and would quadratically inflate the hash join). Pairs meet on an
+    equi-join over the hash — per hash the work is (groups carrying it)²,
+    bounded by the group count, never corpus². Returns one row per
+    unordered group pair: (group_a, group_b, n_shared, containment)
+    where containment = shared / min(|A|, |B|) — 1.0 means the smaller
+    side's guarded shingle set is fully contained in the other.
+    """
+    sh = _hashed_shingles(df, id_col, text_col, n, max_shingle_freq)
+    grp = df.select(F.col(id_col).alias("doc"), F.col(group_col).alias("grp"))
+    gh = sh.join(grp, "doc").select("grp", "h").distinct()
+    sizes = gh.groupBy("grp").agg(F.count(F.lit(1)).alias("n_hashes"))
+    a = gh.select(F.col("grp").alias("group_a"), "h")
+    b = gh.select(F.col("grp").alias("group_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("grp").alias("group_a"), F.col("n_hashes").alias("_na"))
+    sb = sizes.select(F.col("grp").alias("group_b"), F.col("n_hashes").alias("_nb"))
+    return (
+        shared.join(F.broadcast(sa), "group_a")
+        .join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("_na", "_nb"), 6).alias("containment"),
+        )
+    )

@@ -423,3 +423,45 @@ QUERIES = {
         dedup_fuzzy_names, FUZZY_SQL, "multi-key canopy + levenshtein linkage over distinct values"
     ),
 }
+
+
+def dedup_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (operators/dedup.py
+    ``contamination_matrix``): per unordered source pair, the count of
+    shared distinct shingle hashes and the containment ratio vs the
+    smaller side — the corpus-level audit ("which crawls leak into which
+    sources") generalizing train/eval decontamination. Same guarded
+    shingle index as every dedup family; the pair meet is an equi-join
+    on the hash, per-hash work bounded by the source count squared."""
+    from monster_etl_spark.operators.dedup import contamination_matrix
+
+    d = load(spark, sf_dir, "documents")
+    return contamination_matrix(
+        d, "doc_id", "text", "source", n=NGRAM_N, max_shingle_freq=MAX_SHINGLE_FREQ
+    )
+
+
+DEDUP_CONTAMINATION_SQL = f"""
+WITH hs AS ({_HASHED_SHINGLES}),
+gh AS (
+  SELECT DISTINCT d.source AS grp, hs.h
+  FROM hs JOIN documents d ON hs.doc = d.doc_id
+),
+sizes AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_hashes FROM gh GROUP BY grp),
+shared AS (
+  SELECT a.grp AS group_a, b.grp AS group_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM gh a JOIN gh b ON a.h = b.h AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b, n_shared,
+       round(n_shared / CAST(least(sa.n_hashes, sb.n_hashes) AS DOUBLE), 6) AS containment
+FROM shared
+JOIN sizes sa ON sa.grp = group_a
+JOIN sizes sb ON sb.grp = group_b
+"""
+
+QUERIES["dedup_contamination_matrix"] = QuerySpec(
+    dedup_contamination_matrix,
+    DEDUP_CONTAMINATION_SQL,
+    "cross-source shingle contamination matrix",
+)

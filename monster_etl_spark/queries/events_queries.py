@@ -684,3 +684,92 @@ FROM scored WHERE _full
 QUERIES["q_ewma_anomaly"] = QuerySpec(
     q_ewma_anomaly, _ewma_sql(), "EWMA trailing-baseline spike detection (exact-binary weights)"
 )
+
+
+def q_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION (the numeric sibling of
+    q_gap_fill's LOCF): missing hourly values are reconstructed from the
+    straight line between the previous and next observed points; edge
+    gaps (before the first / after the last observation) fall back to
+    the nearest observed value. Same keyed plan as q_gap_fill — grid
+    generation, co-partitioned join, and two bounded-frame windows per
+    user (one backward, one forward), everything sharded on user_id.
+    The interpolation fraction is integer epoch arithmetic; the single
+    float expression runs in the same operation order on both engines
+    and is rounded 6dp."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"))
+    span = hourly.groupBy("user_id").agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour")
+    )
+    filled = grid.join(hourly, ["user_id", "hour"], "left")
+    back = (
+        Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    prev_h = F.last(obs_hour, ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    next_h = F.first(obs_hour, ignorenulls=True).over(fwd)
+    frac = (
+        (F.unix_timestamp(F.col("hour")) - F.unix_timestamp(prev_h)).cast("double")
+        / (F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)).cast("double")
+    )
+    interp = F.when(
+        prev_v.isNotNull() & next_v.isNotNull() & (F.unix_timestamp(next_h) != F.unix_timestamp(prev_h)),
+        prev_v + (next_v - prev_v) * frac,
+    ).otherwise(F.coalesce(prev_v, next_v))
+    # explicit floor-based HALF_UP instead of round(): engine round()
+    # implementations disagree on interpolation midpoints that land
+    # exactly on a 6dp tie; floor(x*1e6 + 0.5) is the same IEEE ops on
+    # the same double on both sides, hence bit-identical
+    return filled.select(
+        "user_id",
+        "hour",
+        (F.floor(interp * 1e6 + F.lit(0.5)) / 1e6).alias("value_interp"),
+        F.col("v").isNull().alias("gap_filled"),
+    )
+
+
+Q_GAP_INTERP_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY user_id),
+grid AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span),
+filled AS (
+  SELECT g.user_id, g.hour, h.v FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+),
+ctx AS (
+  SELECT user_id, hour, v,
+    last_value(v IGNORE NULLS) OVER wb AS prev_v,
+    last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER wb AS prev_h,
+    first_value(v IGNORE NULLS) OVER wf AS next_v,
+    first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER wf AS next_h
+  FROM filled
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hour,
+  floor((CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND epoch(next_h) != epoch(prev_h)
+    THEN prev_v + (next_v - prev_v) *
+         (CAST(epoch(hour) - epoch(prev_h) AS DOUBLE) / CAST(epoch(next_h) - epoch(prev_h) AS DOUBLE))
+    ELSE coalesce(prev_v, next_v) END) * 1e6 + 0.5) / 1e6 AS value_interp,
+  v IS NULL AS gap_filled
+FROM ctx
+"""
+
+QUERIES["q_gap_interpolate"] = QuerySpec(
+    q_gap_interpolate, Q_GAP_INTERP_SQL, "hourly gap-fill by linear interpolation"
+)
