@@ -237,6 +237,53 @@ def _bench_zorder_pruning(spark, sf_dir: str, scratch: str, num_files: int = 32)
     return round(best_p, 3), round(best_f, 3), n_survive, n_total
 
 
+def _bench_bloom_pruning(spark, sf_dir: str, scratch: str, num_files: int = 32) -> tuple:
+    """Equality-lookup skipping: range-partition lineitem on l_orderkey
+    (each key in exactly one file), build the per-file bloom manifest,
+    then time a point lookup as (a) bloom-pruned read vs (b) full
+    scan + filter. Build cost (one column read per file) is untimed —
+    the amortized index pass; min/max bands would also prune here (the
+    layout is range-sorted), so the bloom's distinct value is the same
+    lookup on an UNSORTED layout, where bands span the domain — this
+    pair times the mechanism itself."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from monster_etl_spark.operators.manifest import (
+        BloomIndex,
+        bloom_pruned_read,
+        build_bloom_manifest,
+    )
+
+    bdir = os.path.join(scratch, "lineitem_bloom")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    if not os.path.isdir(bdir):
+        # hash-partition ON THE KEY: each orderkey lands in exactly one
+        # file, but file min/max bands span the whole domain (hash
+        # scatter), so the bloom is the only thing standing between a
+        # point lookup and a full scan
+        li.select("l_orderkey", "l_quantity").repartition(num_files, "l_orderkey")\
+          .write.parquet(bdir)
+    # index collected driver-side once (the planner's copy) — untimed,
+    # like the z-order pair's ManifestIndex
+    index = BloomIndex.from_df(build_bloom_manifest(spark, bdir, ["l_orderkey"]))
+    key = int(li.agg(F.max("l_orderkey")).collect()[0][0])
+
+    best_p = best_f = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        bloom_pruned_read(spark, bdir, index, "l_orderkey", key)\
+            .write.format("noop").mode("overwrite").save()
+        best_p = min(best_p, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        spark.read.parquet(bdir).filter(F.col("l_orderkey") == key)\
+            .write.format("noop").mode("overwrite").save()
+        best_f = min(best_f, time.perf_counter() - t0)
+    n_survive = len(index.pruned_paths("l_orderkey", key))
+    return round(best_p, 3), round(best_f, 3), n_survive, num_files
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -271,6 +318,9 @@ def main() -> None:
     pruned_s, full_s, _, _ = _bench_zorder_pruning(spark, sf_dir, scratch)
     timings["scan_zorder_pruned"] = pruned_s
     timings["scan_full_filter"] = full_s
+    bp, bf, _, _ = _bench_bloom_pruning(spark, sf_dir, scratch)
+    timings["lookup_bloom_pruned"] = bp
+    timings["lookup_full_filter"] = bf
 
     out: dict = {
         "metric": "headline query wall-clock, steady-state (best of 2), noop sink",

@@ -246,7 +246,11 @@ def update_manifest(
 # Bloom-filter skipping: equality predicates on high-cardinality columns,
 # where a min/max band spans nearly the whole domain and prunes nothing.
 
-BLOOM_BITS = 1 << 13  # 8192 bits = 1 KiB per (file, column)
+# 64 Kbit = 8 KiB per (file, column): ~0.4% false positives at 5k
+# distinct values per file, still <1 MB of manifest per hundred files.
+# Size n_bits ~ 13 * expected distinct values per file for ~1% FP (k=4);
+# an undersized bloom silently degrades to scanning everything.
+BLOOM_BITS = 1 << 16
 BLOOM_HASHES = 4
 
 _BLOOM_SCHEMA = T.StructType(
@@ -323,29 +327,57 @@ def build_bloom_manifest(
     return files_df.repartition(min(len(files), 64)).mapInPandas(_scan, _BLOOM_SCHEMA)
 
 
+class BloomIndex:
+    """Driver-side bloom manifest (the planner's copy, like
+    ManifestIndex): collect the metadata-sized (file, column, bloom)
+    rows ONCE, then every point-lookup plan is in-memory bit math — no
+    Spark job per probe."""
+
+    def __init__(self, blooms: dict[str, list[tuple[str, bytes]]],
+                 n_bits: int = BLOOM_BITS, n_hashes: int = BLOOM_HASHES):
+        self._blooms = blooms
+        self._n_bits = n_bits
+        self._n_hashes = n_hashes
+
+    @classmethod
+    def from_df(cls, bloom_manifest: DataFrame,
+                n_bits: int = BLOOM_BITS, n_hashes: int = BLOOM_HASHES) -> "BloomIndex":
+        blooms: dict[str, list[tuple[str, bytes]]] = {}
+        for r in bloom_manifest.select("column", "file", "bloom").collect():
+            blooms.setdefault(r.column, []).append((r.file, bytes(r.bloom)))
+        return cls(blooms, n_bits, n_hashes)
+
+    def pruned_paths(self, column: str, value) -> list[str]:
+        """Files that MAY contain ``column = value``: every file whose
+        bloom has all k bits set (sorted; superset of the true hit set)."""
+        pos = bloom_positions(value, self._n_bits, self._n_hashes)
+        return sorted(
+            f
+            for f, bloom in self._blooms.get(column, [])
+            if all(bloom[p >> 3] & (1 << (p & 7)) for p in pos)
+        )
+
+
 def bloom_pruned_paths(
-    bloom_manifest: DataFrame,
+    bloom_manifest: DataFrame | BloomIndex,
     column: str,
     value,
     n_bits: int = BLOOM_BITS,
     n_hashes: int = BLOOM_HASHES,
 ) -> list[str]:
-    """Files that MAY contain ``column = value``: every file whose bloom
-    has all k bits set (sorted; superset of the true hit set)."""
-    pos = bloom_positions(value, n_bits, n_hashes)
-    rows = bloom_manifest.filter(F.col("column") == column).select("file", "bloom").collect()
-    out = [
-        r.file
-        for r in rows
-        if all(r.bloom[p >> 3] & (1 << (p & 7)) for p in pos)
-    ]
-    return sorted(out)
+    """One-shot convenience (hold a BloomIndex when probing repeatedly)."""
+    index = (
+        bloom_manifest
+        if isinstance(bloom_manifest, BloomIndex)
+        else BloomIndex.from_df(bloom_manifest, n_bits, n_hashes)
+    )
+    return index.pruned_paths(column, value)
 
 
 def bloom_pruned_read(
     spark: SparkSession,
     path: str,
-    bloom_manifest: DataFrame,
+    bloom_manifest: DataFrame | BloomIndex,
     column: str,
     value,
 ) -> DataFrame:
