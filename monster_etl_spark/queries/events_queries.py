@@ -773,3 +773,49 @@ FROM ctx
 QUERIES["q_gap_interpolate"] = QuerySpec(
     q_gap_interpolate, Q_GAP_INTERP_SQL, "hourly gap-fill by linear interpolation"
 )
+
+
+ROLLP_WINDOW = 24  # trailing buckets (this one + 23 prior)
+
+
+def q_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact p95 over the hourly event-type series (trailing
+    24-bucket frame) — the SLO/latency-monitoring staple "is this hour's
+    level above the last day's p95". Exact interpolated percentile as a
+    WINDOW aggregate: Spark evaluates percentile() over a ROWS frame
+    (partial-less but frame-bounded — each evaluation sorts <= 24
+    values), DuckDB mirrors with quantile_cont over the identical frame.
+    One shuffle on event_type; the series is time-series-sized."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(ROLLP_WINDOW - 1), 0)
+    )
+    return hourly.select(
+        "event_type",
+        "hour",
+        F.round("v", 6).alias("v"),
+        F.round(F.expr("percentile(v, 0.95)").over(w), 6).alias("p95_trailing"),
+    )
+
+
+Q_ROLLING_P95_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, round(v, 6) AS v,
+       round(quantile_cont(v, 0.95) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS BETWEEN {ROLLP_WINDOW - 1} PRECEDING AND CURRENT ROW), 6) AS p95_trailing
+FROM hourly
+"""
+
+QUERIES["q_rolling_p95"] = QuerySpec(
+    q_rolling_p95, Q_ROLLING_P95_SQL, "trailing-24h exact p95 window per event type"
+)
