@@ -852,7 +852,7 @@ level{k + 1} AS (
 )"""
         )
     finals = " UNION ALL ".join(
-        f"SELECT {k + 1} AS merge_rank, w1, w2, w1 || w2 AS merged, pair_count FROM top{k}"
+        f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, w1, w2, w1 || w2 AS merged, pair_count FROM top{k}"
         for k in range(n_merges)
     )
     return "WITH " + ",\n".join(parts) + "\nSELECT * FROM (" + finals + ") AS m"

@@ -130,3 +130,31 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "ab", "ba", "c"]), min_size=0, max_size=12),
+    st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("ab", "a")]),
+)
+def test_bpe_two_pass_replace_equals_greedy_merge(syms, pair):
+    """The operator claim (operators/text.py::_bpe_apply_merge): two
+    non-overlapping left-to-right literal replaces of '|w1|w2|'->'|w1w2|'
+    reproduce greedy left-to-right BPE merge application exactly, for any
+    symbol sequence including adjacent runs. Pure-Python mirror of the
+    column expression (str.replace has identical semantics)."""
+    w1, w2 = pair
+    s = "|" + "|".join(syms) + "|" if syms else "|"
+    pat, rep = f"|{w1}|{w2}|", f"|{w1}{w2}|"
+    two_pass = s.replace(pat, rep).replace(pat, rep)
+
+    # reference: greedy left-to-right merge over the symbol list
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == w1 and syms[i + 1] == w2:
+            out.append(w1 + w2)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    greedy = "|" + "|".join(out) + "|" if out else "|"
+    assert two_pass == greedy
