@@ -792,3 +792,118 @@ QUERIES["q_incremental_agg_merge"] = QuerySpec(
     Q_INC_MERGE_SQL,
     "incremental aggregate-state merge == full recompute (IVM contract)",
 )
+
+
+PSI_BINS = 10
+PSI_SPLIT = "1997-01-01"
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre/post-split order-value
+    distributions — the standard drift monitor ("did this feature's
+    distribution move?") run as two scans and a 10-row join. Bins are
+    equi-width over the REFERENCE window's [min, max] (the q_histogram
+    rule: nullif-guarded width, overflow clamped into the top bin, cur
+    rows below/above the ref range clamp to the edge bins); bin shares
+    are Laplace-smoothed (+1 / +bins) so empty bins cannot produce
+    log(0); psi_total repeats per row (window sum over the 10-row
+    frame). PSI > 0.2 is the conventional 'investigate' threshold."""
+    o = load(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderdate") < F.lit(PSI_SPLIT))
+    cur = o.filter(F.col("o_orderdate") >= F.lit(PSI_SPLIT))
+    edges = ref.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        width = F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0)) / PSI_BINS
+        b = F.least(
+            F.greatest(
+                F.coalesce(
+                    F.floor((F.col("o_totalprice") - F.col("mn")) / width) + 1, F.lit(1)
+                ),
+                F.lit(1),
+            ),
+            F.lit(PSI_BINS),
+        ).cast("long")
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    from pyspark.sql import Window
+
+    bins = spark.range(1, PSI_BINS + 1).select(F.col("id").alias("bin"))
+    r = binned(ref, "n_ref")
+    c = binned(cur, "n_cur")
+    # totals derive from the bin counts (every row clamps into some bin),
+    # so no extra full scans and no driver-side .count() actions
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    joined = (
+        bins.join(F.broadcast(r), "bin", "left")
+        .join(F.broadcast(c), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .withColumn(
+            "p_ref",
+            (F.col("n_ref") + 1) / (F.sum("n_ref").over(w) + PSI_BINS).cast("double"),
+        )
+        .withColumn(
+            "p_cur",
+            (F.col("n_cur") + 1) / (F.sum("n_cur").over(w) + PSI_BINS).cast("double"),
+        )
+        .withColumn(
+            "psi_term",
+            F.round((F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref")), 6),
+        )
+    )
+    return joined.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        "psi_term",
+        F.round(F.sum("psi_term").over(w), 6).alias("psi_total"),
+    )
+
+
+Q_DRIFT_PSI_SQL = f"""
+WITH edges AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+  FROM orders WHERE o_orderdate < TIMESTAMP '{PSI_SPLIT} 00:00:00'
+),
+ref AS (
+  SELECT CAST(least(greatest(coalesce(
+           floor((o_totalprice - mn) / (nullif(mx - mn, 0.0) / {PSI_BINS})) + 1, 1), 1), {PSI_BINS}) AS BIGINT) AS bin
+  FROM orders, edges WHERE o_orderdate < TIMESTAMP '{PSI_SPLIT} 00:00:00'
+),
+cur AS (
+  SELECT CAST(least(greatest(coalesce(
+           floor((o_totalprice - mn) / (nullif(mx - mn, 0.0) / {PSI_BINS})) + 1, 1), 1), {PSI_BINS}) AS BIGINT) AS bin
+  FROM orders, edges WHERE o_orderdate >= TIMESTAMP '{PSI_SPLIT} 00:00:00'
+),
+rb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_ref FROM ref GROUP BY bin),
+cb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_cur FROM cur GROUP BY bin),
+bins AS (SELECT unnest(range(1, {PSI_BINS + 1})) AS bin),
+j AS (
+  SELECT bins.bin,
+         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+         (coalesce(n_ref, 0) + 1) / CAST(SUM(coalesce(n_ref, 0)) OVER () + {PSI_BINS} AS DOUBLE) AS p_ref,
+         (coalesce(n_cur, 0) + 1) / CAST(SUM(coalesce(n_cur, 0)) OVER () + {PSI_BINS} AS DOUBLE) AS p_cur
+  FROM bins LEFT JOIN rb ON bins.bin = rb.bin LEFT JOIN cb ON bins.bin = cb.bin
+),
+t AS (SELECT bin, n_ref, n_cur, round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term FROM j)
+SELECT bin, n_ref, n_cur, psi_term,
+       round(SUM(psi_term) OVER (), 6) AS psi_total
+FROM t
+"""
+
+QUERIES["q_drift_psi"] = QuerySpec(
+    q_drift_psi, Q_DRIFT_PSI_SQL, "population-stability-index drift monitor between snapshots"
+)

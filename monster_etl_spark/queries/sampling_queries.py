@@ -244,3 +244,34 @@ QUERIES["sample_temperature"] = QuerySpec(
     SAMPLE_TEMPERATURE_SQL,
     "temperature-rescaled (count^0.5) per-language resampling",
 )
+
+
+KFOLDS = 5
+
+
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (the cross-validation / sharded-
+    eval primitive): fold = content_hash(doc_id) mod k — uniform in
+    expectation, reproducible across engines, reruns and partition
+    layouts, and stable under corpus growth (a document's fold never
+    depends on other rows — unlike round-robin or ntile splits, which
+    reshuffle everything when one row is added). Narrow map, no
+    shuffle; companion per-fold counts come from one map-side
+    combinable aggregate."""
+    from monster_etl_spark.operators.sampling import sample_hash
+
+    d = load(spark, sf_dir, "documents")
+    fold = (sample_hash(F.col("doc_id"), salt="kfold") % KFOLDS + 1).cast("long")
+    return d.select("doc_id", "lang", fold.alias("fold"))
+
+
+def _kfold_sql() -> str:
+    from monster_etl_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", salt="kfold")
+    return f"SELECT doc_id, lang, CAST({h} % {KFOLDS} + 1 AS BIGINT) AS fold FROM documents"
+
+
+QUERIES["q_kfold_split"] = QuerySpec(
+    q_kfold_split, _kfold_sql(), "deterministic hash-based k-fold assignment"
+)
