@@ -238,14 +238,13 @@ def _bench_zorder_pruning(spark, sf_dir: str, scratch: str, num_files: int = 32)
 
 
 def _bench_bloom_pruning(spark, sf_dir: str, scratch: str, num_files: int = 32) -> tuple:
-    """Equality-lookup skipping: range-partition lineitem on l_orderkey
-    (each key in exactly one file), build the per-file bloom manifest,
-    then time a point lookup as (a) bloom-pruned read vs (b) full
-    scan + filter. Build cost (one column read per file) is untimed —
-    the amortized index pass; min/max bands would also prune here (the
-    layout is range-sorted), so the bloom's distinct value is the same
-    lookup on an UNSORTED layout, where bands span the domain — this
-    pair times the mechanism itself."""
+    """Equality-lookup skipping: HASH-partition lineitem on l_orderkey
+    (each key in exactly one file, but every file's min/max band spans
+    the whole key domain — the layout where band pruning is useless and
+    the bloom is the only skipping mechanism), build the per-file bloom
+    manifest, then time a point lookup as (a) bloom-pruned read vs (b)
+    full scan + filter. Build cost (one column read per file) is
+    untimed — the amortized index pass."""
     import time
 
     from pyspark.sql import functions as F

@@ -97,6 +97,12 @@ def asof_join_merge(
     before. Returns all left rows + those columns. Timestamps are
     compared on a common timestamp cast; the carried values keep their
     original types.
+
+    Determinism: right rows tied on (key, ts) additionally sort by their
+    value tuple, so the carried "last" is the GREATEST value tuple among
+    ties — partition-layout-independent (a window ordered only by
+    (ts, side) would carry whichever tied row happened to sort last).
+    value_cols must therefore be orderable types.
     """
     from pyspark.sql import Window
 
@@ -111,7 +117,11 @@ def asof_join_merge(
     u = l2.unionByName(r2, allowMissingColumns=True)
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(
+            F.col("_t").asc(),
+            F.col("_side").asc(),
+            *[F.col(v).asc_nulls_first() for v in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for v in value_cols:

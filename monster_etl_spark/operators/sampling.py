@@ -221,6 +221,25 @@ def temperature_quotas(
     )
     counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_c"))
     w = counts.withColumn("w6", F.round(pow_col * 1e6).cast("long"))
+    # Domain guard: the integer products below (total_n * w6 and
+    # q_base * _w_tot) must fit in BIGINT. DuckDB raises on overflow;
+    # Spark (non-ANSI) would WRAP silently and hand back garbage quotas,
+    # so fail loudly at the same boundary. Binding when
+    # total_n * max_stratum^tau > ~9.2e12 — e.g. total_n 1e6 over a
+    # 1e13-row stratum at tau=0.5; shrink tau or quota in that regime.
+    cap = (1 << 63) - 1
+    w = w.withColumn(
+        "w6",
+        F.when(
+            F.col("w6") > F.lit(cap // max(total_n, 1)),
+            F.raise_error(
+                F.lit(
+                    f"temperature_quotas overflow: total_n={total_n} * w6 "
+                    f"exceeds BIGINT; reduce total_n or tau"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("w6")),
+    )
     tot = w.agg(F.sum("w6").alias("_w_tot"))
     j = w.crossJoin(F.broadcast(tot))
     base = (F.lit(total_n) * F.col("w6")) / F.col("_w_tot")

@@ -38,9 +38,18 @@ CMS_WIDTH = 512
 
 def _bucket(key: Column, row: int, width: int) -> Column:
     """Row-r bucket of a key: salted-md5 32-bit hash mod width (mirrors
-    :func:`_bucket_sql`)."""
+    :func:`_bucket_sql`). NULL keys coalesce to the empty string BEFORE
+    hashing: Spark's concat null-propagates (a NULL bucket would make
+    every NULL key estimate 0, violating the no-underestimate
+    guarantee) while DuckDB's concat skips NULLs — coalescing to ''
+    makes both engines bucket NULL as the empty-string key (which may
+    therefore collide with actual '' keys; CMS collisions only ever
+    overestimate)."""
     h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"cms{row}|"), key.cast("string"))), 1, 8), 16, 10
+        F.substring(
+            F.md5(F.concat(F.lit(f"cms{row}|"), F.coalesce(key.cast("string"), F.lit("")))),
+            1, 8,
+        ), 16, 10
     ).cast("long")
     return (h % width).cast("int")
 

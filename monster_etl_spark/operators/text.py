@@ -732,12 +732,24 @@ def _bpe_sym_init(word: Column) -> Column:
 def _bpe_apply_merge(sym: Column, w1: str, w2: str) -> Column:
     """Merge one learned pair everywhere in a symbol string: replace
     "|w1|w2|" with "|w1w2|", twice. Left-to-right non-overlapping replace
-    consumes the shared boundary delimiter, so in a run of adjacent
-    occurrences the first pass merges the odd ones; the survivors are
-    then cleanly delimited and the second pass takes them all — two
-    passes reproduce greedy left-to-right BPE application exactly, in
-    any engine with a plain literal replace (no lookahead regex, which
-    RE2-based engines lack)."""
+    consumes the shared boundary delimiter; the survivors are then
+    cleanly delimited and the second pass takes them.
+
+    Semantics contract (property-tested in tests/test_property.py): for
+    w1 != w2 this reproduces greedy left-to-right BPE application
+    exactly — distinct-pair occurrences never share a SYMBOL, only the
+    boundary, which the second pass repairs. For SELF-pairs (w1 == w2)
+    over a same-symbol run of length k, the two passes merge the
+    anchored every-third pairing — identical to greedy for k <= 4,
+    merging a different (k = 5) or smaller (k >= 6: |aa|a|aa|a|... vs
+    greedy's |aa|aa|a|) pairing on longer runs. That deterministic
+    variant is this engine's merge rule: both engines run the literal
+    same two replaces, so Spark and the SQL oracle agree bit-for-bit —
+    the property an exact greedy scan (which needs lookahead regex or a
+    per-row loop; RE2-based engines have neither) could not give
+    cross-engine. Natural-language words essentially never contain
+    5+ same-symbol runs, so learned merge tables match Sennrich BPE in
+    practice."""
     pat, rep = f"|{w1}|{w2}|", f"|{w1}{w2}|"
     one = F.replace(sym, F.lit(pat), F.lit(rep))
     return F.replace(one, F.lit(pat), F.lit(rep))
@@ -793,7 +805,8 @@ def bpe_learn_merges(
         .withColumn("sym", _bpe_sym_init(F.col("word")))
         .select("sym", "freq")
     )
-    words = words.persist()
+    base = words.persist()  # keep the handle: `words` is rebound below
+    words = base
     try:
         merges: list[tuple[int, str, str, str, int]] = []
         for k in range(n_merges):
@@ -812,7 +825,7 @@ def bpe_learn_merges(
             merges, "merge_rank: long, w1: string, w2: string, merged: string, pair_count: long"
         )
     finally:
-        words.unpersist()
+        base.unpersist()
 
 
 def bpe_learn_merges_sql(

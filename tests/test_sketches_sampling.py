@@ -104,9 +104,10 @@ def test_compaction_plan_groups_bounded(spark):
     assert gs == list(range(len(gs)))
 
 
-def test_bpe_two_pass_replace_equals_greedy(spark):
-    # runs of adjacent pair occurrences are the adversarial case for
-    # non-overlapping replace (the shared '|' boundary is consumed)
+def test_bpe_two_pass_replace_column_expression(spark):
+    # the Spark column expression agrees with greedy merge on these
+    # shapes (distinct pairs; self-pair runs <= 4 — the longer-run
+    # variant semantics are pinned in tests/test_property.py)
     from monster_etl_spark.operators.text import _bpe_apply_merge
 
     df = spark.createDataFrame(
@@ -153,3 +154,28 @@ def test_mad_outliers_flags_planted_outlier(spark):
     )
     ids = [r.event_id for r in out.collect()]
     assert ids == [999]
+
+
+def test_cms_null_keys_bucket_as_empty_string(spark):
+    """NULL keys must not NULL-propagate to bucket NULL (estimate 0 <
+    exact would break the no-underestimate guarantee); they bucket as
+    the empty-string key on both engines."""
+    from monster_etl_spark.operators.sketches import cms_heavy_hitters
+
+    rows = [(None,)] * 40 + [("x",)] * 10
+    df = spark.createDataFrame(rows, "k: string")
+    hh = cms_heavy_hitters(df, "k", min_count=1).toPandas()
+    by = {k: (e, c) for k, e, c in zip(hh.k, hh.exact_count, hh.cms_estimate)}
+    assert by[None][0] == 40 and by[None][1] >= 40
+    assert by["x"][1] >= 10
+
+
+def test_temperature_quotas_overflow_raises(spark):
+    import pytest as _pt
+
+    from monster_etl_spark.operators.sampling import temperature_quotas
+
+    df = spark.createDataFrame([(i, "en") for i in range(100)], "doc_id: long, lang: string")
+    # total_n so large that total_n * w6 (w6 = sqrt(100)*1e6 = 1e7) overflows
+    with _pt.raises(Exception, match="overflow"):
+        temperature_quotas(df, ["lang"], total_n=(1 << 62), tau=0.5).collect()
