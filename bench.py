@@ -114,6 +114,11 @@ SOAK_QUERIES = [
     "dedup_window_rewrite",
     "text_bigram_logprob",
     "knn_pq",
+    # round-3 scale claims: the merge as-of vs the expanding range join,
+    # and the cross-source shingle matrix
+    "q_asof_last_order",
+    "q_asof_merge_join",
+    "dedup_contamination_matrix",
 ]
 
 

@@ -723,3 +723,81 @@ def _bpe_merges_sql() -> str:
 QUERIES["text_bpe_merges"] = QuerySpec(
     text_bpe_merges, _bpe_merges_sql(), "distributed BPE merge-pair learning (first 6 merges)"
 )
+
+
+ZIPF_TOP = 200  # fit over the head of the rank-frequency curve
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: rank tokens by
+    frequency, fit ln(freq) = a + s * ln(rank) over the top 200 by
+    closed-form OLS, and report the slope (natural text runs s ~ -1;
+    strong deviation flags boilerplate or synthetic text — a corpus-
+    level quality signal). One token-count aggregate (map-side
+    combinable), a top-200 TakeOrdered, then 200-row math. Sums run in
+    the exact integer/decimal domain where possible; the one float
+    OLS expression is identical on both engines and rounded 6dp."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    top = freqs.orderBy(F.desc("freq"), F.asc("tok")).limit(ZIPF_TOP)
+    ranked = top.select(
+        "tok",
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("tok")))
+        .cast("long")
+        .alias("rank"),
+    )
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return agg.select(
+        F.col("n").alias("n_tokens_fit"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+),
+freqs AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks WHERE tok <> '' GROUP BY tok
+),
+top AS (SELECT tok, freq FROM freqs ORDER BY freq DESC, tok ASC LIMIT {ZIPF_TOP}),
+ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS rank FROM top
+),
+xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y FROM ranked),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM xy
+)
+SELECT n AS n_tokens_fit,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS zipf_intercept
+FROM agg
+"""
+
+QUERIES["text_zipf_fit"] = QuerySpec(
+    text_zipf_fit, ZIPF_SQL, "Zipf rank-frequency OLS fit of the token distribution"
+)
