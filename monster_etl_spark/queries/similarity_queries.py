@@ -497,3 +497,88 @@ QUERIES["knn_ivfpq"] = QuerySpec(
 QUERIES["knn_ivfpq_recall"] = QuerySpec(
     knn_ivfpq_recall, KNN_IVF_RECALL_SQL, "IVF-PQ recall>=0.5 error contract vs brute force"
 )
+
+
+NEG_PER_QUERY = 3
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each query vector, 3 uniform pseudo-random corpus vectors that are
+    NOT the query and NOT among its exact top-k neighbors (the standard
+    "random negatives, minus the positives" batch construction).
+    Candidates rank by the engine-agnostic salted hash of
+    (query_id, candidate_id) — reproducible across engines/layouts, a
+    fresh draw per query. Scale shape: the candidate space reuses the
+    broadcast-|Q| nested-loop of the brute-force baseline (|Q| is
+    structurally capped), the positives anti-join is |Q|*k rows, and
+    the per-query window sees hash-ranked candidates only."""
+    from pyspark.sql import Window
+
+    from monster_etl_spark.operators.sampling import sample_hash
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir).select(F.col("vec_id").alias("query_id"))
+    pos = sim.brute_force_topk(_queries_df(spark, sf_dir), emb, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(pos, ["query_id", "neighbor_id"], "left_anti")
+    )
+    h = sample_hash(
+        F.concat(F.col("query_id").cast("string"), F.lit(":"), F.col("neighbor_id").cast("string")),
+        salt="negsample",
+    )
+    w = Window.partitionBy("query_id").orderBy(h.asc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= NEG_PER_QUERY)
+        .select("query_id", F.col("neighbor_id").alias("negative_id"), "neg_rank")
+    )
+
+
+def _negative_samples_sql() -> str:
+    from monster_etl_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql(
+        "CAST(query_id AS VARCHAR) || ':' || CAST(neighbor_id AS VARCHAR)", salt="negsample"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, {_DVEC.format(col='embedding')} AS qv
+           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP}),
+c AS (SELECT vec_id AS neighbor_id, {_DVEC.format(col='embedding')} AS nv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cosine_sim
+  FROM q CROSS JOIN c WHERE query_id != neighbor_id
+),
+pos AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    FROM scored
+  ) AS r WHERE rank <= {TOP_K}
+),
+cand AS (
+  SELECT q.query_id, c.neighbor_id
+  FROM (SELECT query_id FROM q) q CROSS JOIN (SELECT neighbor_id FROM c) c
+  WHERE q.query_id != c.neighbor_id
+    AND NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.query_id = q.query_id AND p.neighbor_id = c.neighbor_id)
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {h} ASC, neighbor_id ASC) AS neg_rank
+  FROM cand
+)
+SELECT query_id, neighbor_id AS negative_id, CAST(neg_rank AS BIGINT) AS neg_rank
+FROM ranked WHERE neg_rank <= {NEG_PER_QUERY}
+"""
+
+
+QUERIES["q_negative_samples"] = QuerySpec(
+    q_negative_samples,
+    _negative_samples_sql(),
+    "deterministic contrastive negatives (hash draw minus exact positives)",
+)
