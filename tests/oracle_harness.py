@@ -15,10 +15,20 @@ TABLES = (
 )
 
 
+def table_glob(sf_dir: str, t: str) -> str:
+    """DuckDB-readable path for a table: the driver's testdata is one
+    file per table; derived scale dirs (tools/gen_scale.py) are
+    Spark-style part-file DIRECTORIES named table.parquet/."""
+    import os
+
+    p = f"{sf_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'")
     res = con.sql(sql)
     return res.columns, res.fetchall()
 

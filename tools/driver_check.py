@@ -88,9 +88,11 @@ def check_query(spark, name, spec, sf_dir):
         if spec.oracle is None:
             res["err"] = "no_oracle"
             return res
+        from tests.oracle_harness import table_glob
+
         con = duckdb.connect()
         for t in TABLES:
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'")
         odf = con.sql(spec.oracle).df()
         res["oracle_rows"] = len(odf)
         sc, oc = _canon_frame(sdf), _canon_frame(odf)  # raises on lists
