@@ -214,3 +214,72 @@ QUERIES["stream_exact_dedup"] = QuerySpec(
     STREAM_EXACT_DEDUP_SQL,
     "streaming exact dedup (dropDuplicates), driven to completion",
 )
+
+
+def stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch, driven to completion: the d x w cell
+    counts are a streaming groupBy aggregate maintained incrementally
+    across micro-batches (complete output mode re-emits the full — at
+    most d*w-row — state each trigger; the memory sink holds the final
+    snapshot). CMS cells are pure additive counters, so the completed
+    state is EXACTLY the batch sketch regardless of how the stream was
+    split into batches — the mergeability that makes CMS the standard
+    streaming frequency sketch — and the oracle is the same cells SQL
+    the batch q_heavy_hitters_cms builds on. State is bounded by d*w
+    cells forever (no watermark needed): the sketch IS the eviction
+    strategy."""
+    from monster_etl_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH, _bucket
+
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    stage = _STAGE + "_cms"
+    shutil.rmtree(stage, ignore_errors=True)
+    e.coalesce(4).write.mode("overwrite").json(stage)
+
+    stream = spark.readStream.schema(_STREAM_SCHEMA).option("maxFilesPerTrigger", 1).json(stage)
+    cells = stream.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("sketch_row"),
+                        _bucket(F.col("user_id"), r, CMS_WIDTH).alias("bucket"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.sketch_row", "cell.bucket")
+    agg = cells.groupBy("sketch_row", "bucket").agg(F.count(F.lit(1)).alias("cell_count"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_cms_sketch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table("stream_cms_sketch")
+
+
+def _stream_cms_sql() -> str:
+    from monster_etl_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH, _bucket_sql
+
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS sketch_row, {_bucket_sql('user_id', r, CMS_WIDTH)} AS bucket FROM events"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+SELECT sketch_row, bucket, CAST(COUNT(*) AS BIGINT) AS cell_count
+FROM ({cells}) AS cells GROUP BY sketch_row, bucket
+"""
+
+
+QUERIES["stream_cms_sketch"] = QuerySpec(
+    stream_cms_sketch,
+    _stream_cms_sql(),
+    "streaming count-min sketch; completed state == batch sketch",
+)
