@@ -836,7 +836,7 @@ def bpe_learn_merges_sql(
     the same two-pass boundary-delimited replace."""
     parts = [
         f"""level0 AS (
-  SELECT regexp_replace(word, '(.)', '|\\1', 'g') || '|' AS sym, freq FROM (
+  SELECT word, regexp_replace(word, '(.)', '|\\1', 'g') || '|' AS sym, freq FROM (
     SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
       SELECT unnest(regexp_extract_all(lower({text_expr}), '{BPE_WORD_RE}')) AS word
       FROM {table}
@@ -859,7 +859,8 @@ top{k} AS (
   ORDER BY pair_count DESC, w1 ASC, w2 ASC LIMIT 1
 ),
 level{k + 1} AS (
-  SELECT replace(replace(sym, '|' || w1 || '|' || w2 || '|', '|' || w1 || w2 || '|'),
+  SELECT word,
+         replace(replace(sym, '|' || w1 || '|' || w2 || '|', '|' || w1 || w2 || '|'),
                  '|' || w1 || '|' || w2 || '|', '|' || w1 || w2 || '|') AS sym, freq
   FROM level{k}, top{k}
 )"""
@@ -869,3 +870,88 @@ level{k + 1} AS (
         for k in range(n_merges)
     )
     return "WITH " + ",\n".join(parts) + "\nSELECT * FROM (" + finals + ") AS m"
+
+
+def bpe_tokenize_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 6,
+    max_word_len: int = BPE_MAX_WORD_LEN,
+) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus and count each
+    document's subword tokens — the train->apply loop closed (learn =
+    :func:`bpe_learn_merges`; this runs the SAME algorithm, then folds
+    the learned merges over the distinct-word symbol table and joins
+    subword counts back to documents).
+
+    Scale shape: merges are learned on the vocabulary-sized dictionary
+    (driver holds only the n_merges winning pairs — the same
+    metadata-sized collect); application is a narrow fold over DISTINCT
+    words (vocabulary-sized, never the corpus), and the corpus pass is
+    one explode + an equi-join on the word. Out-of-scope words (longer
+    than ``max_word_len``, non-alphabetic) count 1 segment each, so
+    every word contributes. Returns (id, n_words, n_subwords).
+    """
+    merges = [
+        (r["w1"], r["w2"])
+        for r in bpe_learn_merges(docs, text_col, n_merges, max_word_len)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    words = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_WORD_RE}', 0)")
+        ).alias("word"),
+    )
+    vocab = (
+        words.filter(F.length("word") <= max_word_len)
+        .select("word")
+        .distinct()
+        .withColumn("sym", _bpe_sym_init(F.col("word")))
+    )
+    for w1, w2 in merges:
+        vocab = vocab.withColumn("sym", _bpe_apply_merge(F.col("sym"), w1, w2))
+    vocab = vocab.select(
+        "word",
+        F.size(F.filter(F.split(F.col("sym"), r"\|"), lambda x: x != "")).alias("n_sub"),
+    )
+    joined = words.join(F.broadcast(vocab), "word", "left")
+    return (
+        joined.groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("n_sub"), F.lit(1))).alias("n_subwords"),
+        )
+        .select(F.col("_doc").alias(id_col), "n_words", "n_subwords")
+    )
+
+
+def bpe_tokenize_counts_sql(
+    table: str,
+    id_expr: str,
+    text_expr: str,
+    n_merges: int = 6,
+    max_word_len: int = BPE_MAX_WORD_LEN,
+) -> str:
+    """DuckDB twin: reuse the learn chain's final level (word -> merged
+    symbol string) and join subword counts back to per-document words."""
+    learn = bpe_learn_merges_sql(table, text_expr, n_merges, max_word_len)
+    chain = learn[: learn.rindex("\nSELECT * FROM (")]  # keep the WITH chain only
+    return f"""{chain},
+vocab AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(sym, '|'), x -> x <> '')) AS BIGINT) AS n_sub
+  FROM level{n_merges}
+),
+docwords AS (
+  SELECT {id_expr} AS _doc,
+         unnest(regexp_extract_all(lower({text_expr}), '{BPE_WORD_RE}')) AS word
+  FROM {table}
+)
+SELECT _doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(coalesce(n_sub, 1)) AS BIGINT) AS n_subwords
+FROM docwords LEFT JOIN vocab USING (word)
+GROUP BY _doc
+"""

@@ -801,3 +801,28 @@ FROM agg
 QUERIES["text_zipf_fit"] = QuerySpec(
     text_zipf_fit, ZIPF_SQL, "Zipf rank-frequency OLS fit of the token distribution"
 )
+
+
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train->apply closed loop (operators/text.py
+    ``bpe_tokenize_counts``): learn the 6 merges on the corpus, fold
+    them over the vocabulary-sized distinct-word table, and count each
+    document's resulting subword tokens via one explode + broadcast
+    word join. The oracle reuses the learn chain's final CTE level
+    (word -> merged symbol string) so both engines apply the identical
+    merge table."""
+    from monster_etl_spark.operators.text import bpe_tokenize_counts
+
+    d = load(spark, sf_dir, "documents")
+    return bpe_tokenize_counts(d, "doc_id", "text", n_merges=BPE_N_MERGES)
+
+
+def _bpe_tokenize_sql() -> str:
+    from monster_etl_spark.operators.text import bpe_tokenize_counts_sql
+
+    return bpe_tokenize_counts_sql("documents", "doc_id", "text", n_merges=BPE_N_MERGES)
+
+
+QUERIES["text_bpe_tokenize"] = QuerySpec(
+    text_bpe_tokenize, _bpe_tokenize_sql(), "BPE apply: per-doc subword counts from learned merges"
+)
