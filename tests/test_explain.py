@@ -49,3 +49,46 @@ def test_summary_counts_python_crossing(spark, sf_dir):
     assert s.python_evals >= 0  # mapInPandas shows as its own node, not Eval
     # but the scan must still be pruned to the two needed columns
     assert any("text" in sc.read_schema for sc in s.scans)
+
+
+def test_no_unbroadcast_cartesian_in_any_registry_plan(spark, sf_dir):
+    """Registry-wide audit: a CartesianProduct node (an UNBROADCAST cross
+    product — both sides shuffled to every task pair) is a scale killer
+    nowhere AQE can fix it. Intended cross products in the ANN family
+    ride BroadcastNestedLoopJoin (bounded-|Q| side hinted), which this
+    does not flag. Streaming queries are skipped (their plan only exists
+    inside a running query)."""
+    from monster_etl_spark.explain import formatted_plan
+
+    bad = {}
+    for name, spec in Q.items():
+        if name.startswith("stream_"):
+            continue
+        try:
+            plan = formatted_plan(spec.fn(spark, sf_dir))
+        except Exception as ex:  # pragma: no cover - surface which query broke
+            bad[name] = f"explain failed: {ex}"
+            continue
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+    assert bad == {}, f"unbroadcast cross products: {bad}"
+
+
+def test_python_eval_only_in_multimodal_and_untar(spark, sf_dir):
+    """Registry-wide audit: Python UDF evaluation nodes
+    (BatchEvalPython / ArrowEvalPython) may appear ONLY in the
+    multimodal/untar family — everything else must stay JVM-side.
+    (mapInPandas shows as MapInPandas, also confined to that family by
+    construction; this counts the row-UDF nodes plan_summary tracks.)"""
+    allowed_prefixes = ("multimodal_", "s7_")
+    bad = {}
+    for name, spec in Q.items():
+        if name.startswith("stream_") or name.startswith(allowed_prefixes):
+            continue
+        try:
+            s = plan_summary(spec.fn(spark, sf_dir))
+        except Exception:
+            continue  # covered by the cartesian audit above
+        if s.python_evals:
+            bad[name] = s.python_evals
+    assert bad == {}, f"Python evaluation outside multimodal: {bad}"
