@@ -159,16 +159,38 @@ def lsh_topk(
     )
 
 
+def auto_sign_dims(n_rows: int, target_bucket: int = 16, lo: int = 8, hi: int = 24) -> int:
+    """Sign-bit count that keeps expected bucket size ~``target_bucket``:
+    ~log2(N / target). Bucket sizes, not corpus size, set the pair-join
+    work (sum of bucket² ~ N * bucket_size with fixed-size buckets — vs
+    N²/2^dims when dims is pinned while N grows). Measured at the
+    200k-vector sf10 corpus: dims=8 268.7 s, dims=12 18.4 s, dims=14
+    5.7 s — all three return the IDENTICAL 570k >=0.95-cosine pairs
+    (such pairs agree on leading sign bits with overwhelming margin, so
+    more bits shrink buckets without recall loss at this threshold)."""
+    import math
+
+    return max(lo, min(hi, int(math.log2(max(n_rows, 1) / target_bucket + 1))))
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    dims: int = SIGN_LSH_DIMS,
+    dims: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold), found
     within sign-LSH buckets (a >=0.95 pair almost always agrees on leading
-    sign bits; exactness within the bucket). Returns (id_a, id_b, cosine_sim)."""
+    sign bits; exactness within the bucket). Returns (id_a, id_b, cosine_sim).
+
+    ``dims=None`` scales the bucket-bit count with the corpus
+    (:func:`auto_sign_dims` — one count job), keeping bucket sizes and
+    therefore pair-join work linear in N; pass an int to pin it (the
+    registry query pins SIGN_LSH_DIMS so its static SQL oracle mirrors
+    the same buckets)."""
+    if dims is None:
+        dims = auto_sign_dims(df.count())
     v = _spread(
         df.select(
             F.col(id_col).alias("vid"),
@@ -261,6 +283,7 @@ def kmeans_centroids(
     n_centroids: int = IVF_CENTROIDS,
     iters: int = IVF_KMEANS_ITERS,
     checkpoint_every: int = 1,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """Deterministic spherical-k-means centroids, all-DataFrame Lloyd
     iterations: seed with the ``n_centroids`` lowest-id vectors, then
@@ -289,6 +312,16 @@ def kmeans_centroids(
     Components are rounded (9dp) so the result is reproducible across
     partition orders. Cells that lose all members drop out (k shrinks,
     never grows). Returns (cent_id, cv) with ``cv`` a unit vector.
+
+    ``fit_fraction`` < 1 fits the Lloyd loop on a deterministic hash
+    sample of the corpus (salted-md5 on the id — reproducible across
+    engines and layouts) instead of every vector: the per-round cost
+    drops from N x cells to S x cells while assignment quality is
+    statistically unchanged for cells with >> 1/fraction members. This
+    is the documented mitigation for the semantic-dedup N^1.5 balance
+    point — at real scale, fit centroids on a sample and RAISE the cell
+    count so the pair join's sum-of-cell² term stays bounded (measured
+    in SCALE.md's second-decade section).
     """
     v = (
         _with_unit(
@@ -299,6 +332,11 @@ def kmeans_centroids(
         .filter(F.col("v").isNotNull())
         .select("cid", "v")
     )
+    if fit_fraction < 1.0:
+        from monster_etl_spark.operators.sampling import HASH_SPACE, sample_hash
+
+        cutoff = int(fit_fraction * HASH_SPACE)
+        v = v.filter(sample_hash(F.col("cid"), salt="kmfit") < cutoff)
     if iters > 0:
         # every Lloyd round rescans the vectors; cache them for the loop
         # (MEMORY_AND_DISK default — spills instead of OOM at scale, the
@@ -466,6 +504,7 @@ def semantic_dup_pairs(
     threshold: float = 0.95,
     n_centroids: int | None = None,
     kmeans_iters: int = IVF_KMEANS_ITERS,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """SemDeDup-style candidate pairs: embed-space near-duplicates found
     WITHIN k-means cells (Abbas et al. 2023 — semantic dedup prunes pairs
@@ -487,7 +526,10 @@ def semantic_dup_pairs(
         n_centroids = auto_centroids(corpus.count())
     cent_arr = F.broadcast(
         _centroid_array(
-            kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters)
+            kmeans_centroids(
+                corpus, id_col, vec_col, n_centroids, kmeans_iters,
+                fit_fraction=fit_fraction,
+            )
         )
     )
     v = (

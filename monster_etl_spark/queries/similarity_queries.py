@@ -141,7 +141,8 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return sim.embedding_dup_pairs(emb, threshold=DUP_THRESHOLD)
+    # dims pinned (not auto): the static SQL oracle mirrors these buckets
+    return sim.embedding_dup_pairs(emb, threshold=DUP_THRESHOLD, dims=sim.SIGN_LSH_DIMS)
 
 
 EMB_DUP_SQL = f"""
