@@ -281,3 +281,30 @@ def test_ivfpq_topk_shape_and_recall(spark, sf_dir):
         ["query_id", "neighbor_id"], "left",
     ).agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias("r")).collect()[0]
     assert hit.r >= 0.5
+
+
+def test_two_level_assignment_preserves_near_dup_pairs(spark, sf_dir):
+    """The scale contract of the coarse-then-fine argmax: a >=0.95-cosine
+    pair makes (near-)identical probe decisions, so the PAIR set from
+    two-level cells matches the flat exact argmax even where absolute
+    cell agreement is lower."""
+    import pyspark.sql.functions as F
+
+    from monster_etl_spark.operators import similarity as sim
+    from monster_etl_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    flat = {
+        (r.id_a, r.id_b)
+        for r in sim.semantic_dup_pairs(emb, n_centroids=32, threshold=0.9).collect()
+    }
+    two = {
+        (r.id_a, r.id_b)
+        for r in sim.semantic_dup_pairs(
+            emb, n_centroids=32, threshold=0.9, assignment="two_level"
+        ).collect()
+    }
+    # identical pair sets on the test corpus (or at worst a tiny,
+    # boundary-only delta — assert strong containment both ways)
+    assert len(two) >= 0.95 * len(flat) if flat else two == flat
+    assert len(flat & two) >= 0.95 * len(flat | two) if (flat or two) else True
