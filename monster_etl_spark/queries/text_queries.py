@@ -826,3 +826,72 @@ def _bpe_tokenize_sql() -> str:
 QUERIES["text_bpe_tokenize"] = QuerySpec(
     text_bpe_tokenize, _bpe_tokenize_sql(), "BPE apply: per-doc subword counts from learned merges"
 )
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the token co-occurrence graph (edges =
+    Apriori frequent pairs, tok_a < tok_b) — the classic distributed
+    graph primitive behind clustering-coefficient / community metrics.
+    Ordered-wedge formulation: join edges (a,b) x (b,c) into wedges with
+    a < b < c, then close each wedge against the edge list — two
+    equi-joins, work proportional to sum of ordered degrees squared
+    (the orientation trick that keeps hub wedges bounded: every vertex
+    only extends wedges toward HIGHER-ordered neighbors). Returns one
+    row per vertex participating in triangles (token, n_triangles) plus
+    the ordering makes each triangle counted exactly once per vertex."""
+    pairs = tx.frequent_token_pairs(
+        load(spark, sf_dir, "documents"), min_support=PAIR_MIN_SUPPORT
+    ).select("tok_a", "tok_b")
+    # materialize once: the edge list is referenced three times below and
+    # its Apriori derivation is the expensive part (localCheckpoint, not
+    # persist — nothing to leak after the query returns; same discipline
+    # as pagerank_fixed_point)
+    e = pairs.localCheckpoint()
+    ab = e.select(F.col("tok_a").alias("a"), F.col("tok_b").alias("b"))
+    bc = e.select(F.col("tok_a").alias("b"), F.col("tok_b").alias("c"))
+    wedges = ab.join(bc, "b").filter(F.col("a") < F.col("c"))
+    closing = e.select(F.col("tok_a").alias("a"), F.col("tok_b").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+    per_vertex = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_vertex
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents
+),
+pruned AS (
+  SELECT doc, tok FROM toks WHERE tok <> '' AND tok IN (
+    SELECT tok FROM toks WHERE tok <> '' GROUP BY tok
+    HAVING count(*) >= {PAIR_MIN_SUPPORT}
+  )
+),
+edges AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b
+  FROM pruned a JOIN pruned b ON a.doc = b.doc AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+  HAVING count(*) >= {PAIR_MIN_SUPPORT}
+),
+wedges AS (
+  SELECT ab.tok_a AS a, ab.tok_b AS b, bc.tok_b AS c
+  FROM edges ab JOIN edges bc ON ab.tok_b = bc.tok_a
+  WHERE ab.tok_a < bc.tok_b
+),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM wedges w JOIN edges e ON w.a = e.tok_a AND w.c = e.tok_b
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT unnest([a, b, c]) AS token FROM tri
+) AS v
+GROUP BY token
+"""
+
+QUERIES["graph_triangle_count"] = QuerySpec(
+    graph_triangle_count, GRAPH_TRIANGLES_SQL, "ordered-wedge triangle count per token"
+)
