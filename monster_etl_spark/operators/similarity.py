@@ -1174,45 +1174,41 @@ def ivfpq_topk(
     )
 
 
+def _scored_structs(arr: Column, vec: Column, id_field: str) -> Column:
+    """(c_sim, neg_id, id) ranking structs for ``vec`` against an array of
+    (id_field, cv|sv) centroid structs — the single source of the
+    dot-product fold and tie-break shared by the flat argmax
+    (:func:`_scored_cents`) and both two-level stages."""
+    vec_field = "cv" if id_field == "cent_id" else "sv"
+    return F.transform(
+        arr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c.getField(vec_field), lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("c_sim"),
+            (-c.getField(id_field)).alias("neg_id"),
+            c.getField(id_field).alias(id_field),
+        ),
+    )
+
+
 def _two_level_cells(vec: Column, sup_probes: int) -> Column:
     """Per-row two-level nearest-cell id against broadcast ``supers``
     (array<struct<sup_id, sv>>) + ``members`` (map<sup_id,
     array<struct<cent_id, cv>>>): rank the super-centroids, then argmax
     over the UNION of the top-``sup_probes`` supers' member centroids
     (single-probe misassigns boundary vectors whose true cell lives in
-    the runner-up super — measured 64% agreement at probes=1 vs 97%+ at
+    the runner-up super — measured 64% agreement at probes=1 vs 95%+ at
     probes=4). Both levels use the unit-centroid dot ranking of
-    :func:`_scored_cents`."""
-
-    def best_of(arr: Column) -> Column:
-        scored = F.transform(
-            arr,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(vec, c.getField("cv"), lambda x, y: x.cast("double") * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("c_sim"),
-                (-c.getField("cent_id")).alias("neg_id"),
-                c.getField("cent_id").alias("cent_id"),
-            ),
-        )
-        return F.array_max(scored).getField("cent_id")
-
-    sup_scored = F.transform(
-        F.col("supers"),
-        lambda s: F.struct(
-            F.aggregate(
-                F.zip_with(vec, s.getField("sv"), lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("c_sim"),
-            (-s.getField("sup_id")).alias("neg_id"),
-            s.getField("sup_id").alias("sup_id"),
-        ),
-    )
+    :func:`_scored_cents`. If every probed super lost all members (a
+    super can end empty after the final Lloyd mean update), falls back
+    to the flat argmax over ALL members — a dropped vector would
+    silently lose its duplicates, which is worse than paying the full
+    scan for the rare orphan row."""
     top_sups = F.transform(
-        F.slice(F.reverse(F.array_sort(sup_scored)), 1, sup_probes),
+        F.slice(F.reverse(F.array_sort(_scored_structs(F.col("supers"), vec, "sup_id"))), 1, sup_probes),
         lambda s: s.getField("sup_id"),
     )
     pooled = F.flatten(
@@ -1221,7 +1217,10 @@ def _two_level_cells(vec: Column, sup_probes: int) -> Column:
             F.array().cast("array<struct<cent_id:bigint,cv:array<double>>>"),
         ))
     )
-    return best_of(pooled)
+    probed = F.array_max(_scored_structs(pooled, vec, "cent_id")).getField("cent_id")
+    all_members = F.flatten(F.map_values(F.col("members")))
+    fallback = F.array_max(_scored_structs(all_members, vec, "cent_id")).getField("cent_id")
+    return F.when(F.size(pooled) > 0, probed).otherwise(fallback)
 
 
 def two_level_assign(

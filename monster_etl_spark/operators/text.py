@@ -899,6 +899,14 @@ def bpe_tokenize_counts(
         .orderBy("merge_rank")
         .collect()
     ]
+    if len(merges) < n_merges:
+        # the SQL twin's unrolled CTE chain assumes all n_merges levels
+        # exist (an empty top{k} would empty every later level via the
+        # cross join, silently flooring n_sub to 1); fail loudly instead
+        # of diverging from the oracle on degenerate corpora
+        raise ValueError(
+            f"corpus yields only {len(merges)} BPE merges; pass n_merges <= that"
+        )
     words = docs.select(
         F.col(id_col).alias("_doc"),
         F.explode(

@@ -544,9 +544,13 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _negative_samples_sql() -> str:
     from monster_etl_spark.operators.sampling import sample_hash_sql
 
+    from monster_etl_spark.operators.sampling import DEFAULT_OVERSAMPLE, HASH_SPACE
+
     h = sample_hash_sql(
         "CAST(query_id AS VARCHAR) || ':' || CAST(neighbor_id AS VARCHAR)", salt="negsample"
     )
+    OVERSAMPLE, NEG, K = DEFAULT_OVERSAMPLE, NEG_PER_QUERY, TOP_K
+    HASH_SPACE = HASH_SPACE
     return f"""
 WITH q AS (SELECT vec_id AS query_id, {_DVEC.format(col='embedding')} AS qv
            FROM embeddings WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP}),
@@ -561,16 +565,19 @@ pos AS (
     FROM scored
   ) AS r WHERE rank <= {TOP_K}
 ),
+n_corpus AS (SELECT COUNT(*) AS n FROM embeddings),
 cand AS (
-  SELECT q.query_id, c.neighbor_id
-  FROM (SELECT query_id FROM q) q CROSS JOIN (SELECT neighbor_id FROM c) c
+  SELECT q.query_id, c.neighbor_id, {h} AS _h
+  FROM (SELECT query_id FROM q) q CROSS JOIN (SELECT neighbor_id FROM c) c, n_corpus
   WHERE q.query_id != c.neighbor_id
+    AND {h} <= least({HASH_SPACE} - 1,
+                     CAST(ceil({OVERSAMPLE} * ({NEG} + {K}) * {HASH_SPACE} / n) AS BIGINT))
     AND NOT EXISTS (SELECT 1 FROM pos p
                     WHERE p.query_id = q.query_id AND p.neighbor_id = c.neighbor_id)
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {h} ASC, neighbor_id ASC) AS neg_rank
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY _h ASC, neighbor_id ASC) AS neg_rank
   FROM cand
 )
 SELECT query_id, neighbor_id AS negative_id, CAST(neg_rank AS BIGINT) AS neg_rank

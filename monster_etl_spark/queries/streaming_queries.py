@@ -228,7 +228,7 @@ def stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch q_heavy_hitters_cms builds on. State is bounded by d*w
     cells forever (no watermark needed): the sketch IS the eviction
     strategy."""
-    from monster_etl_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH, _bucket
+    from monster_etl_spark.operators.sketches import cms_build
 
     e = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
     stage = _STAGE + "_cms"
@@ -236,20 +236,9 @@ def stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.coalesce(4).write.mode("overwrite").json(stage)
 
     stream = spark.readStream.schema(_STREAM_SCHEMA).option("maxFilesPerTrigger", 1).json(stage)
-    cells = stream.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("sketch_row"),
-                        _bucket(F.col("user_id"), r, CMS_WIDTH).alias("bucket"),
-                    )
-                    for r in range(CMS_DEPTH)
-                ]
-            )
-        ).alias("cell")
-    ).select("cell.sketch_row", "cell.bucket")
-    agg = cells.groupBy("sketch_row", "bucket").agg(F.count(F.lit(1)).alias("cell_count"))
+    # the batch sketch builder works unchanged on a streaming frame —
+    # one code path, so the batch/stream sketches cannot drift
+    agg = cms_build(stream, "user_id")
     q = (
         agg.writeStream.format("memory")
         .queryName("stream_cms_sketch")

@@ -753,16 +753,21 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank"),
     )
+    # exact-moment discipline (q_stats_exact / text_ols_quality): ln
+    # values round to 9dp, per-row products are exact decimal, sums are
+    # exact decimal — summation ORDER cannot move the fit, so the 6dp
+    # slope/intercept hash-agree across engines and partitionings
+    dec = "decimal(28,18)"
     xy = ranked.select(
-        F.log(F.col("rank").cast("double")).alias("x"),
-        F.log(F.col("freq").cast("double")).alias("y"),
+        F.round(F.log(F.col("rank").cast("double")), 9).cast(dec).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 9).cast(dec).alias("y"),
     )
     agg = xy.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -786,10 +791,14 @@ top AS (SELECT tok, freq FROM freqs ORDER BY freq DESC, tok ASC LIMIT {ZIPF_TOP}
 ranked AS (
   SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS rank FROM top
 ),
-xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y FROM ranked),
+xy AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(28,18)) AS x,
+              CAST(round(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(28,18)) AS y
+       FROM ranked),
 agg AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
-         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,18))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,18))) AS DOUBLE) AS sxy
   FROM xy
 )
 SELECT n AS n_tokens_fit,

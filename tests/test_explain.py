@@ -87,8 +87,9 @@ def test_python_eval_only_in_multimodal_and_untar(spark, sf_dir):
             continue
         try:
             s = plan_summary(spec.fn(spark, sf_dir))
-        except Exception:
-            continue  # covered by the cartesian audit above
+        except Exception as ex:
+            bad[name] = f"plan_summary failed: {ex}"
+            continue
         if s.python_evals:
             bad[name] = s.python_evals
     assert bad == {}, f"Python evaluation outside multimodal: {bad}"
