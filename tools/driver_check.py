@@ -135,9 +135,10 @@ def main():
             bad.append(name)
         err1 = (r["err"] or "").strip().splitlines()[-1] if r["err"] else ""
         print(f"{status:9s} {name}  rows={r['spark_rows']}  {err1 if status=='FAIL' else ''}", flush=True)
-    if not args.queries:
-        # full-registry runs own the committed verification record; a
-        # targeted run must never overwrite it with a partial snapshot
+    if not args.queries and args.sf_dir == "/root/testdata/sf0.01":
+        # full-registry runs AT THE DRIVER'S SF own the committed
+        # verification record; targeted or other-sf runs must never
+        # overwrite it with a partial/foreign snapshot
         with open("DRIVER_CHECK.json", "w") as f:
             json.dump(results, f, indent=1)
     print(f"\n{len(names) - len(bad)}/{len(names)} ok; failures: {bad}")
