@@ -93,3 +93,25 @@ def test_asof_merge_plan_has_no_join(spark, sf_dir):
     plan = _explain(q_asof_merge_join(spark, sf_dir))
     assert re.search(r"Join", plan) is None, plan[:2000]
     assert re.search(r"Window", plan) is not None
+
+
+def test_asof_merge_tied_right_rows_deterministic(spark):
+    """Two right rows tied on (key, ts) with different carried values:
+    the running last must pick the greatest value tuple, independent of
+    partition layout (the window orders by the value tuple after
+    (ts, side))."""
+    from monster_etl_spark.operators.joins import asof_join_merge
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00")], "k: long, ts: string"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP_NTZ) AS ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10), (1, "2024-01-01 00:00:00", 99)],
+        "k: long, rts: string, v: int",
+    ).selectExpr("k", "CAST(rts AS TIMESTAMP_NTZ) AS rts", "v")
+    for parts in (1, 7):
+        out = asof_join_merge(
+            left, right.repartition(parts), "k", "k", "ts", "rts",
+            value_cols=["v"], count_col="n",
+        ).collect()
+        assert len(out) == 1 and out[0].v == 99 and out[0].n == 2
