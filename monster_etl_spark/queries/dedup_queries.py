@@ -465,3 +465,78 @@ QUERIES["dedup_contamination_matrix"] = QuerySpec(
     DEDUP_CONTAMINATION_SQL,
     "cross-source shingle contamination matrix",
 )
+
+
+MINHASH_EST_MAE_BOUND = 0.25  # mean |est - exact| bound for 8 perms
+
+
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy contract (the sketch-error pattern of
+    q_approx_distinct / knn_*_recall): over the exact >=0.2-Jaccard
+    pairs, estimate Jaccard as matching-permutation fraction from the
+    8-perm signatures and assert the mean absolute error stays under
+    0.25 (k=8 is a bands-and-buckets candidate generator, not a precise
+    estimator — binomial sd alone is ~0.17 at J=0.5; the contract
+    guards the ESTIMATOR's unbiasedness, the pair recall is guarded by
+    dedup_minhash_lsh). One row: (n_pairs, mean_abs_err, estimator_ok),
+    all from vocabulary-bounded joins that mirror the candidate path."""
+    import pyspark.sql.functions as SF
+
+    sigs = dd.minhash_signatures(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=NGRAM_N, max_shingle_freq=MAX_SHINGLE_FREQ,
+    )
+    exact = dd.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=NGRAM_N, threshold=JACCARD_THRESHOLD, max_shingle_freq=MAX_SHINGLE_FREQ,
+    )
+    sa = sigs.select(SF.col("doc").alias("doc_a"), *[SF.col(f"mh{i}").alias(f"a{i}") for i in range(dd.MINHASH_PERMS)])
+    sb = sigs.select(SF.col("doc").alias("doc_b"), *[SF.col(f"mh{i}").alias(f"b{i}") for i in range(dd.MINHASH_PERMS)])
+    matches = sum(
+        (SF.when(SF.col(f"a{i}") == SF.col(f"b{i}"), 1).otherwise(0) for i in range(dd.MINHASH_PERMS)),
+        start=SF.lit(0),
+    )
+    est = matches.cast("double") / dd.MINHASH_PERMS
+    joined = exact.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", "jaccard", est.alias("est")
+    )
+    # per-row error rounds to 6dp then sums in exact DECIMAL — the mean
+    # is summation-order-independent (engine-wide float discipline)
+    err6 = SF.round(SF.abs(SF.col("est") - SF.col("jaccard")), 6).cast("decimal(18,6)")
+    return joined.agg(
+        SF.count(SF.lit(1)).alias("n_pairs"),
+        SF.round(SF.sum(err6).cast("double") / SF.count(SF.lit(1)), 6).alias("mean_abs_err"),
+        (
+            SF.sum(err6).cast("double") / SF.count(SF.lit(1)) <= MINHASH_EST_MAE_BOUND
+        ).alias("estimator_ok"),
+    )
+
+
+def _minhash_estimate_sql() -> str:
+    matches = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(dd.MINHASH_PERMS)
+    )
+    return f"""
+WITH sigs AS ({_minhash_sig_sql()}),
+exact AS ({JACCARD_SQL}),
+joined AS (
+  SELECT e.doc_a, e.doc_b, e.jaccard,
+         CAST(({matches}) AS DOUBLE) / {dd.MINHASH_PERMS} AS est
+  FROM exact e
+  JOIN sigs sa ON sa.doc = e.doc_a
+  JOIN sigs sb ON sb.doc = e.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(CAST(round(abs(est - jaccard), 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_abs_err,
+       CAST(SUM(CAST(round(abs(est - jaccard), 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) <= {MINHASH_EST_MAE_BOUND} AS estimator_ok
+FROM joined
+"""
+
+
+QUERIES["dedup_minhash_estimate"] = QuerySpec(
+    dedup_minhash_estimate,
+    _minhash_estimate_sql(),
+    "MinHash Jaccard-estimator error contract vs exact pairs",
+)
