@@ -103,6 +103,13 @@ def asof_join_merge(
     ties — partition-layout-independent (a window ordered only by
     (ts, side) would carry whichever tied row happened to sort last).
     value_cols must therefore be orderable types.
+
+    NULL timestamps: a right row whose timestamp casts to NULL can never
+    satisfy ``r.ts <= l.ts`` and is dropped (under asc-nulls-first it
+    would otherwise sort FIRST and be carried into every left row). A
+    left row with a NULL timestamp matches nothing: it sorts before all
+    surviving right rows, so its carried values are NULL and its count
+    is 0 — the inequality-join semantics for an unknown "as of" point.
     """
     from pyspark.sql import Window
 
@@ -111,7 +118,7 @@ def asof_join_merge(
     l2 = left.select(
         F.col(left_key).alias("_k"), lt.alias("_t"), F.lit(1).alias("_side"), "*"
     )
-    r2 = right.select(
+    r2 = right.filter(rt.isNotNull()).select(
         F.col(right_key).alias("_k"), rt.alias("_t"), F.lit(0).alias("_side"), *value_cols
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
@@ -124,10 +131,14 @@ def asof_join_merge(
         )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for v in value_cols:
-        u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
+    # all window expressions evaluate in ONE select against the UNTOUCHED
+    # value tuple — a per-column withColumn loop would overwrite value
+    # columns in place, so the shared window's tie-break orderBy for
+    # later columns would re-resolve earlier value_cols against their
+    # already-filled replacements
+    filled = {v: F.last(v, ignorenulls=True).over(w) for v in value_cols}
+    out_cols = [filled[c].alias(c) if c in filled else F.col(c) for c in u.columns]
     if count_col:
-        u = u.withColumn(
-            count_col, F.sum(F.lit(1) - F.col("_side")).over(w).cast("long")
-        )
+        out_cols.append(F.sum(F.lit(1) - F.col("_side")).over(w).cast("long").alias(count_col))
+    u = u.select(*out_cols)
     return u.filter(F.col("_side") == 1).drop("_k", "_t", "_side")

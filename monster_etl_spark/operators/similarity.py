@@ -497,6 +497,24 @@ def auto_centroids(n_rows: int) -> int:
     return max(4, min(65536, int(round(n_rows**0.5))))
 
 
+#: corpus size at which ``assignment="auto"`` switches from the exact flat
+#: argmax to the two-level coarse quantizer. Measured at sf10 (200k rows,
+#: 2048 cells): flat 328 s vs two-level 20 s with IDENTICAL >=0.95 pairs
+#: (SCALE.md round-3); below this the flat argmax is both exact and cheap.
+TWO_LEVEL_AUTO_MIN_ROWS = 100_000
+
+
+def resolve_assignment(assignment: str, n_rows: int) -> str:
+    """Resolve the ``assignment`` knob: ``"auto"`` picks the exact flat
+    argmax below :data:`TWO_LEVEL_AUTO_MIN_ROWS` rows and the two-level
+    coarse quantizer at or above it (the N x cells flat assignment is
+    the measured N^1.5 scale-killer — round-3 SCALE.md alpha 1.44);
+    explicit ``"flat"``/``"two_level"`` pass through unchanged."""
+    if assignment == "auto":
+        return "two_level" if n_rows >= TWO_LEVEL_AUTO_MIN_ROWS else "flat"
+    return assignment
+
+
 def semantic_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -505,7 +523,7 @@ def semantic_dup_pairs(
     n_centroids: int | None = None,
     kmeans_iters: int = IVF_KMEANS_ITERS,
     fit_fraction: float = 1.0,
-    assignment: str = "flat",
+    assignment: str = "auto",
     sup_probes: int = 4,
 ) -> DataFrame:
     """SemDeDup-style candidate pairs: embed-space near-duplicates found
@@ -519,13 +537,22 @@ def semantic_dup_pairs(
     paper's own recipe, and the difference between N^1.5 and N²/k pair
     work at 100 TB. Pass an int to pin it.
 
+    ``assignment="auto"`` (default) resolves via :func:`resolve_assignment`:
+    exact flat argmax below :data:`TWO_LEVEL_AUTO_MIN_ROWS`, two-level
+    coarse quantizer above — the flat N x cells assignment is the
+    measured N^1.5 term (sf10: 328 s flat vs 20 s two-level, identical
+    pairs), so the 100x-scale caller must not get it by default.
+
     Scale shape: centroid fit + assignment are the IVF machinery (1-row
     broadcast centroid array, narrow per-row argmax — the corpus is never
     shuffled to find its cell); the pair join is an equi-join on cell id,
     so candidate work is sum of squared CELL sizes, never corpus², and
     both unit-vector sides make the pair score one dot product."""
-    if n_centroids is None:
-        n_centroids = auto_centroids(corpus.count())
+    if n_centroids is None or assignment == "auto":
+        n_rows = corpus.count()
+        if n_centroids is None:
+            n_centroids = auto_centroids(n_rows)
+        assignment = resolve_assignment(assignment, n_rows)
     cent = kmeans_centroids(
         corpus, id_col, vec_col, n_centroids, kmeans_iters, fit_fraction=fit_fraction
     )
@@ -536,8 +563,9 @@ def semantic_dup_pairs(
         # 328 s vs two-level 20 s, IDENTICAL 570k >=0.95 pairs out the
         # other end — near-identical vectors make identical probe
         # decisions, so PAIR recall survives even where absolute cell
-        # agreement drops). Opt-in: the oracle-pinned registry query
-        # stays on the flat exact argmax.
+        # agreement drops). The "auto" default lands here at or above
+        # TWO_LEVEL_AUTO_MIN_ROWS; the oracle-pinned registry query runs
+        # far below it, so its exact flat argmax is unchanged.
         cells = two_level_assign(corpus, cent, id_col, vec_col, sup_probes=sup_probes)
         v = (
             _with_unit(

@@ -510,30 +510,69 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     "random negatives, minus the positives" batch construction).
     Candidates rank by the engine-agnostic salted hash of
     (query_id, candidate_id) — reproducible across engines/layouts, a
-    fresh draw per query. Scale shape: the candidate space reuses the
-    broadcast-|Q| nested-loop of the brute-force baseline (|Q| is
-    structurally capped), the positives anti-join is |Q|*k rows, and
-    the per-query window sees hash-ranked candidates only."""
+    fresh draw per query.
+
+    Scale shape: before any shuffle, candidates are prefiltered to the
+    hash cutoff ``h <= ceil(OVERSAMPLE*(NEG+K)*HASH_SPACE / n_corpus)``
+    (the exact-quota sampler's two-phase trick, ``stratified_sample``).
+    The |Q| x N candidate space exists only INSIDE the broadcast
+    nested-loop join — the filter runs as the join condition's
+    companion, so ~(1 - OVERSAMPLE*(NEG+K)/n) of every corpus partition
+    dies before the exchange, and the per-query rank window sees
+    ~OVERSAMPLE*(NEG+K) rows regardless of corpus size. The DuckDB
+    oracle applies the IDENTICAL cutoff (same md5 hash, same double
+    arithmetic), so both engines rank the SAME candidate set — a
+    structural identity, not a probabilistic agreement. The corpus
+    count rides a 1-row broadcast (same shape as the oracle's
+    ``n_corpus`` CTE). The positives anti-join is |Q|*k rows.
+    Plan-pinned: tests/test_plans.py asserts the hash filter sits below
+    the rank window (no corpus-sized window partition)."""
     from pyspark.sql import Window
 
-    from monster_etl_spark.operators.sampling import sample_hash
+    from monster_etl_spark.operators.sampling import (
+        DEFAULT_OVERSAMPLE,
+        HASH_SPACE,
+        sample_hash,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     q = _queries_df(spark, sf_dir).select(F.col("vec_id").alias("query_id"))
     pos = sim.brute_force_topk(_queries_df(spark, sf_dir), emb, k=TOP_K).select(
         "query_id", "neighbor_id"
     )
-    cand = (
-        F.broadcast(q)
-        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id")))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(pos, ["query_id", "neighbor_id"], "left_anti")
+    n_corpus = emb.agg(F.count(F.lit(1)).alias("_n"))
+    # identical double arithmetic to the oracle: OVERSAMPLE*(NEG+K)*HASH_SPACE
+    # is an exactly-representable double; /n then ceil match IEEE-for-IEEE
+    cutoff = F.least(
+        F.lit(HASH_SPACE - 1),
+        F.ceil(
+            F.lit(float(DEFAULT_OVERSAMPLE * (NEG_PER_QUERY + TOP_K) * HASH_SPACE))
+            / F.col("_n")
+        ),
     )
     h = sample_hash(
         F.concat(F.col("query_id").cast("string"), F.lit(":"), F.col("neighbor_id").cast("string")),
         salt="negsample",
     )
-    w = Window.partitionBy("query_id").orderBy(h.asc(), F.col("neighbor_id").asc())
+    cand = (
+        F.broadcast(q)
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_h", h)
+        .crossJoin(F.broadcast(n_corpus))
+        .filter(F.col("_h") <= cutoff)
+        # positives are structurally bounded at |Q|*k (|Q| is capped by
+        # QUERY_CAP/QUERY_MOD); the no-op limit makes that bound visible
+        # to the broadcast-hint audit, and broadcasting the anti-join
+        # keeps the |Q| x N candidate stream exchange-free until the
+        # hash filter has thinned it to ~OVERSAMPLE*(NEG+K) per query
+        .join(
+            F.broadcast(pos.limit(QUERY_CAP * TOP_K)),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_h").asc(), F.col("neighbor_id").asc())
     return (
         cand.withColumn("neg_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("neg_rank") <= NEG_PER_QUERY)

@@ -115,3 +115,61 @@ def test_asof_merge_tied_right_rows_deterministic(spark):
             value_cols=["v"], count_col="n",
         ).collect()
         assert len(out) == 1 and out[0].v == 99 and out[0].n == 2
+
+
+def test_asof_merge_null_right_ts_never_matches(spark):
+    """A right row with a NULL timestamp can never satisfy r.ts <= l.ts;
+    it must be dropped, not sorted-first-and-carried-everywhere
+    (round-3 ADVICE). A left row with a NULL timestamp matches nothing:
+    NULL values, count 0."""
+    from monster_etl_spark.operators.joins import asof_join_merge
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00"), (1, None)], "k: long, ts: string"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP_NTZ) AS ts")
+    right = spark.createDataFrame(
+        [(1, None, 777), (1, "2024-01-01 00:00:00", 10)],
+        "k: long, rts: string, v: int",
+    ).selectExpr("k", "CAST(rts AS TIMESTAMP_NTZ) AS rts", "v")
+    out = {
+        (r.ts is not None, r.v, r.n)
+        for r in asof_join_merge(
+            left, right, "k", "k", "ts", "rts", value_cols=["v"], count_col="n"
+        ).collect()
+    }
+    # non-null left row carries the real 10, NEVER the null-ts 777;
+    # null-ts left row carries nothing
+    assert out == {(True, 10, 1), (False, None, 0)}
+
+
+def test_asof_merge_multi_value_cols_tie_break_on_original_tuple(spark):
+    """With several value_cols, every running-last must tie-break on the
+    ORIGINAL right-side value tuple (round-3 ADVICE: a withColumn loop
+    re-resolved earlier columns against their already-filled
+    replacements). Regression shape: an EARLIER right row (v1=7) fills
+    tied NULL-v1 rows at ts1 to 7, which under the buggy loop reorders
+    the ts1 ties for v2's window — (NULL,1),(NULL,2),(5,9) becomes
+    (5,9),(7,1),(7,2), carrying v2=2 from a DIFFERENT row than v1. The
+    greatest original tuple among the ts1 ties is (5,9); both carried
+    columns must come from that same row."""
+    from monster_etl_spark.operators.joins import asof_join_merge
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00")], "k: long, ts: string"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP_NTZ) AS ts")
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, 0),
+            (1, "2024-01-01 12:00:00", None, 1),
+            (1, "2024-01-01 12:00:00", None, 2),
+            (1, "2024-01-01 12:00:00", 5, 9),
+        ],
+        "k: long, rts: string, v1: int, v2: int",
+    ).selectExpr("k", "CAST(rts AS TIMESTAMP_NTZ) AS rts", "v1", "v2")
+    for parts in (1, 7):
+        out = asof_join_merge(
+            left, right.repartition(parts), "k", "k", "ts", "rts",
+            value_cols=["v1", "v2"], count_col="n",
+        ).collect()
+        assert len(out) == 1
+        assert (out[0].v1, out[0].v2, out[0].n) == (5, 9, 4)

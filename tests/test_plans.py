@@ -198,3 +198,33 @@ def test_token_packing_knobs_are_per_call(spark, sf_dir):
     for r in sorted(w_rows, key=lambda r: (r["shard"], r["doc_id"])):
         per_shard[r["shard"]].append(r["pack_id"])
     assert all(seq == sorted(seq) for seq in per_shard.values())
+
+
+def test_negative_samples_prefilter_below_rank_window(spark, sf_dir):
+    """q_negative_samples must hash-prefilter candidates BEFORE the
+    per-query rank window's exchange — the window may never see a
+    corpus-sized partition (round-3 verdict: the cutoff had landed only
+    in the DuckDB oracle). Pins: (a) the cutoff condition
+    (_h <= least(HASH_SPACE-1, ceil(...))) evaluates at a node BELOW the
+    rank window (formatted-plan ids grow child->parent); (b) the
+    positives anti-join broadcasts, so the |Q| x N candidate stream
+    crosses no exchange before the filter."""
+    plan = plan_of(spark, sf_dir, "q_negative_samples")
+    assert "SortMergeJoin" not in plan, "anti-join fell back to a corpus-sized SMJ exchange"
+
+    def node_id(block: str) -> int:
+        return int(re.match(r"\((\d+)\)", block.strip()).group(1))
+
+    blocks = [b for b in plan.split("\n\n") if b.strip().startswith("(")]
+    cutoff_ids = [node_id(b) for b in blocks if "least(4294967295" in b and "_h#" in b]
+    rank_window_ids = [
+        node_id(b)
+        for b in blocks
+        if b.strip().splitlines()[0].endswith("Window") and "_h#" in b
+    ]
+    assert cutoff_ids, "hash-cutoff prefilter missing from the Spark plan"
+    assert rank_window_ids, "per-query rank window not found"
+    assert min(cutoff_ids) < min(rank_window_ids), (
+        f"cutoff at node {min(cutoff_ids)} does not precede rank window "
+        f"{min(rank_window_ids)} — corpus-sized window partition is back"
+    )

@@ -308,3 +308,39 @@ def test_two_level_assignment_preserves_near_dup_pairs(spark, sf_dir):
     # boundary-only delta — assert strong containment both ways)
     assert len(two) >= 0.95 * len(flat) if flat else two == flat
     assert len(flat & two) >= 0.95 * len(flat | two) if (flat or two) else True
+
+
+def test_auto_assignment_resolution():
+    """The default must be scale-safe: "auto" resolves to the exact flat
+    argmax for small corpora and to the two-level coarse quantizer at or
+    above TWO_LEVEL_AUTO_MIN_ROWS (round-3 verdict: the measured-17x fix
+    shipped opt-in, leaving the N^1.5 flat path as the 100x default)."""
+    from monster_etl_spark.operators import similarity as sim
+
+    t = sim.TWO_LEVEL_AUTO_MIN_ROWS
+    assert sim.resolve_assignment("auto", t - 1) == "flat"
+    assert sim.resolve_assignment("auto", t) == "two_level"
+    assert sim.resolve_assignment("flat", 10 * t) == "flat"
+    assert sim.resolve_assignment("two_level", 1) == "two_level"
+
+
+def test_auto_assignment_two_level_path_matches_flat(spark, sf_dir, monkeypatch):
+    """Force the auto default onto the two-level path (threshold lowered
+    under the fixture's corpus size) and check the pair set still matches
+    the explicit flat argmax — the default switch must be output-invisible."""
+    from monster_etl_spark.operators import similarity as sim
+    from monster_etl_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    monkeypatch.setattr(sim, "TWO_LEVEL_AUTO_MIN_ROWS", 1)
+    auto = {
+        (r.id_a, r.id_b)
+        for r in sim.semantic_dup_pairs(emb, n_centroids=32, threshold=0.9).collect()
+    }
+    flat = {
+        (r.id_a, r.id_b)
+        for r in sim.semantic_dup_pairs(
+            emb, n_centroids=32, threshold=0.9, assignment="flat"
+        ).collect()
+    }
+    assert len(auto & flat) >= 0.95 * len(auto | flat) if (auto or flat) else True

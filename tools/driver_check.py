@@ -19,6 +19,7 @@ import datetime as _dt
 import decimal
 import json
 import math
+import os
 import sys
 import traceback
 
@@ -135,12 +136,16 @@ def main():
             bad.append(name)
         err1 = (r["err"] or "").strip().splitlines()[-1] if r["err"] else ""
         print(f"{status:9s} {name}  rows={r['spark_rows']}  {err1 if status=='FAIL' else ''}", flush=True)
-    if not args.queries and args.sf_dir == "/root/testdata/sf0.01":
-        # full-registry runs AT THE DRIVER'S SF own the committed
-        # verification record; targeted or other-sf runs must never
-        # overwrite it with a partial/foreign snapshot
+    # full-registry runs AT THE DRIVER'S SF own the committed verification
+    # record; targeted or other-sf runs must never overwrite it with a
+    # partial/foreign snapshot. realpath-normalize so a trailing slash,
+    # relative path, or symlink never silently skips the write.
+    is_driver_sf = os.path.realpath(args.sf_dir) == os.path.realpath("/root/testdata/sf0.01")
+    if not args.queries and is_driver_sf:
         with open("DRIVER_CHECK.json", "w") as f:
             json.dump(results, f, indent=1)
+    elif not args.queries:
+        print(f"note: sf_dir {args.sf_dir!r} is not the driver SF — DRIVER_CHECK.json not written")
     print(f"\n{len(names) - len(bad)}/{len(names)} ok; failures: {bad}")
     sys.exit(1 if bad else 0)
 
