@@ -107,3 +107,30 @@ def plan_summary(df: DataFrame) -> PlanSummary:
             )
         )
     return s
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Node names of physical window operators whose partition spec is
+    EMPTY — each one funnels its entire input through a single task
+    (the ``WindowExec: No Partition Defined`` warning). The audit test
+    asserts these appear only where the input is structurally bounded
+    (a top-N, a strata-count rollup), never corpus-sized; corpus-sized
+    prefix scans go through ``operators/prefix.py`` instead.
+
+    Walks the pre-AQE physical plan via the JVM tree (the formatted
+    plan OMITS the empty partition group, so text matching cannot see
+    the difference)."""
+    out: list[str] = []
+
+    def walk(node):
+        name = node.nodeName()
+        try:
+            if hasattr(node, "partitionSpec") and node.partitionSpec().isEmpty():
+                out.append(name)
+        except Exception:
+            pass
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return out

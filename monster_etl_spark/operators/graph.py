@@ -19,12 +19,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> DataFrame:
+    """Lineage-truncation point for the iterative loops.
+
+    Default (``checkpoint_dir=None``): ``localCheckpoint`` — blocks live
+    on executors; fast, but an executor loss mid-run kills the job since
+    the lineage needed to recompute them was truncated. With
+    ``checkpoint_dir`` set (an HDFS/object-store/shared-FS URI), a
+    RELIABLE ``checkpoint`` to that path: blocks survive executor loss,
+    which is the durability a long CC/PageRank run on a 1000-executor
+    cluster needs (any single executor is likely to be lost during a
+    multi-hour job). Spark has one global checkpoint dir per context;
+    setting it per call is idempotent."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
     driver_threshold: int = 1_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; the component id is
     the minimum node id in the component (deterministic, engine-agnostic).
@@ -40,6 +59,11 @@ def connected_components(
     Raises if the distributed fixpoint is not reached within ``max_iter``
     rounds (a diameter larger than max_iter — raise the bound for
     pathological chain-shaped graphs).
+
+    ``checkpoint_dir``: pass a shared-FS/object-store URI to make every
+    lineage-truncation point a RELIABLE checkpoint instead of the
+    default executor-local ``localCheckpoint`` — required for runs long
+    enough that executor loss is expected (see ``_truncate_lineage``).
     """
     # single materialization probe: take(threshold+1) both decides the path
     # and, on the fast path, already holds every edge (a separate count()
@@ -85,14 +109,14 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    edges = _truncate_lineage(edges, checkpoint_dir, eager=True)
 
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
     )
+    labels = _truncate_lineage(labels, checkpoint_dir, eager=True)
 
     for _ in range(max_iter):
         neigh = (
@@ -106,8 +130,8 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _truncate_lineage(new_labels, checkpoint_dir, eager=True)
         changed = (
             new_labels.alias("new")
             .join(labels.alias("old"), "node")
@@ -139,6 +163,7 @@ def pagerank_fixed_point(
     iterations: int = 5,
     damping_pct: int = 85,
     base: int = 10**12,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list in FIXED-POINT integer
     arithmetic: ranks are scaled to ``base`` (1.0 == 10^12) and every
@@ -163,14 +188,18 @@ def pagerank_fixed_point(
     ``localCheckpoint`` every ~10 rounds as ``connected_components`` does.
 
     Returns (node, rank_fp, rank) — the exact fixed-point long and the
-    convenience double ``rank_fp / base`` rounded 6dp.
+    convenience double ``rank_fp / base`` rounded 6dp. ``checkpoint_dir``
+    upgrades the edge materialization to a reliable checkpoint (see
+    ``_truncate_lineage``).
     """
     # Materialize the edge list ONCE before iterating: every round joins
     # it, and so do nodes/deg — without this the edge lineage (often an
     # expensive derivation, e.g. the Apriori pair mine feeding
     # text_token_pagerank) re-executes per iteration. Same discipline as
     # connected_components' localCheckpoint.
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    e = _truncate_lineage(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), checkpoint_dir
+    )
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()

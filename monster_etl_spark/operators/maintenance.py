@@ -210,6 +210,7 @@ def compaction_plan(
     unit_col: str,
     size_col: str,
     target_size: int,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Small-file compaction planner (the OPTIMIZE bin-packing step of
     Delta/Iceberg): assign every inventory unit (a part file from a
@@ -223,19 +224,26 @@ def compaction_plan(
     FFD-quality packing is NOT the goal; bounded groups with one pass is:
     every group's size is < target + max_unit_size.
 
-    Scale shape: the inventory is metadata (one row per file/partition —
-    millions of rows at 100 TB, not billions). The single global-order
-    window is a range-partitioned sort of metadata, never of data. The
-    output feeds a ``repartition``-by-group rewrite job.
+    Scale shape — two-phase prefix sum (``operators/prefix.py``), never
+    a single-task global window: a 100 TB inventory is millions of rows,
+    and funneling them through one ``WindowExec: No Partition Defined``
+    task is a planner stall. Bit-identical to the one-window form at any
+    slicing (integer arithmetic; pinned by a randomized equivalence
+    test).
     """
-    w = Window.orderBy(F.col(size_col).desc(), F.col(unit_col).asc())
-    cum_before = F.coalesce(
-        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-    )
-    return inventory.select(
+    from monster_etl_spark.operators.prefix import prefix_sum
+
+    order = [F.col(size_col).desc(), F.col(unit_col).asc()]
+    return prefix_sum(
+        inventory.select(unit_col, size_col),
+        order,
+        F.col(size_col),
+        "_cum_before",
+        num_ranges,
+    ).select(
         F.col(unit_col),
         F.col(size_col),
-        F.floor(cum_before / F.lit(target_size)).cast("long").alias("merge_group"),
+        F.floor(F.col("_cum_before") / F.lit(target_size)).cast("long").alias("merge_group"),
     )
 
 

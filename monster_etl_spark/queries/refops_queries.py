@@ -593,21 +593,37 @@ EQUIDEPTH_BINS = 8
 
 
 def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (quantile) binning of ``o_totalprice`` via ``ntile`` —
-    the feature-discretization / range-partition-boundary primitive (the
-    histogram twin of ``q_histogram``'s equi-width buckets). ntile over a
-    global sort locally; at scale the same boundaries come from
-    ``repartitionByRange`` + per-partition min/max, which is the layout
-    the writer path already uses (``zorder_layout``). Deterministic: the
-    sort is keyed (o_totalprice, o_orderkey) so ties are totally ordered
-    and bin membership is engine-agnostic."""
-    from pyspark.sql import Window
+    """Equi-depth (quantile) binning of ``o_totalprice`` — the
+    feature-discretization / range-partition-boundary primitive (the
+    histogram twin of ``q_histogram``'s equi-width buckets).
 
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    Scale shape: ntile's exact bucket rule, but the global rank comes
+    from the two-phase prefix count (``operators/prefix.py``) instead of
+    an unpartitioned ``ntile() OVER (ORDER BY ...)`` window — the
+    one-task global sort is the same planner stall the compaction
+    planner had (round-3 verdict). The ntile remainder rule (first
+    ``N % k`` buckets take one extra row) is reproduced from the rank
+    and a 1-row broadcast count, so output is bit-identical to the
+    oracle's ntile. Deterministic: the order is keyed
+    (o_totalprice, o_orderkey) so ties are totally ordered and bin
+    membership is engine-agnostic."""
+    from monster_etl_spark.operators.prefix import global_row_number
+
+    o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = global_row_number(
+        o, [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()], "rnk"
+    )
+    n_tot = o.agg(F.count(F.lit(1)).alias("_n"))
+    k = F.lit(EQUIDEPTH_BINS)
+    base = F.floor(F.col("_n") / k)  # rows per small bucket
+    rem = F.col("_n") % k  # first `rem` buckets take base+1 rows
+    in_big = F.col("rnk") <= rem * (base + 1)
+    bin_col = F.when(in_big, F.floor((F.col("rnk") - 1) / (base + 1)) + 1).otherwise(
+        rem + F.floor((F.col("rnk") - 1 - rem * (base + 1)) / base) + 1
+    )
     return (
-        o.select("o_totalprice", "o_orderkey")
-        .withColumn("bin", F.ntile(EQUIDEPTH_BINS).over(w).cast("long"))
+        ranked.crossJoin(F.broadcast(n_tot))
+        .withColumn("bin", bin_col.cast("long"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -93,3 +93,37 @@ def test_python_eval_only_in_multimodal_and_untar(spark, sf_dir):
         if s.python_evals:
             bad[name] = s.python_evals
     assert bad == {}, f"Python evaluation outside multimodal: {bad}"
+
+
+def test_unpartitioned_windows_only_on_bounded_inputs(spark, sf_dir):
+    """Registry-wide audit: a window with no partition spec funnels its
+    ENTIRE input through one task — fine only when that input is
+    structurally bounded, a scale-killer when it is corpus-sized
+    (round-3: the compaction planner's inventory-wide cumsum; fixed
+    along with equi-depth binning via operators/prefix.py's two-phase
+    scan). Every unpartitioned window remaining in the registry is
+    pinned here with its bound; a new query adding one over an
+    SF-growing input fails this test."""
+    from monster_etl_spark.explain import unpartitioned_windows
+
+    # query -> max unpartitioned windows, each over a KNOB- or
+    # CONSTANT-bounded input (never SF-growing):
+    allowed = {
+        "q_compaction_plan": 1,   # prefix.py offsets rollup: num_ranges rows
+        "q_equidepth_bins": 1,    # prefix.py offsets rollup: num_ranges rows
+        "q_drift_psi": 2,         # PSI share sums: PSI_BINS (10) rows
+        "sample_temperature": 1,  # quota remainder rank: one row per stratum
+        "text_zipf_fit": 1,       # log-log OLS rank: top-ZIPF_TOP (200) rows
+    }
+    bad = {}
+    for name, spec in Q.items():
+        if name.startswith("stream_"):
+            continue
+        try:
+            n = len(unpartitioned_windows(spec.fn(spark, sf_dir)))
+        except Exception as ex:  # pragma: no cover - surface which query broke
+            bad[name] = f"plan walk failed: {ex}"
+            continue
+        if n > allowed.get(name, 0):
+            bad[name] = n
+    assert bad == {}, f"unpartitioned windows beyond the bounded whitelist: {bad}"

@@ -72,3 +72,50 @@ def test_dedup_survivors(spark):
     kept = sorted(r["doc_id"] for r in dedup_survivors(df, pairs, "doc_id").collect())
     # cluster {0,1,2} -> keep 0; {4,5} -> keep 4; 3 untouched
     assert kept == [0, 3, 4]
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir knob: the distributed min-label path with a RELIABLE
+    checkpoint (file:/ here; HDFS/object store on a cluster) must produce
+    the same components as the default localCheckpoint path, and must
+    actually write RDD checkpoint data under the dir (executor-loss
+    durability — round-3 verdict #4)."""
+    import os
+
+    from monster_etl_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], "doc_a: long, doc_b: long"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    local = {
+        (r.node, r.component)
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    reliable = {
+        (r.node, r.component)
+        for r in connected_components(
+            pairs, driver_threshold=0, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert reliable == local
+    assert {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)} <= reliable
+    # reliable checkpoint data actually landed on the shared FS
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no checkpoint files written under checkpoint_dir"
+
+
+def test_pagerank_reliable_checkpoint_matches(spark, tmp_path):
+    from monster_etl_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 2)], "src: long, dst: long"
+    )
+    a = {(r.node, r.rank_fp) for r in pagerank_fixed_point(edges, iterations=3).collect()}
+    b = {
+        (r.node, r.rank_fp)
+        for r in pagerank_fixed_point(
+            edges, iterations=3, checkpoint_dir=str(tmp_path / "ck2")
+        ).collect()
+    }
+    assert a == b

@@ -179,3 +179,50 @@ def test_temperature_quotas_overflow_raises(spark):
     # total_n so large that total_n * w6 (w6 = sqrt(100)*1e6 = 1e7) overflows
     with _pt.raises(Exception, match="overflow"):
         temperature_quotas(df, ["lang"], total_n=(1 << 62), tau=0.5).collect()
+
+
+def test_compaction_two_phase_matches_single_window(spark):
+    """The two-phase prefix sum (range slices + broadcast offsets) must be
+    bit-identical to the one-global-window form at ANY slicing — including
+    duplicate sizes straddling range boundaries — and the inventory-sized
+    window must be partitioned (round-3 verdict: the global-order window
+    funneled the whole inventory through one task)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(f"f{i:05d}", ((i * 2654435761) % 97) * 10 + 20) for i in range(3000)]
+    inv = spark.createDataFrame(rows, "f: string, sz: long").repartition(17)
+    w = Window.orderBy(F.col("sz").desc(), F.col("f").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = {
+        (r.f, r.sz, r.g)
+        for r in inv.select(
+            "f", "sz",
+            F.floor(F.coalesce(F.sum("sz").over(w), F.lit(0)) / F.lit(1000))
+            .cast("long").alias("g"),
+        ).collect()
+    }
+    for num_ranges in (1, 7, 64):
+        got = {
+            (r.f, r.sz, r.merge_group)
+            for r in compaction_plan(inv, "f", "sz", 1000, num_ranges=num_ranges).collect()
+        }
+        assert got == want, f"two-phase diverged at num_ranges={num_ranges}"
+    # the inventory-sized window is partitioned: every Window node in the
+    # plan carries a partition spec (no "No Partition Defined" task)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        compaction_plan(inv, "f", "sz", 1000, num_ranges=16).explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    for blk in plan.split("\n\n"):
+        first = blk.strip().splitlines()[0] if blk.strip() else ""
+        if first.endswith("Window"):
+            # Window Arguments are [exprs], [partition spec], [order spec]:
+            # an empty middle group means "No Partition Defined"
+            assert not re.search(r"\], \[\], \[", blk), f"unpartitioned window:\n{blk}"
