@@ -102,3 +102,52 @@ def test_read_tsv_file_uri(spark, tmp_path):
     df = read_tsv(spark, f"file://{tmp_path}/t.tsv")
     assert df.columns == ["a", "b"]
     assert df.count() == 2
+
+
+def _mount_viewfs(spark, tmp_path):
+    """Mount tmp_path at viewfs://<unique>/data — a SECOND Hadoop scheme
+    (hadoop-common's ViewFileSystem) so the Hadoop-API branch is driven
+    end-to-end, not just file:/ (round-3 verdict #6: s3a-style glob/
+    recursion semantics drift would only surface in production). The
+    mount authority is unique per test because Hadoop caches FileSystem
+    instances (and their mount tables) per (scheme, authority)."""
+    import hashlib
+
+    auth = "m" + hashlib.md5(str(tmp_path).encode()).hexdigest()[:10]
+    spark._jsc.hadoopConfiguration().set(
+        f"fs.viewfs.mounttable.{auth}.link./data", f"file://{tmp_path}"
+    )
+    return f"viewfs://{auth}/data"
+
+
+def test_second_scheme_list_glob_dirs(spark, tmp_path):
+    _mk(tmp_path)
+    base = _mount_viewfs(spark, tmp_path)
+    # directory + pattern listing
+    got = list_files(spark, base, "*.tsv")
+    assert [f.path for f in got] == [f"{base}/a.tsv", f"{base}/b.tsv"]
+    assert [f.size for f in got] == [len("h1\th2\n1\t2\n")] * 2
+    assert all(f.mtime > 0 for f in got)
+    # glob path, literal hit, literal miss, empty glob — same contract as file:/
+    assert [f.path for f in list_files(spark, f"{base}/*.tsv")] == [
+        f"{base}/a.tsv",
+        f"{base}/b.tsv",
+    ]
+    assert len(list_files(spark, f"{base}/a.tsv")) == 1
+    assert list_files(spark, f"{base}/zzz.tsv") == []
+    assert list_files(spark, f"{base}/*.json") == []
+    # partition-dir discovery
+    dirs = list_dirs(spark, base, "day=*")
+    assert [d.rsplit("/", 1)[-1] for d in dirs] == ["day=2024-01-01", "day=2024-01-02"]
+
+
+def test_second_scheme_head_rename_delete(spark, tmp_path):
+    _mk(tmp_path)
+    base = _mount_viewfs(spark, tmp_path)
+    assert read_head(spark, f"{base}/a.tsv", 6) == b"h1\th2\n"
+    assert read_head(spark, f"{base}/c.txt", 1024) == b"nope\n"
+    assert rename(spark, f"{base}/c.txt", f"{base}/d.txt")
+    assert (tmp_path / "d.txt").exists() and not (tmp_path / "c.txt").exists()
+    assert delete(spark, f"{base}/d.txt")
+    assert not (tmp_path / "d.txt").exists()
+    assert delete(spark, f"{base}/d.txt") is False

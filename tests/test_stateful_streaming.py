@@ -222,3 +222,101 @@ def test_stateful_state_survives_restart(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     latest = max((r["n_events"], r["total_value"]) for r in rows if r["user_id"] == 7)
     assert latest == (2, 7.0), rows
+
+
+def test_funnel_randomized_batch_splits_match_batch(spark, tmp_path):
+    """Property-style cross-batch contract (round-3 verdict #8): for
+    seeded random event logs — ties, out-of-order arrival, noise events,
+    users missing steps — the streaming funnel's final per-user snapshot
+    must equal the batch funnel (first-touch, strictly-after) on EVERY
+    random micro-batch slicing. This pins the re-validation machinery
+    (candidate pools) as exact, not approximate, below the documented
+    _FUNNEL_MAX_CANDIDATES cap."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from monster_etl_spark.streaming.stateful import streaming_funnel
+
+    STEPS = ("signup", "click", "purchase")
+
+    def batch_reference(events):
+        # first-touch strictly-after semantics, the q_funnel rule
+        by_user = {}
+        for u, t, et in events:
+            by_user.setdefault(u, []).append((t, et))
+        out = {}
+        for u, evs in by_user.items():
+            s1 = min((t for t, et in evs if et == STEPS[0]), default=None)
+            s2 = (
+                min((t for t, et in evs if et == STEPS[1] and t > s1), default=None)
+                if s1 is not None
+                else None
+            )
+            s3 = (
+                min((t for t, et in evs if et == STEPS[2] and t > s2), default=None)
+                if s2 is not None
+                else None
+            )
+            furthest = 3 if s3 else (2 if s2 else (1 if s1 is not None else 0))
+            if furthest:
+                out[u] = furthest
+        return out
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    types = list(STEPS) + ["noise"]
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        events = [
+            (
+                u,
+                rng.randrange(0, 40),  # coarse second grid -> frequent ties
+                rng.choice(types),
+            )
+            for u in range(1, 9)
+            for _ in range(rng.randrange(1, 12))
+        ]
+        rng.shuffle(events)  # out-of-order arrival
+        n_batches = rng.randrange(1, 5)
+        cuts = sorted(rng.randrange(0, len(events) + 1) for _ in range(n_batches - 1))
+        slices = [
+            events[a:b] for a, b in zip([0] + cuts, cuts + [len(events)])
+        ]
+        d = tmp_path / f"prop{seed}"
+        d.mkdir()
+        for i, sl in enumerate(slices):
+            _write(
+                d / f"b{i}.json",
+                [
+                    {
+                        "user_id": u,
+                        "ts": f"2024-01-01T00:00:{t:02d}" if t < 60 else None,
+                        "event_type": et,
+                    }
+                    for u, t, et in sl
+                ],
+            )
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(d))
+        )
+        q = (
+            streaming_funnel(stream, STEPS)
+            .writeStream.format("memory")
+            .queryName(f"prop_funnel_{seed}")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            snap = {}
+            for r in spark.sql(f"SELECT * FROM prop_funnel_{seed}").collect():
+                snap[r["user_id"]] = max(snap.get(r["user_id"], 0), r["furthest_step"])
+        finally:
+            q.stop()
+        assert snap == batch_reference(events), f"divergence at seed={seed}"
