@@ -1,0 +1,661 @@
+"""Baseline JPEG codec in pure stdlib Python (no codec libraries).
+
+Round-3 verdict #5: PNG decodes fully in stdlib, but JPEG — the dominant
+web-corpus image format — only parsed header dimensions. This module
+closes the pixel gap for BASELINE (sequential DCT, huffman) JPEG, the
+overwhelming majority of web JPEGs:
+
+- ``jpeg_decode``: SOI/DQT/DHT/SOF0-1/DRI/SOS parsing, entropy decode
+  (canonical huffman, byte unstuffing, restart markers), dequantize,
+  un-zigzag, 8x8 IDCT, chroma upsampling, JFIF YCbCr->RGB. Grayscale and
+  3-component scans with sampling factors up to 2 (4:4:4 / 4:2:2 / 4:2:0).
+  Progressive (SOF2), arithmetic, hierarchical, and 12-bit frames return
+  ``None`` — honestly out of scope, as are malformed streams (a bad blob
+  must never raise mid-batch at scale; same contract as ``png_decode``).
+- ``jpeg_encode_gray8`` / ``jpeg_encode_rgb8``: minimal encoders (flat
+  quantization table, ITU T.81 Annex K huffman tables) used by tests and
+  the documents->media fixture adapters. With ``quant=1`` a CONSTANT 8x8
+  block round-trips exactly (its DCT is a lone integer DC coefficient),
+  which is what makes an analytic DuckDB oracle possible for the
+  encode->decode registry query.
+
+Everything is defined inside ``_build_jpeg_codec`` and returned as
+closures: a ``mapInPandas`` worker that captures them is pickled BY VALUE
+(cloudpickle serializes locally-defined functions wholesale), so executors
+need no package install — the same shipping discipline as the nested PNG
+workers in ``operators/multimodal.py``.
+
+Per-block cost is pure-Python float math; blocks with no AC coefficients
+(every block the fixture adapters produce) skip the IDCT via a DC-only
+fast path, so the registry query stays cheap while arbitrary baseline
+JPEGs remain decodable.
+
+Huffman/zigzag constants are the public ITU-T T.81 Annex K example tables.
+"""
+
+from __future__ import annotations
+
+
+def _build_jpeg_codec():
+    """Build the codec as self-contained closures (see module docstring)."""
+    import math
+    import struct
+
+    ZZ = (
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    )
+    # ITU-T T.81 Annex K typical tables
+    BITS_DC_L = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    BITS_DC_C = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+    VALS_DC = tuple(range(12))
+    BITS_AC_L = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+    VALS_AC_L = (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    )
+    BITS_AC_C = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+    VALS_AC_C = (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    )
+    # 1-D DCT basis with the C(u) normalization folded in
+    COS = [
+        [
+            math.cos((2 * x + 1) * u * math.pi / 16)
+            * (math.sqrt(0.5) if u == 0 else 1.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+    def build_enc_table(bits, vals):
+        code, k, enc = 0, 0, {}
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                enc[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return enc
+
+    def build_dec_table(bits, vals):
+        code, k, dec = 0, 0, {}
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                dec[(ln, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return dec
+
+    # ---------------- encoding ----------------
+
+    def fdct_block(blk):
+        """blk: 64 level-shifted ints, raster order -> 64 floats."""
+        tmp = [0.0] * 64
+        for y in range(8):
+            base = y * 8
+            row = blk[base : base + 8]
+            for u in range(8):
+                cu = COS[u]
+                tmp[base + u] = 0.5 * (
+                    row[0] * cu[0] + row[1] * cu[1] + row[2] * cu[2] + row[3] * cu[3]
+                    + row[4] * cu[4] + row[5] * cu[5] + row[6] * cu[6] + row[7] * cu[7]
+                )
+        out = [0.0] * 64
+        for u in range(8):
+            col = [tmp[y * 8 + u] for y in range(8)]
+            for v in range(8):
+                cv = COS[v]
+                out[v * 8 + u] = 0.5 * (
+                    col[0] * cv[0] + col[1] * cv[1] + col[2] * cv[2] + col[3] * cv[3]
+                    + col[4] * cv[4] + col[5] * cv[5] + col[6] * cv[6] + col[7] * cv[7]
+                )
+        return out
+
+    class _BitWriter:
+        __slots__ = ("buf", "acc", "n")
+
+        def __init__(self):
+            self.buf = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, code, length):
+            if length == 0:
+                return
+            self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+            self.n += length
+            while self.n >= 8:
+                byte = (self.acc >> (self.n - 8)) & 0xFF
+                self.buf.append(byte)
+                if byte == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+        def flush(self):
+            if self.n:
+                self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+    def _encode_block(bw, coefs, dc_pred, dc_tbl, ac_tbl):
+        """coefs: 64 quantized ints in NATURAL order. Returns new dc_pred."""
+        dc = coefs[0]
+        diff = dc - dc_pred
+        mag, s = abs(diff), 0
+        while mag:
+            mag >>= 1
+            s += 1
+        bw.put(*dc_tbl[s])
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = coefs[ZZ[k]]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.put(*ac_tbl[0xF0])  # ZRL
+                run -= 16
+            mag, s = abs(v), 0
+            while mag:
+                mag >>= 1
+                s += 1
+            bw.put(*ac_tbl[(run << 4) | s])
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            bw.put(*ac_tbl[0x00])  # EOB
+        return dc
+
+    def _seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def _dqt_seg(quant):
+        return _seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+
+    def _dht_segs(tables):
+        """tables: list of (tc, th, bits, vals)."""
+        out = b""
+        for tc, th, bits, vals in tables:
+            out += _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+        return out
+
+    def _quantize(fcoefs, quant):
+        # round-half-away-from-zero, the conventional JPEG rounding
+        return [
+            int(math.floor(c / quant + 0.5)) if c >= 0 else -int(math.floor(-c / quant + 0.5))
+            for c in fcoefs
+        ]
+
+    def _block_coefs(blk, quant):
+        """Quantized coefficients of a level-shifted block, with a fast
+        path for CONSTANT blocks (DC = 8*value exactly, AC all zero) —
+        the only shape the fixture adapters emit, so the per-byte-block
+        registry query never pays the float DCT."""
+        first = blk[0]
+        for v in blk:
+            if v != first:
+                return _quantize(fdct_block(blk), quant)
+        coefs = [0] * 64
+        dc = 8 * first
+        coefs[0] = (
+            int(math.floor(dc / quant + 0.5)) if dc >= 0 else -int(math.floor(-dc / quant + 0.5))
+        )
+        return coefs
+
+    def encode_gray8(pixels, width, quant=1, restart_interval=0):
+        """Baseline grayscale JPEG from raster bytes; zero-pads the tail
+        row (like png_encode_gray8) and the 8x8 block grid.
+        ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+        MCUs (the error-resilience feature real encoders use on large
+        images) — exists mainly so the decoder's restart path has an
+        in-repo fixture."""
+        height = max(1, -(-len(pixels) // width))
+        padded = bytes(pixels).ljust(width * height, b"\x00")
+        w8, h8 = -(-width // 8) * 8, -(-height // 8) * 8
+        dc_t = build_enc_table(BITS_DC_L, VALS_DC)
+        ac_t = build_enc_table(BITS_AC_L, VALS_AC_L)
+        bw = _BitWriter()
+        pred = 0
+        n_mcu = 0
+        for by in range(h8 // 8):
+            for bx in range(w8 // 8):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    bw.flush()
+                    bw.buf += bytes([0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8])
+                    pred = 0
+                n_mcu += 1
+                blk = [0] * 64
+                for y in range(8):
+                    sy = by * 8 + y
+                    if sy >= height:
+                        for x in range(8):
+                            blk[y * 8 + x] = -128
+                        continue
+                    row0 = sy * width
+                    for x in range(8):
+                        sx = bx * 8 + x
+                        blk[y * 8 + x] = (padded[row0 + sx] if sx < width else 0) - 128
+                pred = _encode_block(bw, _block_coefs(blk, quant), pred, dc_t, ac_t)
+        bw.flush()
+        sof = _seg(
+            0xC0, bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0])
+        )
+        sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+        return (
+            b"\xff\xd8"
+            + _dqt_seg(quant)
+            + dri
+            + sof
+            + _dht_segs([(0, 0, BITS_DC_L, VALS_DC), (1, 0, BITS_AC_L, VALS_AC_L)])
+            + sos
+            + bytes(bw.buf)
+            + b"\xff\xd9"
+        )
+
+    def encode_rgb8(rgb, width, subsample=(2, 2), quant=1):
+        """Baseline YCbCr JPEG from interleaved RGB bytes. ``subsample``
+        is the luma (h, v) sampling pair: (1,1)=4:4:4, (2,1)=4:2:2,
+        (2,2)=4:2:0. Chroma is box-averaged. Width/height must be
+        multiples of 8*h / 8*v (fixture-grade encoder; the DECODER
+        handles arbitrary dims)."""
+        sh, sv = subsample
+        height = len(rgb) // (3 * width)
+        if width % (8 * sh) or height % (8 * sv):
+            raise ValueError("encode_rgb8 requires dims aligned to the MCU grid")
+        ysz = width * height
+        Y = bytearray(ysz)
+        cw, ch = width // sh, height // sv
+        Cb = bytearray(cw * ch)
+        Cr = bytearray(cw * ch)
+        cb_acc = [0.0] * (cw * ch)
+        cr_acc = [0.0] * (cw * ch)
+        for y in range(height):
+            for x in range(width):
+                p = 3 * (y * width + x)
+                r, g, b_ = rgb[p], rgb[p + 1], rgb[p + 2]
+                yy = 0.299 * r + 0.587 * g + 0.114 * b_
+                Y[y * width + x] = max(0, min(255, int(math.floor(yy + 0.5))))
+                ci = (y // sv) * cw + (x // sh)
+                cb_acc[ci] += -0.168736 * r - 0.331264 * g + 0.5 * b_ + 128
+                cr_acc[ci] += 0.5 * r - 0.418688 * g - 0.081312 * b_ + 128
+        nbox = sh * sv
+        for i in range(cw * ch):
+            Cb[i] = max(0, min(255, int(math.floor(cb_acc[i] / nbox + 0.5))))
+            Cr[i] = max(0, min(255, int(math.floor(cr_acc[i] / nbox + 0.5))))
+        dc_l = build_enc_table(BITS_DC_L, VALS_DC)
+        ac_l = build_enc_table(BITS_AC_L, VALS_AC_L)
+        dc_c = build_enc_table(BITS_DC_C, VALS_DC)
+        ac_c = build_enc_table(BITS_AC_C, VALS_AC_C)
+        bw = _BitWriter()
+        preds = [0, 0, 0]
+
+        def block_of(plane, pw, bx, by):
+            blk = [0] * 64
+            for y in range(8):
+                row0 = (by * 8 + y) * pw + bx * 8
+                for x in range(8):
+                    blk[y * 8 + x] = plane[row0 + x] - 128
+            return blk
+
+        for my in range(height // (8 * sv)):
+            for mx in range(width // (8 * sh)):
+                for v in range(sv):
+                    for h in range(sh):
+                        preds[0] = _encode_block(
+                            bw,
+                            _block_coefs(block_of(Y, width, mx * sh + h, my * sv + v), quant),
+                            preds[0], dc_l, ac_l,
+                        )
+                preds[1] = _encode_block(
+                    bw, _block_coefs(block_of(Cb, cw, mx, my), quant), preds[1], dc_c, ac_c
+                )
+                preds[2] = _encode_block(
+                    bw, _block_coefs(block_of(Cr, cw, mx, my), quant), preds[2], dc_c, ac_c
+                )
+        bw.flush()
+        sof = _seg(
+            0xC0,
+            bytes([8]) + struct.pack(">HH", height, width)
+            + bytes([3, 1, (sh << 4) | sv, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        return (
+            b"\xff\xd8"
+            + _dqt_seg(quant)
+            + sof
+            + _dht_segs(
+                [
+                    (0, 0, BITS_DC_L, VALS_DC), (1, 0, BITS_AC_L, VALS_AC_L),
+                    (0, 1, BITS_DC_C, VALS_DC), (1, 1, BITS_AC_C, VALS_AC_C),
+                ]
+            )
+            + sos
+            + bytes(bw.buf)
+            + b"\xff\xd9"
+        )
+
+    # ---------------- decoding ----------------
+
+    def idct_block(coefs):
+        """64 dequantized ints (natural order) -> 64 pixel bytes."""
+        tmp = [0.0] * 64
+        for y in range(8):
+            base = y * 8
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    s += COS[u][x] * coefs[base + u]
+                tmp[base + x] = 0.5 * s
+        out = bytearray(64)
+        for x in range(8):
+            col = [tmp[y * 8 + x] for y in range(8)]
+            for y in range(8):
+                s = 0.0
+                for v in range(8):
+                    s += COS[v][y] * col[v]
+                val = int(math.floor(0.5 * s + 128.5))
+                out[y * 8 + x] = 0 if val < 0 else (255 if val > 255 else val)
+        return out
+
+    def _decode_scan(b, pos, frame, scomp, qt, hdc, hac, ri):
+        W, H, comps = frame
+        by_id = {c["id"]: c for c in comps}
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = -(-W // (8 * hmax))
+        mcuy = -(-H // (8 * vmax))
+        planes = {}
+        pw = {}
+        for c in comps:
+            w_ = mcux * c["h"] * 8
+            h_ = mcuy * c["v"] * 8
+            planes[c["id"]] = bytearray(w_ * h_)
+            pw[c["id"]] = w_
+
+        bit_i = [pos]
+        bit_acc = [0]
+        bit_n = [0]
+
+        def refill():
+            byte = b[bit_i[0]]
+            bit_i[0] += 1
+            if byte == 0xFF:
+                nxt = b[bit_i[0]]
+                if nxt == 0x00:
+                    bit_i[0] += 1
+                else:
+                    # marker mid-entropy (premature EOI/RST): feed 0 bits,
+                    # matching the spec's padding behavior
+                    bit_i[0] -= 1
+                    byte = 0
+            bit_acc[0] = (bit_acc[0] << 8) | byte
+            bit_n[0] += 8
+
+        def read_bits(n):
+            while bit_n[0] < n:
+                refill()
+            bit_n[0] -= n
+            v = (bit_acc[0] >> bit_n[0]) & ((1 << n) - 1)
+            bit_acc[0] &= (1 << bit_n[0]) - 1
+            return v
+
+        def read_huff(table):
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | read_bits(1)
+                ln += 1
+                sym = table.get((ln, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("bad huffman code")
+
+        def extend(v, s):
+            return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+        preds = {c["id"]: 0 for c in comps}
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and n_mcu and n_mcu % ri == 0:
+                    # byte-align, consume RSTn, reset DC predictors
+                    bit_n[0] = 0
+                    bit_acc[0] = 0
+                    while b[bit_i[0]] == 0xFF and b[bit_i[0] + 1] == 0x00:
+                        raise ValueError("stuffed byte where RST expected")
+                    if not (b[bit_i[0]] == 0xFF and 0xD0 <= b[bit_i[0] + 1] <= 0xD7):
+                        raise ValueError("missing restart marker")
+                    bit_i[0] += 2
+                    for k in preds:
+                        preds[k] = 0
+                n_mcu += 1
+                for cid, td, ta in scomp:
+                    c = by_id[cid]
+                    q = qt[c["tq"]]
+                    for v in range(c["v"]):
+                        for h in range(c["h"]):
+                            s = read_huff(hdc[td])
+                            diff = extend(read_bits(s), s) if s else 0
+                            preds[cid] += diff
+                            coefs = [0] * 64
+                            coefs[0] = preds[cid] * q[0]
+                            has_ac = False
+                            k = 1
+                            while k < 64:
+                                rs = read_huff(hac[ta])
+                                r, sz = rs >> 4, rs & 15
+                                if sz == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
+                                coefs[ZZ[k]] = extend(read_bits(sz), sz) * q[ZZ[k]]
+                                has_ac = True
+                                k += 1
+                            if has_ac:
+                                px = idct_block(coefs)
+                            else:
+                                # DC-only fast path: flat block at DC/8+128
+                                val = int(math.floor(coefs[0] / 8 + 128.5))
+                                val = 0 if val < 0 else (255 if val > 255 else val)
+                                px = bytes([val]) * 64
+                            plane = planes[cid]
+                            w_ = pw[cid]
+                            ox = (mx * c["h"] + h) * 8
+                            oy = (my * c["v"] + v) * 8
+                            for y in range(8):
+                                row0 = (oy + y) * w_ + ox
+                                plane[row0 : row0 + 8] = px[y * 8 : (y + 1) * 8]
+
+        if len(comps) == 1:
+            c = comps[0]
+            plane = planes[c["id"]]
+            w_ = pw[c["id"]]
+            out = bytearray(W * H)
+            for y in range(H):
+                out[y * W : (y + 1) * W] = plane[y * w_ : y * w_ + W]
+            return W, H, 1, bytes(out)
+
+        # 3 components: upsample chroma by replication, JFIF YCbCr -> RGB
+        cy, cb, cr = (comps[0], comps[1], comps[2])
+        py_, pb, pr = planes[cy["id"]], planes[cb["id"]], planes[cr["id"]]
+        wy, wb, wr = pw[cy["id"]], pw[cb["id"]], pw[cr["id"]]
+        out = bytearray(W * H * 3)
+        for y in range(H):
+            yb = (y * cb["v"]) // vmax
+            yr = (y * cr["v"]) // vmax
+            yy = (y * cy["v"]) // vmax
+            for x in range(W):
+                Yv = py_[yy * wy + (x * cy["h"]) // hmax]
+                Cbv = pb[yb * wb + (x * cb["h"]) // hmax] - 128
+                Crv = pr[yr * wr + (x * cr["h"]) // hmax] - 128
+                r = int(math.floor(Yv + 1.402 * Crv + 0.5))
+                g = int(math.floor(Yv - 0.344136 * Cbv - 0.714136 * Crv + 0.5))
+                b_ = int(math.floor(Yv + 1.772 * Cbv + 0.5))
+                p = 3 * (y * W + x)
+                out[p] = 0 if r < 0 else (255 if r > 255 else r)
+                out[p + 1] = 0 if g < 0 else (255 if g > 255 else g)
+                out[p + 2] = 0 if b_ < 0 else (255 if b_ > 255 else b_)
+        return W, H, 3, bytes(out)
+
+    def decode(b):
+        """(width, height, channels, pixel bytes) or None — the
+        ``png_decode`` contract (never raises on bad input)."""
+        try:
+            b = bytes(b)
+            if len(b) < 4 or b[0:2] != b"\xff\xd8":
+                return None
+            i = 2
+            qt, hdc, hac = {}, {}, {}
+            frame = None
+            ri = 0
+            while i + 2 <= len(b):
+                if b[i] != 0xFF:
+                    return None
+                m = b[i + 1]
+                i += 2
+                if m == 0xFF:  # fill byte
+                    i -= 1
+                    continue
+                if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                    continue
+                if m == 0xD9:
+                    break
+                ln = int.from_bytes(b[i : i + 2], "big")
+                seg = b[i + 2 : i + ln]
+                i += ln
+                if m == 0xDB:
+                    j = 0
+                    while j < len(seg):
+                        pq, tq = seg[j] >> 4, seg[j] & 15
+                        j += 1
+                        if pq == 0:
+                            raw = list(seg[j : j + 64])
+                            j += 64
+                        else:
+                            raw = [
+                                int.from_bytes(seg[j + 2 * k : j + 2 * k + 2], "big")
+                                for k in range(64)
+                            ]
+                            j += 128
+                        nat = [0] * 64
+                        for k in range(64):
+                            nat[ZZ[k]] = raw[k]
+                        qt[tq] = nat
+                elif m == 0xC4:
+                    j = 0
+                    while j < len(seg):
+                        tc, th = seg[j] >> 4, seg[j] & 15
+                        j += 1
+                        bits = list(seg[j : j + 16])
+                        j += 16
+                        n = sum(bits)
+                        vals = list(seg[j : j + n])
+                        j += n
+                        (hdc if tc == 0 else hac)[th] = build_dec_table(bits, vals)
+                elif m in (0xC0, 0xC1):
+                    if seg[0] != 8:
+                        return None  # 12-bit precision out of scope
+                    H = int.from_bytes(seg[1:3], "big")
+                    W = int.from_bytes(seg[3:5], "big")
+                    nc = seg[5]
+                    if nc not in (1, 3) or not W or not H:
+                        return None
+                    comps = []
+                    for cix in range(nc):
+                        o = 6 + 3 * cix
+                        comps.append(
+                            {
+                                "id": seg[o],
+                                "h": seg[o + 1] >> 4,
+                                "v": seg[o + 1] & 15,
+                                "tq": seg[o + 2],
+                            }
+                        )
+                    if any(not 1 <= c["h"] <= 2 or not 1 <= c["v"] <= 2 for c in comps):
+                        return None
+                    frame = (W, H, comps)
+                elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    return None  # progressive / arithmetic / hierarchical
+                elif m == 0xDD:
+                    ri = int.from_bytes(seg[0:2], "big")
+                elif m == 0xDA:
+                    if frame is None:
+                        return None
+                    ns = seg[0]
+                    scomp = [
+                        (seg[1 + 2 * k], seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 15)
+                        for k in range(ns)
+                    ]
+                    if ns != len(frame[2]):
+                        return None  # non-interleaved multi-scan out of scope
+                    return _decode_scan(b, i, frame, scomp, qt, hdc, hac, ri)
+                # APPn / COM / others: skipped
+            return None
+        except Exception:
+            return None
+
+    return {"encode_gray8": encode_gray8, "encode_rgb8": encode_rgb8, "decode": decode}
+
+
+_CODEC = None
+
+
+def _codec():
+    global _CODEC
+    if _CODEC is None:
+        _CODEC = _build_jpeg_codec()
+    return _CODEC
+
+
+def jpeg_decode(b: bytes):
+    """Driver-side convenience wrapper; workers capture the closure from
+    ``_build_jpeg_codec()`` directly for by-value shipping."""
+    return _codec()["decode"](b)
+
+
+def jpeg_encode_gray8(
+    pixels: bytes, width: int, quant: int = 1, restart_interval: int = 0
+) -> bytes:
+    return _codec()["encode_gray8"](pixels, width, quant, restart_interval)
+
+
+def jpeg_encode_rgb8(
+    rgb: bytes, width: int, subsample: tuple[int, int] = (2, 2), quant: int = 1
+) -> bytes:
+    return _codec()["encode_rgb8"](rgb, width, subsample, quant)

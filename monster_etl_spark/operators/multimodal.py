@@ -13,11 +13,15 @@ Two decode tiers work without them:
 - DIMENSIONS for PNG/JPEG/GIF from container headers (``_header_dims``);
 - FULL PIXEL DECODE for 8-bit non-interlaced PNG (``png_decode`` /
   ``extract_pixel_stats``) — zlib inflate + the five scanline filters are
-  pure stdlib, so grayscale/RGB/RGBA PNGs decode to real pixels here.
+  pure stdlib, so grayscale/RGB/RGBA PNGs decode to real pixels here;
+- FULL PIXEL DECODE for BASELINE JPEG (``operators/jpeg.py`` — huffman
+  entropy decode, dequantize, IDCT, chroma upsampling, YCbCr->RGB;
+  grayscale + 4:4:4/4:2:2/4:2:0), wired into ``extract_pixel_stats`` as
+  the fallback when the blob is not a PNG.
 
 Content that is none of the above falls back to the clearly-marked
-deterministic fake (the synthetic corpus is text bytes); JPEG/GIF pixel
-decode (entropy/DCT codecs) stays honestly out of scope —
+deterministic fake (the synthetic corpus is text bytes); GIF (LZW) and
+progressive-JPEG pixel decode stay honestly out of scope —
 ``real_decode=True`` on the legacy entry points still raises
 ``NotImplementedError``. The Spark-side plumbing — schema, batch
 iteration, partitioning, UDF signature — is real and tested throughout.
@@ -140,7 +144,9 @@ def decode_image_batch(
 
     if real_decode:
         raise NotImplementedError(
-            "full pixel decode requires PIL/imageio, not present in this environment"
+            "this legacy flag predates the stdlib codecs — use extract_pixel_stats "
+            "(PNG + baseline JPEG pixel decode); PIL/imageio would be needed only "
+            "for GIF/progressive-JPEG, and are not in this environment"
         )
     for pdf in batches:
         contents = [bytes(c) for c in pdf["content"]]
@@ -173,7 +179,9 @@ def extract_image_features(media: DataFrame, real_decode: bool = False) -> DataF
     """
     if real_decode:
         raise NotImplementedError(
-            "full pixel decode requires PIL/imageio, not present in this environment"
+            "this legacy flag predates the stdlib codecs — use extract_pixel_stats "
+            "(PNG + baseline JPEG pixel decode); PIL/imageio would be needed only "
+            "for GIF/progressive-JPEG, and are not in this environment"
         )
 
     def _worker(batches):
@@ -349,15 +357,23 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def extract_pixel_stats(media: DataFrame) -> DataFrame:
-    """REAL pixel decode + per-image intensity statistics for PNG content
-    (pure stdlib zlib — no external codec), streamed through Arrow-batched
-    ``mapInPandas``. Non-PNG / undecodable blobs yield ``decoded=false``
-    with null stats instead of raising — the never-fail-mid-batch contract.
+    """REAL pixel decode + per-image intensity statistics for PNG and
+    baseline-JPEG content (pure stdlib — no external codec), streamed
+    through Arrow-batched ``mapInPandas``. Undecodable blobs (GIF,
+    progressive JPEG, junk) yield ``decoded=false`` with null stats
+    instead of raising — the never-fail-mid-batch contract.
 
     ``mean_intensity`` is the mean over ALL channel samples, rounded 6dp
     (cross-engine hash stability). The worker closure is self-contained
-    (decoder nested, shipped by value) like ``extract_image_features``.
+    (PNG decoder nested; the JPEG decoder is a closure captured from
+    ``operators/jpeg._build_jpeg_codec`` — both ship by value) like
+    ``extract_image_features``.
     """
+    from monster_etl_spark.operators.jpeg import _build_jpeg_codec
+
+    # built at driver; the returned closure is locally defined, so
+    # cloudpickle ships it wholesale inside _worker (by value)
+    jpeg_decode_local = _build_jpeg_codec()["decode"]
 
     def _worker(batches):
         import pandas as pd
@@ -435,6 +451,8 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
             for c in pdf["content"]:
                 d = decode(bytes(c))
                 if d is None:
+                    d = jpeg_decode_local(bytes(c))
+                if d is None:
                     for k in ("width", "height", "channels", "mean_intensity",
                               "min_intensity", "max_intensity"):
                         rows[k].append(None)
@@ -501,6 +519,47 @@ def documents_as_png_media(documents: DataFrame, width: int = 32) -> DataFrame:
                     "content": [
                         encode(bytes(t, "utf-8"), width) for t in pdf["text"]
                     ],
+                }
+            )
+
+    return documents.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(_worker, schema="media_id long, content binary")
+
+
+def documents_as_jpeg_media(documents: DataFrame, blocks_per_row: int = 8) -> DataFrame:
+    """Adapter: encode each document as a REAL baseline JPEG whose 8x8
+    blocks are each CONSTANT at one text byte's value (block k = byte k,
+    zero blocks pad the last block row). Constant blocks round-trip
+    bit-exactly through the quant=1 DCT (their only nonzero coefficient
+    is an integer DC), so the decoded pixel stats are analytically
+    computable from code points — the property the DuckDB oracle of
+    ``multimodal_jpeg_pixel_stats`` relies on. Blobs are born on
+    executors in the same Arrow ``mapInPandas`` shape as the PNG
+    adapter; the encoder ships by value (closure capture)."""
+    from monster_etl_spark.operators.jpeg import _build_jpeg_codec
+
+    encode_local = _build_jpeg_codec()["encode_gray8"]
+    bpr = blocks_per_row
+
+    def _worker(batches):
+        import pandas as pd
+
+        def doc_to_jpeg(text):
+            data = bytes(text, "utf-8")
+            n_rows = max(1, -(-len(data) // bpr))
+            padded = data.ljust(n_rows * bpr, b"\x00")
+            pixels = b"".join(
+                b"".join(bytes([v]) * 8 for v in padded[r * bpr : (r + 1) * bpr]) * 8
+                for r in range(n_rows)
+            )
+            return encode_local(pixels, bpr * 8, 1)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": [doc_to_jpeg(t) for t in pdf["text"]],
                 }
             )
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from monster_etl_spark.operators.multimodal import (
+    documents_as_jpeg_media,
     documents_as_media,
     documents_as_png_media,
     extract_image_features,
@@ -210,11 +211,58 @@ FROM d
 """
 
 
+_JPEG_BPR = 8  # blocks per row -> 64px-wide images
+
+
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG encode -> entropy-decode round-trip, fully
+    distributed (round-3 verdict #5: JPEG is the dominant web-corpus
+    format and only header dims decoded). Each document byte becomes a
+    CONSTANT 8x8 block (documents_as_jpeg_media), which round-trips
+    bit-exactly through the quant=1 DCT — so the huffman+IDCT decoder
+    (operators/jpeg.py) must recover the EXACT pixels for the analytic
+    oracle to hash-match: block count ceil(n/8)*8, mean = sum(code
+    points)/blocks, min 0 iff zero-padding blocks exist."""
+    media = documents_as_jpeg_media(load(spark, sf_dir, "documents"), blocks_per_row=_JPEG_BPR)
+    return extract_pixel_stats(media).select(
+        "media_id", "width", "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "min_intensity", "max_intensity", "decoded",
+    )
+
+
+JPEG_PIXEL_SQL = f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+    list_transform(string_split(text, ''), c -> unicode(c)) AS bytes_
+  FROM documents
+), d AS (
+  SELECT doc_id, n,
+    CAST(ceil(n / {_JPEG_BPR}.0) AS BIGINT) * {_JPEG_BPR} AS blocks,
+    list_sum(bytes_) AS s, list_min(bytes_) AS mn, list_max(bytes_) AS mx
+  FROM b
+)
+SELECT doc_id AS media_id,
+  {_JPEG_BPR * 8} AS width,
+  CAST(blocks AS INT) AS height,
+  round(s / CAST(blocks AS DOUBLE), 6) AS mean_intensity,
+  CAST(CASE WHEN blocks > n THEN 0 ELSE mn END AS INT) AS min_intensity,
+  CAST(mx AS INT) AS max_intensity,
+  true AS decoded
+FROM d
+"""
+
+
 QUERIES = {
     "multimodal_png_pixel_stats": QuerySpec(
         multimodal_png_pixel_stats,
         PNG_PIXEL_SQL,
         "real PNG encode->pixel-decode round-trip, analytic oracle",
+    ),
+    "multimodal_jpeg_pixel_stats": QuerySpec(
+        multimodal_jpeg_pixel_stats,
+        JPEG_PIXEL_SQL,
+        "real baseline-JPEG encode->entropy-decode round-trip, analytic oracle",
     ),
     "multimodal_audio_windows": QuerySpec(
         multimodal_audio_windows, AUDIO_WINDOWS_SQL, "1s/0.5s audio framing from typed metadata"
