@@ -89,6 +89,12 @@ BENCH_QUERIES = [
     "text_bpe_merges",
     "q_mad_outliers",
     "sample_temperature",
+    # round-4 additions: the JPEG entropy-decode round-trip, the
+    # prefilter-fixed negative sampler, and the two-phase prefix scans
+    "multimodal_jpeg_pixel_stats",
+    "q_negative_samples",
+    "q_compaction_plan",
+    "q_equidepth_bins",
 ]
 
 
@@ -119,6 +125,9 @@ SOAK_QUERIES = [
     "q_asof_last_order",
     "q_asof_merge_join",
     "dedup_contamination_matrix",
+    # round-4 scale claim: candidates hash-prefiltered before the rank
+    # window (the fix must hold its near-constant cost as the corpus grows)
+    "q_negative_samples",
 ]
 
 

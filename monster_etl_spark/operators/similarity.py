@@ -515,6 +515,18 @@ def resolve_assignment(assignment: str, n_rows: int) -> str:
     return assignment
 
 
+#: auto fit-sample sizing: fit the Lloyd loop on ~max(PER_CELL * cells,
+#: MIN_SAMPLE) vectors. Every Lloyd round costs sample x cells dots, so an
+#: UNSAMPLED fit is itself the N x cells scale-killer the two-level
+#: assignment removes (measured at sf10: auto two-level assignment alone
+#: cut 270 s -> 188 s; the remaining ~180 s was 3 Lloyd rounds x 200k x 447
+#: cells). PER_CELL=64 keeps >=64 expected members per cell in the fit —
+#: centroid means are statistically stable — while all registry SFs
+#: (<=20k vectors) stay below MIN_SAMPLE and keep the exact full fit.
+SEMANTIC_FIT_MIN_SAMPLE = 20_000
+SEMANTIC_FIT_PER_CELL = 64
+
+
 def semantic_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -522,7 +534,7 @@ def semantic_dup_pairs(
     threshold: float = 0.95,
     n_centroids: int | None = None,
     kmeans_iters: int = IVF_KMEANS_ITERS,
-    fit_fraction: float = 1.0,
+    fit_fraction: float | None = None,
     assignment: str = "auto",
     sup_probes: int = 4,
 ) -> DataFrame:
@@ -543,16 +555,27 @@ def semantic_dup_pairs(
     measured N^1.5 term (sf10: 328 s flat vs 20 s two-level, identical
     pairs), so the 100x-scale caller must not get it by default.
 
+    ``fit_fraction=None`` (default) bounds the Lloyd fit to a
+    deterministic hash sample of ~max(SEMANTIC_FIT_PER_CELL * cells,
+    SEMANTIC_FIT_MIN_SAMPLE) vectors — without it every Lloyd round is
+    its own N x cells pass and the fit, not the assignment, owns the
+    N^1.5 asymptote (measured, see the constants' comment). All registry
+    SFs fall under the sample floor and keep the exact full fit, so
+    oracle hashes are unchanged; pass an explicit fraction to pin.
+
     Scale shape: centroid fit + assignment are the IVF machinery (1-row
     broadcast centroid array, narrow per-row argmax — the corpus is never
     shuffled to find its cell); the pair join is an equi-join on cell id,
     so candidate work is sum of squared CELL sizes, never corpus², and
     both unit-vector sides make the pair score one dot product."""
-    if n_centroids is None or assignment == "auto":
+    if n_centroids is None or assignment == "auto" or fit_fraction is None:
         n_rows = corpus.count()
         if n_centroids is None:
             n_centroids = auto_centroids(n_rows)
         assignment = resolve_assignment(assignment, n_rows)
+        if fit_fraction is None:
+            target = max(SEMANTIC_FIT_PER_CELL * n_centroids, SEMANTIC_FIT_MIN_SAMPLE)
+            fit_fraction = min(1.0, target / max(1, n_rows))
     cent = kmeans_centroids(
         corpus, id_col, vec_col, n_centroids, kmeans_iters, fit_fraction=fit_fraction
     )

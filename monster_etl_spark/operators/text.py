@@ -791,6 +791,16 @@ def bpe_learn_merges(
 
     Deterministic: integer counts, total-order tiebreak (count DESC,
     pair ASC). Returns (merge_rank, w1, w2, merged, pair_count).
+
+    Job-count caveat: exact BPE is inherently sequential in the merge
+    rank — each round's pair counts depend on the previous merge — so a
+    real 32k-merge vocabulary means 32k short Spark jobs over the cached
+    dictionary (seconds each at vocabulary scale, but hours of scheduler
+    round-trips in total). Production tokenizer training bounds this by
+    learning merges on the dictionary DRIVER-side once it fits in memory
+    (it is vocabulary-sized) or by batching non-overlapping merges per
+    round; this implementation keeps the per-round Spark job because the
+    dictionary is the distributed artifact being demonstrated.
     """
     spark = docs.sparkSession
     words = (
