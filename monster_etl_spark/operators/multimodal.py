@@ -16,12 +16,13 @@ Two decode tiers work without them:
   pure stdlib, so grayscale/RGB/RGBA PNGs decode to real pixels here;
 - FULL PIXEL DECODE for BASELINE JPEG (``operators/jpeg.py`` — huffman
   entropy decode, dequantize, IDCT, chroma upsampling, YCbCr->RGB;
-  grayscale + 4:4:4/4:2:2/4:2:0), wired into ``extract_pixel_stats`` as
-  the fallback when the blob is not a PNG.
+  grayscale + 4:4:4/4:2:2/4:2:0) and for GIF (``operators/gif.py`` —
+  LZW, interlacing, palettes; first frame of animations), both wired
+  into ``extract_pixel_stats`` as fallbacks when the blob is not a PNG.
 
 Content that is none of the above falls back to the clearly-marked
-deterministic fake (the synthetic corpus is text bytes); GIF (LZW) and
-progressive-JPEG pixel decode stay honestly out of scope —
+deterministic fake (the synthetic corpus is text bytes); progressive
+JPEG and animated-GIF timeline composition stay honestly out of scope —
 ``real_decode=True`` on the legacy entry points still raises
 ``NotImplementedError``. The Spark-side plumbing — schema, batch
 iteration, partitioning, UDF signature — is real and tested throughout.
@@ -357,10 +358,10 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def extract_pixel_stats(media: DataFrame) -> DataFrame:
-    """REAL pixel decode + per-image intensity statistics for PNG and
-    baseline-JPEG content (pure stdlib — no external codec), streamed
-    through Arrow-batched ``mapInPandas``. Undecodable blobs (GIF,
-    progressive JPEG, junk) yield ``decoded=false`` with null stats
+    """REAL pixel decode + per-image intensity statistics for PNG,
+    baseline-JPEG and GIF content (pure stdlib — no external codec),
+    streamed through Arrow-batched ``mapInPandas``. Undecodable blobs
+    (progressive JPEG, junk) yield ``decoded=false`` with null stats
     instead of raising — the never-fail-mid-batch contract.
 
     ``mean_intensity`` is the mean over ALL channel samples, rounded 6dp
@@ -369,11 +370,13 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
     ``operators/jpeg._build_jpeg_codec`` — both ship by value) like
     ``extract_image_features``.
     """
+    from monster_etl_spark.operators.gif import _build_gif_codec
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
 
-    # built at driver; the returned closure is locally defined, so
-    # cloudpickle ships it wholesale inside _worker (by value)
+    # built at driver; the returned closures are locally defined, so
+    # cloudpickle ships them wholesale inside _worker (by value)
     jpeg_decode_local = _build_jpeg_codec()["decode"]
+    gif_decode_local = _build_gif_codec()["decode"]
 
     def _worker(batches):
         import pandas as pd
@@ -452,6 +455,8 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
                 d = decode(bytes(c))
                 if d is None:
                     d = jpeg_decode_local(bytes(c))
+                if d is None:
+                    d = gif_decode_local(bytes(c))
                 if d is None:
                     for k in ("width", "height", "channels", "mean_intensity",
                               "min_intensity", "max_intensity"):
@@ -560,6 +565,34 @@ def documents_as_jpeg_media(documents: DataFrame, blocks_per_row: int = 8) -> Da
                 {
                     "media_id": pdf["media_id"].astype("int64"),
                     "content": [doc_to_jpeg(t) for t in pdf["text"]],
+                }
+            )
+
+    return documents.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(_worker, schema="media_id long, content binary")
+
+
+def documents_as_gif_media(documents: DataFrame, width: int = 32) -> DataFrame:
+    """Adapter: encode each document's UTF-8 bytes as a real GIF over the
+    identity grayscale palette (zero-padded to ``width``-wide rows, the
+    PNG adapter's layout). GIF is lossless, so decoded stats are the
+    SAME analytic function of code points the PNG oracle uses — the
+    registry query reuses PNG_PIXEL_SQL verbatim, and a hash-match
+    proves a completely different codec (LZW vs zlib) recovers identical
+    pixels. Blobs born on executors; encoder ships by value."""
+    from monster_etl_spark.operators.gif import _build_gif_codec
+
+    encode_local = _build_gif_codec()["encode_gray8"]
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": [encode_local(bytes(t, "utf-8"), width) for t in pdf["text"]],
                 }
             )
 

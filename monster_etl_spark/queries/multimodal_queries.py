@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from monster_etl_spark.operators.multimodal import (
+    documents_as_gif_media,
     documents_as_jpeg_media,
     documents_as_media,
     documents_as_png_media,
@@ -211,6 +212,21 @@ FROM d
 """
 
 
+def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF encode -> LZW-decode round-trip, fully distributed: each
+    document's bytes become an identity-grayscale-palette GIF with the
+    SAME 32-wide pixel layout as the PNG adapter. GIF is lossless, so
+    this query's oracle is PNG_PIXEL_SQL VERBATIM — a hash-match proves
+    a second, unrelated codec (LZW vs zlib inflate) recovers identical
+    pixels from independently-encoded blobs."""
+    media = documents_as_gif_media(load(spark, sf_dir, "documents"), width=_PNG_W)
+    return extract_pixel_stats(media).select(
+        "media_id", "width", "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "min_intensity", "max_intensity", "decoded",
+    )
+
+
 _JPEG_BPR = 8  # blocks per row -> 64px-wide images
 
 
@@ -263,6 +279,11 @@ QUERIES = {
         multimodal_jpeg_pixel_stats,
         JPEG_PIXEL_SQL,
         "real baseline-JPEG encode->entropy-decode round-trip, analytic oracle",
+    ),
+    "multimodal_gif_pixel_stats": QuerySpec(
+        multimodal_gif_pixel_stats,
+        PNG_PIXEL_SQL,
+        "real GIF encode->LZW-decode round-trip, PNG oracle reused verbatim",
     ),
     "multimodal_audio_windows": QuerySpec(
         multimodal_audio_windows, AUDIO_WINDOWS_SQL, "1s/0.5s audio framing from typed metadata"
