@@ -36,7 +36,16 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = os.cpu_count() or 32 if cpus == "*" else int(cpus)
+        # default: one shuffle partition per core — right for the test SFs.
+        # At derived scale (sf100: 600M-row lineitem) the rule is ~128-256MB
+        # per partition, NOT per-core: 32 partitions x 19M rows each spills
+        # or OOMs the sort. SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for
+        # scale soaks (AQE coalesces the excess back down at small SFs).
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp:
+            shuffle_partitions = int(env_sp)
+        else:
+            shuffle_partitions = os.cpu_count() or 32 if cpus == "*" else int(cpus)
 
     builder = (
         SparkSession.builder.master(master)

@@ -45,12 +45,14 @@ def main() -> None:
         "Source of truth: `monster_etl_spark/queries/` (this file mirrors `all_queries()`;",
         "regenerate with `python tools/gen_queries_md.py`).",
         "",
-        "Verification depth (round 3): the full registry is driver-replica",
-        "green at sf0.001, sf0.01 (the driver's gate; committed as",
-        "`DRIVER_CHECK.json`), and spot-verified at sf0.1; every query added",
-        "in round 3 is additionally hash-verified at the derived sf1",
-        "(`tools/gen_scale.py`). Rows-only entries (the three approximate",
-        "kNN variants) carry oracle-checked recall>=0.5 contract twins.",
+        "Verification depth (round 4): the full registry is driver-replica",
+        "green at sf0.01 (the driver's gate; committed as",
+        "`DRIVER_CHECK.json`); every query added or replanned in round 4",
+        "(JPEG/GIF pixel round-trips, prefiltered negative sampling,",
+        "two-phase compaction/equi-depth, auto semantic-dedup assignment)",
+        "is hash-re-verified at sf0.01 and covered by plan-pin or codec",
+        "unit tests. Rows-only entries (the three approximate kNN",
+        "variants) carry oracle-checked recall>=0.5 contract twins.",
     ]
     unknown = set(by_module) - set(SECTIONS)
     if unknown:
