@@ -667,6 +667,105 @@ def frame_sample_ids(media: DataFrame, every_nth: int = 10) -> DataFrame:
     )
 
 
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def extract_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio sample decode + per-clip statistics for RIFF/PCM WAV
+    content (``operators/wav.py`` — pure stdlib, 8/16/24/32-bit PCM and
+    float, any channel count), streamed through Arrow-batched
+    ``mapInPandas``. Undecodable blobs (compressed formats, junk) yield
+    ``decoded=false`` with null stats — the image codecs' contract.
+
+    ``n_samples`` is frames per channel; ``peak_abs``/``rms`` are over
+    ALL interleaved samples. Sums run in exact integer arithmetic (each
+    v² and their total stay under 2^53), so the one float step —
+    sqrt(ssq/n) — is IEEE-identical across engines; callers round
+    JVM-side with ``F.round`` (the PNG-stats discipline)."""
+    from monster_etl_spark.operators.wav import _build_wav_codec
+
+    wav_decode_local = _build_wav_codec()["decode"]
+
+    def _worker(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "media_id": pdf["media_id"].astype("int64"),
+                "sample_rate": [], "n_channels": [], "n_samples": [],
+                "duration_sec": [], "peak_abs": [], "rms": [], "decoded": [],
+            }
+            for c in pdf["content"]:
+                d = wav_decode_local(bytes(c))
+                if d is None:
+                    for k in ("sample_rate", "n_channels", "n_samples",
+                              "duration_sec", "peak_abs", "rms"):
+                        rows[k].append(None)
+                    rows["decoded"].append(False)
+                    continue
+                rate, n_ch, _bits, samples = d
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(n_ch)
+                rows["n_samples"].append(len(samples) // n_ch)
+                rows["duration_sec"].append((len(samples) // n_ch) / rate)
+                if samples:
+                    rows["peak_abs"].append(max(abs(v) for v in samples))
+                    rows["rms"].append(math.sqrt(sum(v * v for v in samples) / len(samples)))
+                else:
+                    rows["peak_abs"].append(None)
+                    rows["rms"].append(None)
+                rows["decoded"].append(True)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _worker, schema=AUDIO_STATS_SCHEMA
+    )
+
+
+def documents_as_wav_media(documents: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Adapter: each document byte becomes one mono PCM-16 sample at
+    ``(byte - 128) * 256`` — lossless through the WAV round-trip, so the
+    decoded statistics are an analytic function of code points (the
+    image adapters' trick, applied to audio). Blobs born on executors;
+    encoder ships by value."""
+    from monster_etl_spark.operators.wav import _build_wav_codec
+
+    encode_local = _build_wav_codec()["encode_pcm16"]
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": [
+                        encode_local(
+                            [(v - 128) * 256 for v in bytes(t, "utf-8")], sample_rate
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return documents.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(_worker, schema="media_id long, content binary")
+
+
 def audio_window_spans(
     media: DataFrame,
     sample_rate_col: str = "sample_rate",

@@ -20,6 +20,8 @@ from monster_etl_spark.operators.multimodal import (
     documents_as_jpeg_media,
     documents_as_media,
     documents_as_png_media,
+    documents_as_wav_media,
+    extract_audio_stats,
     extract_image_features,
     extract_pixel_stats,
     resize_images,
@@ -269,7 +271,53 @@ FROM d
 """
 
 
+_WAV_SR = 16000
+
+
+def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV encode -> PCM-decode round-trip, fully distributed: each
+    document byte becomes one mono 16-bit sample ((cp-128)*256, lossless),
+    then operators/wav.py's RIFF/PCM decoder recovers rate, frame count,
+    peak and RMS. The oracle computes identical stats analytically from
+    code points — exact integer square sums keep the one float step
+    (sqrt) IEEE-identical, so this hash-matches like the image trio."""
+    media = documents_as_wav_media(load(spark, sf_dir, "documents"), sample_rate=_WAV_SR)
+    return extract_audio_stats(media).select(
+        "media_id", "sample_rate", "n_channels", "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        "peak_abs",
+        F.round("rms", 6).alias("rms"),
+        "decoded",
+    )
+
+
+WAV_SAMPLE_SQL = f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+    list_transform(string_split(text, ''), c -> (unicode(c) - 128) * 256) AS s
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  CAST({_WAV_SR} AS INT) AS sample_rate,
+  CAST(1 AS INT) AS n_channels,
+  CAST(n AS BIGINT) AS n_samples,
+  round(n / {_WAV_SR}.0, 6) AS duration_sec,
+  CASE WHEN n = 0 THEN NULL
+       ELSE CAST(list_max(list_transform(s, v -> abs(v))) AS BIGINT) END AS peak_abs,
+  CASE WHEN n = 0 THEN NULL
+       ELSE round(sqrt(list_sum(list_transform(s, v -> CAST(v AS DOUBLE) * v)) / n), 6)
+  END AS rms,
+  true AS decoded
+FROM b
+"""
+
+
 QUERIES = {
+    "multimodal_wav_sample_stats": QuerySpec(
+        multimodal_wav_sample_stats,
+        WAV_SAMPLE_SQL,
+        "real WAV encode->PCM-decode round-trip, analytic oracle",
+    ),
     "multimodal_png_pixel_stats": QuerySpec(
         multimodal_png_pixel_stats,
         PNG_PIXEL_SQL,
