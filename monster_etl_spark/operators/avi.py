@@ -1,0 +1,127 @@
+"""MJPEG-in-AVI video frame extraction in pure stdlib Python.
+
+With RIFF walking (``operators/wav.py``) and a baseline JPEG decoder
+(``operators/jpeg.py``) already in the repo, the classic
+motion-JPEG-in-AVI container is decodable end to end with no codec
+library — which upgrades the video path from "frame-sample ids over
+metadata" to REAL frame decode:
+
+- ``avi_mjpeg_frames``: parses the RIFF/AVI structure, walks the
+  ``movi`` LIST (directly or via nested ``rec `` lists), and returns the
+  compressed video chunks (``..dc``/``..db`` stream data) in order —
+  each one a complete JPEG for an MJPEG file. Frame pixel decode is then
+  ``operators/jpeg.jpeg_decode``. Returns ``None`` on malformed input
+  (the media-codec contract); non-MJPEG codecs simply yield frames that
+  ``jpeg_decode`` reports as undecodable rather than raising.
+- ``avi_encode_mjpeg``: minimal writer (avih + one video strl, movi with
+  ``00dc`` chunks, idx1) for fixtures and round-trip tests.
+
+Inter-frame aspects (fps timing, audio interleave) are container
+metadata, not pixels — fps is returned from ``avih`` when present.
+
+Defined inside ``_build_avi_codec`` for by-value closure shipping.
+"""
+
+from __future__ import annotations
+
+
+def _build_avi_codec():
+    import struct
+
+    def encode_mjpeg(frames, width, height, fps=10):
+        """Single-video-stream AVI wrapping pre-encoded JPEG ``frames``."""
+        movi_items = b""
+        idx = b""
+        offset = 4  # idx1 offsets are relative to the start of 'movi'
+        for f in frames:
+            pad = len(f) & 1
+            movi_items += b"00dc" + struct.pack("<I", len(f)) + f + b"\x00" * pad
+            idx += b"00dc" + struct.pack("<III", 0x10, offset, len(f))
+            offset += 8 + len(f) + pad
+        movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" + movi_items
+        usec_per_frame = int(1_000_000 / max(1, fps))
+        avih = b"avih" + struct.pack(
+            "<I14I",
+            56,
+            usec_per_frame, 0, 0, 0x10, len(frames), 0, 1, 0,
+            width, height, 0, 0, 0, 0,
+        )
+        strh = b"strh" + struct.pack(
+            "<I4s4sIHHIIIIIIIIhhhh",
+            56, b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames),
+            0, 0xFFFFFFFF, 0, 0, 0, width, height,
+        )
+        strf = b"strf" + struct.pack(
+            "<II2i2H6I", 40, 40, width, height, 1, 24, 0x47504A4D, 0, 0, 0, 0, 0
+        )
+        strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+        hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+        idx1 = b"idx1" + struct.pack("<I", len(idx)) + idx
+        body = b"AVI " + hdrl + movi + idx1
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def frames(b):
+        """-> (fps_or_None, [compressed frame bytes]) or None."""
+        try:
+            return _frames(bytes(b))
+        except Exception:
+            return None
+
+    def _walk_movi(b, start, end, out):
+        i = start
+        while i + 8 <= end:
+            tag = b[i : i + 4]
+            ln = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            body_start = i + 8
+            if tag == b"LIST" and b[body_start : body_start + 4] == b"rec ":
+                _walk_movi(b, body_start + 4, body_start + ln - 4, out)
+            elif tag[2:4] in (b"dc", b"db"):
+                out.append(b[body_start : body_start + ln])
+            i = body_start + ln + (ln & 1)
+
+    def _frames(b):
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+            return None
+        fps = None
+        out = []
+        i = 12
+        while i + 8 <= len(b):
+            tag = b[i : i + 4]
+            ln = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            body_start = i + 8
+            if tag == b"LIST":
+                kind = b[body_start : body_start + 4]
+                if kind == b"movi":
+                    _walk_movi(b, body_start + 4, body_start + ln - 4, out)
+                elif kind == b"hdrl":
+                    j = body_start + 4
+                    if b[j : j + 4] == b"avih":
+                        upf = struct.unpack("<I", b[j + 8 : j + 12])[0]
+                        if upf:
+                            fps = round(1_000_000 / upf, 3)
+            i = body_start + ln + (ln & 1)
+        if not out:
+            return None
+        return fps, out
+
+    return {"encode_mjpeg": encode_mjpeg, "frames": frames}
+
+
+_CODEC = None
+
+
+def _codec():
+    global _CODEC
+    if _CODEC is None:
+        _CODEC = _build_avi_codec()
+    return _CODEC
+
+
+def avi_mjpeg_frames(b: bytes):
+    """Driver-side convenience wrapper; workers capture the closure from
+    ``_build_avi_codec()`` directly for by-value shipping."""
+    return _codec()["frames"](b)
+
+
+def avi_encode_mjpeg(frames, width: int, height: int, fps: int = 10) -> bytes:
+    return _codec()["encode_mjpeg"](frames, width, height, fps)

@@ -18,7 +18,11 @@ Two decode tiers work without them:
   entropy decode, dequantize, IDCT, chroma upsampling, YCbCr->RGB;
   grayscale + 4:4:4/4:2:2/4:2:0) and for GIF (``operators/gif.py`` —
   LZW, interlacing, palettes; first frame of animations), both wired
-  into ``extract_pixel_stats`` as fallbacks when the blob is not a PNG.
+  into ``extract_pixel_stats`` as fallbacks when the blob is not a PNG;
+- FULL AUDIO SAMPLE DECODE for RIFF/PCM WAV (``operators/wav.py``,
+  8/16/24/32-bit PCM + IEEE float -> ``extract_audio_stats``);
+- FULL VIDEO FRAME DECODE for MJPEG-in-AVI (``operators/avi.py`` RIFF
+  walker + the JPEG decoder -> ``extract_video_frame_stats``).
 
 Content that is none of the above falls back to the clearly-marked
 deterministic fake (the synthetic corpus is text bytes); progressive
@@ -665,6 +669,114 @@ def frame_sample_ids(media: DataFrame, every_nth: int = 10) -> DataFrame:
             F.lit(0), (F.octet_length("content") / F.lit(every_nth)).cast("int")
         ).alias("frame_ids"),
     )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_id", T.LongType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def extract_video_frame_stats(media: DataFrame) -> DataFrame:
+    """REAL video frame decode for MJPEG-in-AVI content: the RIFF/AVI
+    walker (``operators/avi.py``) yields each frame's compressed bytes,
+    the baseline JPEG decoder (``operators/jpeg.py``) yields its pixels —
+    one output row PER FRAME with dimensions and mean intensity. A blob
+    that is not an AVI (or an AVI whose codec is not MJPEG) yields one
+    ``decoded=false`` row — the media-codec contract. Pure stdlib, no
+    codec library; Arrow-batched ``mapInPandas``, blobs never shuffle."""
+    from monster_etl_spark.operators.avi import _build_avi_codec
+    from monster_etl_spark.operators.jpeg import _build_jpeg_codec
+
+    avi_frames_local = _build_avi_codec()["frames"]
+    jpeg_decode_local = _build_jpeg_codec()["decode"]
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "frame_id", "fps", "width", "height",
+                "mean_intensity", "decoded",
+            )}
+
+            def emit(mid, fid, fps, w, h, mean, ok):
+                rows["media_id"].append(mid)
+                rows["frame_id"].append(fid)
+                rows["fps"].append(fps)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_intensity"].append(mean)
+                rows["decoded"].append(ok)
+
+            for mid, c in zip(pdf["media_id"].astype("int64"), pdf["content"]):
+                parsed = avi_frames_local(bytes(c))
+                if parsed is None:
+                    emit(int(mid), None, None, None, None, None, False)
+                    continue
+                fps, frames = parsed
+                for fid, fr in enumerate(frames):
+                    d = jpeg_decode_local(fr)
+                    if d is None:
+                        emit(int(mid), fid, fps, None, None, None, False)
+                    else:
+                        w, h, _ch, px = d
+                        emit(int(mid), fid, fps, w, h, sum(px) / len(px), True)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _worker, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+def documents_as_mjpeg_media(
+    documents: DataFrame, frame_bytes: int = 16, fps: int = 10
+) -> DataFrame:
+    """Adapter: pack each document's bytes into an MJPEG-in-AVI clip —
+    frame k holds bytes [k*frame_bytes, (k+1)*frame_bytes) as one row of
+    constant 8x8 JPEG blocks (the JPEG adapter's lossless construction),
+    zero-padded in the final frame. Decoded per-frame stats are an
+    analytic function of code-point slices, which is what the registry
+    oracle computes. Blobs born on executors; codecs ship by value."""
+    from monster_etl_spark.operators.avi import _build_avi_codec
+    from monster_etl_spark.operators.jpeg import _build_jpeg_codec
+
+    avi_encode_local = _build_avi_codec()["encode_mjpeg"]
+    jpeg_encode_local = _build_jpeg_codec()["encode_gray8"]
+    fb = frame_bytes
+
+    def _worker(batches):
+        import pandas as pd
+
+        def doc_to_avi(text):
+            data = bytes(text, "utf-8")
+            n_frames = max(1, -(-len(data) // fb))
+            padded = data.ljust(n_frames * fb, b"\x00")
+            frames = []
+            for k in range(n_frames):
+                sl = padded[k * fb : (k + 1) * fb]
+                pixels = b"".join(bytes([v]) * 8 for v in sl) * 8
+                frames.append(jpeg_encode_local(pixels, fb * 8, 1))
+            return avi_encode_local(frames, fb * 8, 8, fps)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": [doc_to_avi(t) for t in pdf["text"]],
+                }
+            )
+
+    return documents.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(_worker, schema="media_id long, content binary")
 
 
 AUDIO_STATS_SCHEMA = T.StructType(

@@ -19,11 +19,13 @@ from monster_etl_spark.operators.multimodal import (
     documents_as_gif_media,
     documents_as_jpeg_media,
     documents_as_media,
+    documents_as_mjpeg_media,
     documents_as_png_media,
     documents_as_wav_media,
     extract_audio_stats,
     extract_image_features,
     extract_pixel_stats,
+    extract_video_frame_stats,
     resize_images,
 )
 from monster_etl_spark.queries import QuerySpec, load
@@ -312,7 +314,55 @@ FROM b
 """
 
 
+_MJPEG_FB = 16  # bytes per frame -> 128x8 frames
+_MJPEG_FPS = 10
+
+
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame decode, fully distributed: each document becomes
+    an MJPEG-in-AVI clip (frame k = bytes [k*16,(k+1)*16) as lossless
+    constant JPEG blocks), then the RIFF walker + baseline JPEG decoder
+    recover one row PER FRAME with dimensions and mean intensity. The
+    oracle slices code points per frame — a hash-match proves container
+    parsing AND per-frame entropy decode both work."""
+    media = documents_as_mjpeg_media(
+        load(spark, sf_dir, "documents"), frame_bytes=_MJPEG_FB, fps=_MJPEG_FPS
+    )
+    return extract_video_frame_stats(media).select(
+        "media_id", "frame_id", "fps", "width", "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "decoded",
+    )
+
+
+VIDEO_FRAME_SQL = f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+    list_transform(string_split(text, ''), c -> unicode(c)) AS s
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n, s, CAST(k AS BIGINT) AS frame_id
+  FROM b, unnest(range(0, CAST(greatest(ceil(n / {_MJPEG_FB}.0), 1) AS BIGINT))) AS t(k)
+)
+SELECT doc_id AS media_id, frame_id,
+  CAST({_MJPEG_FPS} AS DOUBLE) AS fps,
+  CAST({_MJPEG_FB * 8} AS INT) AS width,
+  CAST(8 AS INT) AS height,
+  round(coalesce(list_sum(s[frame_id * {_MJPEG_FB} + 1 :
+                           least((frame_id + 1) * {_MJPEG_FB}, n)]), 0)
+        / {_MJPEG_FB}.0, 6) AS mean_intensity,
+  true AS decoded
+FROM f
+"""
+
+
 QUERIES = {
+    "multimodal_video_frame_stats": QuerySpec(
+        multimodal_video_frame_stats,
+        VIDEO_FRAME_SQL,
+        "real MJPEG-in-AVI frame decode, per-frame analytic oracle",
+    ),
     "multimodal_wav_sample_stats": QuerySpec(
         multimodal_wav_sample_stats,
         WAV_SAMPLE_SQL,
