@@ -7,8 +7,8 @@ Arrow-batched ``mapInPandas`` (one Python worker per partition, columnar
 batch transfer), which is the correct shape for Python-only media libs at
 any scale: partitions stream through workers, nothing is collected.
 
-External pixel codecs (PIL/ffmpeg/torchaudio) are NOT in this container.
-Two decode tiers work without them:
+External media codecs (PIL/ffmpeg/torchaudio) are NOT in this container.
+These decode tiers work without them:
 
 - DIMENSIONS for PNG/JPEG/GIF from container headers (``_header_dims``);
 - FULL PIXEL DECODE for 8-bit non-interlaced PNG (``png_decode`` /
