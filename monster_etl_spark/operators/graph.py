@@ -19,6 +19,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ensure_checkpoint_dir(df: DataFrame, checkpoint_dir: str | None) -> None:
+    """Point the context at ``checkpoint_dir`` ONCE per operator call.
+
+    ``SparkContext.setCheckpointDir`` mints a fresh UUID subdirectory on
+    every invocation, so calling it per truncation (i.e. per iteration)
+    would scatter one subdirectory per round — and reliable checkpoint
+    files are not garbage-collected by default, so a long run would leak
+    one full label-set snapshot per iteration across as many dirs. One
+    call per CC/PageRank invocation keeps all of the run's snapshots in a
+    single subdirectory; for long-lived applications enable
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (best-effort
+    GC when the RDD is dereferenced) or delete the run's subdirectory
+    after the job."""
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+
 def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> DataFrame:
     """Lineage-truncation point for the iterative loops.
 
@@ -26,14 +43,14 @@ def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None, eager: bool = T
     on executors; fast, but an executor loss mid-run kills the job since
     the lineage needed to recompute them was truncated. With
     ``checkpoint_dir`` set (an HDFS/object-store/shared-FS URI), a
-    RELIABLE ``checkpoint`` to that path: blocks survive executor loss,
-    which is the durability a long CC/PageRank run on a 1000-executor
-    cluster needs (any single executor is likely to be lost during a
-    multi-hour job). Spark has one global checkpoint dir per context;
-    setting it per call is idempotent."""
+    RELIABLE ``checkpoint``: blocks survive executor loss, which is the
+    durability a long CC/PageRank run on a 1000-executor cluster needs
+    (any single executor is likely to be lost during a multi-hour job).
+    The caller must have pointed the context at the dir already via
+    ``_ensure_checkpoint_dir`` — exactly once per operator call, NOT per
+    truncation (see that helper for the leak this avoids)."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
-    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=eager)
 
 
@@ -105,6 +122,7 @@ def connected_components(
         )
         return spark.createDataFrame(rows, schema)
 
+    _ensure_checkpoint_dir(pairs, checkpoint_dir)
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -197,6 +215,7 @@ def pagerank_fixed_point(
     # expensive derivation, e.g. the Apriori pair mine feeding
     # text_token_pagerank) re-executes per iteration. Same discipline as
     # connected_components' localCheckpoint.
+    _ensure_checkpoint_dir(edges, checkpoint_dir)
     e = _truncate_lineage(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), checkpoint_dir
     )

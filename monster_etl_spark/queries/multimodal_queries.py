@@ -29,8 +29,11 @@ from monster_etl_spark.operators.multimodal import (
     resize_images,
 )
 from monster_etl_spark.queries import QuerySpec, load
+from monster_etl_spark.scratch import scratch_path
 
-_S7_SCRATCH = "/root/repo/spark-warehouse/s7_tarballs"
+# staged OUTSIDE the repo tree; see monster_etl_spark.scratch for the
+# shared-FS contract this path must satisfy on a multi-node cluster
+_S7_SCRATCH = scratch_path("s7_tarballs")
 _S7_MAX_ID = 20
 
 
@@ -201,8 +204,15 @@ WITH b AS (
   FROM documents
 ), d AS (
   SELECT doc_id, n,
-    CAST(ceil(n / {_PNG_W}.0) AS BIGINT) * {_PNG_W} AS total,
-    list_sum(bytes_) AS s, list_min(bytes_) AS mn, list_max(bytes_) AS mx
+    -- greatest(..., 1): the encoder emits a minimum one-row image for an
+    -- empty document (multimodal.py png_encode_gray8 max(1, ...)), so the
+    -- oracle must count that all-padding row too (mirrors VIDEO_FRAME_SQL)
+    greatest(CAST(ceil(n / {_PNG_W}.0) AS BIGINT), 1) * {_PNG_W} AS total,
+    -- n=0 guard is explicit: string_split('', '') yields [''] and
+    -- unicode('') is -1, so list_sum/list_max see -1, not NULL
+    CASE WHEN n = 0 THEN 0 ELSE list_sum(bytes_) END AS s,
+    list_min(bytes_) AS mn,
+    CASE WHEN n = 0 THEN 0 ELSE list_max(bytes_) END AS mx
   FROM b
 )
 SELECT doc_id AS media_id,
@@ -258,8 +268,15 @@ WITH b AS (
   FROM documents
 ), d AS (
   SELECT doc_id, n,
-    CAST(ceil(n / {_JPEG_BPR}.0) AS BIGINT) * {_JPEG_BPR} AS blocks,
-    list_sum(bytes_) AS s, list_min(bytes_) AS mn, list_max(bytes_) AS mx
+    -- greatest(..., 1): the encoder emits a minimum one-block-row image
+    -- for an empty document (multimodal.py doc_to_jpeg max(1, ...)), so
+    -- the oracle counts that all-padding row (mirrors VIDEO_FRAME_SQL)
+    greatest(CAST(ceil(n / {_JPEG_BPR}.0) AS BIGINT), 1) * {_JPEG_BPR} AS blocks,
+    -- n=0 guard is explicit: string_split('', '') yields [''] and
+    -- unicode('') is -1, so list_sum/list_max see -1, not NULL
+    CASE WHEN n = 0 THEN 0 ELSE list_sum(bytes_) END AS s,
+    list_min(bytes_) AS mn,
+    CASE WHEN n = 0 THEN 0 ELSE list_max(bytes_) END AS mx
   FROM b
 )
 SELECT doc_id AS media_id,

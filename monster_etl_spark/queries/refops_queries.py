@@ -324,7 +324,9 @@ def t16_path_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.concat(F.lit("reg"), F.col("n_regionkey").cast("string")).alias("ancestry"),
     )
-    out = "/root/repo/spark-warehouse/t16_ancestry"
+    from monster_etl_spark.scratch import scratch_path
+
+    out = scratch_path("t16_ancestry")
     staged.write.mode("overwrite").partitionBy("ancestry").parquet(out)
     # drop the discovered partition column so the value can ONLY come from
     # the path regex

@@ -23,8 +23,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from monster_etl_spark.queries import QuerySpec, load
+from monster_etl_spark.scratch import scratch_path
 
-_STAGE = "/root/repo/spark-warehouse/stream_events"
+# staged OUTSIDE the repo tree; see monster_etl_spark.scratch for the
+# shared-FS contract this path must satisfy on a multi-node cluster
+_STAGE = scratch_path("stream_events")
 _WINDOW = "15 minutes"
 _DELAY = "30 minutes"
 

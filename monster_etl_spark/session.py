@@ -8,10 +8,14 @@ input use ``try_cast`` explicitly, so they behave identically whether or not
 the session that runs them is ANSI (the driver harness supplies its own
 session; nothing in this package may depend on session-level ANSI).
 
-Scale posture: shuffle partitions default to the local core count for tests
-(on a real cluster you'd size this to ~2-3x total executor cores or rely on
-AQE coalescing, which is enabled here). AQE handles skew-join splitting and
-partition coalescing at runtime.
+Scale posture: batch shuffles are sized by BYTES, not cores — AQE starts
+them at ``coalescePartitions.initialPartitionNum`` (default 1024 here) and
+coalesces neighbors up to the advisory partition size, so a laptop-sized
+input collapses to a few tasks while a 100 TB shuffle keeps enough
+partitions that no single sort task owns tens of millions of rows.
+``spark.sql.shuffle.partitions`` stays at the core count only for the
+paths AQE cannot resize (stateful streaming state stores). AQE also
+handles skew-join splitting at runtime.
 """
 
 from __future__ import annotations
@@ -36,16 +40,28 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # default: one shuffle partition per core — right for the test SFs.
-        # At derived scale (sf100: 600M-row lineitem) the rule is ~128-256MB
-        # per partition, NOT per-core: 32 partitions x 19M rows each spills
-        # or OOMs the sort. SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for
-        # scale soaks (AQE coalesces the excess back down at small SFs).
+        # default: one shuffle partition per core — right for the test SFs
+        # and for stateful streaming (state-store partitioning is fixed at
+        # first checkpoint and AQE never applies to streaming shuffles).
+        # Batch shuffles do NOT inherit this number: AQE starts them at
+        # `initialPartitionNum` (below) and coalesces to ~advisory-sized
+        # partitions, so big sorts/joins are sized by bytes, not by cores.
+        # SPARK_GRAFT_SHUFFLE_PARTITIONS still overrides both for soaks.
         env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
         if env_sp:
             shuffle_partitions = int(env_sp)
         else:
             shuffle_partitions = os.cpu_count() or 32 if cpus == "*" else int(cpus)
+    # Scale-adaptive shuffle sizing ON BY DEFAULT (round-4 finding: the
+    # per-core default OOMs an 8g heap at sf100 — 32 partitions x 19M rows
+    # per sort task — and spill-drags the contamination join 2.2x; see
+    # SCALE.md third decade). AQE's coalescing starts every batch shuffle
+    # at `initialPartitionNum` and merges neighbors up to the advisory
+    # size, so small SFs land on a handful of tasks while a 21 GB shuffle
+    # keeps ~hundreds of ~64 MB partitions — the 128-256 MB/partition rule
+    # applied automatically instead of via an env knob.
+    env_init = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    initial_partitions = int(env_init) if env_init else max(1024, shuffle_partitions)
 
     builder = (
         SparkSession.builder.master(master)
@@ -53,6 +69,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(initial_partitions),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "true" if ansi else "false")

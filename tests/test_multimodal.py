@@ -301,3 +301,40 @@ def test_extract_pixel_stats_mixed_batch(spark):
     assert (got[1]["min_intensity"], got[1]["max_intensity"]) == (10, 40)
     assert got[2]["decoded"] is False
     assert got[2]["width"] is None and got[2]["mean_intensity"] is None
+
+
+def test_image_oracles_match_adapters_for_empty_doc(spark, tmp_path):
+    """The encoders emit a minimum one-row image for an EMPTY document
+    (max(1, ...) in every adapter); the analytic oracles must count that
+    all-padding row too (greatest(..., 1) + coalesce), or an empty text
+    in the corpus silently breaks the hash gate (round-4 advice)."""
+    import duckdb
+
+    from monster_etl_spark.queries import multimodal_queries as mq
+    from tests.oracle_harness import canon_rows
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "hello"), (3, "x" * 67)],
+        "doc_id: long, text: string",
+    )
+    sf = str(tmp_path / "sf_empty")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    cases = [
+        (mq.multimodal_png_pixel_stats, mq.PNG_PIXEL_SQL),
+        (mq.multimodal_gif_pixel_stats, mq.PNG_PIXEL_SQL),
+        (mq.multimodal_jpeg_pixel_stats, mq.JPEG_PIXEL_SQL),
+        (mq.multimodal_wav_sample_stats, mq.WAV_SAMPLE_SQL),
+    ]
+    for fn, sql in cases:
+        sdf = fn(spark, sf)
+        res = con.sql(sql)
+        o_cols, o_rows = res.columns, res.fetchall()
+        assert sorted(sdf.columns) == sorted(o_cols), fn.__name__
+        got = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+        want = canon_rows(o_cols, o_rows)
+        assert got == want, f"{fn.__name__}: {got} != {want}"

@@ -187,9 +187,6 @@ def test_compaction_two_phase_matches_single_window(spark):
     duplicate sizes straddling range boundaries — and the inventory-sized
     window must be partitioned (round-3 verdict: the global-order window
     funneled the whole inventory through one task)."""
-    import contextlib
-    import io
-
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -212,17 +209,37 @@ def test_compaction_two_phase_matches_single_window(spark):
             for r in compaction_plan(inv, "f", "sz", 1000, num_ranges=num_ranges).collect()
         }
         assert got == want, f"two-phase diverged at num_ranges={num_ranges}"
-    # the inventory-sized window is partitioned: every Window node in the
-    # plan carries a partition spec (no "No Partition Defined" task)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        compaction_plan(inv, "f", "sz", 1000, num_ranges=16).explain("formatted")
-    plan = buf.getvalue()
-    import re
+    # the inventory-sized window is partitioned: the ONLY unpartitioned
+    # window in the plan is prefix_sum's num_ranges-row offsets rollup
+    # (bounded by the knob, not the inventory). Checked via the JVM-tree
+    # walker — the formatted plan OMITS an empty partition group, so a
+    # text regex over explain("formatted") can never see the difference.
+    from monster_etl_spark.explain import unpartitioned_windows
 
-    for blk in plan.split("\n\n"):
-        first = blk.strip().splitlines()[0] if blk.strip() else ""
-        if first.endswith("Window"):
-            # Window Arguments are [exprs], [partition spec], [order spec]:
-            # an empty middle group means "No Partition Defined"
-            assert not re.search(r"\], \[\], \[", blk), f"unpartitioned window:\n{blk}"
+    unparted = unpartitioned_windows(compaction_plan(inv, "f", "sz", 1000, num_ranges=16))
+    assert unparted == ["Window"], (
+        f"expected exactly the bounded offsets-rollup window, got {unparted}"
+    )
+
+
+def test_prefix_sum_offsets_ride_a_reused_exchange(spark):
+    """prefix_sum derives the ranged slicing in TWO plan branches (offsets
+    aggregate + main join) and its _pid-keyed offset join is correct only
+    if both branches see identical range boundaries. Spark guarantees that
+    today by canonical-plan equality -> ReusedExchange (verified under all
+    AQE/reuse combinations), but it is an internals-dependent invariant:
+    this test pins the ReusedExchange node so a future Spark upgrade that
+    breaks canonical equality fails LOUDLY here instead of silently
+    corrupting prefix sums (round-4 advice)."""
+    from pyspark.sql import functions as F
+
+    from monster_etl_spark.operators.prefix import prefix_sum
+
+    df = spark.range(2000).select(F.col("id"), (F.col("id") % 13).alias("v"))
+    out = prefix_sum(df, [F.col("id")], F.col("v"), "ps", num_ranges=8)
+    out.collect()  # executed (final adaptive) plan carries reuse info
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan and "rangepartitioning" in plan, (
+        "the offsets branch no longer reuses the main branch's range "
+        "exchange — range boundaries may diverge between branches:\n" + plan
+    )
