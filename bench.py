@@ -95,6 +95,11 @@ BENCH_QUERIES = [
     "q_negative_samples",
     "q_compaction_plan",
     "q_equidepth_bins",
+    # round-5 additions: the rest of the round-4 codec surface, so the
+    # cost of every real decoder is tracked round-over-round
+    "multimodal_gif_pixel_stats",
+    "multimodal_wav_sample_stats",
+    "multimodal_video_frame_stats",
 ]
 
 
@@ -301,7 +306,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     registry = all_queries()
-    spark = get_spark(app_name="monster-etl-spark-bench")
+    # UI on: per-query shuffle/spill deltas for the sweep's largest sf come
+    # from the /api/v1 status endpoint (monster_etl_spark.metrics)
+    spark = get_spark(
+        app_name="monster-etl-spark-bench", extra_conf={"spark.ui.enabled": "true"}
+    )
 
     # warm-up: JVM + codegen + parquet footer caches
     registry["t3_extract_fields"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -349,22 +358,38 @@ def main() -> None:
 
         dirs = sorted({sf_dir.rstrip("/"), *(_sweep_dirs(sf_dir.rstrip("/")))}, key=_sf_of)
         if len(dirs) >= 2:
+            from monster_etl_spark import metrics as _metrics
+
             sweep: dict[str, dict[str, float]] = {}
+            stage_metrics: dict[str, dict[str, int]] = {}
             for d in dirs:
                 key = f"{_sf_of(d):g}"
+                at_largest = d == dirs[-1]
                 per: dict[str, float] = {}
                 for name in SOAK_QUERIES:
-                    if d == sf_dir.rstrip("/") and name in timings:
+                    if d == sf_dir.rstrip("/") and name in timings and not at_largest:
                         per[name] = timings[name]  # reuse the primary-run number
                         continue
                     fn = registry[name].fn
                     best = float("inf")
                     for _ in range(2):
+                        before = _metrics.snapshot(spark) if at_largest else None
                         t0 = time.perf_counter()
                         fn(spark, d).write.format("noop").mode("overwrite").save()
-                        best = min(best, time.perf_counter() - t0)
+                        elapsed = time.perf_counter() - t0
+                        if elapsed < best:
+                            best = elapsed
+                            if at_largest:
+                                dm = _metrics.delta(before, _metrics.snapshot(spark))
+                                if dm is not None:
+                                    stage_metrics[name] = dm
                     per[name] = round(best, 3)
                 sweep[key] = per
+            if stage_metrics:
+                # shuffle bytes written/read + mem/disk spill per soak query
+                # at the sweep's LARGEST sf — the "is this disk-bound or
+                # plan-defective" evidence (best-timed attempt's delta)
+                out["stage_metrics"] = {f"{_sf_of(dirs[-1]):g}": stage_metrics}
             # data skipping must WIN where there are enough files to skip:
             # the pair is re-run at the largest sf with a file count sized
             # to it (the sf0.1 pair in `queries` shows overhead-dominated

@@ -151,3 +151,117 @@ def test_second_scheme_head_rename_delete(spark, tmp_path):
     assert delete(spark, f"{base}/d.txt")
     assert not (tmp_path / "d.txt").exists()
     assert delete(spark, f"{base}/d.txt") is False
+
+
+# ---- third scheme: object-store rename/list semantics (round-4 verdict #8)
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def s3copy(spark, tmp_path_factory):
+    """Register the ``s3copy://`` scheme: a RawLocalFileSystem subclass
+    (tests/javafs/metl/CopyRenameFileSystem.java, compiled on the fly)
+    whose rename is the OBJECT-STORE shape — non-atomic copy-every-byte
+    + delete-source, failing instead of replacing an existing
+    destination file. viewfs:// catches Hadoop-API drift; this catches
+    code that silently relies on POSIX rename atomicity/overwrite."""
+    import glob
+    import os
+    import shutil
+    import subprocess
+
+    import pyspark
+
+    if shutil.which("javac") is None:
+        pytest.skip("no javac in PATH")
+    out = str(tmp_path_factory.mktemp("javafs"))
+    cp = ":".join(
+        glob.glob(os.path.join(os.path.dirname(pyspark.__file__), "jars", "hadoop-client-api*.jar"))
+    )
+    subprocess.run(
+        [
+            "javac", "-encoding", "UTF-8", "-cp", cp, "-d", out,
+            os.path.join(os.path.dirname(__file__), "javafs", "metl", "CopyRenameFileSystem.java"),
+        ],
+        check=True,
+    )
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    url_arr = gw.new_array(jvm.java.net.URL, 1)
+    url_arr[0] = jvm.java.io.File(out).toURI().toURL()
+    # parent = current context loader, so every other class still resolves
+    loader = jvm.java.net.URLClassLoader(url_arr, jvm.Thread.currentThread().getContextClassLoader())
+    hconf = spark._jsc.hadoopConfiguration()
+    hconf.setClassLoader(loader)
+    hconf.set("fs.s3copy.impl", "metl.CopyRenameFileSystem")
+    return lambda p: f"s3copy://{p}"
+
+
+def test_object_store_scheme_list_glob_head(spark, tmp_path, s3copy):
+    _mk(tmp_path)
+    base = s3copy(tmp_path)
+    got = list_files(spark, base, "*.tsv")
+    assert [f.path.rsplit("/", 1)[-1] for f in got] == ["a.tsv", "b.tsv"]
+    assert [f.size for f in got] == [len("h1\th2\n1\t2\n")] * 2
+    assert [f.path.rsplit("/", 1)[-1] for f in list_files(spark, f"{base}/*.tsv")] == [
+        "a.tsv",
+        "b.tsv",
+    ]
+    assert len(list_files(spark, f"{base}/a.tsv")) == 1
+    assert list_files(spark, f"{base}/zzz.tsv") == []
+    assert list_files(spark, f"{base}/*.json") == []
+    dirs = list_dirs(spark, base, "day=*")
+    assert [d.rsplit("/", 1)[-1] for d in dirs] == ["day=2024-01-01", "day=2024-01-02"]
+    assert read_head(spark, f"{base}/a.tsv", 6) == b"h1\th2\n"
+
+
+def test_object_store_rename_is_copy_delete(spark, tmp_path, s3copy):
+    """fsutil.rename through the object-store scheme: succeeds to a fresh
+    destination (copy+delete observable as same bytes, source gone),
+    REFUSES to clobber an existing destination (no POSIX replace), and
+    returns False for a missing source — callers must not assume
+    rename-as-atomic-overwrite."""
+    _mk(tmp_path)
+    base = s3copy(tmp_path)
+    assert rename(spark, f"{base}/c.txt", f"{base}/renamed.txt")
+    assert (tmp_path / "renamed.txt").read_bytes() == b"nope\n"
+    assert not (tmp_path / "c.txt").exists()
+    # destination exists -> object stores do not atomically replace
+    assert rename(spark, f"{base}/a.tsv", f"{base}/renamed.txt") is False
+    assert (tmp_path / "a.tsv").exists()
+    assert rename(spark, f"{base}/zzz.missing", f"{base}/x") is False
+    assert delete(spark, f"{base}/renamed.txt")
+    assert not (tmp_path / "renamed.txt").exists()
+
+
+def test_reliable_checkpoint_through_object_store_scheme(spark, tmp_path, s3copy):
+    """connected_components' reliable checkpoint_dir knob driven through
+    the copy+delete-rename filesystem end to end: the distributed
+    min-label loop (driver_threshold=0) truncates lineage into
+    s3copy:// and must still converge to the right components."""
+    from monster_etl_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a: long, doc_b: long",
+    )
+    ck = s3copy(tmp_path / "ckpt")
+    comps = connected_components(
+        pairs, driver_threshold=0, checkpoint_dir=ck, max_iter=10
+    )
+    got = {(r.node, r.component) for r in comps.collect()}
+    want = {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+    assert got == want
+    # the checkpoint actually landed in the scheme's backing dir
+    import os
+
+    found = []
+    for root, _dirs, files in os.walk(tmp_path / "ckpt"):
+        found.extend(os.path.join(root, f) for f in files)
+    assert found, "no reliable-checkpoint files written under checkpoint_dir"

@@ -31,10 +31,13 @@ def main() -> None:
     args = ap.parse_args()
 
     import bench
+    from monster_etl_spark import metrics
     from monster_etl_spark.queries import all_queries
     from monster_etl_spark.session import get_spark
 
-    spark = get_spark()
+    # UI on: the /api/v1 status endpoint is where per-query shuffle/spill
+    # deltas come from (metrics.py) — "disk-bound" claims become data
+    spark = get_spark(extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     reg = all_queries()
     names = args.queries or bench.SOAK_QUERIES
@@ -43,15 +46,42 @@ def main() -> None:
         "overwrite"
     ).save()
     out: dict[str, float] = {}
+    qmetrics: dict[str, dict[str, int]] = {}
     for name in names:
         best = float("inf")
         for _ in range(max(1, args.best_of)):
+            before = metrics.snapshot(spark)
             t0 = time.perf_counter()
             reg[name].fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            if elapsed < best:
+                best = elapsed
+                d = metrics.delta(before, metrics.snapshot(spark))
+                if d is not None:
+                    qmetrics[name] = d
         out[name] = round(best, 2)
-        print(f"{name} {out[name]}", flush=True)
-    print(json.dumps({"sf_dir": args.sf_dir, "best_of": args.best_of, "queries": out}))
+        m = qmetrics.get(name)
+        mtxt = (
+            "  sw={} sr={} spill(mem={} disk={})".format(
+                metrics.fmt_bytes(m["shuffle_write"]),
+                metrics.fmt_bytes(m["shuffle_read"]),
+                metrics.fmt_bytes(m["mem_spill"]),
+                metrics.fmt_bytes(m["disk_spill"]),
+            )
+            if m
+            else ""
+        )
+        print(f"{name} {out[name]}{mtxt}", flush=True)
+    print(
+        json.dumps(
+            {
+                "sf_dir": args.sf_dir,
+                "best_of": args.best_of,
+                "queries": out,
+                "stage_metrics": qmetrics,
+            }
+        )
+    )
     spark.stop()
 
 
