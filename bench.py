@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "multimodal_gif_pixel_stats",
     "multimodal_wav_sample_stats",
     "multimodal_video_frame_stats",
+    "multimodal_jpeg_progressive_stats",
 ]
 
 

@@ -5,19 +5,30 @@ web-corpus image format — only parsed header dimensions. This module
 closes the pixel gap for BASELINE (sequential DCT, huffman) JPEG, the
 overwhelming majority of web JPEGs:
 
-- ``jpeg_decode``: SOI/DQT/DHT/SOF0-1/DRI/SOS parsing, entropy decode
+- ``jpeg_decode``: SOI/DQT/DHT/SOF0-2/DRI/SOS parsing, entropy decode
   (canonical huffman, byte unstuffing, restart markers), dequantize,
   un-zigzag, 8x8 IDCT, chroma upsampling, JFIF YCbCr->RGB. Grayscale and
   3-component scans with sampling factors up to 2 (4:4:4 / 4:2:2 / 4:2:0).
-  Progressive (SOF2), arithmetic, hierarchical, and 12-bit frames return
-  ``None`` — honestly out of scope, as are malformed streams (a bad blob
-  must never raise mid-batch at scale; same contract as ``png_decode``).
-- ``jpeg_encode_gray8`` / ``jpeg_encode_rgb8``: minimal encoders (flat
-  quantization table, ITU T.81 Annex K huffman tables) used by tests and
-  the documents->media fixture adapters. With ``quant=1`` a CONSTANT 8x8
-  block round-trips exactly (its DCT is a lone integer DC coefficient),
-  which is what makes an analytic DuckDB oracle possible for the
-  encode->decode registry query.
+  PROGRESSIVE (SOF2) decodes fully: multi-scan coefficient accumulation
+  with spectral selection and successive approximation — interleaved and
+  single-component DC first/refinement scans, AC first scans with
+  block-spanning EOB runs, and AC refinement with interleaved correction
+  bits (T.81 G.2, the libjpeg decode_mcu_AC_refine structure).
+  Arithmetic, hierarchical, lossless, and 12-bit frames return ``None``
+  — honestly out of scope, as are malformed streams (a bad blob must
+  never raise mid-batch at scale; same contract as ``png_decode``).
+- ``jpeg_encode_gray8`` / ``jpeg_encode_rgb8``: minimal baseline encoders
+  (flat quantization table, ITU T.81 Annex K huffman tables) used by
+  tests and the documents->media fixture adapters. With ``quant=1`` a
+  CONSTANT 8x8 block round-trips exactly (its DCT is a lone integer DC
+  coefficient), which is what makes an analytic DuckDB oracle possible
+  for the encode->decode registry query.
+- ``jpeg_encode_gray8_progressive`` / ``jpeg_encode_rgb8_progressive``:
+  progressive encoders (spectral-selection scan scripts with successive
+  approximation, EOBRUN accumulation, the libjpeg BE/BR correction-bit
+  buffering) whose output decodes to EXACTLY the pixels of the baseline
+  encoding of the same input — both reconstruct identical quantized
+  coefficients, so the round-trip is bit-exact, pinned by tests.
 
 Everything is defined inside ``_build_jpeg_codec`` and returned as
 closures: a ``mapInPandas`` worker that captures them is pickled BY VALUE
@@ -285,18 +296,13 @@ def _build_jpeg_codec():
             + b"\xff\xd9"
         )
 
-    def encode_rgb8(rgb, width, subsample=(2, 2), quant=1):
-        """Baseline YCbCr JPEG from interleaved RGB bytes. ``subsample``
-        is the luma (h, v) sampling pair: (1,1)=4:4:4, (2,1)=4:2:2,
-        (2,2)=4:2:0. Chroma is box-averaged. Width/height must be
-        multiples of 8*h / 8*v (fixture-grade encoder; the DECODER
-        handles arbitrary dims)."""
-        sh, sv = subsample
+    def _rgb_planes(rgb, width, sh, sv):
+        """JFIF RGB->YCbCr with box-averaged chroma; shared by the
+        baseline and progressive RGB encoders."""
         height = len(rgb) // (3 * width)
         if width % (8 * sh) or height % (8 * sv):
             raise ValueError("encode_rgb8 requires dims aligned to the MCU grid")
-        ysz = width * height
-        Y = bytearray(ysz)
+        Y = bytearray(width * height)
         cw, ch = width // sh, height // sv
         Cb = bytearray(cw * ch)
         Cr = bytearray(cw * ch)
@@ -315,6 +321,16 @@ def _build_jpeg_codec():
         for i in range(cw * ch):
             Cb[i] = max(0, min(255, int(math.floor(cb_acc[i] / nbox + 0.5))))
             Cr[i] = max(0, min(255, int(math.floor(cr_acc[i] / nbox + 0.5))))
+        return Y, Cb, Cr, height, cw, ch
+
+    def encode_rgb8(rgb, width, subsample=(2, 2), quant=1):
+        """Baseline YCbCr JPEG from interleaved RGB bytes. ``subsample``
+        is the luma (h, v) sampling pair: (1,1)=4:4:4, (2,1)=4:2:2,
+        (2,2)=4:2:0. Chroma is box-averaged. Width/height must be
+        multiples of 8*h / 8*v (fixture-grade encoder; the DECODER
+        handles arbitrary dims)."""
+        sh, sv = subsample
+        Y, Cb, Cr, height, cw, ch = _rgb_planes(rgb, width, sh, sv)
         dc_l = build_enc_table(BITS_DC_L, VALS_DC)
         ac_l = build_enc_table(BITS_AC_L, VALS_AC_L)
         dc_c = build_enc_table(BITS_DC_C, VALS_DC)
@@ -364,6 +380,307 @@ def _build_jpeg_codec():
             )
             + sos
             + bytes(bw.buf)
+            + b"\xff\xd9"
+        )
+
+    # ---------------- progressive encoding (SOF2) ----------------
+
+    # Custom AC huffman table for progressive scans: Annex K's AC tables
+    # lack the EOBn symbols (r<<4 | 0 for r>0) that make end-of-band runs
+    # span blocks, so progressive needs its own. All symbols get 8-bit
+    # codes (208 codes, Kraft sum 208/256 — a valid canonical table; the
+    # all-ones code point stays unused): (r,s) for r 0-15 x s 1-12, EOBn
+    # for r 0-14, and ZRL.
+    VALS_AC_PROG = tuple(
+        sorted(
+            [(r << 4) | s for r in range(16) for s in range(1, 13)]
+            + [r << 4 for r in range(15)]
+            + [0xF0]
+        )
+    )
+    BITS_AC_PROG = (0, 0, 0, 0, 0, 0, 0, len(VALS_AC_PROG), 0, 0, 0, 0, 0, 0, 0, 0)
+
+    def _mag_cat(v):
+        mag, s = abs(v), 0
+        while mag:
+            mag >>= 1
+            s += 1
+        return s
+
+    def _enc_dc_scan(bw, units, Ah, Al, dc_tbls):
+        """One progressive DC scan. ``units`` = [(comp_key, coefs), ...]
+        in scan order (MCU-interleaved or single-component raster);
+        first pass (Ah=0) codes diffs of the point-transformed value,
+        refinement emits one raw bit per block (T.81 G.1.2.1)."""
+        preds = {}
+        for ck, coefs in units:
+            v = coefs[0] >> Al  # DC point transform: arithmetic shift
+            if Ah == 0:
+                diff = v - preds.get(ck, 0)
+                preds[ck] = v
+                s = _mag_cat(diff)
+                bw.put(*dc_tbls[ck][s])
+                if s:
+                    bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            else:
+                bw.put(v & 1, 1)
+
+    def _enc_ac_first_scan(bw, blocks, Ss, Se, Al, ac_tbl):
+        """First AC scan of a band (Ah=0): baseline-style run/size coding
+        of the point-transformed values plus block-spanning EOB runs
+        (T.81 G.1.2.2)."""
+        eobrun = 0
+
+        def emit_eobrun():
+            nonlocal eobrun
+            if eobrun == 0:
+                return
+            r = eobrun.bit_length() - 1
+            bw.put(*ac_tbl[r << 4])
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for coefs in blocks:
+            vals = []
+            for k in range(Ss, Se + 1):
+                v = coefs[ZZ[k]]
+                vals.append((v >> Al) if v >= 0 else -((-v) >> Al))
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+                continue
+            emit_eobrun()
+            last_nz = nz[-1]
+            run = 0
+            for i, v in enumerate(vals):
+                if i > last_nz:
+                    eobrun = 1  # EOB for this block, merged into the run
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*ac_tbl[0xF0])
+                    run -= 16
+                s = _mag_cat(v)
+                bw.put(*ac_tbl[(run << 4) | s])
+                bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+        emit_eobrun()
+
+    def _enc_ac_refine_scan(bw, blocks, Ss, Se, Al, ac_tbl):
+        """AC refinement scan (Ah=Al+1): newly-significant coefficients
+        appear as (run, 1)+sign, already-nonzero ones contribute buffered
+        correction bits, trailing zeros fold into block-spanning EOB runs
+        (T.81 G.1.2.3, the libjpeg encode_mcu_AC_refine structure)."""
+        eobrun = 0
+        # TWO correction-bit buffers, libjpeg's BE/BR split: bits that
+        # belong to blocks already absorbed into the EOB run flush WITH
+        # the EOBn symbol; bits gathered inside the current block since
+        # the last symbol flush AFTER the next (run,1)+sign or ZRL — the
+        # decoder reads them while walking positions PAST that symbol.
+        pend_eob = []  # BE: under the pending EOB run
+        pend_run = []  # BR: since the last symbol in this block
+
+        def emit_eobrun():
+            nonlocal eobrun, pend_eob
+            if eobrun > 0:
+                r = eobrun.bit_length() - 1
+                bw.put(*ac_tbl[r << 4])
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                eobrun = 0
+            for bit in pend_eob:
+                bw.put(bit, 1)
+            pend_eob = []
+
+        for coefs in blocks:
+            t = []
+            for k in range(Ss, Se + 1):
+                v = coefs[ZZ[k]]
+                t.append(((-v) >> Al, 0) if v < 0 else (v >> Al, 1))
+            # EOB = position after the LAST newly-significant coefficient;
+            # correction bits beyond it ride the EOB run
+            newly = [i for i, (a, _sg) in enumerate(t) if a == 1]
+            eob = (newly[-1] + 1) if newly else 0
+            r = 0
+            for i, (a, sg) in enumerate(t):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i < eob:
+                    emit_eobrun()
+                    bw.put(*ac_tbl[0xF0])
+                    r -= 16
+                    for bit in pend_run:
+                        bw.put(bit, 1)
+                    pend_run = []
+                if a > 1:
+                    pend_run.append(a & 1)
+                    continue
+                emit_eobrun()
+                bw.put(*ac_tbl[(r << 4) | 1])
+                r = 0
+                bw.put(sg, 1)
+                for bit in pend_run:
+                    bw.put(bit, 1)
+                pend_run = []
+            if r > 0 or pend_run:
+                eobrun += 1
+                pend_eob.extend(pend_run)
+                pend_run = []
+                if eobrun == 0x7FFF or len(pend_eob) > 900:
+                    emit_eobrun()
+        emit_eobrun()
+
+    def _sos_prog(scomp, Ss, Se, Ah, Al):
+        """scomp: [(comp_id, Td, Ta), ...]."""
+        body = bytes([len(scomp)])
+        for cid, td, ta in scomp:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([Ss, Se, (Ah << 4) | Al])
+        return _seg(0xDA, body)
+
+    def encode_gray8_progressive(pixels, width, quant=1):
+        """Progressive (SOF2) grayscale JPEG: DC first at Al=1, two
+        spectral bands (1-5, 6-63) at Al=2, per-band successive-
+        approximation refinements down to Al=0, DC refinement last —
+        exercising every scan kind the progressive decoder handles.
+        Same pixel padding contract as ``encode_gray8``; decodes to the
+        IDENTICAL pixels (both reconstruct the same quantized
+        coefficients)."""
+        height = max(1, -(-len(pixels) // width))
+        padded = bytes(pixels).ljust(width * height, b"\x00")
+        w8, h8 = -(-width // 8) * 8, -(-height // 8) * 8
+        blocks = []
+        for by in range(h8 // 8):
+            for bx in range(w8 // 8):
+                blk = [0] * 64
+                for y in range(8):
+                    sy = by * 8 + y
+                    if sy >= height:
+                        for x in range(8):
+                            blk[y * 8 + x] = -128
+                        continue
+                    row0 = sy * width
+                    for x in range(8):
+                        sx = bx * 8 + x
+                        blk[y * 8 + x] = (padded[row0 + sx] if sx < width else 0) - 128
+                blocks.append(_block_coefs(blk, quant))
+        dc_t = build_enc_table(BITS_DC_L, VALS_DC)
+        ac_t = build_enc_table(BITS_AC_PROG, VALS_AC_PROG)
+        scans = []
+
+        def scan(emit, scomp, Ss, Se, Ah, Al):
+            bw = _BitWriter()
+            emit(bw)
+            bw.flush()
+            scans.append(_sos_prog(scomp, Ss, Se, Ah, Al) + bytes(bw.buf))
+
+        units = [(0, c) for c in blocks]
+        one = [(1, 0, 0)]
+        scan(lambda w: _enc_dc_scan(w, units, 0, 1, {0: dc_t}), one, 0, 0, 0, 1)
+        scan(lambda w: _enc_ac_first_scan(w, blocks, 1, 5, 2, ac_t), one, 1, 5, 0, 2)
+        scan(lambda w: _enc_ac_first_scan(w, blocks, 6, 63, 2, ac_t), one, 6, 63, 0, 2)
+        scan(lambda w: _enc_ac_refine_scan(w, blocks, 1, 5, 1, ac_t), one, 1, 5, 2, 1)
+        scan(lambda w: _enc_ac_refine_scan(w, blocks, 6, 63, 1, ac_t), one, 6, 63, 2, 1)
+        scan(lambda w: _enc_ac_refine_scan(w, blocks, 1, 5, 0, ac_t), one, 1, 5, 1, 0)
+        scan(lambda w: _enc_ac_refine_scan(w, blocks, 6, 63, 0, ac_t), one, 6, 63, 1, 0)
+        scan(lambda w: _enc_dc_scan(w, units, 1, 0, {0: dc_t}), one, 0, 0, 1, 0)
+
+        sof = _seg(
+            0xC2, bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0])
+        )
+        return (
+            b"\xff\xd8"
+            + _dqt_seg(quant)
+            + sof
+            + _dht_segs([(0, 0, BITS_DC_L, VALS_DC), (1, 0, BITS_AC_PROG, VALS_AC_PROG)])
+            + b"".join(scans)
+            + b"\xff\xd9"
+        )
+
+    def encode_rgb8_progressive(rgb, width, subsample=(2, 2), quant=1):
+        """Progressive (SOF2) YCbCr JPEG: interleaved DC first scan over
+        all three components, per-component full-band AC scans at Al=1,
+        per-component AC refinements to Al=0, interleaved DC refinement —
+        the scan script of a typical progressive web encoder. Same
+        alignment contract as ``encode_rgb8``."""
+        sh, sv = subsample
+        Y, Cb, Cr, height, cw, ch = _rgb_planes(rgb, width, sh, sv)
+
+        def plane_blocks(plane, pw_, pbw, pbh):
+            out = []
+            for by in range(pbh):
+                for bx in range(pbw):
+                    blk = [0] * 64
+                    for y in range(8):
+                        row0 = (by * 8 + y) * pw_ + bx * 8
+                        for x in range(8):
+                            blk[y * 8 + x] = plane[row0 + x] - 128
+                    out.append(_block_coefs(blk, quant))
+            return out
+
+        ybw, ybh = width // 8, height // 8
+        cbw, cbh = cw // 8, ch // 8
+        yb = plane_blocks(Y, width, ybw, ybh)
+        cbb = plane_blocks(Cb, cw, cbw, cbh)
+        crb = plane_blocks(Cr, cw, cbw, cbh)
+        # interleaved MCU order for the DC scans
+        units = []
+        for my in range(height // (8 * sv)):
+            for mx in range(width // (8 * sh)):
+                for v in range(sv):
+                    for h in range(sh):
+                        units.append((0, yb[(my * sv + v) * ybw + mx * sh + h]))
+                units.append((1, cbb[my * cbw + mx]))
+                units.append((2, crb[my * cbw + mx]))
+        dc_l = build_enc_table(BITS_DC_L, VALS_DC)
+        dc_c = build_enc_table(BITS_DC_C, VALS_DC)
+        ac_t = build_enc_table(BITS_AC_PROG, VALS_AC_PROG)
+        dc_tbls = {0: dc_l, 1: dc_c, 2: dc_c}
+        scans = []
+
+        def scan(emit, scomp, Ss, Se, Ah, Al):
+            bw = _BitWriter()
+            emit(bw)
+            bw.flush()
+            scans.append(_sos_prog(scomp, Ss, Se, Ah, Al) + bytes(bw.buf))
+
+        all3 = [(1, 0, 0), (2, 1, 0), (3, 1, 0)]
+        scan(lambda w: _enc_dc_scan(w, units, 0, 1, dc_tbls), all3, 0, 0, 0, 1)
+        for cid, blocks in ((1, yb), (2, cbb), (3, crb)):
+            scan(
+                lambda w, bl=blocks: _enc_ac_first_scan(w, bl, 1, 63, 1, ac_t),
+                [(cid, 0, 0)], 1, 63, 0, 1,
+            )
+        for cid, blocks in ((1, yb), (2, cbb), (3, crb)):
+            scan(
+                lambda w, bl=blocks: _enc_ac_refine_scan(w, bl, 1, 63, 0, ac_t),
+                [(cid, 0, 0)], 1, 63, 1, 0,
+            )
+        scan(lambda w: _enc_dc_scan(w, units, 1, 0, dc_tbls), all3, 0, 0, 1, 0)
+
+        sof = _seg(
+            0xC2,
+            bytes([8]) + struct.pack(">HH", height, width)
+            + bytes([3, 1, (sh << 4) | sv, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        return (
+            b"\xff\xd8"
+            + _dqt_seg(quant)
+            + sof
+            + _dht_segs(
+                [
+                    (0, 0, BITS_DC_L, VALS_DC),
+                    (0, 1, BITS_DC_C, VALS_DC),
+                    (1, 0, BITS_AC_PROG, VALS_AC_PROG),
+                ]
+            )
+            + b"".join(scans)
             + b"\xff\xd9"
         )
 
@@ -502,6 +819,15 @@ def _build_jpeg_codec():
                                 row0 = (oy + y) * w_ + ox
                                 plane[row0 : row0 + 8] = px[y * 8 : (y + 1) * 8]
 
+        return _planes_to_pixels(frame, planes, pw)
+
+    def _planes_to_pixels(frame, planes, pw):
+        """Crop (1 comp) or upsample-and-color-convert (3 comps) decoded
+        planes into the (W, H, channels, bytes) result. Shared by the
+        baseline single-scan path and the progressive reconstruction."""
+        W, H, comps = frame
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
         if len(comps) == 1:
             c = comps[0]
             plane = planes[c["id"]]
@@ -533,6 +859,261 @@ def _build_jpeg_codec():
                 out[p + 2] = 0 if b_ < 0 else (255 if b_ > 255 else b_)
         return W, H, 3, bytes(out)
 
+    # ---------------- progressive decoding (SOF2) ----------------
+
+    def _prog_geometry(frame):
+        """Block-grid geometry for coefficient-domain decode. Per comp:
+        the FULL interleaved grid (mcux*h x mcuy*v, what DC interleaved
+        scans sweep, including pad blocks) and the non-interleaved dims
+        (bw x bh, what single-component scans sweep) — addressed into the
+        same storage with the full-grid stride (T.81 A.2.2/A.2.3)."""
+        W, H, comps = frame
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = -(-W // (8 * hmax))
+        mcuy = -(-H // (8 * vmax))
+        g = {"mcux": mcux, "mcuy": mcuy, "per_comp": {}}
+        for c in comps:
+            xi = -(-W * c["h"] // hmax)
+            yi = -(-H * c["v"] // vmax)
+            g["per_comp"][c["id"]] = {
+                "full_bw": mcux * c["h"],
+                "full_bh": mcuy * c["v"],
+                "bw": -(-xi // 8),
+                "bh": -(-yi // 8),
+                "c": c,
+            }
+        return g
+
+    def _bit_reader(b, pos):
+        """Entropy bit reader over stuffed scan bytes starting at
+        ``pos``; returns (read_bits, read_huff_fn, restart, tell)."""
+        state = [pos, 0, 0]  # byte index, accumulator, bit count
+
+        def refill():
+            byte = b[state[0]]
+            state[0] += 1
+            if byte == 0xFF:
+                nxt = b[state[0]]
+                if nxt == 0x00:
+                    state[0] += 1
+                else:
+                    # marker mid-entropy: feed zero bits (spec padding)
+                    state[0] -= 1
+                    byte = 0
+            state[1] = (state[1] << 8) | byte
+            state[2] += 8
+
+        def read_bits(n):
+            while state[2] < n:
+                refill()
+            state[2] -= n
+            v = (state[1] >> state[2]) & ((1 << n) - 1)
+            state[1] &= (1 << state[2]) - 1
+            return v
+
+        def read_huff(table):
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | read_bits(1)
+                ln += 1
+                sym = table.get((ln, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("bad huffman code")
+
+        def restart():
+            state[1] = 0
+            state[2] = 0
+            if not (b[state[0]] == 0xFF and 0xD0 <= b[state[0] + 1] <= 0xD7):
+                raise ValueError("missing restart marker")
+            state[0] += 2
+
+        def tell():
+            return state[0]
+
+        return read_bits, read_huff, restart, tell
+
+    def _decode_prog_scan(b, pos, frame, geom, scomp, band, hdc, hac, ri, coef):
+        """One progressive scan (T.81 G.2): decodes into the per-component
+        quantized-coefficient blocks ``coef`` (natural order) and returns
+        the byte offset where entropy data ended. ``band`` = (Ss, Se, Ah,
+        Al); ``scomp`` = [(comp_id, dc_table, ac_table), ...]."""
+        Ss, Se, Ah, Al = band
+        # T.81 scan-header constraints: DC scans are exactly the 0..0
+        # band; AC bands live in 1..63; successive approximation steps
+        # one bit at a time (Ah = prior Al or 0)
+        if (Ss == 0) != (Se == 0) or Se > 63 or Se < Ss:
+            raise ValueError("bad progressive band")
+        if Ah not in (0, Al + 1):
+            raise ValueError("bad successive-approximation step")
+        read_bits, read_huff, restart, _tell = _bit_reader(b, pos)
+
+        def extend(v, s):
+            return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+        preds = {cid: 0 for cid, _td, _ta in scomp}
+        eobrun = [0]
+
+        def dc_first(blk, td):
+            s = read_huff(hdc[td])
+            return extend(read_bits(s), s) if s else 0
+
+        def ac_first(blk, ta):
+            if eobrun[0] > 0:
+                eobrun[0] -= 1
+                return
+            k = Ss
+            while k <= Se:
+                rs = read_huff(hac[ta])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL: 16 zero coefficients
+                        continue
+                    # EOBn: this block's band ends; r extra bits extend the run
+                    eobrun[0] = (1 << r) - 1
+                    if r:
+                        eobrun[0] += read_bits(r)
+                    return
+                k += r
+                if k > Se:
+                    raise ValueError("AC run past band end")
+                coefs = coef[blk]
+                coefs[ZZ[k]] = extend(read_bits(s), s) << Al
+                k += 1
+
+        def ac_refine(blk, ta):
+            # libjpeg decode_mcu_AC_refine structure, T.81 G.2 semantics:
+            # correction bits interleave with newly-significant coefficients
+            p1 = 1 << Al
+            m1 = -p1
+            coefs = coef[blk]
+            k = Ss
+            if eobrun[0] == 0:
+                while k <= Se:
+                    rs = read_huff(hac[ta])
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s:
+                        # only magnitude-1 coefficients first appear here
+                        if s != 1:
+                            raise ValueError("bad refinement size")
+                        val = p1 if read_bits(1) else m1
+                    elif r != 15:
+                        eobrun[0] = 1 << r
+                        if r:
+                            eobrun[0] += read_bits(r)
+                        break
+                    while k <= Se:
+                        c = coefs[ZZ[k]]
+                        if c != 0:
+                            if read_bits(1) and (c & p1) == 0:
+                                coefs[ZZ[k]] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= Se:
+                        coefs[ZZ[k]] = val
+                    k += 1
+            if eobrun[0] > 0:
+                # end-of-band: remaining nonzero coefficients still get
+                # their correction bits
+                while k <= Se:
+                    c = coefs[ZZ[k]]
+                    if c != 0:
+                        if read_bits(1) and (c & p1) == 0:
+                            coefs[ZZ[k]] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun[0] -= 1
+
+        def do_restart():
+            restart()
+            for cid in preds:
+                preds[cid] = 0
+            eobrun[0] = 0
+
+        per = geom["per_comp"]
+        is_dc = Ss == 0
+        if len(scomp) > 1:
+            # interleaved (DC scans only, per T.81): MCU order over the full grid
+            if not is_dc:
+                raise ValueError("interleaved AC scan is illegal")
+            n_unit = 0
+            for my in range(geom["mcuy"]):
+                for mx in range(geom["mcux"]):
+                    if ri and n_unit and n_unit % ri == 0:
+                        do_restart()
+                    n_unit += 1
+                    for cid, td, _ta in scomp:
+                        info = per[cid]
+                        c = info["c"]
+                        for v in range(c["v"]):
+                            for h in range(c["h"]):
+                                blk = (my * c["v"] + v) * info["full_bw"] + mx * c["h"] + h
+                                blk = (cid, blk)
+                                if Ah == 0:
+                                    preds[cid] += dc_first(blk, td)
+                                    coef[blk][0] = preds[cid] << Al
+                                else:
+                                    if read_bits(1):
+                                        coef[blk][0] |= 1 << Al
+        else:
+            cid, td, ta = scomp[0]
+            info = per[cid]
+            n_unit = 0
+            for by in range(info["bh"]):
+                for bx in range(info["bw"]):
+                    if ri and n_unit and n_unit % ri == 0:
+                        do_restart()
+                    n_unit += 1
+                    blk = (cid, by * info["full_bw"] + bx)
+                    if is_dc:
+                        if Ah == 0:
+                            preds[cid] += dc_first(blk, td)
+                            coef[blk][0] = preds[cid] << Al
+                        else:
+                            if read_bits(1):
+                                coef[blk][0] |= 1 << Al
+                    else:
+                        if Ah == 0:
+                            ac_first(blk, ta)
+                        else:
+                            ac_refine(blk, ta)
+        return _tell()
+
+    def _prog_reconstruct(frame, geom, qt, coef):
+        """Dequantize + IDCT every accumulated block, then crop/upsample
+        exactly like the baseline path."""
+        planes = {}
+        pw = {}
+        for cid, info in geom["per_comp"].items():
+            q = qt[info["c"]["tq"]]
+            w_ = info["full_bw"] * 8
+            h_ = info["full_bh"] * 8
+            plane = bytearray(w_ * h_)
+            for by in range(info["full_bh"]):
+                for bx in range(info["full_bw"]):
+                    coefs = coef.get((cid, by * info["full_bw"] + bx))
+                    if coefs is None:
+                        px = bytes([128]) * 64
+                    elif any(coefs[j] for j in range(1, 64)):
+                        px = idct_block([coefs[j] * q[j] for j in range(64)])
+                    else:
+                        # DC-only fast path (same as baseline)
+                        val = int(math.floor(coefs[0] * q[0] / 8 + 128.5))
+                        val = 0 if val < 0 else (255 if val > 255 else val)
+                        px = bytes([val]) * 64
+                    ox, oy = bx * 8, by * 8
+                    for y in range(8):
+                        row0 = (oy + y) * w_ + ox
+                        plane[row0 : row0 + 8] = px[y * 8 : (y + 1) * 8]
+            planes[cid] = plane
+            pw[cid] = w_
+        return _planes_to_pixels(frame, planes, pw)
+
     def decode(b):
         """(width, height, channels, pixel bytes) or None — the
         ``png_decode`` contract (never raises on bad input)."""
@@ -544,6 +1125,9 @@ def _build_jpeg_codec():
             qt, hdc, hac = {}, {}, {}
             frame = None
             ri = 0
+            progressive = False
+            geom = None
+            coef = None
             while i + 2 <= len(b):
                 if b[i] != 0xFF:
                     return None
@@ -588,7 +1172,7 @@ def _build_jpeg_codec():
                         vals = list(seg[j : j + n])
                         j += n
                         (hdc if tc == 0 else hac)[th] = build_dec_table(bits, vals)
-                elif m in (0xC0, 0xC1):
+                elif m in (0xC0, 0xC1, 0xC2):
                     if seg[0] != 8:
                         return None  # 12-bit precision out of scope
                     H = int.from_bytes(seg[1:3], "big")
@@ -610,8 +1194,9 @@ def _build_jpeg_codec():
                     if any(not 1 <= c["h"] <= 2 or not 1 <= c["v"] <= 2 for c in comps):
                         return None
                     frame = (W, H, comps)
-                elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                    return None  # progressive / arithmetic / hierarchical
+                    progressive = m == 0xC2
+                elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    return None  # lossless / arithmetic / hierarchical
                 elif m == 0xDD:
                     ri = int.from_bytes(seg[0:2], "big")
                 elif m == 0xDA:
@@ -622,15 +1207,44 @@ def _build_jpeg_codec():
                         (seg[1 + 2 * k], seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 15)
                         for k in range(ns)
                     ]
-                    if ns != len(frame[2]):
-                        return None  # non-interleaved multi-scan out of scope
-                    return _decode_scan(b, i, frame, scomp, qt, hdc, hac, ri)
+                    if not progressive:
+                        if ns != len(frame[2]):
+                            return None  # non-interleaved multi-scan out of scope
+                        return _decode_scan(b, i, frame, scomp, qt, hdc, hac, ri)
+                    # progressive: accumulate this scan's coefficients,
+                    # then keep walking markers for the next scan
+                    if geom is None:
+                        geom = _prog_geometry(frame)
+                        coef = {
+                            (cid, k): [0] * 64
+                            for cid, info in geom["per_comp"].items()
+                            for k in range(info["full_bw"] * info["full_bh"])
+                        }
+                    band = tuple(seg[1 + 2 * ns : 4 + 2 * ns])  # Ss, Se, (Ah<<4)|Al
+                    band = (band[0], band[1], band[2] >> 4, band[2] & 15)
+                    end = _decode_prog_scan(
+                        b, i, frame, geom, scomp, band, hdc, hac, ri, coef
+                    )
+                    # resync: skip pad bits/stuffing to the next marker
+                    i = end
+                    while i + 1 < len(b) and not (
+                        b[i] == 0xFF and b[i + 1] not in (0x00,) and not 0xD0 <= b[i + 1] <= 0xD7
+                    ):
+                        i += 1
                 # APPn / COM / others: skipped
+            if progressive and coef is not None:
+                return _prog_reconstruct(frame, geom, qt, coef)
             return None
         except Exception:
             return None
 
-    return {"encode_gray8": encode_gray8, "encode_rgb8": encode_rgb8, "decode": decode}
+    return {
+        "encode_gray8": encode_gray8,
+        "encode_rgb8": encode_rgb8,
+        "encode_gray8_progressive": encode_gray8_progressive,
+        "encode_rgb8_progressive": encode_rgb8_progressive,
+        "decode": decode,
+    }
 
 
 _CODEC = None
@@ -659,3 +1273,13 @@ def jpeg_encode_rgb8(
     rgb: bytes, width: int, subsample: tuple[int, int] = (2, 2), quant: int = 1
 ) -> bytes:
     return _codec()["encode_rgb8"](rgb, width, subsample, quant)
+
+
+def jpeg_encode_gray8_progressive(pixels: bytes, width: int, quant: int = 1) -> bytes:
+    return _codec()["encode_gray8_progressive"](pixels, width, quant)
+
+
+def jpeg_encode_rgb8_progressive(
+    rgb: bytes, width: int, subsample: tuple[int, int] = (2, 2), quant: int = 1
+) -> bytes:
+    return _codec()["encode_rgb8_progressive"](rgb, width, subsample, quant)

@@ -536,19 +536,26 @@ def documents_as_png_media(documents: DataFrame, width: int = 32) -> DataFrame:
     ).mapInPandas(_worker, schema="media_id long, content binary")
 
 
-def documents_as_jpeg_media(documents: DataFrame, blocks_per_row: int = 8) -> DataFrame:
-    """Adapter: encode each document as a REAL baseline JPEG whose 8x8
-    blocks are each CONSTANT at one text byte's value (block k = byte k,
-    zero blocks pad the last block row). Constant blocks round-trip
-    bit-exactly through the quant=1 DCT (their only nonzero coefficient
-    is an integer DC), so the decoded pixel stats are analytically
-    computable from code points — the property the DuckDB oracle of
-    ``multimodal_jpeg_pixel_stats`` relies on. Blobs are born on
-    executors in the same Arrow ``mapInPandas`` shape as the PNG
-    adapter; the encoder ships by value (closure capture)."""
+def documents_as_jpeg_media(
+    documents: DataFrame, blocks_per_row: int = 8, progressive: bool = False
+) -> DataFrame:
+    """Adapter: encode each document as a REAL JPEG whose 8x8 blocks are
+    each CONSTANT at one text byte's value (block k = byte k, zero blocks
+    pad the last block row). Constant blocks round-trip bit-exactly
+    through the quant=1 DCT (their only nonzero coefficient is an integer
+    DC), so the decoded pixel stats are analytically computable from code
+    points — the property the DuckDB oracle of
+    ``multimodal_jpeg_pixel_stats`` relies on. With ``progressive=True``
+    the blobs are SOF2 multi-scan streams (spectral selection +
+    successive approximation) that decode to the identical pixels, so the
+    same oracle applies verbatim. Blobs are born on executors in the same
+    Arrow ``mapInPandas`` shape as the PNG adapter; the encoder ships by
+    value (closure capture)."""
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
 
-    encode_local = _build_jpeg_codec()["encode_gray8"]
+    encode_local = _build_jpeg_codec()[
+        "encode_gray8_progressive" if progressive else "encode_gray8"
+    ]
     bpr = blocks_per_row
 
     def _worker(batches):

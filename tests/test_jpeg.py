@@ -113,13 +113,103 @@ def test_out_of_scope_and_junk_return_none():
     assert jpeg_decode(b"") is None
     assert jpeg_decode(b"\xff\xd8\xff\xd9") is None  # no frame
     assert jpeg_decode(b"not a jpeg at all") is None
-    # progressive frame (SOF2) declared out of scope
+    # SOF2 stamped onto a BASELINE stream is malformed progressive (a DC
+    # scan must have Se=0; this one says Ss=0,Se=63) -> None, not a raise
     prog = bytearray(_hand_assembled_gray128())
     prog[prog.index(b"\xff\xc0") + 1] = 0xC2
     assert jpeg_decode(bytes(prog)) is None
     # truncated entropy stream must not raise
     good = _hand_assembled_gray128()
     assert jpeg_decode(good[:-3]) in (None, (8, 8, 1, bytes([128]) * 64))
+
+
+# ---- progressive (SOF2): spectral selection + successive approximation
+
+
+def test_progressive_gray_matches_baseline_exactly():
+    """The progressive scan script reconstructs the SAME quantized
+    coefficients as the baseline encoding, so decode output must be
+    bit-identical — across quants (AC density), non-aligned dims
+    (pad blocks), and the flat fixture shape (pure EOBRUN scans)."""
+    from monster_etl_spark.operators.jpeg import jpeg_encode_gray8_progressive
+
+    import random
+
+    rng = random.Random(1234)
+    cases = [
+        (8, 64, 1), (8, 64, 8), (16, 16 * 24, 4), (32, 32 * 32, 16),
+        (13, 13 * 21, 8),  # width not a multiple of 8: pad columns
+        (8, 3, 1),         # sub-block payload
+        (8, 0, 1),         # empty -> minimum one-block image
+    ]
+    for w, npx, quant in cases:
+        px = bytes(rng.randrange(256) for _ in range(npx))
+        base = jpeg_decode(jpeg_encode_gray8(px, w, quant=quant))
+        prog = jpeg_decode(jpeg_encode_gray8_progressive(px, w, quant=quant))
+        assert prog is not None, (w, npx, quant)
+        assert prog == base, (w, npx, quant)
+    flat = bytes([77]) * 256
+    assert jpeg_decode(jpeg_encode_gray8_progressive(flat, 16)) == jpeg_decode(
+        jpeg_encode_gray8(flat, 16)
+    )
+
+
+def test_progressive_gray_smooth_eobrun_and_zrl_paths():
+    """Smooth/sparse images produce multi-block EOB runs and long zero
+    runs (ZRL) in both first and refinement AC scans."""
+    import math
+
+    from monster_etl_spark.operators.jpeg import jpeg_encode_gray8_progressive
+
+    w, h = 64, 48
+    smooth = bytes(
+        int(128 + 100 * math.sin(x / 9.0) * math.cos(y / 7.0))
+        for y in range(h) for x in range(w)
+    )
+    sparse = bytes(
+        (200 if (x // 8 + y // 8) % 5 == 0 else 0) for y in range(h) for x in range(w)
+    )
+    for px, q in ((smooth, 2), (sparse, 3), (smooth, 16)):
+        assert jpeg_decode(jpeg_encode_gray8_progressive(px, w, quant=q)) == jpeg_decode(
+            jpeg_encode_gray8(px, w, quant=q)
+        )
+
+
+def test_progressive_rgb_all_subsamplings():
+    """Interleaved DC scans + per-component AC scans over subsampled
+    chroma grids: 4:4:4, 4:2:2, 4:2:0 all bit-match baseline."""
+    import random
+
+    from monster_etl_spark.operators.jpeg import (
+        jpeg_encode_rgb8,
+        jpeg_encode_rgb8_progressive,
+    )
+
+    rng = random.Random(99)
+    for w, h, sub, q in [
+        (16, 16, (1, 1), 2), (32, 16, (2, 1), 4), (16, 16, (2, 2), 8), (32, 32, (2, 2), 16),
+    ]:
+        rgb = bytes(rng.randrange(256) for _ in range(3 * w * h))
+        base = jpeg_decode(jpeg_encode_rgb8(rgb, w, subsample=sub, quant=q))
+        prog = jpeg_decode(jpeg_encode_rgb8_progressive(rgb, w, subsample=sub, quant=q))
+        assert prog is not None and prog == base, (w, h, sub, q)
+
+
+def test_progressive_malformed_scans_return_none():
+    from monster_etl_spark.operators.jpeg import jpeg_encode_gray8_progressive
+
+    good = jpeg_encode_gray8_progressive(bytes(range(64)), 8)
+    # corrupt the first SOS's successive-approximation byte: Ah=5 with
+    # Al=1 is not a legal refinement step
+    i = good.index(b"\xff\xda")
+    ln = int.from_bytes(good[i + 2 : i + 4], "big")
+    bad = bytearray(good)
+    bad[i + 2 + ln - 1] = 0x51
+    assert jpeg_decode(bytes(bad)) is None
+    # truncation anywhere must not raise (partial reconstruction or None
+    # are both acceptable under the never-raise contract)
+    for cut in range(2, len(good), 7):
+        jpeg_decode(good[:cut])
 
 
 def test_extract_pixel_stats_mixed_formats(spark):
