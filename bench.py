@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "multimodal_wav_sample_stats",
     "multimodal_video_frame_stats",
     "multimodal_jpeg_progressive_stats",
+    "multimodal_gif_frame_stats",
 ]
 
 

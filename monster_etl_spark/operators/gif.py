@@ -8,19 +8,25 @@ GIF's LZW pixel decode as the remaining gated format.
   local color tables, extension skipping, full LZW decompression
   (variable code width 3..12 bits, clear/end codes, dictionary growth),
   Adam-style 4-pass de-interlacing, palette lookup -> interleaved RGB.
-  Decodes the FIRST image frame (animated GIFs: frame 1; composing a
-  full animation timeline is out of scope and documented). Returns
-  ``(width, height, 3, rgb_bytes)`` for the frame, or ``None`` on any
-  malformed stream — the same never-raise-mid-batch contract as
-  ``png_decode``/``jpeg_decode``. Transparency is ignored (the
-  transparent index's palette color shows through), which is what pixel
-  STATISTICS want; alpha compositing needs a canvas model, not a codec.
-- ``gif_encode_gray8``: minimal single-frame encoder over an identity
-  grayscale palette, using spec-conformant LZW with an explicit reset
-  (clear code) every 254 literals — the classic "uncompressed GIF"
-  construction. Bit-exact round-trip by construction (GIF is lossless),
-  which is what the analytic DuckDB oracle of the registry query relies
-  on.
+  Decodes the FIRST image frame in its own rect (the single-image pixel
+  stats contract). Returns ``(width, height, 3, rgb_bytes)``, or
+  ``None`` on any malformed stream — the same never-raise-mid-batch
+  contract as ``png_decode``/``jpeg_decode``. Transparency is ignored
+  here (the transparent index's palette color shows through).
+- ``gif_decode_frames``: the FULL ANIMATION TIMELINE (round-4 verdict
+  #5) — every frame composed onto the logical-screen canvas with GIF89a
+  graphic-control semantics: disposal 0/1 leave, 2 restore-rect-to-
+  background, 3 restore-to-previous; the transparent index leaves the
+  underlying canvas pixel. One full-canvas RGB snapshot + delay per
+  frame, matching the video path's per-frame output shape.
+- ``gif_encode_gray8`` / ``gif_encode_frames``: minimal single-frame and
+  animated encoders over an identity grayscale palette, using
+  spec-conformant LZW with an explicit reset (clear code) every 254
+  literals — the classic "uncompressed GIF" construction. Bit-exact
+  round-trip by construction (GIF is lossless), which is what the
+  analytic DuckDB oracles of the registry queries rely on. The animated
+  encoder writes per-frame graphic-control blocks (delay, disposal,
+  transparency) and a NETSCAPE2.0 looping extension.
 
 Defined inside ``_build_gif_codec`` and returned as closures so
 ``mapInPandas`` workers capture them BY VALUE (the same shipping
@@ -33,20 +39,11 @@ from __future__ import annotations
 def _build_gif_codec():
     import struct
 
-    def encode_gray8(pixels, width):
-        """Single-frame GIF89a over the identity 256-gray palette; pads
-        the tail row with zeros like ``png_encode_gray8``."""
-        height = max(1, -(-len(pixels) // width))
-        data = bytes(pixels).ljust(width * height, b"\x00")
-        out = bytearray(b"GIF89a")
-        # logical screen: global color table, 8 bits/channel, 256 entries
-        out += struct.pack("<HH", width, height) + bytes([0xF7, 0, 0])
-        for v in range(256):  # identity grayscale palette
-            out += bytes([v, v, v])
-        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
-        out += bytes([8])  # LZW minimum code size
-        # spec-conformant "uncompressed" LZW: 9-bit codes, CLEAR every 254
-        # literals so the code width never has to grow
+    def _pack_lzw_8bit(data):
+        """Spec-conformant "uncompressed" LZW for an 8-bit palette:
+        9-bit codes, CLEAR every 254 literals so the code width never has
+        to grow. Returns the sub-block-chunked image data (with min-code
+        byte), ready to append after an image descriptor."""
         CLEAR, _END = 256, 257
         acc = 0
         nbits = 0
@@ -69,10 +66,62 @@ def _build_gif_codec():
         put(_END)
         if nbits:
             stream.append(acc & 0xFF)
+        out = bytearray(bytes([8]))  # LZW minimum code size
         for i in range(0, len(stream), 255):
             chunk = stream[i : i + 255]
             out += bytes([len(chunk)]) + chunk
-        out += b"\x00\x3b"
+        out += b"\x00"
+        return bytes(out)
+
+    def _identity_header(sw, sh, bg=0):
+        """GIF89a header + logical screen + identity 256-gray palette."""
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HH", sw, sh) + bytes([0xF7, bg, 0])
+        for v in range(256):
+            out += bytes([v, v, v])
+        return out
+
+    def encode_gray8(pixels, width):
+        """Single-frame GIF89a over the identity 256-gray palette; pads
+        the tail row with zeros like ``png_encode_gray8``."""
+        height = max(1, -(-len(pixels) // width))
+        data = bytes(pixels).ljust(width * height, b"\x00")
+        out = _identity_header(width, height)
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += _pack_lzw_8bit(data)
+        out += b"\x3b"
+        return bytes(out)
+
+    def encode_frames(sw, sh, frames, loop=0):
+        """Animated GIF89a over the identity 256-gray palette. ``frames``
+        is a list of dicts: ``left top width height pixels`` (palette
+        index bytes, raster order) and optional ``delay_cs`` (centisec,
+        default 5), ``disposal`` (0-3, default 1 = leave), ``transparent``
+        (palette index or None). A NETSCAPE2.0 looping block is included
+        (``loop`` iterations, 0 = forever) so decoders must skip a real
+        application extension."""
+        out = _identity_header(sw, sh)
+        out += (
+            b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+        )
+        for f in frames:
+            delay = int(f.get("delay_cs", 5))
+            disposal = int(f.get("disposal", 1))
+            trans = f.get("transparent")
+            flags = (disposal & 7) << 2
+            tindex = 0
+            if trans is not None:
+                flags |= 1
+                tindex = int(trans)
+            out += b"\x21\xf9\x04" + bytes([flags]) + struct.pack("<H", delay)
+            out += bytes([tindex, 0])
+            w, h = int(f["width"]), int(f["height"])
+            data = bytes(f["pixels"]).ljust(w * h, b"\x00")[: w * h]
+            out += b"\x2c" + struct.pack(
+                "<HHHH", int(f["left"]), int(f["top"]), w, h
+            ) + b"\x00"
+            out += _pack_lzw_8bit(data)
+        out += b"\x3b"
         return bytes(out)
 
     def decode(b):
@@ -128,13 +177,7 @@ def _build_gif_codec():
             if idx is None or len(idx) < w * h:
                 return None
             if interlaced:
-                rows = [idx[r * w : (r + 1) * w] for r in range(h)]
-                srcrow = iter(rows)
-                out_rows = [None] * h
-                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
-                    for r in range(start, h, step):
-                        out_rows[r] = next(srcrow)
-                idx = b"".join(out_rows)
+                idx = _deinterlace(idx, w, h)
             npal = len(pal) // 3
             rgb = bytearray(w * h * 3)
             for p, v in enumerate(idx[: w * h]):
@@ -143,6 +186,123 @@ def _build_gif_codec():
                 rgb[3 * p : 3 * p + 3] = pal[3 * v : 3 * v + 3]
             return w, h, 3, bytes(rgb)
         return None
+
+    def decode_frames(b, max_frames=10000):
+        """Full animation timeline: compose every frame onto the logical
+        screen with GIF89a disposal semantics and transparency, returning
+        ``(screen_w, screen_h, n_frames, [(delay_cs, rgb_bytes), ...])``
+        — each entry a full-canvas snapshot AFTER that frame renders —
+        or ``None`` on malformed input (never raises). Disposal: 0/1
+        leave, 2 restore the frame rect to the background color, 3
+        restore the canvas to its pre-frame state. The transparent index
+        leaves the underlying canvas pixel. The initial canvas is the
+        background palette color (black without a global table)."""
+        try:
+            return _decode_frames(bytes(b), max_frames)
+        except Exception:
+            return None
+
+    def _decode_frames(b, max_frames):
+        if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        sw, sh = struct.unpack("<HH", b[6:10])
+        if not sw or not sh:
+            return None
+        packed = b[10]
+        bg_index = b[11]
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = b[i : i + 3 * n]
+            i += 3 * n
+        if gct is not None and bg_index < len(gct) // 3:
+            bg_rgb = gct[3 * bg_index : 3 * bg_index + 3]
+        else:
+            bg_rgb = b"\x00\x00\x00"
+        canvas = bytearray(bg_rgb * (sw * sh))
+        frames = []
+        # pending graphic-control state (applies to the NEXT image only)
+        disposal, delay, trans = 0, 0, None
+        while i < len(b):
+            blk = b[i]
+            i += 1
+            if blk == 0x3B:  # trailer
+                break
+            if blk == 0x21:  # extension
+                label = b[i]
+                i += 1
+                if label == 0xF9 and b[i] >= 4:
+                    flags = b[i + 1]
+                    delay = struct.unpack("<H", b[i + 2 : i + 4])[0]
+                    disposal = (flags >> 2) & 7
+                    trans = b[i + 4] if flags & 1 else None
+                while b[i]:
+                    i += 1 + b[i]
+                i += 1
+                continue
+            if blk != 0x2C:
+                return None
+            left, top, w, h = struct.unpack("<HHHH", b[i : i + 8])
+            ipacked = b[i + 8]
+            i += 9
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = b[i : i + 3 * n]
+                i += 3 * n
+            if pal is None or not w or not h or left + w > sw or top + h > sh:
+                return None
+            interlaced = bool(ipacked & 0x40)
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while b[i]:
+                ln = b[i]
+                data += b[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            i += 1
+            idx = _lzw(data, min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            if interlaced:
+                idx = _deinterlace(idx, w, h)
+            npal = len(pal) // 3
+            saved = bytes(canvas) if disposal == 3 else None
+            for y in range(h):
+                crow = (top + y) * sw
+                for x in range(w):
+                    v = idx[y * w + x]
+                    if v == trans:
+                        continue
+                    if v >= npal:
+                        return None
+                    p = 3 * (crow + left + x)
+                    canvas[p : p + 3] = pal[3 * v : 3 * v + 3]
+            frames.append((delay, bytes(canvas)))
+            if len(frames) >= max_frames:
+                break
+            if disposal == 2:
+                for y in range(h):
+                    crow = (top + y) * sw
+                    for x in range(w):
+                        p = 3 * (crow + left + x)
+                        canvas[p : p + 3] = bg_rgb
+            elif disposal == 3 and saved is not None:
+                canvas = bytearray(saved)
+            disposal, delay, trans = 0, 0, None
+        if not frames:
+            return None
+        return sw, sh, len(frames), frames
+
+    def _deinterlace(idx, w, h):
+        rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+        srcrow = iter(rows)
+        out_rows = [None] * h
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            for r in range(start, h, step):
+                out_rows[r] = next(srcrow)
+        return b"".join(out_rows)
 
     def _lzw(data, min_code, limit):
         CLEAR = 1 << min_code
@@ -195,7 +355,12 @@ def _build_gif_codec():
                 width += 1
         return bytes(out)
 
-    return {"encode_gray8": encode_gray8, "decode": decode}
+    return {
+        "encode_gray8": encode_gray8,
+        "encode_frames": encode_frames,
+        "decode": decode,
+        "decode_frames": decode_frames,
+    }
 
 
 _CODEC = None
@@ -216,3 +381,13 @@ def gif_decode(b: bytes):
 
 def gif_encode_gray8(pixels: bytes, width: int) -> bytes:
     return _codec()["encode_gray8"](pixels, width)
+
+
+def gif_decode_frames(b: bytes, max_frames: int = 10000):
+    """Animation timeline composition — see ``decode_frames`` in
+    ``_build_gif_codec`` for the canvas/disposal model."""
+    return _codec()["decode_frames"](b, max_frames)
+
+
+def gif_encode_frames(sw: int, sh: int, frames: list, loop: int = 0) -> bytes:
+    return _codec()["encode_frames"](sw, sh, frames, loop)

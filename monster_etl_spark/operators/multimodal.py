@@ -930,3 +930,114 @@ def audio_window_spans(
         F.round(start.cast("double") / F.col("__sr__"), 6).alias("start_sec"),
         F.round(end.cast("double") / F.col("__sr__"), 6).alias("end_sec"),
     )
+
+
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_id", T.LongType()),
+        T.StructField("delay_cs", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def extract_gif_frame_stats(media: DataFrame) -> DataFrame:
+    """REAL animated-GIF timeline decode: ``operators/gif.py``'s canvas
+    composition (disposal methods + transparency) yields one full-canvas
+    snapshot per frame — one output row PER FRAME with the canvas dims,
+    the frame's delay, and the mean intensity of the COMPOSED canvas
+    (identity-palette gray = the R channel). A blob that is not a GIF
+    yields one ``decoded=false`` row — the media-codec contract. Pure
+    stdlib, Arrow-batched ``mapInPandas``, blobs never shuffle."""
+    from monster_etl_spark.operators.gif import _build_gif_codec
+
+    decode_frames_local = _build_gif_codec()["decode_frames"]
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "frame_id", "delay_cs", "width", "height",
+                "mean_intensity", "decoded",
+            )}
+
+            def emit(mid, fid, delay, w, h, mean, ok):
+                rows["media_id"].append(mid)
+                rows["frame_id"].append(fid)
+                rows["delay_cs"].append(delay)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_intensity"].append(mean)
+                rows["decoded"].append(ok)
+
+            for mid, c in zip(pdf["media_id"].astype("int64"), pdf["content"]):
+                parsed = decode_frames_local(bytes(c))
+                if parsed is None:
+                    emit(int(mid), None, None, None, None, None, False)
+                    continue
+                w, h, _nf, frames = parsed
+                npx = w * h
+                for fid, (delay, rgb) in enumerate(frames):
+                    emit(int(mid), fid, delay, w, h, sum(rgb[0::3]) / npx, True)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _worker, schema=GIF_FRAME_SCHEMA
+    )
+
+
+def documents_as_animated_gif_media(
+    documents: DataFrame, frame_bytes: int = 16, delay_cs: int = 5
+) -> DataFrame:
+    """Adapter: pack each document's bytes into an ANIMATED GIF whose
+    timeline genuinely exercises composition — frame k draws only its
+    own 8-pixel band (bytes [k*frame_bytes, (k+1)*frame_bytes) as 8x8
+    constant blocks) at offset top=k*8 on a taller logical screen with
+    disposal=leave, so the COMPOSED frame k shows bands 0..k and the
+    per-frame stats are cumulative code-point sums (what the registry
+    oracle computes analytically). Frames after the first also carry
+    transparent-index 0, exercising the transparency path without
+    changing the composed pixels (transparent band pixels reveal the
+    background-0 canvas). Blobs born on executors; codec ships by
+    value."""
+    from monster_etl_spark.operators.gif import _build_gif_codec
+
+    encode_frames_local = _build_gif_codec()["encode_frames"]
+    fb = frame_bytes
+
+    def _worker(batches):
+        import pandas as pd
+
+        def doc_to_gif(text):
+            data = bytes(text, "utf-8")
+            n_frames = max(1, -(-len(data) // fb))
+            padded = data.ljust(n_frames * fb, b"\x00")
+            frames = []
+            for k in range(n_frames):
+                sl = padded[k * fb : (k + 1) * fb]
+                pixels = b"".join(bytes([v]) * 8 for v in sl) * 8
+                frames.append(
+                    dict(
+                        left=0, top=k * 8, width=fb * 8, height=8, pixels=pixels,
+                        delay_cs=delay_cs, disposal=1,
+                        transparent=0 if k else None,
+                    )
+                )
+            return encode_frames_local(fb * 8, 8 * n_frames, frames)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": [doc_to_gif(t) for t in pdf["text"]],
+                }
+            )
+
+    return documents.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(_worker, schema="media_id long, content binary")

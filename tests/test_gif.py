@@ -133,3 +133,96 @@ def test_junk_and_truncation_return_none():
     assert gif_decode(b"GIF89a" + b"\x00" * 20) is None
     good = gif_encode_gray8(bytes(range(64)), 8)
     assert gif_decode(good[:30]) is None  # truncated mid-palette
+
+
+# ---- animation timeline (round-4 verdict #5)
+
+
+def _fr(left, top, w, h, pixels, **kw):
+    return dict(left=left, top=top, width=w, height=h, pixels=pixels, **kw)
+
+
+def test_frames_banded_leave_disposal_composes_cumulatively():
+    from monster_etl_spark.operators.gif import gif_decode_frames, gif_encode_frames
+
+    frames = [
+        _fr(0, k * 8, 16, 8, bytes([((k + 1) * 50 + j) % 256 for j in range(128)]),
+            delay_cs=7, disposal=1)
+        for k in range(3)
+    ]
+    w, h, nf, fl = gif_decode_frames(gif_encode_frames(16, 24, frames))
+    assert (w, h, nf) == (16, 24, 3)
+    assert [d for d, _ in fl] == [7, 7, 7]
+    # frame 0: only band 0 drawn; frame 2: all three bands persist
+    assert fl[0][1][0:3] == bytes([50] * 3)
+    assert fl[0][1][3 * 16 * 8 : 3 * 16 * 8 + 3] == b"\x00\x00\x00"
+    assert fl[2][1][0:3] == bytes([50] * 3)
+    assert fl[2][1][3 * 16 * 8 : 3 * 16 * 8 + 3] == bytes([100] * 3)
+    assert fl[2][1][3 * 16 * 16 : 3 * 16 * 16 + 3] == bytes([150] * 3)
+
+
+def test_frames_disposal_restore_background():
+    from monster_etl_spark.operators.gif import gif_decode_frames, gif_encode_frames
+
+    frames = [
+        _fr(0, 0, 16, 24, bytes([200]) * (16 * 24), disposal=2),
+        _fr(0, 0, 16, 8, bytes([30]) * 128, disposal=1),
+    ]
+    _w, _h, _nf, fl = gif_decode_frames(gif_encode_frames(16, 24, frames))
+    assert fl[0][1][0:3] == bytes([200] * 3)
+    # after disposal-2 the 200-canvas is gone: band 2 area is background
+    assert fl[1][1][0:3] == bytes([30] * 3)
+    assert fl[1][1][3 * 16 * 8 : 3 * 16 * 8 + 3] == b"\x00\x00\x00"
+
+
+def test_frames_disposal_restore_previous():
+    from monster_etl_spark.operators.gif import gif_decode_frames, gif_encode_frames
+
+    frames = [
+        _fr(0, 0, 16, 24, bytes([80]) * (16 * 24), disposal=1),
+        _fr(4, 4, 4, 4, bytes([250]) * 16, disposal=3),
+        _fr(0, 0, 1, 1, bytes([1]), disposal=1),
+    ]
+    _w, _h, _nf, fl = gif_decode_frames(gif_encode_frames(16, 24, frames))
+    p = 3 * (4 * 16 + 4)
+    assert fl[1][1][p : p + 3] == bytes([250] * 3)  # overlay visible in its frame
+    assert fl[2][1][p : p + 3] == bytes([80] * 3)  # then restored to previous
+
+
+def test_frames_transparent_index_leaves_canvas():
+    from monster_etl_spark.operators.gif import gif_decode_frames, gif_encode_frames
+
+    frames = [
+        _fr(0, 0, 16, 24, bytes([99]) * (16 * 24), disposal=1),
+        _fr(0, 0, 16, 24, bytes([0, 123]) * (16 * 12), disposal=1, transparent=0),
+    ]
+    _w, _h, _nf, fl = gif_decode_frames(gif_encode_frames(16, 24, frames))
+    assert fl[1][1][0:3] == bytes([99] * 3)  # transparent pixel: canvas shows
+    assert fl[1][1][3:6] == bytes([123] * 3)  # opaque pixel: new value
+
+
+def test_frames_netscape_extension_skipped_and_never_raises():
+    from monster_etl_spark.operators.gif import (
+        gif_decode,
+        gif_decode_frames,
+        gif_encode_frames,
+    )
+
+    blob = gif_encode_frames(
+        8, 8, [_fr(0, 0, 8, 8, bytes(range(64)))], loop=3
+    )
+    assert b"NETSCAPE2.0" in blob
+    # frame-1 decoder skips the app extension too
+    assert gif_decode(blob) is not None
+    assert gif_decode_frames(b"junk") is None
+    assert gif_decode_frames(b"") is None
+    for cut in range(0, len(blob), 9):
+        gif_decode_frames(blob[:cut])  # never raises
+
+
+def test_frames_max_frames_cap():
+    from monster_etl_spark.operators.gif import gif_decode_frames, gif_encode_frames
+
+    frames = [_fr(0, 0, 4, 4, bytes([k]) * 16) for k in range(10)]
+    r = gif_decode_frames(gif_encode_frames(4, 4, frames), max_frames=4)
+    assert r is not None and r[2] == 4
