@@ -102,6 +102,10 @@ BENCH_QUERIES = [
     "multimodal_video_frame_stats",
     "multimodal_jpeg_progressive_stats",
     "multimodal_gif_frame_stats",
+    # round-5 additions: the compressed-audio codecs (G.711 companding +
+    # stateful IMA ADPCM) join the tracked media surface
+    "multimodal_g711_ulaw_stats",
+    "multimodal_adpcm_sample_stats",
 ]
 
 

@@ -885,6 +885,88 @@ def documents_as_wav_media(documents: DataFrame, sample_rate: int = 16000) -> Da
     ).mapInPandas(_worker, schema="media_id long, content binary")
 
 
+def documents_as_g711_media(
+    documents: DataFrame, law: str = "ulaw", sample_rate: int = 8000
+) -> DataFrame:
+    """Adapter: each document byte becomes one mono 16-bit sample at
+    ``(byte - 80) * 301`` (both signs, all G.711 segments, odd multiplier
+    so the encoders' floor shifts see non-aligned magnitudes), clamped to
+    int16 and G.711-compressed (mu-law or A-law WAV, format 7/6). The
+    composition decode(encode(x)) is a deterministic integer function the
+    DuckDB oracle replicates segment-by-segment. Blobs born on executors;
+    encoder ships by value."""
+    from monster_etl_spark.operators.wav import _build_wav_codec
+
+    encode_local = _build_wav_codec()["encode_g711"]
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": [
+                        encode_local(
+                            [(v - 80) * 301 for v in bytes(t, "utf-8")],
+                            law,
+                            sample_rate,
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return documents.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(_worker, schema="media_id long, content binary")
+
+
+def documents_as_adpcm_media(
+    documents: DataFrame,
+    sample_rate: int = 16000,
+    block_bytes: int = 36,
+    max_samples: int = 96,
+) -> DataFrame:
+    """Adapter: the first ``max_samples`` document bytes become mono
+    16-bit samples at ``(byte - 128) * 256``, IMA-ADPCM-compressed with
+    ``block_bytes``-byte blocks — small enough that a document spans
+    MULTIPLE blocks (65 samples/block at the default), exercising the
+    per-block header (verbatim first sample, carried step index). The
+    prefix bound exists for the oracle: ADPCM is a sequential recurrence,
+    which the DuckDB side replicates with a recursive CTE whose iteration
+    count is ``max_samples``. Blobs born on executors; encoder ships by
+    value."""
+    from monster_etl_spark.operators.wav import _build_wav_codec
+
+    encode_local = _build_wav_codec()["encode_adpcm"]
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": [
+                        encode_local(
+                            [
+                                (v - 128) * 256
+                                for v in bytes(t, "utf-8")[:max_samples]
+                            ],
+                            sample_rate,
+                            block_bytes,
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return documents.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(_worker, schema="media_id long, content binary")
+
+
 def audio_window_spans(
     media: DataFrame,
     sample_rate_col: str = "sample_rate",

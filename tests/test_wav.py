@@ -51,8 +51,101 @@ def test_out_of_scope_and_junk_return_none():
     assert wav_decode(b"") is None
     assert wav_decode(b"RIFF\x00\x00\x00\x00WAVE") is None
     assert wav_decode(b"not audio") is None
-    # mu-law (format 7) declared out of scope
-    assert wav_decode(_wav(7, 1, 8000, 8, bytes([1, 2, 3]))) is None
+    # MPEG-in-WAV (format 0x55) stays out of scope
+    assert wav_decode(_wav(0x55, 1, 8000, 8, bytes([1, 2, 3]))) is None
+    # G.711 with a non-8-bit container is malformed
+    assert wav_decode(_wav(7, 1, 8000, 16, bytes([1, 2]))) is None
+    # ADPCM with an impossible step index (>88) is malformed
+    bad_blk = struct.pack("<hBB", 0, 99, 0) + b"\x00" * 4
+    assert wav_decode(_wav(0x11, 1, 8000, 4, bad_blk)) is None
+
+
+def test_g711_companding_matches_audioop_full_range():
+    """Byte-exact encode AND 16-bit-exact decode vs CPython's audioop
+    (the canonical Sun g711.c tables) over the full int16 range —
+    skipped where audioop is gone (3.13+); the analytic registry oracles
+    then still pin the same math end-to-end."""
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from monster_etl_spark.operators.wav import wav_encode_g711
+
+    xs = list(range(-32768, 32768, 17)) + [-32768, -1, 0, 1, 32767]
+    pcm = b"".join(struct.pack("<h", x) for x in xs)
+    for law, lin2, law2lin in (
+        ("ulaw", audioop.lin2ulaw, audioop.ulaw2lin),
+        ("alaw", audioop.lin2alaw, audioop.alaw2lin),
+    ):
+        wav = wav_encode_g711(xs, law, 8000)
+        body = wav[wav.rindex(b"data") + 8 :][: len(xs)]
+        assert body == lin2(pcm, 2), f"{law} encode differs from g711.c"
+        rate, n_ch, bits, dec = wav_decode(wav)
+        assert (rate, n_ch, bits, len(dec)) == (8000, 1, 8, len(xs))
+        ref = list(struct.unpack(f"<{len(xs)}h", law2lin(body, 2)))
+        assert dec == ref, f"{law} decode differs from g711.c"
+
+
+def test_g711_quantization_error_bounded():
+    # companding error grows with the segment: bounded by half the step
+    # (2^(seg+3) for mu-law), never worse than ~3.2% of full scale
+    from monster_etl_spark.operators.wav import wav_encode_g711
+
+    xs = list(range(-32768, 32768, 251))
+    for law in ("ulaw", "alaw"):
+        _, _, _, dec = wav_decode(wav_encode_g711(xs, law, 8000))
+        worst = max(abs(a - b) for a, b in zip(dec, xs))
+        assert worst <= 1024, (law, worst)
+
+
+def test_adpcm_step_recurrence_matches_audioop():
+    """The (predictor, index) state machine is audioop's adpcm2lin
+    exactly: decode a raw nibble stream both ways."""
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from monster_etl_spark.operators.wav import wav_encode_adpcm
+
+    # encode a signal, extract block 0's nibbles, replay them through
+    # audioop (high-nibble-first packing there, low-first in WAV)
+    xs = [0] + [((k * 37) % 200 - 100) * 80 for k in range(104)]
+    wav = wav_encode_adpcm(xs, 8000, block_bytes=256)  # single block
+    body = wav[wav.rindex(b"data") + 8 :]
+    pred0, idx0, _ = struct.unpack("<hBB", body[:4])
+    assert (pred0, idx0) == (xs[0], 0)
+    nibbles = []
+    for byte in body[4:]:
+        nibbles += [byte & 0xF, byte >> 4]
+    nibbles = nibbles[: len(xs) - 1]
+    raw = bytes(
+        (nibbles[k] << 4) | (nibbles[k + 1] if k + 1 < len(nibbles) else 0)
+        for k in range(0, len(nibbles), 2)
+    )
+    ref = struct.unpack(f"<{2 * len(raw)}h", audioop.adpcm2lin(raw, 2, (xs[0], 0))[0])
+    _, _, _, dec = wav_decode(wav)
+    assert list(dec[1 : len(nibbles) + 1]) == list(ref[: len(nibbles)])
+
+
+def test_adpcm_blocks_and_fact_trimming():
+    from monster_etl_spark.operators.wav import wav_encode_adpcm
+
+    # smooth ramp: ADPCM tracks within a few steps once converged
+    xs = [min(32767, k * 16 - 8000) for k in range(300)]
+    for block_bytes in (36, 256):
+        rate, n_ch, bits, dec = wav_decode(wav_encode_adpcm(xs, 16000, block_bytes))
+        assert (rate, n_ch, bits) == (16000, 1, 4)
+        assert len(dec) == len(xs)  # fact chunk trims the pad nibble
+        spb = (block_bytes - 4) * 2 + 1
+        for b0 in range(0, len(xs), spb):
+            assert dec[b0] == xs[b0]  # block headers store samples verbatim
+        tail_err = max(abs(a - b) for a, b in zip(dec[50:], xs[50:]))
+        assert tail_err <= 64, (block_bytes, tail_err)
+
+
+def test_adpcm_empty_and_single_sample():
+    from monster_etl_spark.operators.wav import wav_encode_adpcm
+
+    assert wav_decode(wav_encode_adpcm([], 16000)) == (16000, 1, 4, [])
+    assert wav_decode(wav_encode_adpcm([-123], 16000)) == (16000, 1, 4, [-123])
 
 
 def test_extract_audio_stats_mixed(spark):
