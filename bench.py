@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     # stateful IMA ADPCM) join the tracked media surface
     "multimodal_g711_ulaw_stats",
     "multimodal_adpcm_sample_stats",
+    "multimodal_flac_sample_stats",
 ]
 
 

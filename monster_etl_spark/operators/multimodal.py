@@ -800,21 +800,31 @@ AUDIO_STATS_SCHEMA = T.StructType(
 )
 
 
-def extract_audio_stats(media: DataFrame) -> DataFrame:
-    """REAL audio sample decode + per-clip statistics for RIFF/PCM WAV
-    content (``operators/wav.py`` — pure stdlib, 8/16/24/32-bit PCM and
-    float, any channel count), streamed through Arrow-batched
-    ``mapInPandas``. Undecodable blobs (compressed formats, junk) yield
-    ``decoded=false`` with null stats — the image codecs' contract.
+def extract_audio_stats(media: DataFrame, codec: str = "wav") -> DataFrame:
+    """REAL audio sample decode + per-clip statistics, streamed through
+    Arrow-batched ``mapInPandas``. ``codec="wav"`` covers the RIFF
+    family (``operators/wav.py`` — PCM 8/16/24/32-bit, IEEE float,
+    G.711 mu-law/A-law, IMA ADPCM); ``codec="flac"`` the lossless
+    bitstream format (``operators/flac.py`` — Rice/FIXED/LPC subframes,
+    CRC + MD5 verified). Undecodable blobs (unsupported formats, junk)
+    yield ``decoded=false`` with null stats — the image codecs'
+    contract.
 
     ``n_samples`` is frames per channel; ``peak_abs``/``rms`` are over
     ALL interleaved samples. Sums run in exact integer arithmetic (each
     v² and their total stay under 2^53), so the one float step —
     sqrt(ssq/n) — is IEEE-identical across engines; callers round
     JVM-side with ``F.round`` (the PNG-stats discipline)."""
-    from monster_etl_spark.operators.wav import _build_wav_codec
+    if codec == "wav":
+        from monster_etl_spark.operators.wav import _build_wav_codec
 
-    wav_decode_local = _build_wav_codec()["decode"]
+        wav_decode_local = _build_wav_codec()["decode"]
+    elif codec == "flac":
+        from monster_etl_spark.operators.flac import _build_flac_codec
+
+        wav_decode_local = _build_flac_codec()["decode"]
+    else:
+        raise ValueError(f"unknown audio codec {codec!r}")
 
     def _worker(batches):
         import math
@@ -956,6 +966,43 @@ def documents_as_adpcm_media(
                             ],
                             sample_rate,
                             block_bytes,
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return documents.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(_worker, schema="media_id long, content binary")
+
+
+def documents_as_flac_media(
+    documents: DataFrame, sample_rate: int = 16000
+) -> DataFrame:
+    """Adapter: each document byte becomes one mono 16-bit sample at
+    ``(byte - 128) * 256`` and the clip is FLAC-compressed (FIXED
+    predictors + Rice residuals, CRC-8/16 + STREAMINFO MD5). FLAC is
+    LOSSLESS, so the decoded statistics are the same analytic function
+    of code points as the PCM WAV query — the oracle is shared verbatim
+    while the Spark side exercises the whole bitstream path. Blobs born
+    on executors; encoder ships by value."""
+    from monster_etl_spark.operators.flac import _build_flac_codec
+
+    encode_local = _build_flac_codec()["encode_pcm16"]
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": [
+                        encode_local(
+                            [(v - 128) * 256 for v in bytes(t, "utf-8")],
+                            sample_rate,
+                            1,
                         )
                         for t in pdf["text"]
                     ],

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from monster_etl_spark.operators.multimodal import (
     documents_as_adpcm_media,
     documents_as_animated_gif_media,
+    documents_as_flac_media,
     documents_as_g711_media,
     documents_as_gif_media,
     documents_as_jpeg_media,
@@ -355,6 +356,25 @@ FROM b
 """
 
 
+def multimodal_flac_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC encode -> decode round-trip, fully distributed: each
+    document byte becomes one mono 16-bit sample ((cp-128)*256), FLAC-
+    compressed (FIXED predictors, Rice residuals, CRC-8/16, STREAMINFO
+    MD5) and decoded back through the full bitstream parser. FLAC is
+    lossless, so WAV_SAMPLE_SQL applies VERBATIM — a hash match proves
+    the whole Rice/predictor/CRC path reconstructs every sample exactly
+    (the MD5 check inside the decoder would turn any slip into
+    decoded=false, which the oracle would catch as a value mismatch)."""
+    media = documents_as_flac_media(load(spark, sf_dir, "documents"), sample_rate=_WAV_SR)
+    return extract_audio_stats(media, codec="flac").select(
+        "media_id", "sample_rate", "n_channels", "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        "peak_abs",
+        F.round("rms", 6).alias("rms"),
+        "decoded",
+    )
+
+
 _G711_SR = 8000
 
 
@@ -664,6 +684,11 @@ QUERIES = {
         multimodal_wav_sample_stats,
         WAV_SAMPLE_SQL,
         "real WAV encode->PCM-decode round-trip, analytic oracle",
+    ),
+    "multimodal_flac_sample_stats": QuerySpec(
+        multimodal_flac_sample_stats,
+        WAV_SAMPLE_SQL,
+        "real FLAC encode->decode round-trip (lossless), PCM oracle reused verbatim",
     ),
     "multimodal_g711_ulaw_stats": QuerySpec(
         multimodal_g711_ulaw_stats,
