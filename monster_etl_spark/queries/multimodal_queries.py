@@ -142,6 +142,77 @@ WHERE doc_id < {_S7_MAX_ID} AND text IS NOT NULL
 """
 
 
+_S8_SCRATCH = scratch_path("s8_avro")
+_S8_MAX_ID = 40
+
+
+def s8_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source driven end-to-end through the jar-less fallback:
+    documents become Object Container Files (record schema with a
+    nullable string, an array field, deflate codec — fixtures built
+    driver-side like s7's tarballs, bounded by ``_S8_MAX_ID``), then
+    ``read_avro`` — which dispatches to the pure-stdlib OCF decoder when
+    the spark-avro jar is absent, as here — reads them back distributed
+    and the result is reduced JVM-side. The oracle derives every output
+    from the documents table alone, so a hash match proves schema
+    resolution, varint/union/array decoding and the deflate path."""
+    import json
+
+    from monster_etl_spark.sources.avro_py import avro_write_blob
+    from monster_etl_spark.sources.columnar import read_avro
+
+    schema = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": ["null", "string"]},
+            {"name": "tokens", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _S8_MAX_ID)
+    )
+    import os
+    import shutil
+
+    shutil.rmtree(_S8_SCRATCH, ignore_errors=True)
+    os.makedirs(_S8_SCRATCH, exist_ok=True)
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    for g in range(4):  # several files so the read still scatters
+        recs = [
+            {
+                "doc_id": int(r["doc_id"]),
+                "text": r["text"],
+                "tokens": [] if r["text"] is None else str(r["text"]).split(" "),
+            }
+            for r in rows
+            if r["doc_id"] % 4 == g
+        ]
+        if recs:
+            blob = avro_write_blob(json.loads(json.dumps(schema)), recs, "deflate")
+            with open(os.path.join(_S8_SCRATCH, f"part-{g}.avro"), "wb") as fh:
+                fh.write(blob)
+    return read_avro(spark, f"{_S8_SCRATCH}/*.avro").select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size("tokens").alias("n_tokens"),
+        F.element_at("tokens", 1).alias("first_token"),
+    )
+
+
+S8_AVRO_SQL = f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  CASE WHEN text IS NULL THEN 0 ELSE len(string_split(text, ' ')) END AS n_tokens,
+  CASE WHEN text IS NULL THEN NULL ELSE string_split(text, ' ')[1] END AS first_token
+FROM documents
+WHERE doc_id < {_S8_MAX_ID}
+"""
+
+
 
 _AUDIO_SR = 16000
 
@@ -684,6 +755,11 @@ QUERIES = {
         multimodal_wav_sample_stats,
         WAV_SAMPLE_SQL,
         "real WAV encode->PCM-decode round-trip, analytic oracle",
+    ),
+    "s8_avro_roundtrip": QuerySpec(
+        s8_avro_roundtrip,
+        S8_AVRO_SQL,
+        "Avro OCF fixtures read back through the jar-less fallback source",
     ),
     "multimodal_flac_sample_stats": QuerySpec(
         multimodal_flac_sample_stats,

@@ -1,0 +1,361 @@
+"""Pure-stdlib Avro Object Container File (OCF) reader/writer.
+
+``sources/columnar.py`` gates Avro behind the spark-avro jar, which is
+not on this container's classpath — previously a hard
+``NotImplementedError``. The Avro 1.11 spec (format version 1) is
+simple enough to cover with ``struct`` + ``zlib``: this module is the
+jar-less fallback, wired into ``read_avro`` so the source works either
+way. On a real cluster the jar-backed path is preferred (vectorized,
+block-splittable); this fallback parallelizes per FILE (the normal
+layout for Avro landing zones is many files), documented on
+``read_avro_py``.
+
+Coverage (Avro spec, "Object Container Files" + "Data Serialization"):
+
+- varint zigzag longs/ints, IEEE float/double (little-endian),
+  length-prefixed bytes/string, boolean, null
+- records, enums, fixeds (with named-type references), arrays and maps
+  (including negative block counts with block size), unions
+- ``null`` and ``deflate`` codecs (raw DEFLATE, wbits=-15)
+- header metadata map, 16-byte sync-marker verification per block
+
+Writer emits a deterministic sync marker (md5 of the schema JSON) so
+fixture generation is reproducible byte-for-byte.
+
+Closures are built inside ``_build_avro_codec`` and captured BY VALUE
+by ``mapInPandas`` workers (the media-codec shipping discipline).
+"""
+
+from __future__ import annotations
+
+
+def _build_avro_codec():
+    import hashlib
+    import json
+    import struct
+    import zlib
+
+    MAGIC = b"Obj\x01"
+
+    # ---- varint / zigzag -------------------------------------------------
+    def _zig(n):
+        return (n << 1) if n >= 0 else ((-n) << 1) - 1
+
+    def _unzig(u):
+        return (u >> 1) ^ -(u & 1)
+
+    def wvarint(out, n):
+        u = _zig(n)
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+
+    class Dec:
+        def __init__(self, data, pos=0):
+            self.d = data
+            self.p = pos
+
+        def long(self):
+            u = shift = 0
+            while True:
+                b = self.d[self.p]
+                self.p += 1
+                u |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+                if shift > 70:
+                    raise ValueError("varint too long")
+            return _unzig(u)
+
+        def raw(self, n):
+            if self.p + n > len(self.d):
+                raise ValueError("truncated")
+            v = self.d[self.p : self.p + n]
+            self.p += n
+            return v
+
+    # ---- schema ----------------------------------------------------------
+    PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+    def _resolve(schema, names):
+        """Normalize a schema node; register/lookup named types."""
+        if isinstance(schema, str):
+            if schema in PRIMITIVES:
+                return schema
+            if schema in names:
+                return names[schema]
+            raise ValueError(f"unknown type {schema!r}")
+        if isinstance(schema, list):
+            return ["union", [_resolve(s, names) for s in schema]]
+        t = schema["type"]
+        if t in PRIMITIVES:
+            return t
+        if t in ("record", "enum", "fixed"):
+            name = schema["name"]
+            node = [t, schema, names]
+            names[name] = node
+            if t == "record":
+                # resolve field schemas AFTER registration (recursion)
+                node.append([(f["name"], _resolve(f["type"], names)) for f in schema["fields"]])
+            return node
+        if t == "array":
+            return ["array", _resolve(schema["items"], names)]
+        if t == "map":
+            return ["map", _resolve(schema["values"], names)]
+        raise ValueError(f"unsupported schema {t!r}")
+
+    def read_datum(dec, s):
+        if s == "null":
+            return None
+        if s == "boolean":
+            return dec.raw(1)[0] != 0
+        if s in ("int", "long"):
+            return dec.long()
+        if s == "float":
+            return struct.unpack("<f", dec.raw(4))[0]
+        if s == "double":
+            return struct.unpack("<d", dec.raw(8))[0]
+        if s == "bytes":
+            return bytes(dec.raw(dec.long()))
+        if s == "string":
+            return bytes(dec.raw(dec.long())).decode("utf-8")
+        kind = s[0]
+        if kind == "union":
+            idx = dec.long()
+            branches = s[1]
+            if not 0 <= idx < len(branches):
+                raise ValueError("bad union index")
+            return read_datum(dec, branches[idx])
+        if kind == "record":
+            return {fname: read_datum(dec, fs) for fname, fs in s[3]}
+        if kind == "enum":
+            symbols = s[1]["symbols"]
+            idx = dec.long()
+            if not 0 <= idx < len(symbols):
+                raise ValueError("bad enum index")
+            return symbols[idx]
+        if kind == "fixed":
+            return bytes(dec.raw(s[1]["size"]))
+        if kind == "array":
+            out = []
+            while True:
+                cnt = dec.long()
+                if cnt == 0:
+                    break
+                if cnt < 0:
+                    cnt = -cnt
+                    dec.long()  # block size in bytes, unused for in-memory
+                for _ in range(cnt):
+                    out.append(read_datum(dec, s[1]))
+            return out
+        if kind == "map":
+            out = {}
+            while True:
+                cnt = dec.long()
+                if cnt == 0:
+                    break
+                if cnt < 0:
+                    cnt = -cnt
+                    dec.long()
+                for _ in range(cnt):
+                    k = bytes(dec.raw(dec.long())).decode("utf-8")
+                    out[k] = read_datum(dec, s[1])
+            return out
+        raise ValueError(f"unsupported kind {kind!r}")
+
+    def write_datum(out, s, v):
+        if s == "null":
+            return
+        if s == "boolean":
+            out.append(1 if v else 0)
+        elif s in ("int", "long"):
+            wvarint(out, int(v))
+        elif s == "float":
+            out += struct.pack("<f", float(v))
+        elif s == "double":
+            out += struct.pack("<d", float(v))
+        elif s == "bytes":
+            wvarint(out, len(v))
+            out += bytes(v)
+        elif s == "string":
+            b = str(v).encode("utf-8")
+            wvarint(out, len(b))
+            out += b
+        else:
+            kind = s[0]
+            if kind == "union":
+                # pick the first branch matching None-ness (the standard
+                # [null, X] / [X, null] nullable pattern)
+                branches = s[1]
+                idx = next(
+                    (i for i, br in enumerate(branches)
+                     if (br == "null") == (v is None)),
+                    None,
+                )
+                if idx is None:
+                    raise ValueError("no matching union branch")
+                wvarint(out, idx)
+                write_datum(out, branches[idx], v)
+            elif kind == "record":
+                for fname, fs in s[3]:
+                    write_datum(out, fs, v[fname])
+            elif kind == "enum":
+                wvarint(out, s[1]["symbols"].index(v))
+            elif kind == "fixed":
+                if len(v) != s[1]["size"]:
+                    raise ValueError("fixed size mismatch")
+                out += bytes(v)
+            elif kind == "array":
+                if v:
+                    wvarint(out, len(v))
+                    for item in v:
+                        write_datum(out, s[1], item)
+                wvarint(out, 0)
+            elif kind == "map":
+                if v:
+                    wvarint(out, len(v))
+                    for k, item in v.items():
+                        kb = str(k).encode("utf-8")
+                        wvarint(out, len(kb))
+                        out += kb
+                        write_datum(out, s[1], item)
+                wvarint(out, 0)
+            else:
+                raise ValueError(f"unsupported kind {kind!r}")
+
+    # ---- container -------------------------------------------------------
+    def read_ocf(blob):
+        """-> (schema_json_dict, list_of_records). Raises on malformed
+        input — sources fail loudly, unlike the never-raise media codecs."""
+        blob = bytes(blob)
+        if blob[:4] != MAGIC:
+            raise ValueError("not an Avro object container file")
+        dec = Dec(blob, 4)
+        meta = read_datum(dec, ["map", "bytes"])  # str keys, bytes values
+        schema_json = json.loads(meta["avro.schema"])
+        codec = meta.get("avro.codec", b"null").decode()
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"unsupported codec {codec!r}")
+        sync = bytes(dec.raw(16))
+        schema = _resolve(schema_json, {})
+        records = []
+        while dec.p < len(blob):
+            cnt = dec.long()
+            size = dec.long()
+            data = bytes(dec.raw(size))
+            if bytes(dec.raw(16)) != sync:
+                raise ValueError("sync marker mismatch")
+            if codec == "deflate":
+                data = zlib.decompress(data, wbits=-15)
+            bd = Dec(data)
+            for _ in range(cnt):
+                records.append(read_datum(bd, schema))
+            if bd.p != len(data):
+                raise ValueError("trailing bytes in block")
+        return schema_json, records
+
+    def write_ocf(schema_json, records, codec="deflate", block_records=1000):
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"unsupported codec {codec!r}")
+        schema = _resolve(schema_json, {})
+        sjson = json.dumps(schema_json, sort_keys=True, separators=(",", ":"))
+        sync = hashlib.md5(sjson.encode()).digest()  # deterministic fixtures
+        out = bytearray(MAGIC)
+        meta = {"avro.schema": sjson.encode(), "avro.codec": codec.encode()}
+        wvarint(out, len(meta))
+        for k, v in sorted(meta.items()):
+            kb = k.encode()
+            wvarint(out, len(kb))
+            out += kb
+            wvarint(out, len(v))
+            out += v
+        wvarint(out, 0)
+        out += sync
+        for b0 in range(0, len(records), block_records):
+            chunk = records[b0 : b0 + block_records]
+            body = bytearray()
+            for rec in chunk:
+                write_datum(body, schema, rec)
+            if codec == "deflate":
+                co = zlib.compressobj(9, zlib.DEFLATED, -15)
+                body = co.compress(bytes(body)) + co.flush()
+            wvarint(out, len(chunk))
+            wvarint(out, len(body))
+            out += body
+            out += sync
+        return bytes(out)
+
+    # map metadata values decoded as str keys: read_datum(map,bytes) gives
+    # str keys / bytes values; normalize access above handles both.
+    return {"read_ocf": read_ocf, "write_ocf": write_ocf}
+
+
+_CODEC = None
+
+
+def _codec():
+    global _CODEC
+    if _CODEC is None:
+        _CODEC = _build_avro_codec()
+    return _CODEC
+
+
+def avro_read_blob(blob: bytes):
+    return _codec()["read_ocf"](blob)
+
+
+def avro_write_blob(schema_json, records, codec: str = "deflate") -> bytes:
+    return _codec()["write_ocf"](schema_json, records, codec)
+
+
+def avro_schema_to_ddl(schema_json) -> str:
+    """Avro record schema -> Spark DDL string (for mapInPandas output).
+
+    ``[null, X]``-style unions become nullable X (Spark columns are
+    nullable by default); other multi-branch unions are rejected — the
+    jar-backed reader is the path for those."""
+
+    named: dict = {}
+
+    def _typ(s):
+        if isinstance(s, str):
+            if s in named:
+                return named[s]
+            return {
+                "null": "void", "boolean": "boolean", "int": "int",
+                "long": "long", "float": "float", "double": "double",
+                "bytes": "binary", "string": "string",
+            }[s]
+        if isinstance(s, list):
+            non_null = [b for b in s if b != "null"]
+            if len(non_null) != 1:
+                raise ValueError("only [null, X] unions are supported")
+            return _typ(non_null[0])
+        t = s["type"]
+        if t in ("record",):
+            inner = ", ".join(f"{f['name']}: {_typ(f['type'])}" for f in s["fields"])
+            named[s["name"]] = f"struct<{inner}>"
+            return named[s["name"]]
+        if t == "array":
+            return f"array<{_typ(s['items'])}>"
+        if t == "map":
+            return f"map<string, {_typ(s['values'])}>"
+        if t == "enum":
+            named[s["name"]] = "string"
+            return "string"
+        if t == "fixed":
+            named[s["name"]] = "binary"
+            return "binary"
+        if t in ("null", "boolean", "int", "long", "float", "double", "bytes", "string"):
+            return _typ(t)
+        raise ValueError(f"unsupported avro type {t!r}")
+
+    if not (isinstance(schema_json, dict) and schema_json.get("type") == "record"):
+        raise ValueError("top-level Avro schema must be a record")
+    return ", ".join(f"{f['name']} {_typ(f['type'])}" for f in schema_json["fields"])

@@ -46,12 +46,108 @@ def avro_available(spark: SparkSession) -> bool:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source: jar-backed when spark-avro is on the classpath
+    (vectorized, block-splittable — the production path), else the
+    pure-stdlib OCF fallback (``read_avro_py``)."""
     if not avro_available(spark):
-        raise NotImplementedError(
-            "spark-avro is not on the classpath in this environment; "
-            "add org.apache.spark:spark-avro via spark.jars.packages"
-        )
+        return read_avro_py(spark, path)
     return spark.read.format("avro").load(path)
+
+
+def read_avro_py(spark: SparkSession, path: str) -> DataFrame:
+    """Jar-less Avro reader: ``binaryFile`` scan + the pure-stdlib OCF
+    decoder (``sources/avro_py.py``) through Arrow-batched
+    ``mapInPandas``. The Spark schema is taken from the FIRST file's
+    embedded writer schema (driver-side, one small read); every file is
+    then decoded on executors — parallelism is per FILE, which matches
+    how Avro landing zones are laid out (many files per directory). A
+    single multi-gigabyte .avro file would serialize into one task
+    here; that is the jar path's job (it splits on sync markers), and
+    this fallback documents rather than hides the difference."""
+    from monster_etl_spark.sources.avro_py import (
+        _build_avro_codec,
+        avro_read_blob,
+        avro_schema_to_ddl,
+    )
+
+    first = (
+        spark.read.format("binaryFile").load(path).select("content").limit(1).collect()
+    )
+    if not first:
+        raise ValueError(f"no files matched {path!r}")
+    schema_json, _ = avro_read_blob(bytes(first[0]["content"]))
+    ddl = avro_schema_to_ddl(schema_json)
+    field_names = [f["name"] for f in schema_json["fields"]]
+    read_local = _build_avro_codec()["read_ocf"]
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for c in pdf["content"]:
+                _, recs = read_local(bytes(c))
+                rows.extend(recs)
+            yield pd.DataFrame(
+                {n: [r[n] for r in rows] for n in field_names}
+            ) if rows else pd.DataFrame({n: [] for n in field_names})
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(_worker, schema=ddl)
+    )
+
+
+def write_avro_py(df: DataFrame, path: str, codec: str = "deflate") -> None:
+    """Jar-less Avro writer: one OCF file per partition under ``path``
+    (an executor-writable shared filesystem — the scratch contract).
+    Spark types map onto an Avro record of nullable fields; intended for
+    fixtures and interchange, not as the production sink (that is the
+    jar's job)."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from monster_etl_spark.sources.avro_py import _build_avro_codec
+
+    def _avro_type(dt):
+        m = {
+            T.BooleanType: "boolean", T.IntegerType: "int", T.LongType: "long",
+            T.FloatType: "float", T.DoubleType: "double",
+            T.BinaryType: "bytes", T.StringType: "string",
+        }
+        for k, v in m.items():
+            if isinstance(dt, k):
+                return v
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array", "items": _avro_type(dt.elementType)}
+        raise ValueError(f"unsupported Spark type for Avro writer: {dt}")
+
+    schema_json = {
+        "type": "record",
+        "name": "Row",
+        "fields": [
+            {"name": f.name, "type": ["null", _avro_type(f.dataType)]}
+            for f in df.schema.fields
+        ],
+    }
+    sjson = json.dumps(schema_json)
+    names = [f.name for f in df.schema.fields]
+    write_local = _build_avro_codec()["write_ocf"]
+    os.makedirs(path, exist_ok=True)
+
+    def _write_part(idx, rows):
+        recs = [{n: r[n] for n in names} for r in rows]
+        if recs:
+            blob = write_local(json.loads(sjson), recs, codec)
+            with open(os.path.join(path, f"part-{idx:05d}.avro"), "wb") as fh:
+                fh.write(blob)
+        return iter(())
+
+    df.rdd.mapPartitionsWithIndex(_write_part).count()
 
 
 def write_columnar(

@@ -80,7 +80,10 @@ def test_python_eval_only_in_multimodal_and_untar(spark, sf_dir):
     multimodal/untar family — everything else must stay JVM-side.
     (mapInPandas shows as MapInPandas, also confined to that family by
     construction; this counts the row-UDF nodes plan_summary tracks.)"""
-    allowed_prefixes = ("multimodal_", "s7_")
+    # s8_ is the jar-less Avro fallback source: a Python OCF decoder IS
+    # the operator there (the jar-backed path on a real cluster is pure
+    # JVM), so it joins the audited exception family
+    allowed_prefixes = ("multimodal_", "s7_", "s8_")
     bad = {}
     for name, spec in Q.items():
         if name.startswith("stream_") or name.startswith(allowed_prefixes):
