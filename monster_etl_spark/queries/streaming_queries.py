@@ -275,3 +275,84 @@ QUERIES["stream_cms_sketch"] = QuerySpec(
     _stream_cms_sql(),
     "streaming count-min sketch; completed state == batch sketch",
 )
+
+
+_JOIN_DELAY = "60 minutes"
+_JOIN_GAP_MIN = 15
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join driven to completion: the
+    view->purchase attribution funnel (purchase by the same user within
+    15 minutes of a view), both sides read from the SAME staged event
+    stream and filtered per side. The bounded time condition is what
+    lets both join buffers expire (state-safe at scale:
+    streaming/joins.py::stream_stream_join); an INNER join emits each
+    pair as soon as both sides have arrived, so the completed emission
+    set is exactly the batch interval join as long as no event arrives
+    more than the 60-minute watermark late (the staged files preserve
+    rough time order; the generous delay absorbs the residual disorder)
+    - which makes the full pair set oracle-checkable in DuckDB."""
+    from monster_etl_spark.streaming.joins import stream_stream_join
+
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    stage = _STAGE + "_ivjoin"
+    shutil.rmtree(stage, ignore_errors=True)
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    e.coalesce(4).write.mode("overwrite").option("timestampNTZFormat", fmt).json(stage)
+
+    def _side(event_type):
+        return (
+            spark.readStream.schema(_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("timestampFormat", fmt)
+            .json(stage)
+            .filter(F.col("event_type") == event_type)
+        )
+
+    joined = stream_stream_join(
+        _side("view"),
+        _side("purchase"),
+        on="user_id",
+        watermark=_JOIN_DELAY,
+        max_gap_minutes=_JOIN_GAP_MIN,
+    )
+    out = joined.select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts"))).alias("lag_us"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table("stream_interval_join")
+
+
+STREAM_INTERVAL_JOIN_SQL = f"""
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.user_id AS user_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL '{_JOIN_GAP_MIN} minutes'
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+QUERIES["stream_interval_join"] = QuerySpec(
+    stream_interval_join,
+    STREAM_INTERVAL_JOIN_SQL,
+    "watermarked stream-stream interval join (view->purchase funnel)",
+)
