@@ -14,19 +14,23 @@ These decode tiers work without them:
 - FULL PIXEL DECODE for 8-bit non-interlaced PNG (``png_decode`` /
   ``extract_pixel_stats``) — zlib inflate + the five scanline filters are
   pure stdlib, so grayscale/RGB/RGBA PNGs decode to real pixels here;
-- FULL PIXEL DECODE for BASELINE JPEG (``operators/jpeg.py`` — huffman
-  entropy decode, dequantize, IDCT, chroma upsampling, YCbCr->RGB;
-  grayscale + 4:4:4/4:2:2/4:2:0) and for GIF (``operators/gif.py`` —
-  LZW, interlacing, palettes; first frame of animations), both wired
-  into ``extract_pixel_stats`` as fallbacks when the blob is not a PNG;
-- FULL AUDIO SAMPLE DECODE for RIFF/PCM WAV (``operators/wav.py``,
-  8/16/24/32-bit PCM + IEEE float -> ``extract_audio_stats``);
+- FULL PIXEL DECODE for BASELINE + PROGRESSIVE JPEG
+  (``operators/jpeg.py`` — huffman entropy decode incl. SOF2 multi-scan
+  spectral selection / successive approximation, dequantize, IDCT,
+  chroma upsampling, YCbCr->RGB; grayscale + 4:4:4/4:2:2/4:2:0) and for
+  GIF (``operators/gif.py`` — LZW, interlacing, palettes, animated
+  timeline composition with disposal methods), both wired into
+  ``extract_pixel_stats`` as fallbacks when the blob is not a PNG;
+- FULL AUDIO SAMPLE DECODE for RIFF WAV (``operators/wav.py``:
+  8/16/24/32-bit PCM, IEEE float, G.711 mu-law/A-law, IMA ADPCM) and
+  FLAC (``operators/flac.py``: Rice/FIXED/LPC subframes, stereo
+  decorrelation, CRC+MD5 verified) -> ``extract_audio_stats``;
 - FULL VIDEO FRAME DECODE for MJPEG-in-AVI (``operators/avi.py`` RIFF
   walker + the JPEG decoder -> ``extract_video_frame_stats``).
 
 Content that is none of the above falls back to the clearly-marked
-deterministic fake (the synthetic corpus is text bytes); progressive
-JPEG and animated-GIF timeline composition stay honestly out of scope —
+deterministic fake (the synthetic corpus is text bytes); MPEG
+audio/video and arithmetic-coded JPEG stay honestly out of scope —
 ``real_decode=True`` on the legacy entry points still raises
 ``NotImplementedError``. The Spark-side plumbing — schema, batch
 iteration, partitioning, UDF signature — is real and tested throughout.
