@@ -174,6 +174,66 @@ def dedup_survivors(
     return df.join(losers, id_col, "left_anti")
 
 
+def bfs_hops(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    seed_col: str = "node",
+    max_hops: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """``(node, hop)``: minimum edge distance from ANY seed over the
+    undirected pair graph, breadth-first, bounded by ``max_hops``.
+
+    The traversal primitive the dedup/contamination graphs need beyond
+    components: "everything within k hops of these known-bad documents"
+    (contamination blast radius, takedown propagation, seed-set
+    expansion). Deterministic: first visit = minimum hop, seeds at 0;
+    nodes further than ``max_hops`` (or unreachable) are absent.
+
+    Scale posture: each round is ONE frontier-x-edges equi-join plus a
+    ``left_anti`` against the visited set — paths are never
+    materialized (the transitive-closure blowup an adjacency-matrix or
+    path-enumeration formulation hits); state is |visited| rows and the
+    per-round shuffle is |frontier expansions|. Lineage is truncated
+    every round (``localCheckpoint``, or a RELIABLE checkpoint under
+    ``checkpoint_dir`` for executor-loss survival — see
+    ``_truncate_lineage``), and an empty frontier exits early via a
+    1-row probe, so cost is O(reached diameter), not ``max_hops``."""
+    _ensure_checkpoint_dir(pairs, checkpoint_dir)
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    edges = _truncate_lineage(edges, checkpoint_dir, eager=True)
+
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("hop"))
+    )
+    visited = _truncate_lineage(visited, checkpoint_dir, eager=True)
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.node") == F.col("e.a"))
+            .select(F.col("e.b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hop"))
+        )
+        nxt = _truncate_lineage(nxt, checkpoint_dir, eager=True)
+        if not nxt.take(1):
+            break
+        visited = _truncate_lineage(
+            visited.union(nxt), checkpoint_dir, eager=True
+        )
+        frontier = nxt.select("node")
+    return visited
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     src: str = "src",

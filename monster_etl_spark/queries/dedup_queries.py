@@ -540,3 +540,53 @@ QUERIES["dedup_minhash_estimate"] = QuerySpec(
     _minhash_estimate_sql(),
     "MinHash Jaccard-estimator error contract vs exact pairs",
 )
+
+
+# BFS blast radius: seeds = every 29th document, bounded hop count
+BFS_SEED_MOD = 29
+BFS_MAX_HOPS = 4
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first hop distance from a seed set over the
+    near-dup pair graph — the "contamination blast radius" traversal
+    (operators/graph.py::bfs_hops): frontier equi-joins + anti-join
+    against the visited set, lineage truncated per round, O(diameter)
+    rounds. The oracle replays it as a recursive transitive walk with a
+    hop bound and takes MIN(hop) — different algorithm, same
+    deterministic result (first BFS visit IS the minimum hop)."""
+    from monster_etl_spark.operators.graph import bfs_hops
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+    seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_hops(pairs, seeds, max_hops=BFS_MAX_HOPS).select(
+        "node", F.col("hop").cast("int").alias("hop")
+    )
+
+
+BFS_HOPS_SQL = f"""
+WITH RECURSIVE jp AS ({JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jp
+),
+walk(node, hop) AS (
+  SELECT doc_id AS node, 0 AS hop FROM documents WHERE doc_id % {BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.b, w.hop + 1 FROM walk w JOIN edges e ON w.node = e.a
+  WHERE w.hop < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(hop) AS INT) AS hop FROM walk GROUP BY node
+"""
+
+QUERIES["graph_bfs_hops"] = QuerySpec(
+    graph_bfs_hops,
+    BFS_HOPS_SQL,
+    "bounded BFS hop distance from seeds over the near-dup graph",
+)

@@ -119,3 +119,30 @@ def test_pagerank_reliable_checkpoint_matches(spark, tmp_path):
         ).collect()
     }
     assert a == b
+
+
+def test_bfs_hops_chain_cycle_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from monster_etl_spark.operators.graph import bfs_hops
+
+    # chain 1-2-3-4-5-6 plus a cycle 10-11-12-10 and an isolated seed 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12), (12, 10)],
+        "doc_a long, doc_b long",
+    )
+    seeds = spark.createDataFrame([(1,), (10,), (99,)], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(pairs, seeds, max_hops=3).collect()}
+    assert got == {
+        1: 0, 10: 0, 99: 0,          # seeds, isolated one included
+        2: 1, 11: 1, 12: 1,          # cycle reached both ways at hop 1
+        3: 2, 4: 3,                  # chain cut off by max_hops=3 (5,6 absent)
+    }
+    # first visit wins over a longer alternative path
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long")
+    s1 = spark.createDataFrame([(1,)], "node long")
+    got2 = {r["node"]: r["hop"] for r in bfs_hops(tri, s1, max_hops=5).collect()}
+    assert got2 == {1: 0, 2: 1, 3: 1}
+    # early exit: empty frontier long before max_hops (no error, same result)
+    got3 = {r["node"]: r["hop"] for r in bfs_hops(tri, s1, max_hops=50).collect()}
+    assert got3 == got2
