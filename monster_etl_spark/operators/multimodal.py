@@ -380,11 +380,13 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
     """
     from monster_etl_spark.operators.gif import _build_gif_codec
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
+    from monster_etl_spark.operators.tiff import _build_tiff_codec
 
     # built at driver; the returned closures are locally defined, so
     # cloudpickle ships them wholesale inside _worker (by value)
     jpeg_decode_local = _build_jpeg_codec()["decode"]
     gif_decode_local = _build_gif_codec()["decode"]
+    tiff_decode_local = _build_tiff_codec()["decode"]
 
     def _worker(batches):
         import pandas as pd
@@ -465,6 +467,8 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
                     d = jpeg_decode_local(bytes(c))
                 if d is None:
                     d = gif_decode_local(bytes(c))
+                if d is None:
+                    d = tiff_decode_local(bytes(c))
                 if d is None:
                     for k in ("width", "height", "channels", "mean_intensity",
                               "min_intensity", "max_intensity"):
@@ -971,6 +975,40 @@ def documents_as_adpcm_media(
                             sample_rate,
                             block_bytes,
                         )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return documents.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(_worker, schema="media_id long, content binary")
+
+
+def documents_as_tiff_media(
+    documents: DataFrame, width: int = 32, rows_per_strip: int = 8
+) -> DataFrame:
+    """Adapter: each document's UTF-8 bytes become a real gray8 TIFF
+    (LZW-compressed with the horizontal-differencing predictor,
+    multi-strip at the default ``rows_per_strip`` so strip assembly is
+    exercised), zero-padded to ``width``-wide rows — the SAME pixel
+    layout as ``documents_as_png_media``, and TIFF is lossless, so the
+    PNG analytic oracle applies verbatim while the decode path runs
+    IFD/strip/TIFF-LZW/predictor for real. Blobs born on executors;
+    encoder ships by value."""
+    from monster_etl_spark.operators.tiff import _build_tiff_codec
+
+    encode_local = _build_tiff_codec()["encode_gray8"]
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": [
+                        encode_local(bytes(t, "utf-8"), width, rows_per_strip, 5, 2)
                         for t in pdf["text"]
                     ],
                 }

@@ -1,0 +1,361 @@
+"""TIFF codec in pure stdlib Python (TIFF 6.0 baseline, gray8/RGB8).
+
+Rounds out the image tier (PNG / baseline+progressive JPEG / GIF) with
+the scan/scientific-corpus container. Everything here is from the
+public TIFF 6.0 specification:
+
+- ``tiff_decode``: both byte orders (``II``/``MM``), IFD walk with
+  inline-or-offset values, strip assembly (``RowsPerStrip`` /
+  ``StripOffsets`` / ``StripByteCounts``), compressions 1 (none),
+  5 (LZW — the TIFF variant: MSB-first codes, early code-width change
+  one step before the GIF rule, Clear/EOI), 32773 (PackBits), and the
+  horizontal-differencing predictor (tag 317 = 2) undone per row per
+  sample. 8-bit grayscale (PhotometricInterpretation 1) and RGB
+  (2, chunky planar config). Returns ``(width, height, channels,
+  pixel bytes)`` — the ``png_decode`` contract — or ``None`` on
+  malformed/out-of-scope input (the never-raise media contract).
+- ``tiff_encode_gray8``: little-endian gray8 writer with LZW +
+  predictor-2 and configurable rows-per-strip (multi-strip files by
+  default) for fixtures and the registry adapter. Lossless, so the
+  registry query reuses the analytic PNG oracle verbatim while the
+  decode path exercises IFDs, strips, TIFF-LZW and the predictor.
+
+The LZW early-change rule is the documented TIFF deviation from GIF:
+code width bumps when the NEXT entry would be 511/1023/2047 (one
+earlier than the GIF table sizes) — both sides here implement it, and
+the round-trip tests force table growth across all three boundaries.
+
+Defined inside ``_build_tiff_codec`` for by-value closure shipping.
+"""
+
+from __future__ import annotations
+
+
+def _build_tiff_codec():
+    import struct
+
+    CLEAR, EOI, FIRST = 256, 257, 258
+
+    # ---- TIFF-variant LZW ------------------------------------------------
+    def lzw_encode(data):
+        out = bytearray()
+        acc = nbits = 0
+
+        def emit(code, width):
+            nonlocal acc, nbits
+            acc = (acc << width) | code
+            nbits += width
+            while nbits >= 8:
+                nbits -= 8
+                out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+
+        table = {bytes([i]): i for i in range(256)}
+        nxt, width = FIRST, 9
+        emit(CLEAR, width)
+        w = b""
+        for byte in data:
+            wc = w + bytes([byte])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w], width)
+            table[wc] = nxt
+            nxt += 1
+            # early change: bump when the next code to be WRITTEN would
+            # not fit, i.e. one entry before the GIF rule
+            if nxt == (1 << width) - 1 and width < 12:
+                width += 1
+            if nxt >= 4094:
+                emit(CLEAR, width)
+                table = {bytes([i]): i for i in range(256)}
+                nxt, width = FIRST, 9
+            w = bytes([byte])
+        if w:
+            emit(table[w], width)
+        emit(EOI, width)
+        if nbits:
+            emit(0, 8 - nbits)  # flush
+        return bytes(out)
+
+    def lzw_decode(data):
+        pos = 0  # bit position
+        total = 8 * len(data)
+
+        def read(width):
+            nonlocal pos
+            if pos + width > total:
+                raise ValueError("lzw truncated")
+            v = 0
+            p = pos
+            for _ in range(width):
+                v = (v << 1) | ((data[p >> 3] >> (7 - (p & 7))) & 1)
+                p += 1
+            pos = p
+            return v
+
+        out = bytearray()
+        table: list = []
+        width = 9
+        prev = None
+        while True:
+            code = read(width)
+            if code == EOI:
+                break
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("lzw: first code after clear not literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("lzw: code out of range")
+            out += entry
+            # the decoder's table lags the encoder's by ONE entry (the
+            # KwKwK lag), so the early-change bump lands at maxcode-2
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+            prev = entry
+        return bytes(out)
+
+    # ---- PackBits --------------------------------------------------------
+    def packbits_encode(data):
+        out = bytearray()
+        i = 0
+        n = len(data)
+        while i < n:
+            run = 1
+            while i + run < n and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                out.append(257 - run & 0xFF)
+                out.append(data[i])
+                i += run
+                continue
+            lit_start = i
+            i += run
+            while i < n and i - lit_start < 128:
+                run = 1
+                while i + run < n and run < 3 and data[i + run] == data[i]:
+                    run += 1
+                if run >= 3:
+                    break
+                i += 1
+            out.append(i - lit_start - 1)
+            out += data[lit_start:i]
+        return bytes(out)
+
+    def packbits_decode(data):
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            n = data[i]
+            i += 1
+            if n < 128:
+                out += data[i : i + n + 1]
+                i += n + 1
+            elif n > 128:
+                out += bytes([data[i]]) * (257 - n)
+                i += 1
+            # n == 128: noop
+        return bytes(out)
+
+    # ---- container -------------------------------------------------------
+    def encode_gray8(pixels, width, rows_per_strip=8, compression=5, predictor=2):
+        """Little-endian gray8 TIFF; zero-pads to full rows. compression:
+        1 none, 5 LZW, 32773 PackBits; predictor 2 only valid with LZW."""
+        height = max(1, -(-len(pixels) // width))
+        padded = bytes(pixels).ljust(width * height, b"\x00")
+        strips = []
+        for y0 in range(0, height, rows_per_strip):
+            rows = padded[y0 * width : min(y0 + rows_per_strip, height) * width]
+            if compression == 5 and predictor == 2:
+                diffed = bytearray()
+                for r0 in range(0, len(rows), width):
+                    row = rows[r0 : r0 + width]
+                    diffed.append(row[0])
+                    for x in range(1, len(row)):
+                        diffed.append((row[x] - row[x - 1]) & 0xFF)
+                rows = bytes(diffed)
+            if compression == 5:
+                strips.append(lzw_encode(rows))
+            elif compression == 32773:
+                strips.append(packbits_encode(rows))
+            else:
+                strips.append(rows)
+        n_strips = len(strips)
+
+        def entry(tag, typ, cnt, val):
+            return struct.pack("<HHI4s", tag, typ, cnt, val)
+
+        def short(v):
+            return struct.pack("<H", v) + b"\x00\x00"
+
+        def long_(v):
+            return struct.pack("<I", v)
+
+        # layout: header(8) + IFD + [offsets arrays] + strip data
+        tags = 10 if (compression == 5 and predictor == 2) else 9
+        ifd_size = 2 + 12 * tags + 4
+        arrays_at = 8 + ifd_size
+        arr = b""
+        if n_strips > 1:
+            strip_off_at = arrays_at
+            strip_cnt_at = arrays_at + 4 * n_strips
+            data_at = strip_cnt_at + 4 * n_strips
+        else:
+            data_at = arrays_at
+        offsets = []
+        counts = []
+        at = data_at
+        for s in strips:
+            offsets.append(at)
+            counts.append(len(s))
+            at += len(s)
+        if n_strips > 1:
+            arr = b"".join(struct.pack("<I", o) for o in offsets) + b"".join(
+                struct.pack("<I", c) for c in counts
+            )
+            off_val, cnt_val = long_(strip_off_at), long_(strip_cnt_at)
+        else:
+            off_val, cnt_val = long_(offsets[0]), long_(counts[0])
+        e = [
+            entry(256, 4, 1, long_(width)),
+            entry(257, 4, 1, long_(height)),
+            entry(258, 3, 1, short(8)),
+            entry(259, 3, 1, short(compression)),
+            entry(262, 3, 1, short(1)),  # BlackIsZero
+            entry(273, 4, n_strips, off_val),
+            entry(277, 3, 1, short(1)),
+            entry(278, 3, 1, short(rows_per_strip)),
+            entry(279, 4, n_strips, cnt_val),
+        ]
+        if tags == 10:
+            e.append(entry(317, 3, 1, short(2)))
+        e.sort(key=lambda b: struct.unpack("<H", b[:2])[0])  # tags ascending
+        ifd = struct.pack("<H", len(e)) + b"".join(e) + long_(0)
+        return b"II*\x00" + long_(8) + ifd + arr + b"".join(strips)
+
+    def decode(b):
+        try:
+            return _decode(bytes(b))
+        except Exception:
+            return None
+
+    def _decode(b):
+        if len(b) < 8:
+            return None
+        if b[:2] == b"II":
+            en = "<"
+        elif b[:2] == b"MM":
+            en = ">"
+        else:
+            return None
+        if struct.unpack(en + "H", b[2:4])[0] != 42:
+            return None
+        ifd_off = struct.unpack(en + "I", b[4:8])[0]
+        n = struct.unpack(en + "H", b[ifd_off : ifd_off + 2])[0]
+        TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
+        tags = {}
+        for k in range(n):
+            at = ifd_off + 2 + 12 * k
+            tag, typ, cnt = struct.unpack(en + "HHI", b[at : at + 8])
+            if typ not in TYPE_SIZE:
+                continue
+            size = TYPE_SIZE[typ] * cnt
+            src = at + 8 if size <= 4 else struct.unpack(en + "I", b[at + 8 : at + 12])[0]
+            raw = b[src : src + size]
+            if typ == 3:
+                vals = list(struct.unpack(en + f"{cnt}H", raw))
+            elif typ == 4:
+                vals = list(struct.unpack(en + f"{cnt}I", raw))
+            else:
+                vals = list(raw)
+            tags[tag] = vals
+        width = tags.get(256, [0])[0]
+        height = tags.get(257, [0])[0]
+        if not width or not height:
+            return None
+        spp = tags.get(277, [1])[0]
+        bits = tags.get(258, [8] * spp)
+        if any(v != 8 for v in bits) or spp not in (1, 3):
+            return None
+        photo = tags.get(262, [1])[0]
+        if photo not in (1, 2):
+            return None
+        if tags.get(284, [1])[0] != 1:
+            return None  # planar configs beyond chunky out of scope
+        comp = tags.get(259, [1])[0]
+        pred = tags.get(317, [1])[0]
+        offsets = tags.get(273)
+        if offsets is None:
+            return None
+        rps = tags.get(278, [height])[0]
+        counts = tags.get(279)
+        if counts is None or len(counts) != len(offsets):
+            return None
+        row_bytes = width * spp
+        out = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            chunk = b[off : off + cnt]
+            if len(chunk) < cnt:
+                raise ValueError("strip truncated")
+            if comp == 1:
+                raw = chunk
+            elif comp == 5:
+                raw = lzw_decode(chunk)
+            elif comp == 32773:
+                raw = packbits_decode(chunk)
+            else:
+                return None
+            rows_here = min(rps, height - si * rps)
+            raw = raw[: rows_here * row_bytes]
+            if pred == 2:
+                und = bytearray(raw)
+                for r0 in range(0, len(und), row_bytes):
+                    for x in range(spp, min(row_bytes, len(und) - r0)):
+                        und[r0 + x] = (und[r0 + x] + und[r0 + x - spp]) & 0xFF
+                raw = bytes(und)
+            out += raw
+        if len(out) < width * height * spp:
+            raise ValueError("pixel data short")
+        return width, height, spp, bytes(out[: width * height * spp])
+
+    return {
+        "encode_gray8": encode_gray8,
+        "decode": decode,
+        "_lzw_encode": lzw_encode,
+        "_lzw_decode": lzw_decode,
+        "_packbits_encode": packbits_encode,
+        "_packbits_decode": packbits_decode,
+    }
+
+
+_CODEC = None
+
+
+def _codec():
+    global _CODEC
+    if _CODEC is None:
+        _CODEC = _build_tiff_codec()
+    return _CODEC
+
+
+def tiff_decode(b: bytes):
+    """Driver-side convenience wrapper; workers capture the closure from
+    ``_build_tiff_codec()`` directly for by-value shipping."""
+    return _codec()["decode"](b)
+
+
+def tiff_encode_gray8(pixels, width: int, rows_per_strip: int = 8,
+                      compression: int = 5, predictor: int = 2) -> bytes:
+    return _codec()["encode_gray8"](pixels, width, rows_per_strip, compression, predictor)

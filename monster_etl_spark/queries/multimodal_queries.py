@@ -25,6 +25,7 @@ from monster_etl_spark.operators.multimodal import (
     documents_as_media,
     documents_as_mjpeg_media,
     documents_as_png_media,
+    documents_as_tiff_media,
     documents_as_wav_media,
     extract_audio_stats,
     extract_gif_frame_stats,
@@ -427,6 +428,23 @@ FROM b
 """
 
 
+def multimodal_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF encode -> decode round-trip, fully distributed: each
+    document becomes a multi-strip gray8 TIFF compressed with TIFF-LZW
+    (early-change variant) + the horizontal-differencing predictor, then
+    the pure-stdlib decoder walks the IFD, reassembles strips and undoes
+    the predictor. Same pixel layout as the PNG adapter and TIFF is
+    lossless, so PNG_PIXEL_SQL applies VERBATIM — a hash match proves
+    IFD parsing, strip assembly, the LZW variant and the predictor all
+    reconstruct exact pixels."""
+    media = documents_as_tiff_media(load(spark, sf_dir, "documents"), width=_PNG_W)
+    return extract_pixel_stats(media).select(
+        "media_id", "width", "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "min_intensity", "max_intensity", "decoded",
+    )
+
+
 def multimodal_flac_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL FLAC encode -> decode round-trip, fully distributed: each
     document byte becomes one mono 16-bit sample ((cp-128)*256), FLAC-
@@ -760,6 +778,11 @@ QUERIES = {
         s8_avro_roundtrip,
         S8_AVRO_SQL,
         "Avro OCF fixtures read back through the jar-less fallback source",
+    ),
+    "multimodal_tiff_pixel_stats": QuerySpec(
+        multimodal_tiff_pixel_stats,
+        PNG_PIXEL_SQL,
+        "real TIFF (LZW+predictor, multi-strip) round-trip, PNG oracle reused verbatim",
     ),
     "multimodal_flac_sample_stats": QuerySpec(
         multimodal_flac_sample_stats,
