@@ -19,8 +19,10 @@ These decode tiers work without them:
   spectral selection / successive approximation, dequantize, IDCT,
   chroma upsampling, YCbCr->RGB; grayscale + 4:4:4/4:2:2/4:2:0) and for
   GIF (``operators/gif.py`` — LZW, interlacing, palettes, animated
-  timeline composition with disposal methods), both wired into
-  ``extract_pixel_stats`` as fallbacks when the blob is not a PNG;
+  timeline composition with disposal methods) and TIFF
+  (``operators/tiff.py`` — both byte orders, strips, TIFF-LZW,
+  PackBits, predictor), all wired into ``extract_pixel_stats`` as
+  fallbacks when the blob is not a PNG;
 - FULL AUDIO SAMPLE DECODE for RIFF WAV (``operators/wav.py``:
   8/16/24/32-bit PCM, IEEE float, G.711 mu-law/A-law, IMA ADPCM) and
   FLAC (``operators/flac.py``: Rice/FIXED/LPC subframes, stereo
