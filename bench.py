@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "multimodal_g711_ulaw_stats",
     "multimodal_adpcm_sample_stats",
     "multimodal_flac_sample_stats",
+    "multimodal_bmp_pixel_stats",
     "multimodal_tiff_pixel_stats",
 ]
 

@@ -19,10 +19,12 @@ These decode tiers work without them:
   spectral selection / successive approximation, dequantize, IDCT,
   chroma upsampling, YCbCr->RGB; grayscale + 4:4:4/4:2:2/4:2:0) and for
   GIF (``operators/gif.py`` — LZW, interlacing, palettes, animated
-  timeline composition with disposal methods) and TIFF
+  timeline composition with disposal methods), TIFF
   (``operators/tiff.py`` — both byte orders, strips, TIFF-LZW,
-  PackBits, predictor), all wired into ``extract_pixel_stats`` as
-  fallbacks when the blob is not a PNG;
+  PackBits, predictor) and BMP (``operators/bmp.py`` — core/info DIB
+  headers, 1/4/8/16/24/32-bit, RLE8/RLE4, bitfields, top-down), all
+  wired into ``extract_pixel_stats`` as fallbacks when the blob is not
+  a PNG;
 - FULL AUDIO SAMPLE DECODE for RIFF WAV (``operators/wav.py``:
   8/16/24/32-bit PCM, IEEE float, G.711 mu-law/A-law, IMA ADPCM) and
   FLAC (``operators/flac.py``: Rice/FIXED/LPC subframes, stereo
@@ -380,6 +382,7 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
     ``operators/jpeg._build_jpeg_codec`` — both ship by value) like
     ``extract_image_features``.
     """
+    from monster_etl_spark.operators.bmp import _build_bmp_codec
     from monster_etl_spark.operators.gif import _build_gif_codec
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
     from monster_etl_spark.operators.tiff import _build_tiff_codec
@@ -389,6 +392,7 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
     jpeg_decode_local = _build_jpeg_codec()["decode"]
     gif_decode_local = _build_gif_codec()["decode"]
     tiff_decode_local = _build_tiff_codec()["decode"]
+    bmp_decode_local = _build_bmp_codec()["decode"]
 
     def _worker(batches):
         import pandas as pd
@@ -471,6 +475,8 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
                     d = gif_decode_local(bytes(c))
                 if d is None:
                     d = tiff_decode_local(bytes(c))
+                if d is None:
+                    d = bmp_decode_local(bytes(c))
                 if d is None:
                     for k in ("width", "height", "channels", "mean_intensity",
                               "min_intensity", "max_intensity"):
@@ -1012,6 +1018,37 @@ def documents_as_tiff_media(
                     "content": [
                         encode_local(bytes(t, "utf-8"), width, rows_per_strip, 5, 2)
                         for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return documents.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(_worker, schema="media_id long, content binary")
+
+
+def documents_as_bmp_media(documents: DataFrame, width: int = 32) -> DataFrame:
+    """Adapter: each document's UTF-8 bytes become a real 8-bit
+    identity-grayscale-palette BMP, zero-padded to ``width``-wide rows —
+    the SAME pixel layout as ``documents_as_png_media``, and BMP is
+    lossless, so the PNG analytic oracle applies verbatim. Odd doc_ids
+    ride ``BI_RLE8`` and even ones the raw bottom-up path, so one corpus
+    exercises both the run-length and stride/flip machinery. Blobs born
+    on executors; encoder ships by value."""
+    from monster_etl_spark.operators.bmp import _build_bmp_codec
+
+    encode_local = _build_bmp_codec()["encode_gray8"]
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": [
+                        encode_local(bytes(t, "utf-8"), width, bool(int(m) % 2))
+                        for m, t in zip(pdf["media_id"], pdf["text"])
                     ],
                 }
             )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from monster_etl_spark.operators.multimodal import (
     documents_as_adpcm_media,
     documents_as_animated_gif_media,
+    documents_as_bmp_media,
     documents_as_flac_media,
     documents_as_g711_media,
     documents_as_gif_media,
@@ -213,6 +214,46 @@ FROM documents
 WHERE doc_id < {_S8_MAX_ID}
 """
 
+
+
+_S9_SCRATCH = scratch_path("s9_orc")
+_S9_MAX_ID = 120
+
+
+def s9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source driven end-to-end through Spark's NATIVE reader/writer
+    (ORC ships in the Spark distribution — no extra jar, unlike Avro):
+    a documents slice is written as a ``lang``-partitioned ORC dataset
+    on executors (a real distributed write, not driver-built fixtures),
+    then read back with a partition filter so the scan must prune
+    directories AND reconstruct the partition column from the path. The
+    oracle derives everything from the documents table, so a hash match
+    proves write/read fidelity, Hive-style partition discovery, and
+    that the pruning filter dropped exactly the non-matching langs."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _S9_MAX_ID)
+        .select("doc_id", "text", "lang")
+    )
+    docs.write.mode("overwrite").partitionBy("lang").orc(_S9_SCRATCH)
+    from monster_etl_spark.sources.columnar import read_orc
+
+    return (
+        read_orc(spark, _S9_SCRATCH)
+        .filter(F.col("lang") != "de")
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            "lang",
+        )
+    )
+
+
+S9_ORC_SQL = f"""
+SELECT doc_id, length(text) AS n_chars, lang
+FROM documents
+WHERE doc_id < {_S9_MAX_ID} AND lang <> 'de'
+"""
 
 
 _AUDIO_SR = 16000
@@ -438,6 +479,23 @@ def multimodal_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     IFD parsing, strip assembly, the LZW variant and the predictor all
     reconstruct exact pixels."""
     media = documents_as_tiff_media(load(spark, sf_dir, "documents"), width=_PNG_W)
+    return extract_pixel_stats(media).select(
+        "media_id", "width", "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "min_intensity", "max_intensity", "decoded",
+    )
+
+
+def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP encode -> decode round-trip, fully distributed: each
+    document becomes an 8-bit identity-grayscale-palette BMP — odd
+    doc_ids BI_RLE8-compressed, even ones raw bottom-up — and the
+    pure-stdlib decoder resolves file/DIB headers, palette quads,
+    4-byte scanline padding, row flipping and the RLE escape codes
+    back to exact pixels. Same pixel layout as the PNG adapter and BMP
+    is lossless, so PNG_PIXEL_SQL applies VERBATIM; a hash match over
+    the mixed corpus proves BOTH the raw and run-length paths."""
+    media = documents_as_bmp_media(load(spark, sf_dir, "documents"), width=_PNG_W)
     return extract_pixel_stats(media).select(
         "media_id", "width", "height",
         F.round("mean_intensity", 6).alias("mean_intensity"),
@@ -779,10 +837,20 @@ QUERIES = {
         S8_AVRO_SQL,
         "Avro OCF fixtures read back through the jar-less fallback source",
     ),
+    "s9_orc_roundtrip": QuerySpec(
+        s9_orc_roundtrip,
+        S9_ORC_SQL,
+        "native ORC partitioned write -> pruned read round-trip",
+    ),
     "multimodal_tiff_pixel_stats": QuerySpec(
         multimodal_tiff_pixel_stats,
         PNG_PIXEL_SQL,
         "real TIFF (LZW+predictor, multi-strip) round-trip, PNG oracle reused verbatim",
+    ),
+    "multimodal_bmp_pixel_stats": QuerySpec(
+        multimodal_bmp_pixel_stats,
+        PNG_PIXEL_SQL,
+        "real BMP (raw + RLE8 mixed corpus) round-trip, PNG oracle reused verbatim",
     ),
     "multimodal_flac_sample_stats": QuerySpec(
         multimodal_flac_sample_stats,

@@ -49,12 +49,28 @@ def test_csv_roundtrip(spark, orders, tmp_path):
     assert set(back.columns) == set(orders.columns)
 
 
-def test_avro_gated(spark):
-    # spark-avro is an external jar; either path must behave cleanly
+def test_avro_gated(spark, tmp_path):
+    # spark-avro is an external jar; without it read_avro must DISPATCH to
+    # the pure-stdlib OCF fallback (sources/avro_py), not fail — and a
+    # missing path must surface as a clean path error on either engine
     if avro_available(spark):
         pytest.skip("avro present; gating path not exercised")
-    with pytest.raises(NotImplementedError):
-        read_avro(spark, "/tmp/nope.avro")
+    import json
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from monster_etl_spark.sources.avro_py import avro_write_blob
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    p = tmp_path / "one.avro"
+    p.write_bytes(avro_write_blob(json.loads(json.dumps(schema)), [{"k": 7}], "null"))
+    assert [r["k"] for r in read_avro(spark, str(p)).collect()] == [7]
+    with pytest.raises(AnalysisException):
+        read_avro(spark, "/tmp/nope-does-not-exist.avro")
 
 
 def test_overwrite_partitions_touches_only_written_keys(spark, tmp_path):
@@ -86,3 +102,23 @@ def test_overwrite_partitions_touches_only_written_keys(spark, tmp_path):
     }, got
     # conf restored to its prior value
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
+
+
+def test_orc_partition_pruning_and_pushdown(spark, orders, tmp_path):
+    """The s9 registry shape: lang-style partitioned ORC write, pruned
+    read. The physical scan must show (a) partition filters — pruning
+    happens at planning, non-matching directories are never listed into
+    tasks — and (b) the non-partition predicate pushed to the ORC reader."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "orc_parts")
+    orders.limit(500).write.mode("overwrite").partitionBy("o_orderstatus").orc(out)
+    df = read_orc(spark, out).filter(
+        (F.col("o_orderstatus") != "F") & (F.col("o_totalprice") > 1000.0)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
+    # and the values really are pruned/filtered
+    got = df.select("o_orderstatus").distinct().collect()
+    assert all(r["o_orderstatus"] != "F" for r in got)
