@@ -60,10 +60,61 @@ def _build_avi_codec():
         body = b"AVI " + hdrl + movi + idx1
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
+    def encode_dib(frames, width, height, fps=10):
+        """Single-video-stream AVI with UNCOMPRESSED frames: each entry
+        of ``frames`` is ``width*height`` top-down grayscale bytes,
+        stored as bottom-up 24-bit BGR DIB rows (4-byte stride padding)
+        in ``00db`` chunks — the ``BI_RGB`` raw-video layout."""
+        stride = (3 * width + 3) & ~3
+        movi_items = b""
+        idx = b""
+        offset = 4
+        for f in frames:
+            rows = []
+            for y in range(height - 1, -1, -1):  # bottom-up
+                row = bytearray()
+                for x in range(width):
+                    v = f[y * width + x]
+                    row += bytes((v, v, v))
+                rows.append(bytes(row).ljust(stride, b"\x00"))
+            data = b"".join(rows)
+            movi_items += b"00db" + struct.pack("<I", len(data)) + data
+            idx += b"00db" + struct.pack("<III", 0x10, offset, len(data))
+            offset += 8 + len(data)
+        movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" + movi_items
+        usec_per_frame = int(1_000_000 / max(1, fps))
+        avih = b"avih" + struct.pack(
+            "<I14I",
+            56,
+            usec_per_frame, 0, 0, 0x10, len(frames), 0, 1, 0,
+            width, height, 0, 0, 0, 0,
+        )
+        strh = b"strh" + struct.pack(
+            "<I4s4sIHHIIIIIIIIhhhh",
+            56, b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames),
+            0, 0xFFFFFFFF, 0, 0, 0, width, height,
+        )
+        strf = b"strf" + struct.pack(
+            "<II2i2H6I", 40, 40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0
+        )
+        strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+        hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+        idx1 = b"idx1" + struct.pack("<I", len(idx)) + idx
+        body = b"AVI " + hdrl + movi + idx1
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
     def frames(b):
         """-> (fps_or_None, [compressed frame bytes]) or None."""
+        ex = frames_ex(b)
+        return None if ex is None else (ex[0], ex[2])
+
+    def frames_ex(b):
+        """-> (fps_or_None, fmt_or_None, [frame chunk bytes]) or None.
+        ``fmt`` is the first ``vids`` stream's BITMAPINFOHEADER summary:
+        ``{"compression": int, "width": int, "height": int, "bpp": int}``
+        (compression 0 = BI_RGB raw DIB, else a fourcc like MJPG)."""
         try:
-            return _frames(bytes(b))
+            return _frames_ex(bytes(b))
         except Exception:
             return None
 
@@ -79,10 +130,41 @@ def _build_avi_codec():
                 out.append(b[body_start : body_start + ln])
             i = body_start + ln + (ln & 1)
 
-    def _frames(b):
+    def _walk_hdrl(b, start, end, state):
+        i = start
+        while i + 8 <= end:
+            tag = b[i : i + 4]
+            ln = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            body_start = i + 8
+            if tag == b"avih":
+                upf = struct.unpack("<I", b[body_start : body_start + 4])[0]
+                if upf:
+                    state["fps"] = round(1_000_000 / upf, 3)
+            elif tag == b"LIST" and b[body_start : body_start + 4] == b"strl":
+                j = body_start + 4
+                is_vids = False
+                while j + 8 <= body_start + ln - 4:
+                    ctag = b[j : j + 4]
+                    cln = struct.unpack("<I", b[j + 4 : j + 8])[0]
+                    if ctag == b"strh":
+                        is_vids = b[j + 8 : j + 12] == b"vids"
+                    elif ctag == b"strf" and is_vids and state["fmt"] is None and cln >= 40:
+                        (_sz, w, h, _planes, bpp, comp) = struct.unpack(
+                            "<IiiHHI", b[j + 8 : j + 28]
+                        )
+                        state["fmt"] = {
+                            "compression": comp,
+                            "width": w,
+                            "height": abs(h),
+                            "bpp": bpp,
+                        }
+                    j += 8 + cln + (cln & 1)
+            i = body_start + ln + (ln & 1)
+
+    def _frames_ex(b):
         if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
             return None
-        fps = None
+        state = {"fps": None, "fmt": None}
         out = []
         i = 12
         while i + 8 <= len(b):
@@ -94,17 +176,18 @@ def _build_avi_codec():
                 if kind == b"movi":
                     _walk_movi(b, body_start + 4, body_start + ln - 4, out)
                 elif kind == b"hdrl":
-                    j = body_start + 4
-                    if b[j : j + 4] == b"avih":
-                        upf = struct.unpack("<I", b[j + 8 : j + 12])[0]
-                        if upf:
-                            fps = round(1_000_000 / upf, 3)
+                    _walk_hdrl(b, body_start + 4, body_start + ln - 4, state)
             i = body_start + ln + (ln & 1)
         if not out:
             return None
-        return fps, out
+        return state["fps"], state["fmt"], out
 
-    return {"encode_mjpeg": encode_mjpeg, "frames": frames}
+    return {
+        "encode_mjpeg": encode_mjpeg,
+        "encode_dib": encode_dib,
+        "frames": frames,
+        "frames_ex": frames_ex,
+    }
 
 
 _CODEC = None
@@ -125,3 +208,14 @@ def avi_mjpeg_frames(b: bytes):
 
 def avi_encode_mjpeg(frames, width: int, height: int, fps: int = 10) -> bytes:
     return _codec()["encode_mjpeg"](frames, width, height, fps)
+
+
+def avi_frames_ex(b: bytes):
+    """Like ``avi_mjpeg_frames`` but also returns the video stream's
+    BITMAPINFOHEADER summary so raw-DIB chunks can be decoded."""
+    return _codec()["frames_ex"](b)
+
+
+def avi_encode_dib(frames, width: int, height: int, fps: int = 10) -> bytes:
+    """Uncompressed (BI_RGB 24-bit DIB) single-stream AVI writer."""
+    return _codec()["encode_dib"](frames, width, height, fps)

@@ -30,7 +30,9 @@ These decode tiers work without them:
   FLAC (``operators/flac.py``: Rice/FIXED/LPC subframes, stereo
   decorrelation, CRC+MD5 verified) -> ``extract_audio_stats``;
 - FULL VIDEO FRAME DECODE for MJPEG-in-AVI (``operators/avi.py`` RIFF
-  walker + the JPEG decoder -> ``extract_video_frame_stats``).
+  walker + the JPEG decoder) and uncompressed BI_RGB DIB-in-AVI (raw
+  bottom-up BGR frames, dims taken from the stream header) ->
+  ``extract_video_frame_stats``.
 
 Content that is none of the above falls back to the clearly-marked
 deterministic fake (the synthetic corpus is text bytes); MPEG
@@ -708,21 +710,43 @@ VIDEO_FRAME_SCHEMA = T.StructType(
 
 
 def extract_video_frame_stats(media: DataFrame) -> DataFrame:
-    """REAL video frame decode for MJPEG-in-AVI content: the RIFF/AVI
-    walker (``operators/avi.py``) yields each frame's compressed bytes,
-    the baseline JPEG decoder (``operators/jpeg.py``) yields its pixels —
-    one output row PER FRAME with dimensions and mean intensity. A blob
-    that is not an AVI (or an AVI whose codec is not MJPEG) yields one
-    ``decoded=false`` row — the media-codec contract. Pure stdlib, no
-    codec library; Arrow-batched ``mapInPandas``, blobs never shuffle."""
+    """REAL video frame decode for MJPEG-in-AVI and uncompressed
+    (BI_RGB 24-bit DIB) AVI content: the RIFF/AVI walker
+    (``operators/avi.py``) yields each frame's chunk bytes plus the
+    stream's BITMAPINFOHEADER; MJPEG chunks go through the baseline JPEG
+    decoder (``operators/jpeg.py``), raw-DIB chunks are header-driven
+    (bottom-up BGR rows, 4-byte stride) — one output row PER FRAME with
+    dimensions and mean intensity. A blob that is not an AVI (or whose
+    codec is neither) yields one ``decoded=false`` row — the media-codec
+    contract. Pure stdlib, no codec library; Arrow-batched
+    ``mapInPandas``, blobs never shuffle."""
     from monster_etl_spark.operators.avi import _build_avi_codec
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
 
-    avi_frames_local = _build_avi_codec()["frames"]
+    avi_frames_ex_local = _build_avi_codec()["frames_ex"]
     jpeg_decode_local = _build_jpeg_codec()["decode"]
 
     def _worker(batches):
         import pandas as pd
+
+        def dib_decode(fr, fmt):
+            # BI_RGB 24-bit DIB chunk: bottom-up BGR rows, 4-byte stride
+            if fmt["bpp"] != 24:
+                return None
+            w, h = fmt["width"], fmt["height"]
+            stride = (3 * w + 3) & ~3
+            if w <= 0 or h <= 0 or len(fr) != stride * h:
+                return None
+            px = bytearray(w * h * 3)
+            for y in range(h):
+                src = (h - 1 - y) * stride  # flip to top-down
+                for x in range(w):
+                    o = src + 3 * x
+                    p = 3 * (y * w + x)
+                    px[p] = fr[o + 2]
+                    px[p + 1] = fr[o + 1]
+                    px[p + 2] = fr[o]
+            return w, h, 3, bytes(px)
 
         for pdf in batches:
             rows = {k: [] for k in (
@@ -740,13 +764,14 @@ def extract_video_frame_stats(media: DataFrame) -> DataFrame:
                 rows["decoded"].append(ok)
 
             for mid, c in zip(pdf["media_id"].astype("int64"), pdf["content"]):
-                parsed = avi_frames_local(bytes(c))
+                parsed = avi_frames_ex_local(bytes(c))
                 if parsed is None:
                     emit(int(mid), None, None, None, None, None, False)
                     continue
-                fps, frames = parsed
+                fps, fmt, frames = parsed
+                raw = fmt is not None and fmt["compression"] == 0
                 for fid, fr in enumerate(frames):
-                    d = jpeg_decode_local(fr)
+                    d = dib_decode(fr, fmt) if raw else jpeg_decode_local(fr)
                     if d is None:
                         emit(int(mid), fid, fps, None, None, None, False)
                     else:
@@ -788,6 +813,46 @@ def documents_as_mjpeg_media(
                 pixels = b"".join(bytes([v]) * 8 for v in sl) * 8
                 frames.append(jpeg_encode_local(pixels, fb * 8, 1))
             return avi_encode_local(frames, fb * 8, 8, fps)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": [doc_to_avi(t) for t in pdf["text"]],
+                }
+            )
+
+    return documents.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(_worker, schema="media_id long, content binary")
+
+
+def documents_as_dib_avi_media(
+    documents: DataFrame, frame_bytes: int = 16, fps: int = 10
+) -> DataFrame:
+    """Adapter: pack each document's bytes into an UNCOMPRESSED
+    (BI_RGB 24-bit DIB) AVI clip — frame k holds bytes
+    [k*2*frame_bytes, (k+1)*2*frame_bytes) as a ``frame_bytes``-wide,
+    2-row grayscale image (each byte replicated across B,G,R), stored
+    bottom-up with stride padding, zero-padded in the final frame. Raw
+    frames are lossless, so per-frame stats are an analytic function of
+    code-point slices. Blobs born on executors; encoder ships by
+    value."""
+    from monster_etl_spark.operators.avi import _build_avi_codec
+
+    avi_encode_dib_local = _build_avi_codec()["encode_dib"]
+    fb = frame_bytes
+
+    def _worker(batches):
+        import pandas as pd
+
+        def doc_to_avi(text):
+            data = bytes(text, "utf-8")
+            per = 2 * fb  # 2 rows per frame
+            n_frames = max(1, -(-len(data) // per))
+            padded = data.ljust(n_frames * per, b"\x00")
+            frames = [padded[k * per : (k + 1) * per] for k in range(n_frames)]
+            return avi_encode_dib_local(frames, fb, 2, fps)
 
         for pdf in batches:
             yield pd.DataFrame(

@@ -19,6 +19,7 @@ from monster_etl_spark.operators.multimodal import (
     documents_as_adpcm_media,
     documents_as_animated_gif_media,
     documents_as_bmp_media,
+    documents_as_dib_avi_media,
     documents_as_flac_media,
     documents_as_g711_media,
     documents_as_gif_media,
@@ -765,6 +766,51 @@ FROM f
 """
 
 
+_DIB_FB = 16  # frame width in pixels; 2 rows/frame -> 32 bytes per frame
+_DIB_FPS = 10
+
+
+def multimodal_video_dib_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed-video frame decode, fully distributed — the
+    raw-DIB AVI path (video was MJPEG-only before): each document
+    becomes a BI_RGB 24-bit clip (frame k = bytes [k*32,(k+1)*32) as a
+    16x2 grayscale image, bottom-up rows with stride padding), and the
+    decoder must read the stream's BITMAPINFOHEADER from ``strl`` to
+    even know the dims — there is no per-frame header. The oracle
+    slices code points per frame; a hash-match proves header-driven raw
+    decode, the row flip and stride handling."""
+    media = documents_as_dib_avi_media(
+        load(spark, sf_dir, "documents"), frame_bytes=_DIB_FB, fps=_DIB_FPS
+    )
+    return extract_video_frame_stats(media).select(
+        "media_id", "frame_id", "fps", "width", "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "decoded",
+    )
+
+
+DIB_FRAME_SQL = f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+    list_transform(string_split(text, ''), c -> unicode(c)) AS s
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n, s, CAST(k AS BIGINT) AS frame_id
+  FROM b, unnest(range(0, CAST(greatest(ceil(n / {2 * _DIB_FB}.0), 1) AS BIGINT))) AS t(k)
+)
+SELECT doc_id AS media_id, frame_id,
+  CAST({_DIB_FPS} AS DOUBLE) AS fps,
+  CAST({_DIB_FB} AS INT) AS width,
+  CAST(2 AS INT) AS height,
+  round(coalesce(list_sum(s[frame_id * {2 * _DIB_FB} + 1 :
+                           least((frame_id + 1) * {2 * _DIB_FB}, n)]), 0)
+        / {2 * _DIB_FB}.0, 6) AS mean_intensity,
+  true AS decoded
+FROM f
+"""
+
+
 _GIF_FB = 16  # bytes per GIF frame band -> 128-wide canvas
 _GIF_DELAY = 5
 
@@ -826,6 +872,11 @@ QUERIES = {
         multimodal_video_frame_stats,
         VIDEO_FRAME_SQL,
         "real MJPEG-in-AVI frame decode, per-frame analytic oracle",
+    ),
+    "multimodal_video_dib_frame_stats": QuerySpec(
+        multimodal_video_dib_frame_stats,
+        DIB_FRAME_SQL,
+        "uncompressed (BI_RGB DIB) AVI frame decode, header-driven dims",
     ),
     "multimodal_wav_sample_stats": QuerySpec(
         multimodal_wav_sample_stats,

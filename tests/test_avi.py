@@ -61,3 +61,50 @@ def test_extract_video_frame_stats_mixed(spark):
     assert got[0].decoded and got[0].mean_intensity == 50.0 and got[0].fps == 4.0
     assert got[1].decoded and got[1].mean_intensity == 150.0 and got[1].frame_id == 1
     assert not got[2].decoded and got[2].frame_id is None
+
+
+def test_dib_roundtrip_flip_and_stride():
+    from monster_etl_spark.operators.avi import avi_encode_dib, avi_frames_ex
+
+    # asymmetric 5x2 frame: flip and stride padding both observable
+    top, bottom = bytes((1, 2, 3, 4, 5)), bytes((6, 7, 8, 9, 10))
+    b = avi_encode_dib([top + bottom], 5, 2, 25)
+    fps, fmt, chunks = avi_frames_ex(b)
+    assert fps == 25.0
+    assert fmt == {"compression": 0, "width": 5, "height": 2, "bpp": 24}
+    stride = (3 * 5 + 3) & ~3  # 16, not 15 — padded
+    (fr,) = chunks
+    assert len(fr) == stride * 2
+    # file stores bottom-up: stored row 0 is the visual BOTTOM row
+    assert fr[0:3] == bytes((6, 6, 6)) and fr[stride : stride + 3] == bytes((1, 1, 1))
+    assert fr[15] == 0  # stride pad byte
+
+
+def test_frames_ex_reports_mjpeg_fourcc():
+    from monster_etl_spark.operators.avi import avi_encode_mjpeg, avi_frames_ex
+    from monster_etl_spark.operators.jpeg import jpeg_encode_gray8
+
+    j = jpeg_encode_gray8(b"\x40" * 8 * 8, 8, 1)
+    _fps, fmt, chunks = avi_frames_ex(avi_encode_mjpeg([j], 8, 8, 10))
+    assert fmt["compression"] == 0x47504A4D and len(chunks) == 1  # 'MJPG'
+
+
+def test_extract_video_frame_stats_dib(spark):
+    from monster_etl_spark.operators.multimodal import (
+        documents_as_dib_avi_media,
+        extract_video_frame_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "A" * 32 + "B" * 16), (2, "")], "doc_id long, text string"
+    )
+    got = sorted(
+        extract_video_frame_stats(documents_as_dib_avi_media(docs, frame_bytes=16)).collect(),
+        key=lambda r: (r.media_id, r.frame_id),
+    )
+    assert [(r.media_id, r.frame_id) for r in got] == [(1, 0), (1, 1), (2, 0)]
+    assert got[0].decoded and (got[0].width, got[0].height) == (16, 2)
+    assert got[0].mean_intensity == float(ord("A"))
+    # frame 1: 16 'B's + 16 zero-pad bytes
+    assert got[1].mean_intensity == ord("B") * 16 / 32
+    assert got[2].decoded and got[2].mean_intensity == 0.0
