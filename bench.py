@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "multimodal_flac_sample_stats",
     "multimodal_bmp_pixel_stats",
     "multimodal_video_dib_frame_stats",
+    "multimodal_png_interlaced_stats",
     "multimodal_tiff_pixel_stats",
 ]
 

@@ -11,9 +11,11 @@ External media codecs (PIL/ffmpeg/torchaudio) are NOT in this container.
 These decode tiers work without them:
 
 - DIMENSIONS for PNG/JPEG/GIF from container headers (``_header_dims``);
-- FULL PIXEL DECODE for 8-bit non-interlaced PNG (``png_decode`` /
-  ``extract_pixel_stats``) — zlib inflate + the five scanline filters are
-  pure stdlib, so grayscale/RGB/RGBA PNGs decode to real pixels here;
+- FULL PIXEL DECODE for PNG (``operators/png.py`` — the full common-web
+  subset: Adam7 interlace, palette, 1/2/4/8-bit depths, all five
+  scanline filters; ``png_decode`` here remains the original simple
+  8-bit non-interlaced decoder, ``extract_pixel_stats`` uses the full
+  codec);
 - FULL PIXEL DECODE for BASELINE + PROGRESSIVE JPEG
   (``operators/jpeg.py`` — huffman entropy decode incl. SOF2 multi-scan
   spectral selection / successive approximation, dequantize, IDCT,
@@ -291,12 +293,14 @@ def png_decode(b: bytes) -> "tuple[int, int, int, bytes] | None":
     """Real PNG pixel decode in pure stdlib Python: returns (width, height,
     channels, raw pixel bytes) or None if not a decodable PNG.
 
-    Supports the common web subset — 8-bit depth, color types 0 (gray),
+    Supports the simple subset — 8-bit depth, color types 0 (gray),
     2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced — with all five
     scanline filters (None/Sub/Up/Average/Paeth) reversed per the spec.
-    Palette (3), 16-bit, and Adam7 return None, as does any malformed
-    stream: a bad blob must never raise mid-batch at scale. JPEG/GIF pixel
-    decode genuinely needs entropy/DCT codecs and stays out of scope.
+    Palette (3), 16-bit, and Adam7 return None here, as does any
+    malformed stream: a bad blob must never raise mid-batch at scale.
+    ``operators/png.py`` carries the FULL decoder (Adam7, palette,
+    sub-byte depths) used by ``extract_pixel_stats``; this function is
+    kept as the stable minimal reference implementation.
     """
     import zlib
 
@@ -387,10 +391,12 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
     from monster_etl_spark.operators.bmp import _build_bmp_codec
     from monster_etl_spark.operators.gif import _build_gif_codec
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
+    from monster_etl_spark.operators.png import _build_png_codec
     from monster_etl_spark.operators.tiff import _build_tiff_codec
 
     # built at driver; the returned closures are locally defined, so
     # cloudpickle ships them wholesale inside _worker (by value)
+    decode = _build_png_codec()["decode"]  # full subset incl. Adam7/palette
     jpeg_decode_local = _build_jpeg_codec()["decode"]
     gif_decode_local = _build_gif_codec()["decode"]
     tiff_decode_local = _build_tiff_codec()["decode"]
@@ -398,65 +404,6 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
 
     def _worker(batches):
         import pandas as pd
-        import zlib
-
-        def decode(b):
-            # nested duplicate of png_decode (by-value shipping; see
-            # extract_image_features for the rationale)
-            if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
-                return None
-            width = int.from_bytes(b[16:20], "big")
-            height = int.from_bytes(b[20:24], "big")
-            depth, ctype, _comp, _filt, interlace = b[24:29]
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-            if depth != 8 or channels is None or interlace != 0 or not width or not height:
-                return None
-            idat = bytearray()
-            i = 8
-            try:
-                while i + 8 <= len(b):
-                    ln = int.from_bytes(b[i : i + 4], "big")
-                    tag = b[i + 4 : i + 8]
-                    if tag == b"IDAT":
-                        idat += b[i + 8 : i + 8 + ln]
-                    elif tag == b"IEND":
-                        break
-                    i += 12 + ln
-                raw = zlib.decompress(bytes(idat))
-            except Exception:
-                return None
-            stride = width * channels
-            if len(raw) != height * (stride + 1):
-                return None
-            out = bytearray(height * stride)
-            prev = bytearray(stride)
-            for y in range(height):
-                rs = y * (stride + 1)
-                ftype = raw[rs]
-                line = bytearray(raw[rs + 1 : rs + 1 + stride])
-                if ftype == 1:
-                    for x in range(channels, stride):
-                        line[x] = (line[x] + line[x - channels]) & 0xFF
-                elif ftype == 2:
-                    for x in range(stride):
-                        line[x] = (line[x] + prev[x]) & 0xFF
-                elif ftype == 3:
-                    for x in range(stride):
-                        a = line[x - channels] if x >= channels else 0
-                        line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-                elif ftype == 4:
-                    for x in range(stride):
-                        a = line[x - channels] if x >= channels else 0
-                        c = prev[x - channels] if x >= channels else 0
-                        p = a + prev[x] - c
-                        pa, pb, pc = abs(p - a), abs(p - prev[x]), abs(p - c)
-                        pred = a if (pa <= pb and pa <= pc) else (prev[x] if pb <= pc else c)
-                        line[x] = (line[x] + pred) & 0xFF
-                elif ftype != 0:
-                    return None
-                out[y * stride : (y + 1) * stride] = line
-                prev = line
-            return width, height, channels, bytes(out)
 
         for pdf in batches:
             rows = {
@@ -504,47 +451,31 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def documents_as_png_media(documents: DataFrame, width: int = 32) -> DataFrame:
+def documents_as_png_media(
+    documents: DataFrame, width: int = 32, interlaced: bool = False
+) -> DataFrame:
     """Adapter: encode each document's UTF-8 bytes as a real 8-bit
     grayscale PNG (zero-padded to ``width``-wide rows) so the pixel-decode
     path can be exercised — and oracle-checked — without binary fixtures
-    on disk. Encoding runs in the same Arrow ``mapInPandas`` shape as
-    decoding (blobs born on executors, never on the driver)."""
+    on disk. ``interlaced=True`` emits Adam7 pass-ordered streams (same
+    pixels, so the analytic oracle is unchanged while the decoder must
+    run the seven-pass scatter). Encoding runs in the same Arrow
+    ``mapInPandas`` shape as decoding (blobs born on executors, never on
+    the driver); the encoder closure ships by value."""
+    from monster_etl_spark.operators.png import _build_png_codec
+
+    encode_local = _build_png_codec()["encode_gray8"]
 
     def _worker(batches):
-        import struct
-        import zlib
-
         import pandas as pd
-
-        def encode(pixels, w):
-            # nested duplicate of png_encode_gray8 (by-value shipping)
-            h = max(1, -(-len(pixels) // w))
-            padded = pixels.ljust(w * h, b"\x00")
-            raw = b"".join(b"\x00" + padded[y * w : (y + 1) * w] for y in range(h))
-
-            def chunk(tag, body):
-                return (
-                    struct.pack(">I", len(body))
-                    + tag
-                    + body
-                    + struct.pack(">I", zlib.crc32(tag + body))
-                )
-
-            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-            return (
-                b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", zlib.compress(raw, 6))
-                + chunk(b"IEND", b"")
-            )
 
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
                     "content": [
-                        encode(bytes(t, "utf-8"), width) for t in pdf["text"]
+                        encode_local(bytes(t, "utf-8"), width, interlaced)
+                        for t in pdf["text"]
                     ],
                 }
             )

@@ -1,0 +1,245 @@
+"""PNG codec in pure stdlib Python — the full common-web subset.
+
+Supersedes the first-round inline decoder (which handled 8-bit
+non-interlaced gray/RGB/GA/RGBA only) with everything the PNG spec's
+common web profile needs:
+
+- ``png_decode``: bit depths 1/2/4/8 for grayscale (ctype 0) and
+  palette (ctype 3, PLTE expanded to RGB like the GIF/BMP decoders),
+  8-bit RGB / gray+alpha / RGBA (ctypes 2/4/6); all five scanline
+  filters (None/Sub/Up/Average/Paeth) with the byte-level bpp offset
+  the spec prescribes for sub-byte depths; and BOTH interlace methods —
+  null and **Adam7** (seven sub-images, each independently filtered,
+  scattered on the 8x8 grid). Sub-byte gray samples are scaled to
+  8-bit (``v * 255 / maxv``). 16-bit depth stays out of scope
+  (documented; returns ``None``). Returns ``(width, height, channels,
+  pixel bytes)`` or ``None`` on malformed input — the never-raise
+  media contract.
+- ``png_encode_gray8``: 8-bit grayscale writer, null or Adam7
+  interlace (each pass filter-0), for fixtures and the registry
+  adapters. Lossless both ways, so the analytic PNG oracle applies
+  verbatim to the interlaced query while the decode path exercises the
+  pass geometry for real.
+
+Defined inside ``_build_png_codec`` for by-value closure shipping
+(cloudpickle ships the nested functions wholesale into ``mapInPandas``
+workers).
+"""
+
+from __future__ import annotations
+
+
+def _build_png_codec():
+    import struct
+    import zlib
+
+    # Adam7 pass geometry: (x0, y0, dx, dy)
+    ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    def _unfilter(raw, off, pw, ph, bpp, stride):
+        """Reverse scanline filters for one (sub-)image of ``ph`` rows of
+        ``stride`` bytes; ``bpp`` is the byte offset to the left
+        neighbor (max(1, bits_per_pixel // 8)). Returns rows or None."""
+        rows = []
+        prev = bytearray(stride)
+        for y in range(ph):
+            rs = off + y * (stride + 1)
+            ftype = raw[rs]
+            line = bytearray(raw[rs + 1 : rs + 1 + stride])
+            if len(line) != stride:
+                return None
+            if ftype == 1:  # Sub
+                for x in range(bpp, stride):
+                    line[x] = (line[x] + line[x - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    a = line[x - bpp] if x >= bpp else 0
+                    line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(stride):
+                    a = line[x - bpp] if x >= bpp else 0
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + prev[x] - c
+                    pa, pb, pc = abs(p - a), abs(p - prev[x]), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (prev[x] if pb <= pc else c)
+                    line[x] = (line[x] + pred) & 0xFF
+            elif ftype != 0:
+                return None
+            rows.append(line)
+            prev = line
+        return rows
+
+    def _unpack_row(line, w, depth, channels):
+        """Filtered bytes -> per-pixel sample tuples (one entry per
+        pixel, each a tuple of ``channels`` ints, unscaled)."""
+        if depth == 8:
+            return [tuple(line[i * channels : (i + 1) * channels]) for i in range(w)]
+        # sub-byte: single-channel only (gray or palette index), MSB-first
+        per = 8 // depth
+        m = (1 << depth) - 1
+        out = []
+        for i in range(w):
+            byte = line[i // per]
+            shift = (per - 1 - i % per) * depth
+            out.append(((byte >> shift) & m,))
+        return out
+
+    def decode(b):
+        try:
+            return _decode(bytes(b))
+        except Exception:
+            return None
+
+    def _decode(b):
+        if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+            return None
+        width = int.from_bytes(b[16:20], "big")
+        height = int.from_bytes(b[20:24], "big")
+        depth, ctype, _comp, _filt, interlace = b[24:29]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+        if channels is None or interlace not in (0, 1) or not width or not height:
+            return None
+        if depth == 8:
+            pass
+        elif depth in (1, 2, 4) and ctype in (0, 3):
+            pass
+        else:
+            return None  # 16-bit and invalid depth/ctype combos out of scope
+
+        idat = bytearray()
+        plte = None
+        i = 8
+        while i + 8 <= len(b):
+            ln = int.from_bytes(b[i : i + 4], "big")
+            tag = b[i + 4 : i + 8]
+            if tag == b"IDAT":
+                idat += b[i + 8 : i + 8 + ln]
+            elif tag == b"PLTE":
+                plte = b[i + 8 : i + 8 + ln]
+            elif tag == b"IEND":
+                break
+            i += 12 + ln
+        if ctype == 3 and (plte is None or len(plte) % 3):
+            return None
+        raw = zlib.decompress(bytes(idat))
+
+        bits = depth * channels
+        bpp = max(1, bits // 8)
+        passes = ADAM7 if interlace else ((0, 0, 1, 1),)
+        # pixels[y][x] -> sample tuple
+        pixels = [[None] * width for _ in range(height)]
+        off = 0
+        for x0, y0, dx, dy in passes:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * bits + 7) // 8
+            rows = _unfilter(raw, off, pw, ph, bpp, stride)
+            if rows is None:
+                return None
+            off += ph * (stride + 1)
+            for ry, line in enumerate(rows):
+                samples = _unpack_row(line, pw, depth, channels)
+                y = y0 + ry * dy
+                for rx, s in enumerate(samples):
+                    pixels[y][x0 + rx * dx] = s
+        if off != len(raw):
+            return None
+        if any(s is None for row in pixels for s in row):
+            return None
+
+        if ctype == 3:
+            npal = len(plte) // 3
+            out = bytearray(width * height * 3)
+            p = 0
+            for row in pixels:
+                for (v,) in row:
+                    if v >= npal:
+                        return None
+                    out[p : p + 3] = plte[3 * v : 3 * v + 3]
+                    p += 3
+            return width, height, 3, bytes(out)
+        if depth < 8:  # single-channel gray, scale to 8-bit
+            maxv = (1 << depth) - 1
+            return width, height, 1, bytes(
+                v * 255 // maxv for row in pixels for (v,) in row
+            )
+        out = bytearray(width * height * channels)
+        p = 0
+        for row in pixels:
+            for s in row:
+                out[p : p + channels] = bytes(s)
+                p += channels
+        return width, height, channels, bytes(out)
+
+    def encode_gray8(pixels, width, interlace=False):
+        pixels = bytes(pixels)
+        h = max(1, -(-len(pixels) // width))
+        padded = pixels.ljust(width * h, b"\x00")
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body))
+            )
+
+        if not interlace:
+            raw = b"".join(
+                b"\x00" + padded[y * width : (y + 1) * width] for y in range(h)
+            )
+        else:
+            parts = []
+            for x0, y0, dx, dy in ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                for ry in range(ph):
+                    y = y0 + ry * dy
+                    parts.append(
+                        b"\x00"
+                        + bytes(padded[y * width + x0 + rx * dx] for rx in range(pw))
+                    )
+            raw = b"".join(parts)
+        ihdr = struct.pack(">IIBBBBB", width, h, 8, 0, 0, 0, 1 if interlace else 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b"")
+        )
+
+    return {
+        "decode": decode,
+        "encode_gray8": encode_gray8,
+        "_unfilter": _unfilter,
+    }
+
+
+def _codec():
+    global _C
+    try:
+        return _C
+    except NameError:
+        _C = _build_png_codec()
+        return _C
+
+
+def png_full_decode(b: bytes):
+    """Decode a PNG blob to ``(width, height, channels, pixel_bytes)``
+    or ``None`` — including Adam7, palette and sub-byte depths."""
+    return _codec()["decode"](b)
+
+
+def png_encode_gray8_full(pixels: bytes, width: int, interlace: bool = False) -> bytes:
+    """Encode gray bytes as an 8-bit grayscale PNG, optionally Adam7."""
+    return _codec()["encode_gray8"](pixels, width, interlace)

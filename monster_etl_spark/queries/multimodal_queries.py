@@ -345,6 +345,24 @@ FROM d
 """
 
 
+def multimodal_png_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adam7-interlaced PNG decode, fully distributed: the same
+    grayscale pixel layout as the baseline PNG adapter, but each blob
+    stores the seven Adam7 passes (each an independently filtered
+    sub-image) that the decoder must scatter back onto the 8x8 grid.
+    Interlacing is a pure reordering — lossless — so PNG_PIXEL_SQL
+    applies VERBATIM; a hash-match proves the pass geometry, per-pass
+    unfiltering and scatter all reconstruct exact pixels."""
+    media = documents_as_png_media(
+        load(spark, sf_dir, "documents"), width=_PNG_W, interlaced=True
+    )
+    return extract_pixel_stats(media).select(
+        "media_id", "width", "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "min_intensity", "max_intensity", "decoded",
+    )
+
+
 def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF encode -> LZW-decode round-trip, fully distributed: each
     document's bytes become an identity-grayscale-palette GIF with the
@@ -927,6 +945,11 @@ QUERIES = {
         multimodal_png_pixel_stats,
         PNG_PIXEL_SQL,
         "real PNG encode->pixel-decode round-trip, analytic oracle",
+    ),
+    "multimodal_png_interlaced_stats": QuerySpec(
+        multimodal_png_interlaced_stats,
+        PNG_PIXEL_SQL,
+        "Adam7-interlaced PNG seven-pass decode, PNG oracle reused verbatim",
     ),
     "multimodal_jpeg_pixel_stats": QuerySpec(
         multimodal_jpeg_pixel_stats,
