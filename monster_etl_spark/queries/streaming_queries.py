@@ -83,6 +83,64 @@ HAVING window_start + INTERVAL '{_WINDOW}' <= (SELECT m - INTERVAL '{_DELAY}' FR
 """
 
 
+_SLIDE_WINDOW = "30 minutes"
+_SLIDE_STEP = "15 minutes"
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window counts (30-minute windows every 15
+    minutes) over a finite event stream driven to completion — each
+    event contributes to exactly two overlapping windows, which is the
+    state-expansion behavior tumbling windows never exercise. Append
+    emissions are the windows closed under the final watermark; the
+    oracle expands each event into its two window starts and applies
+    the same closure rule."""
+    from monster_etl_spark.streaming.pipeline import sliding_event_counts
+
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    stage = _STAGE + "_slide"
+    shutil.rmtree(stage, ignore_errors=True)
+    e.coalesce(4).write.mode("overwrite").json(stage)
+
+    stream = spark.readStream.schema(_STREAM_SCHEMA).option("maxFilesPerTrigger", 1).json(stage)
+    out = sliding_event_counts(
+        stream, window=_SLIDE_WINDOW, slide=_SLIDE_STEP, watermark=_DELAY
+    )
+    out = out.withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_sliding_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table("stream_sliding_counts")
+
+
+STREAM_SLIDING_SQL = f"""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+w AS (
+  -- every event is in exactly two 30-min windows on the 15-min grid:
+  -- starts time_bucket(15min, ts) and time_bucket(15min, ts) - 15min
+  SELECT time_bucket(INTERVAL '{_SLIDE_STEP}', ts) - k * INTERVAL '{_SLIDE_STEP}'
+           AS window_start,
+         event_type, value
+  FROM events, unnest([0, 1]) AS t(k)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM w
+GROUP BY 1, 2
+HAVING window_start + INTERVAL '{_SLIDE_WINDOW}' <= (SELECT m - INTERVAL '{_DELAY}' FROM mx)
+"""
+
+
 _SESS_GAP_MIN = 30  # same gap as the batch q_sessionize / q_session_paths
 _SESS_DELAY = "60 minutes"
 
@@ -172,6 +230,11 @@ QUERIES = {
         stream_session_paths,
         STREAM_SESSION_PATHS_SQL,
         "streaming session-window path analysis, driven to completion",
+    ),
+    "stream_sliding_counts": QuerySpec(
+        stream_sliding_counts,
+        STREAM_SLIDING_SQL,
+        "watermarked streaming sliding-window agg (overlapping state)",
     ),
 }
 

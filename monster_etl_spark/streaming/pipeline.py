@@ -61,6 +61,29 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "30 minutes",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked SLIDING-window counts per event type: each event lands
+    in ``window/slide`` overlapping windows (Spark expands the window
+    spec into that many rows of state per key). Same exact-decimal
+    discipline as the tumbling twin; the watermark closes a window once
+    it passes ``window_end + delay``, so append-mode emissions over a
+    finite stream are deterministic."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
 def stream_dedup(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -285,3 +285,30 @@ def test_session_paths_stream_state_survives_restart(spark, tmp_path):
     rows = [(r["user_id"], r["path"], r["n_events"])
             for r in spark.read.parquet(out).collect()]
     assert rows == [(5, "x->y->z", 3)], rows
+
+
+def test_sliding_counts_overlapping_windows(spark, events_dir):
+    from monster_etl_spark.streaming.pipeline import sliding_event_counts
+
+    stream = read_json_stream(spark, events_dir)
+    q = _run_stream(
+        sliding_event_counts(stream, "30 minutes", "15 minutes"), "slide_counts", "complete"
+    )
+    try:
+        rows = {
+            (r["window_start"].isoformat(), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM slide_counts").collect()
+        }
+    finally:
+        q.stop()
+    # clicks at 00:01 (1.0) and 00:05 (2.0, written TWICE in the fixture
+    # for the dedup test — sliding agg keeps both) land in windows
+    # [23:45,00:15) and [00:00,00:30); the 00:20 view lands in
+    # [00:00,00:30) and [00:15,00:45)
+    assert rows[("2023-12-31T23:45:00", "click")] == (3, 5.0)
+    assert rows[("2024-01-01T00:00:00", "click")] == (3, 5.0)
+    assert rows[("2024-01-01T00:00:00", "view")] == (1, 3.0)
+    assert rows[("2024-01-01T00:15:00", "view")] == (1, 3.0)
+    # every event appears in exactly window/slide = 2 windows
+    total = sum(n for n, _ in rows.values())
+    assert total == 2 * 5
