@@ -200,8 +200,9 @@ def s8_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh.write(blob)
     return read_avro(spark, f"{_S8_SCRATCH}/*.avro").select(
         "doc_id",
-        F.length("text").alias("n_chars"),
-        F.size("tokens").alias("n_tokens"),
+        # cast to long: Spark length/size are INT, the oracle's are BIGINT
+        F.length("text").cast("long").alias("n_chars"),
+        F.size("tokens").cast("long").alias("n_tokens"),
         F.element_at("tokens", 1).alias("first_token"),
     )
 
@@ -244,7 +245,8 @@ def s9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang") != "de")
         .select(
             "doc_id",
-            F.length("text").alias("n_chars"),
+            # cast to long: Spark length is INT, the oracle's is BIGINT
+            F.length("text").cast("long").alias("n_chars"),
             "lang",
         )
     )
