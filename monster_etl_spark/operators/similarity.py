@@ -731,6 +731,134 @@ def brute_force_topk_blocked(
     )
 
 
+def brute_force_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k via an Arrow-vectorized numpy kernel — the
+    measured constant-factor answer to the interpreted-HOF cost of
+    ``brute_force_topk`` (same results, same oracle; equality asserted
+    in tests).
+
+    Plan shape mirrors the JVM path: the BOUNDED query set (the side
+    ``brute_force_topk`` broadcasts) is collected once to a q x d
+    float64 matrix and shipped to workers by closure; the corpus
+    streams through ``mapInPandas`` — a NARROW transformation, the
+    corpus never shuffles — where each Arrow batch scores all q x batch
+    pairs with vectorized float64 ops and emits only each query's
+    per-batch top-k candidates plus every pair within 1e-6 of the k-th
+    best raw score (any pair further below is strictly beaten by >= k
+    in-batch pairs even after 6dp rounding, so dropping it is lossless).
+    The final global rank is a window over <= n_batches x q x (k+ties)
+    candidate rows, shuffled on query_id only.
+
+    Bit-parity with the JVM path (and so with the shared DuckDB
+    oracle) at BLAS speed, via select-then-rescore: the full q x batch
+    score matrix is a float64 GEMM (BLAS reassociates the sum — bit-
+    close, not bit-equal, so it is used ONLY to pick candidates, with
+    the slack widened to absorb the reassociation error, bounded by
+    ~d*eps << 1e-9), and the <= q x (k+ties) KEPT pairs are then
+    rescored with the dot product and norms accumulated SEQUENTIALLY
+    over the index j — vectorized across pairs, fold order across
+    terms — reproducing ``aggregate(zip_with(...))`` exactly in IEEE
+    float64. The 6dp HALF_UP rounding stays JVM-side (``F.round`` over
+    the emitted raw scores).
+
+    Zero-norm vectors score NULL in the JVM path (sorted last, never in
+    a top-k when >= k real candidates exist); the kernel masks them out
+    of the candidate stream entirely — identical results under that
+    same condition.
+
+    This is an audited named exception to the "Python eval only
+    in multimodal/untar" policy (see tests/test_explain.py): here the
+    Arrow kernel IS the operator — a vectorized numeric inner loop that
+    built-in column functions only express as interpreted higher-order
+    folds (measured ~10x slower at sf0.1; see QUERIES.md).
+    """
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        # bounded by contract (this is the side the JVM path broadcasts);
+        # one metadata-sized collect, q x d doubles
+        .collect()
+    )
+    import numpy as np
+
+    qid_arr = np.asarray([r.query_id for r in q_rows], dtype=np.int64)
+    qm = np.asarray([list(r.qv) for r in q_rows], dtype=np.float64)
+    n_q, dims = qm.shape
+    qss = np.zeros(n_q)
+    for j in range(dims):  # fold-order accumulation (bit-parity with norm())
+        qss = qss + qm[:, j] * qm[:, j]
+    q_norm = np.sqrt(qss)
+
+    c = _spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+        )
+    )
+
+    # 1e-6 covers a 6dp rounded tie on either side; the rest absorbs
+    # the GEMM-vs-fold reassociation error (~d*eps, < 1e-12 here)
+    slack = 2e-6
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            nm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
+            n_b = len(nid)
+            # selection pass: BLAS GEMM, approximate only in the last ulps
+            cos = qm @ nm.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos /= q_norm[:, None]
+                cos /= np.sqrt((nm * nm).sum(axis=1))[None, :]
+            cos[~np.isfinite(cos)] = -np.inf  # zero-norm -> never a candidate
+            cos[qid_arr[:, None] == nid[None, :]] = -np.inf  # self-match
+            if n_b > k:
+                kth = np.partition(cos, n_b - k, axis=1)[:, n_b - k]
+                keep = cos >= (kth - slack)[:, None]
+                keep &= np.isfinite(cos)
+            else:
+                keep = np.isfinite(cos)
+            qi, ni = np.nonzero(keep)
+            # rescore pass: the few kept pairs, accumulated in fold
+            # order (acc = acc + x*y, j ascending) for bit-parity
+            qk, nk = qm[qi], nm[ni]
+            dk = np.zeros(len(qi))
+            ns = np.zeros(len(qi))
+            for j in range(dims):
+                dk = dk + qk[:, j] * nk[:, j]
+                ns = ns + nk[:, j] * nk[:, j]
+            yield pd.DataFrame(
+                {
+                    "query_id": qid_arr[qi],
+                    "neighbor_id": nid[ni],
+                    "raw_sim": dk / (q_norm[qi] * np.sqrt(ns)),
+                }
+            )
+
+    cand = c.mapInPandas(kernel, schema="query_id long, neighbor_id long, raw_sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("raw_sim"), 6).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def covariance_moments(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Upper-triangle exact covariance of the embedding dimensions —
     DECIMAL(18,9) per-element casts so products (DECIMAL(37,18)) and sums

@@ -295,6 +295,17 @@ SELECT vec_id AS id, vec_id AS rep_id, TRUE AS keep FROM embeddings
 
 
 
+def knn_brute_force_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized exhaustive top-k (operators/similarity.py::
+    brute_force_topk_arrow): the corpus streams through a narrow
+    ``mapInPandas`` numpy kernel with fold-order accumulation, so the
+    raw scores are bit-identical to the JVM path and it shares its
+    oracle. One of the two audited Python-eval exceptions outside
+    multimodal/untar (the vectorized kernel IS the operator)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk_arrow(_queries_df(spark, sf_dir), emb, k=TOP_K)
+
+
 def knn_brute_force_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-blocked exhaustive top-k (operators/similarity.py::
     brute_force_topk_blocked): the large-|Q| formulation — corpus hashed
@@ -429,6 +440,9 @@ QUERIES = {
         embedding_dim_stats, DIM_STATS_SQL, "per-dimension embedding distribution profile"
     ),
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
+    "knn_brute_force_arrow": QuerySpec(
+        knn_brute_force_arrow, KNN_BRUTE_SQL, "Arrow-vectorized exhaustive top-k"
+    ),
     "knn_brute_force_blocked": QuerySpec(
         knn_brute_force_blocked, KNN_BRUTE_SQL, "grid-blocked exhaustive top-k (large |Q|)"
     ),

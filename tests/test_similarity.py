@@ -163,6 +163,51 @@ def test_blocked_brute_force_equals_broadcast(spark, sf_dir):
     assert Counter(r["query_id"] for r in a) == Counter(r["query_id"] for r in b)
 
 
+def test_arrow_brute_force_equals_broadcast(spark, sf_dir):
+    """The Arrow-vectorized exhaustive formulation must return exactly
+    the JVM baseline's result — bit-identical scores (the kernel
+    rescores kept pairs in fold order) and identical tie-breaks."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id % 50 == 0)
+    a = sim.brute_force_topk(queries, emb, k=5).collect()
+    b = sim.brute_force_topk_arrow(queries, emb, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+
+def test_arrow_brute_force_plan_shape(spark, sf_dir):
+    """Plan pins for the Arrow path: exactly one MapInPandas; the only
+    shuffles are the final candidate rank on query_id plus (locally)
+    spread()'s round-robin engage-every-core repartition of the tiny
+    corpus file — a no-op on a real many-file corpus. Crucially, no
+    hash/range exchange sits ABOVE the kernel except the rank: the
+    full-width vector rows never shuffle, only the <= q x (k+ties)
+    candidate rows do."""
+    from monster_etl_spark.explain import formatted_plan, plan_summary
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id % 50 == 0)
+    out = sim.brute_force_topk_arrow(queries, emb, k=5)
+    s = plan_summary(out)
+    assert s.map_in_pandas == 1
+    assert s.shuffles <= 2, f"expected rank shuffle (+ local spread), got {s.shuffles}"
+    import re
+
+    plan = formatted_plan(out)
+    # every exchange is either spread()'s round-robin (below the
+    # kernel, full rows, local-only) or the candidate rank on query_id
+    # (above the kernel, 3 narrow columns) — never a hash/range
+    # shuffle of the vector rows
+    parts = [
+        m.group(1)
+        for m in re.finditer(
+            r"^\(\d+\) Exchange\s*\nInput.*\nArguments: (\w+)", plan, re.M
+        )
+    ]
+    assert all(p in ("RoundRobinPartitioning", "hashpartitioning") for p in parts), parts
+    assert "hashpartitioning(query_id" in plan
+
+
 def test_pca_project_matches_numpy(spark, sf_dir):
     """Distributed PCA (exact-decimal covariance + driver eigh + narrow
     projection) must agree with a straight numpy PCA of the same vectors
