@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     # round-5: the Arrow-vectorized exhaustive kNN (select-then-rescore
     # GEMM kernel; 7.6x over the JVM fold at 2M corpus rows)
     "knn_brute_force_arrow",
+    "knn_ivf_arrow",
 ]
 
 

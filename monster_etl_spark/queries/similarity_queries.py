@@ -173,6 +173,18 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(_queries_df(spark, sf_dir), emb, k=TOP_K)
 
 
+def knn_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with assignment + in-cell scoring fused into one Arrow
+    kernel (operators/similarity.py::ivf_topk_arrow): same JVM k-means
+    centroids, bit-identical results to ``knn_ivf`` (equality pinned in
+    tests/test_similarity.py), one fewer shuffle — the cell equi-join
+    disappears into a narrow ``mapInPandas`` pass. Rows-only like
+    ``knn_ivf`` (same construction, no readable SQL twin); the audited
+    second named exception to the Python-eval policy."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_topk_arrow(_queries_df(spark, sf_dir), emb, k=TOP_K)
+
+
 IVF_RECALL_FLOOR = 0.5
 
 
@@ -451,6 +463,9 @@ QUERIES = {
         knn_lsh_multiprobe, KNN_LSH_MP_SQL, "multi-probe sign-LSH top-k"
     ),
     "knn_ivf": QuerySpec(knn_ivf, None, "IVF-cell approximate top-k (rows-only)"),
+    "knn_ivf_arrow": QuerySpec(
+        knn_ivf_arrow, None, "IVF top-k, Arrow-fused assignment+scoring (rows-only)"
+    ),
     "knn_pq": QuerySpec(knn_pq, None, "PQ/ADC approximate top-k with exact re-rank (rows-only)"),
     "knn_pq_recall": QuerySpec(
         knn_pq_recall, KNN_PQ_RECALL_SQL, "PQ recall>=0.5 error contract vs brute force"

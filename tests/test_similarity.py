@@ -208,6 +208,44 @@ def test_arrow_brute_force_plan_shape(spark, sf_dir):
     assert "hashpartitioning(query_id" in plan
 
 
+def test_arrow_ivf_equals_jvm(spark, sf_dir):
+    """The Arrow-fused IVF formulation must return exactly the JVM
+    ``ivf_topk`` result — same centroids, bit-identical fold-order
+    scores, identical cell-argmax and rank tie-breaks."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id % 50 == 0)
+    a = sim.ivf_topk(queries, emb, k=5).collect()
+    b = sim.ivf_topk_arrow(queries, emb, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+
+def test_arrow_ivf_plan_shape(spark, sf_dir):
+    """The fused kernel removes the JVM path's cell equi-join: exactly
+    one MapInPandas, and the only exchanges are spread()'s local
+    round-robin (below the kernel) and the candidate rank on query_id
+    (above it) — the full-width vector rows never hash-shuffle."""
+    import re
+
+    from monster_etl_spark.explain import formatted_plan, plan_summary
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id % 50 == 0)
+    out = sim.ivf_topk_arrow(queries, emb, k=5)
+    s = plan_summary(out)
+    assert s.map_in_pandas == 1
+    assert s.shuffles <= 2, f"expected rank shuffle (+ local spread), got {s.shuffles}"
+    plan = formatted_plan(out)
+    parts = [
+        m.group(1)
+        for m in re.finditer(
+            r"^\(\d+\) Exchange\s*\nInput.*\nArguments: (\w+)", plan, re.M
+        )
+    ]
+    assert all(p in ("RoundRobinPartitioning", "hashpartitioning") for p in parts), parts
+    assert "hashpartitioning(query_id" in plan
+
+
 def test_pca_project_matches_numpy(spark, sf_dir):
     """Distributed PCA (exact-decimal covariance + driver eigh + narrow
     projection) must agree with a straight numpy PCA of the same vectors
