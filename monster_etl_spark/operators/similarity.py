@@ -33,9 +33,10 @@ def dot(a: Column, b: Column) -> Column:
     aggregate(zip_with) 2.0 s vs aggregate(transform+element_at) 2.4 s
     vs a fully unrolled 64-term element_at expression 6.1 s (bounds
     checks per term and an expression tree too large to codegen well).
-    The interpreted-HOF constant factor is the known cost; the next
-    step-change would be an Arrow/Pandas UDF, which this repo reserves
-    for multimodal only."""
+    The interpreted-HOF constant factor is the known cost; the
+    step-change beyond it is the Arrow select-then-rescore kernel
+    (``brute_force_topk_arrow`` / ``ivf_topk_arrow``), the two audited
+    named exceptions to the JVM-only policy."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
