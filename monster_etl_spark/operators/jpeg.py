@@ -47,10 +47,32 @@ Huffman/zigzag constants are the public ITU-T T.81 Annex K example tables.
 from __future__ import annotations
 
 
-def _build_jpeg_codec():
-    """Build the codec as self-contained closures (see module docstring)."""
+def _build_jpeg_codec(force_scalar=False):
+    """Build the codec as self-contained closures (see module docstring).
+
+    Vectorization (round-5 verdict "What's wrong #1", the Arrow-kNN
+    kernel discipline): when numpy is importable, the batch-parallel
+    stages run vectorized — block extraction (strided reshape), constant-
+    block classification + exact integer DC quantization, per-scan
+    zigzag gathers and all-zero-band detection for the progressive AC
+    scans, DC-only block reconstruction, and plane assembly. Everything
+    on those paths is integer arithmetic or a single-FLOP-identical
+    float sequence (the DC-only pixel formula is one multiply chain with
+    no reassociated sums), so outputs are byte-identical to the scalar
+    path. The sequentially-constrained pieces — Huffman entropy coding
+    both ways and the general (non-constant-block) float DCT/IDCT, whose
+    8-term fold order a BLAS matmul would not preserve bit-for-bit —
+    stay scalar. ``force_scalar=True`` keeps the pure-stdlib path alive;
+    ``tests/test_jpeg.py`` asserts encoded bytes and decoded pixels are
+    identical between the two builds."""
     import math
     import struct
+
+    try:
+        import numpy as _np
+    except ImportError:  # pragma: no cover - numpy is baked into the image
+        _np = None
+    np = None if force_scalar else _np
 
     ZZ = (
         0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -209,6 +231,56 @@ def _build_jpeg_codec():
             bw.put(*ac_tbl[0x00])  # EOB
         return dc
 
+    def _encode_block_nz(bw, dc, ks, vs, dc_pred, dc_tbl, ac_tbl):
+        """``_encode_block`` driven by a PRECOMPUTED sparse AC list:
+        ``ks`` are the 1-based zigzag indices of the nonzero quantized
+        ACs, ``vs`` their values (both plain ints). Emits the identical
+        bit stream — zero runs are the index gaps, ZRL splits and the
+        trailing EOB follow the same rules — without walking all 63
+        positions of (mostly-empty) blocks."""
+        diff = dc - dc_pred
+        mag, s = abs(diff), 0
+        while mag:
+            mag >>= 1
+            s += 1
+        bw.put(*dc_tbl[s])
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        prev = 0
+        for k, v in zip(ks, vs):
+            run = k - prev - 1
+            while run > 15:
+                bw.put(*ac_tbl[0xF0])  # ZRL
+                run -= 16
+            mag, s = abs(v), 0
+            while mag:
+                mag >>= 1
+                s += 1
+            bw.put(*ac_tbl[(run << 4) | s])
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            prev = k
+        if prev < 63:
+            bw.put(*ac_tbl[0x00])  # EOB
+        return dc
+
+    def _sparse_ac(coefs_mat):
+        """Per-block sparse AC views of a quantized coefficient matrix:
+        (dcs, ks_per_block, vs_per_block) with ks 1-based zigzag indices.
+        One global np.nonzero over the zigzag-gathered AC matrix instead
+        of 63 Python iterations per block."""
+        zz_ac = coefs_mat[:, list(ZZ[1:])]
+        rows, cols = np.nonzero(zz_ac)
+        vals = zz_ac[rows, cols].tolist()
+        rows = rows.tolist()
+        cols = cols.tolist()
+        nb = coefs_mat.shape[0]
+        ks = [[] for _ in range(nb)]
+        vs = [[] for _ in range(nb)]
+        for r, c, v in zip(rows, cols, vals):
+            ks[r].append(c + 1)
+            vs[r].append(v)
+        return coefs_mat[:, 0].tolist(), ks, vs
+
     def _seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
@@ -245,6 +317,41 @@ def _build_jpeg_codec():
         )
         return coefs
 
+    def _blocks_matrix(padded, width, height):
+        """Vectorized block extraction: (n_blocks, 64) level-shifted
+        int32 in block-raster order — byte-identical to the scalar
+        per-pixel loops (pad rows/cols are zero pixels, i.e. -128 after
+        the level shift)."""
+        w8, h8 = -(-width // 8) * 8, -(-height // 8) * 8
+        a = np.zeros((h8, w8), np.uint8)
+        a[:height, :width] = np.frombuffer(padded, np.uint8).reshape(height, width)
+        return (
+            a.reshape(h8 // 8, 8, w8 // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 64)
+            .astype(np.int32)
+            - 128
+        )
+
+    def _quant_matrix(blocks, quant):
+        """Vectorized ``_block_coefs`` over a block matrix. Constant rows
+        (the only shape the fixture adapters emit) take the exact integer
+        DC path — ``(2*dc + q) // (2*q)`` IS ``floor(dc/q + 0.5)``, no
+        floats; non-constant rows fall back to the scalar
+        ``fdct_block`` + ``_quantize`` so the float fold order (and hence
+        every emitted byte) matches the pure-stdlib build."""
+        nb = blocks.shape[0]
+        out = np.zeros((nb, 64), np.int32)
+        const = blocks.max(axis=1) == blocks.min(axis=1)
+        dc = 8 * blocks[const, 0].astype(np.int64)
+        q2 = 2 * quant
+        out[const, 0] = np.where(
+            dc >= 0, (2 * dc + quant) // q2, -((-2 * dc + quant) // q2)
+        )
+        for i in np.flatnonzero(~const):
+            out[i] = _quantize(fdct_block(blocks[i].tolist()), quant)
+        return out
+
     def encode_gray8(pixels, width, quant=1, restart_interval=0):
         """Baseline grayscale JPEG from raster bytes; zero-pads the tail
         row (like png_encode_gray8) and the 8x8 block grid.
@@ -260,25 +367,42 @@ def _build_jpeg_codec():
         bw = _BitWriter()
         pred = 0
         n_mcu = 0
-        for by in range(h8 // 8):
-            for bx in range(w8 // 8):
+        if np is not None:
+            # batched block extraction + quantization + sparse AC lists;
+            # the per-block entropy emission below is byte-identical to
+            # the scalar _encode_block walk (tests/test_jpeg.py)
+            dcs, kss, vss = _sparse_ac(
+                _quant_matrix(_blocks_matrix(padded, width, height), quant)
+            )
+            for bi in range(len(dcs)):
                 if restart_interval and n_mcu and n_mcu % restart_interval == 0:
                     bw.flush()
                     bw.buf += bytes([0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8])
                     pred = 0
                 n_mcu += 1
-                blk = [0] * 64
-                for y in range(8):
-                    sy = by * 8 + y
-                    if sy >= height:
+                pred = _encode_block_nz(
+                    bw, dcs[bi], kss[bi], vss[bi], pred, dc_t, ac_t
+                )
+        else:
+            for by in range(h8 // 8):
+                for bx in range(w8 // 8):
+                    if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                        bw.flush()
+                        bw.buf += bytes([0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8])
+                        pred = 0
+                    n_mcu += 1
+                    blk = [0] * 64
+                    for y in range(8):
+                        sy = by * 8 + y
+                        if sy >= height:
+                            for x in range(8):
+                                blk[y * 8 + x] = -128
+                            continue
+                        row0 = sy * width
                         for x in range(8):
-                            blk[y * 8 + x] = -128
-                        continue
-                    row0 = sy * width
-                    for x in range(8):
-                        sx = bx * 8 + x
-                        blk[y * 8 + x] = (padded[row0 + sx] if sx < width else 0) - 128
-                pred = _encode_block(bw, _block_coefs(blk, quant), pred, dc_t, ac_t)
+                            sx = bx * 8 + x
+                            blk[y * 8 + x] = (padded[row0 + sx] if sx < width else 0) - 128
+                    pred = _encode_block(bw, _block_coefs(blk, quant), pred, dc_t, ac_t)
         bw.flush()
         sof = _seg(
             0xC0, bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0])
@@ -441,6 +565,55 @@ def _build_jpeg_codec():
                 bw.put(eobrun - (1 << r), r)
             eobrun = 0
 
+        if np is not None and isinstance(blocks, np.ndarray):
+            # Vectorized preprocessing: one zigzag gather + point
+            # transform for every block, then only blocks with band
+            # content run the per-coefficient emission; all-zero blocks
+            # (every block of the constant-block fixtures) fold into the
+            # EOB-run counter in bulk, with the 0x7FFF split applied at
+            # the same points the per-block loop would hit.
+            zz_band = blocks[:, [ZZ[k] for k in range(Ss, Se + 1)]]
+            vals_mat = np.where(zz_band >= 0, zz_band >> Al, -((-zz_band) >> Al))
+            content = (vals_mat != 0).any(axis=1)
+            pos = 0
+            for bi in np.flatnonzero(content).tolist():
+                gap = bi - pos
+                while gap:
+                    take = min(gap, 0x7FFF - eobrun)
+                    eobrun += take
+                    gap -= take
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+                emit_eobrun()
+                vals = vals_mat[bi].tolist()
+                nz = [i for i, v in enumerate(vals) if v]
+                last_nz = nz[-1]
+                run = 0
+                for i, v in enumerate(vals):
+                    if i > last_nz:
+                        eobrun = 1
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.put(*ac_tbl[0xF0])
+                        run -= 16
+                    s = _mag_cat(v)
+                    bw.put(*ac_tbl[(run << 4) | s])
+                    bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                pos = bi + 1
+            gap = blocks.shape[0] - pos
+            while gap:
+                take = min(gap, 0x7FFF - eobrun)
+                eobrun += take
+                gap -= take
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+            emit_eobrun()
+            return
+
         for coefs in blocks:
             vals = []
             for k in range(Ss, Se + 1):
@@ -497,11 +670,11 @@ def _build_jpeg_codec():
                 bw.put(bit, 1)
             pend_eob = []
 
-        for coefs in blocks:
-            t = []
-            for k in range(Ss, Se + 1):
-                v = coefs[ZZ[k]]
-                t.append(((-v) >> Al, 0) if v < 0 else (v >> Al, 1))
+        def refine_block(t):
+            """Per-block refinement emission over precomputed
+            (magnitude, sign) pairs — shared by the scalar and
+            vectorized preprocessing paths."""
+            nonlocal eobrun, pend_run
             # EOB = position after the LAST newly-significant coefficient;
             # correction bits beyond it ride the EOB run
             newly = [i for i, (a, _sg) in enumerate(t) if a == 1]
@@ -534,6 +707,33 @@ def _build_jpeg_codec():
                 pend_run = []
                 if eobrun == 0x7FFF or len(pend_eob) > 900:
                     emit_eobrun()
+
+        if np is not None and isinstance(blocks, np.ndarray):
+            # Vectorized preprocessing: one zigzag gather + magnitude/
+            # sign split for all blocks; all-zero-band blocks (every
+            # fixture block) just bump the EOB-run counter with the same
+            # 0x7FFF / 900-pending-bit flush points the scalar loop hits
+            # (pend_run is always empty at block boundaries).
+            zz_band = blocks[:, [ZZ[k] for k in range(Ss, Se + 1)]]
+            a_mat = np.where(zz_band < 0, (-zz_band) >> Al, zz_band >> Al)
+            sg_mat = (zz_band >= 0).astype(np.int8)
+            content = (a_mat != 0).any(axis=1).tolist()
+            for bi, has in enumerate(content):
+                if not has:
+                    eobrun += 1
+                    if eobrun == 0x7FFF or len(pend_eob) > 900:
+                        emit_eobrun()
+                    continue
+                refine_block(list(zip(a_mat[bi].tolist(), sg_mat[bi].tolist())))
+            emit_eobrun()
+            return
+
+        for coefs in blocks:
+            t = []
+            for k in range(Ss, Se + 1):
+                v = coefs[ZZ[k]]
+                t.append(((-v) >> Al, 0) if v < 0 else (v >> Al, 1))
+            refine_block(t)
         emit_eobrun()
 
     def _sos_prog(scomp, Ss, Se, Ah, Al):
@@ -555,21 +755,28 @@ def _build_jpeg_codec():
         height = max(1, -(-len(pixels) // width))
         padded = bytes(pixels).ljust(width * height, b"\x00")
         w8, h8 = -(-width // 8) * 8, -(-height // 8) * 8
-        blocks = []
-        for by in range(h8 // 8):
-            for bx in range(w8 // 8):
-                blk = [0] * 64
-                for y in range(8):
-                    sy = by * 8 + y
-                    if sy >= height:
+        if np is not None:
+            # blocks as a matrix: the AC scan encoders take the
+            # vectorized zigzag-gather + all-zero fast path on it
+            blocks = _quant_matrix(_blocks_matrix(padded, width, height), quant)
+            units = [(0, (d,)) for d in blocks[:, 0].tolist()]
+        else:
+            blocks = []
+            for by in range(h8 // 8):
+                for bx in range(w8 // 8):
+                    blk = [0] * 64
+                    for y in range(8):
+                        sy = by * 8 + y
+                        if sy >= height:
+                            for x in range(8):
+                                blk[y * 8 + x] = -128
+                            continue
+                        row0 = sy * width
                         for x in range(8):
-                            blk[y * 8 + x] = -128
-                        continue
-                    row0 = sy * width
-                    for x in range(8):
-                        sx = bx * 8 + x
-                        blk[y * 8 + x] = (padded[row0 + sx] if sx < width else 0) - 128
-                blocks.append(_block_coefs(blk, quant))
+                            sx = bx * 8 + x
+                            blk[y * 8 + x] = (padded[row0 + sx] if sx < width else 0) - 128
+                    blocks.append(_block_coefs(blk, quant))
+            units = [(0, c) for c in blocks]
         dc_t = build_enc_table(BITS_DC_L, VALS_DC)
         ac_t = build_enc_table(BITS_AC_PROG, VALS_AC_PROG)
         scans = []
@@ -580,7 +787,6 @@ def _build_jpeg_codec():
             bw.flush()
             scans.append(_sos_prog(scomp, Ss, Se, Ah, Al) + bytes(bw.buf))
 
-        units = [(0, c) for c in blocks]
         one = [(1, 0, 0)]
         scan(lambda w: _enc_dc_scan(w, units, 0, 1, {0: dc_t}), one, 0, 0, 0, 1)
         scan(lambda w: _enc_ac_first_scan(w, blocks, 1, 5, 2, ac_t), one, 1, 5, 0, 2)
@@ -832,6 +1038,9 @@ def _build_jpeg_codec():
             c = comps[0]
             plane = planes[c["id"]]
             w_ = pw[c["id"]]
+            if np is not None:
+                a = np.frombuffer(bytes(plane), np.uint8).reshape(-1, w_)
+                return W, H, 1, a[:H, :W].tobytes()
             out = bytearray(W * H)
             for y in range(H):
                 out[y * W : (y + 1) * W] = plane[y * w_ : y * w_ + W]
@@ -1089,6 +1298,46 @@ def _build_jpeg_codec():
         exactly like the baseline path."""
         planes = {}
         pw = {}
+        if np is not None:
+            # Vectorized reconstruction: DC-only blocks (all fixture
+            # blocks) evaluate the SAME float sequence as the scalar fast
+            # path (dc*q/8 + 128.5 is one exact int product, one exact
+            # power-of-two divide, one add — no reassociated sums), so
+            # pixels are bit-identical; blocks with AC content keep the
+            # scalar idct_block to preserve its float fold order. Plane
+            # assembly is a strided reshape instead of per-row blits.
+            per_cid: dict = {}
+            for (c2, bi), coefs in coef.items():
+                per_cid.setdefault(c2, []).append((bi, coefs))
+            for cid, info in geom["per_comp"].items():
+                q = qt[info["c"]["tq"]]
+                fbw, fbh = info["full_bw"], info["full_bh"]
+                nbk = fbw * fbh
+                mat = np.zeros((nbk, 64), np.int64)
+                present = np.zeros(nbk, bool)
+                for bi, coefs in per_cid.get(cid, ()):
+                    mat[bi] = coefs
+                    present[bi] = True
+                qarr = np.array(q, np.int64)
+                has_ac = (mat[:, 1:] != 0).any(axis=1)
+                pix = np.full((nbk, 64), 128, np.uint8)  # absent -> mid-gray
+                dc_only = present & ~has_ac
+                val = np.floor(
+                    (mat[dc_only, 0] * int(q[0])).astype(np.float64) / 8 + 128.5
+                )
+                pix[dc_only] = np.clip(val, 0, 255).astype(np.uint8)[:, None]
+                for i in np.flatnonzero(present & has_ac).tolist():
+                    pix[i] = np.frombuffer(
+                        bytes(idct_block((mat[i] * qarr).tolist())), np.uint8
+                    )
+                planes[cid] = (
+                    pix.reshape(fbh, fbw, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(fbh * 8, fbw * 8)
+                    .tobytes()
+                )
+                pw[cid] = fbw * 8
+            return _planes_to_pixels(frame, planes, pw)
         for cid, info in geom["per_comp"].items():
             q = qt[info["c"]["tq"]]
             w_ = info["full_bw"] * 8

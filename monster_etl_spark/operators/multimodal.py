@@ -87,6 +87,38 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _cpu_spread(documents: DataFrame) -> DataFrame:
+    """Round-robin repartition a (media_id, text) projection to the
+    session's default parallelism before a codec ``mapInPandas`` stage.
+
+    Why: codec encode/decode is CPU-bound Python — per byte it costs
+    10-100x a relational scan — but Spark sizes file-scan partitions by
+    INPUT BYTES (``spark.sql.files.maxPartitionBytes``, tuned for
+    IO-bound scans). A small-on-disk documents table therefore lands in
+    one or two partitions, and because every codec stage downstream is a
+    narrow transformation (the invariant: blobs never shuffle), the whole
+    encode->decode pipeline inherits that width and runs on one core of a
+    32-core box. Spreading the lightweight TEXT projection (a few hundred
+    bytes/row) before the first mapInPandas costs one tiny shuffle of
+    pre-blob data, keeps the blobs-never-shuffle invariant (the binary
+    column is born AFTER this exchange and stays narrow), and gives every
+    downstream codec stage full-cluster width. On a real 100 TB media
+    corpus the scan itself yields ~800k partitions and this is a no-op in
+    spirit (repartition to max(defaultParallelism, current) never
+    shrinks); the guard matters exactly on the small-file tail — the
+    same reasoning as AQE's initialPartitionNum, applied to the narrow
+    CPU-bound path AQE cannot see."""
+    sc = documents.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        current = documents.rdd.getNumPartitions()
+    except Exception:
+        current = 1
+    if current >= target:
+        return documents
+    return documents.repartition(target)
+
+
 def _fake_decode(content: bytes) -> tuple[int, int]:
     """Deterministic stand-in for an image decode: 'dimensions' derived from
     content length. Used only for content that is not a recognized image
@@ -403,6 +435,7 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
     bmp_decode_local = _build_bmp_codec()["decode"]
 
     def _worker(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -439,10 +472,15 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
                     # no Python round() here: banker's rounding diverges
                     # from SQL HALF_UP on exact ties (means are k/2^m
                     # rationals since total is a multiple of 32) — callers
-                    # round JVM-side with F.round
-                    rows["mean_intensity"].append(sum(px) / len(px))
-                    rows["min_intensity"].append(min(px))
-                    rows["max_intensity"].append(max(px))
+                    # round JVM-side with F.round. numpy int64 sum/min/max
+                    # over uint8 samples are the exact integers the
+                    # builtin sum()/min()/max() produce, just vectorized.
+                    pxa = np.frombuffer(bytes(px), np.uint8)
+                    rows["mean_intensity"].append(
+                        int(pxa.sum(dtype=np.int64)) / pxa.size
+                    )
+                    rows["min_intensity"].append(int(pxa.min()))
+                    rows["max_intensity"].append(int(pxa.max()))
                     rows["decoded"].append(True)
             yield pd.DataFrame(rows)
 
@@ -480,8 +518,8 @@ def documents_as_png_media(
                 }
             )
 
-    return documents.select(
-        F.col("doc_id").alias("media_id"), F.col("text")
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
     ).mapInPandas(_worker, schema="media_id long, content binary")
 
 
@@ -508,16 +546,17 @@ def documents_as_jpeg_media(
     bpr = blocks_per_row
 
     def _worker(batches):
+        import numpy as np
         import pandas as pd
 
         def doc_to_jpeg(text):
             data = bytes(text, "utf-8")
             n_rows = max(1, -(-len(data) // bpr))
             padded = data.ljust(n_rows * bpr, b"\x00")
-            pixels = b"".join(
-                b"".join(bytes([v]) * 8 for v in padded[r * bpr : (r + 1) * bpr]) * 8
-                for r in range(n_rows)
-            )
+            # byte k -> constant 8x8 block: expand 8x horizontally then
+            # 8x vertically (identical bytes to the nested-join scalar)
+            arr = np.frombuffer(padded, np.uint8).reshape(n_rows, bpr)
+            pixels = np.repeat(np.repeat(arr, 8, axis=1), 8, axis=0).tobytes()
             return encode_local(pixels, bpr * 8, 1)
 
         for pdf in batches:
@@ -528,8 +567,8 @@ def documents_as_jpeg_media(
                 }
             )
 
-    return documents.select(
-        F.col("doc_id").alias("media_id"), F.col("text")
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
     ).mapInPandas(_worker, schema="media_id long, content binary")
 
 
@@ -556,8 +595,8 @@ def documents_as_gif_media(documents: DataFrame, width: int = 32) -> DataFrame:
                 }
             )
 
-    return documents.select(
-        F.col("doc_id").alias("media_id"), F.col("text")
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
     ).mapInPandas(_worker, schema="media_id long, content binary")
 
 
@@ -658,26 +697,23 @@ def extract_video_frame_stats(media: DataFrame) -> DataFrame:
     jpeg_decode_local = _build_jpeg_codec()["decode"]
 
     def _worker(batches):
+        import numpy as np
         import pandas as pd
 
         def dib_decode(fr, fmt):
-            # BI_RGB 24-bit DIB chunk: bottom-up BGR rows, 4-byte stride
+            # BI_RGB 24-bit DIB chunk: bottom-up BGR rows, 4-byte stride.
+            # Vectorized as a strided reshape + row flip + channel
+            # reversal — pure byte moves, identical output to the scalar
+            # per-pixel loop it replaces.
             if fmt["bpp"] != 24:
                 return None
             w, h = fmt["width"], fmt["height"]
             stride = (3 * w + 3) & ~3
             if w <= 0 or h <= 0 or len(fr) != stride * h:
                 return None
-            px = bytearray(w * h * 3)
-            for y in range(h):
-                src = (h - 1 - y) * stride  # flip to top-down
-                for x in range(w):
-                    o = src + 3 * x
-                    p = 3 * (y * w + x)
-                    px[p] = fr[o + 2]
-                    px[p + 1] = fr[o + 1]
-                    px[p + 2] = fr[o]
-            return w, h, 3, bytes(px)
+            a = np.frombuffer(fr, np.uint8).reshape(h, stride)
+            px = a[::-1, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
+            return w, h, 3, px.tobytes()
 
         for pdf in batches:
             rows = {k: [] for k in (
@@ -707,7 +743,9 @@ def extract_video_frame_stats(media: DataFrame) -> DataFrame:
                         emit(int(mid), fid, fps, None, None, None, False)
                     else:
                         w, h, _ch, px = d
-                        emit(int(mid), fid, fps, w, h, sum(px) / len(px), True)
+                        pxa = np.frombuffer(bytes(px), np.uint8)
+                        emit(int(mid), fid, fps, w, h,
+                             int(pxa.sum(dtype=np.int64)) / pxa.size, True)
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(
@@ -732,16 +770,19 @@ def documents_as_mjpeg_media(
     fb = frame_bytes
 
     def _worker(batches):
+        import numpy as np
         import pandas as pd
 
         def doc_to_avi(text):
             data = bytes(text, "utf-8")
             n_frames = max(1, -(-len(data) // fb))
             padded = data.ljust(n_frames * fb, b"\x00")
+            rows = np.repeat(
+                np.frombuffer(padded, np.uint8).reshape(n_frames, fb), 8, axis=1
+            )
             frames = []
             for k in range(n_frames):
-                sl = padded[k * fb : (k + 1) * fb]
-                pixels = b"".join(bytes([v]) * 8 for v in sl) * 8
+                pixels = rows[k : k + 1].repeat(8, axis=0).tobytes()
                 frames.append(jpeg_encode_local(pixels, fb * 8, 1))
             return avi_encode_local(frames, fb * 8, 8, fps)
 
@@ -753,8 +794,8 @@ def documents_as_mjpeg_media(
                 }
             )
 
-    return documents.select(
-        F.col("doc_id").alias("media_id"), F.col("text")
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
     ).mapInPandas(_worker, schema="media_id long, content binary")
 
 
@@ -793,8 +834,8 @@ def documents_as_dib_avi_media(
                 }
             )
 
-    return documents.select(
-        F.col("doc_id").alias("media_id"), F.col("text")
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
     ).mapInPandas(_worker, schema="media_id long, content binary")
 
 
@@ -902,8 +943,8 @@ def documents_as_wav_media(documents: DataFrame, sample_rate: int = 16000) -> Da
                 }
             )
 
-    return documents.select(
-        F.col("doc_id").alias("media_id"), F.col("text")
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
     ).mapInPandas(_worker, schema="media_id long, content binary")
 
 
@@ -939,8 +980,8 @@ def documents_as_g711_media(
                 }
             )
 
-    return documents.select(
-        F.col("doc_id").alias("media_id"), F.col("text")
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
     ).mapInPandas(_worker, schema="media_id long, content binary")
 
 
@@ -984,8 +1025,8 @@ def documents_as_adpcm_media(
                 }
             )
 
-    return documents.select(
-        F.col("doc_id").alias("media_id"), F.col("text")
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
     ).mapInPandas(_worker, schema="media_id long, content binary")
 
 
@@ -1018,8 +1059,8 @@ def documents_as_tiff_media(
                 }
             )
 
-    return documents.select(
-        F.col("doc_id").alias("media_id"), F.col("text")
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
     ).mapInPandas(_worker, schema="media_id long, content binary")
 
 
@@ -1049,8 +1090,8 @@ def documents_as_bmp_media(documents: DataFrame, width: int = 32) -> DataFrame:
                 }
             )
 
-    return documents.select(
-        F.col("doc_id").alias("media_id"), F.col("text")
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
     ).mapInPandas(_worker, schema="media_id long, content binary")
 
 
@@ -1086,8 +1127,8 @@ def documents_as_flac_media(
                 }
             )
 
-    return documents.select(
-        F.col("doc_id").alias("media_id"), F.col("text")
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
     ).mapInPandas(_worker, schema="media_id long, content binary")
 
 
@@ -1164,6 +1205,7 @@ def extract_gif_frame_stats(media: DataFrame) -> DataFrame:
     decode_frames_local = _build_gif_codec()["decode_frames"]
 
     def _worker(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -1189,7 +1231,10 @@ def extract_gif_frame_stats(media: DataFrame) -> DataFrame:
                 w, h, _nf, frames = parsed
                 npx = w * h
                 for fid, (delay, rgb) in enumerate(frames):
-                    emit(int(mid), fid, delay, w, h, sum(rgb[0::3]) / npx, True)
+                    # R-channel mean; numpy strided int64 sum is the exact
+                    # integer Python's sum() computes, just vectorized
+                    r_sum = int(np.frombuffer(rgb, np.uint8)[::3].sum(dtype=np.int64))
+                    emit(int(mid), fid, delay, w, h, r_sum / npx, True)
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(
@@ -1217,16 +1262,19 @@ def documents_as_animated_gif_media(
     fb = frame_bytes
 
     def _worker(batches):
+        import numpy as np
         import pandas as pd
 
         def doc_to_gif(text):
             data = bytes(text, "utf-8")
             n_frames = max(1, -(-len(data) // fb))
             padded = data.ljust(n_frames * fb, b"\x00")
+            rows = np.repeat(
+                np.frombuffer(padded, np.uint8).reshape(n_frames, fb), 8, axis=1
+            )
             frames = []
             for k in range(n_frames):
-                sl = padded[k * fb : (k + 1) * fb]
-                pixels = b"".join(bytes([v]) * 8 for v in sl) * 8
+                pixels = rows[k : k + 1].repeat(8, axis=0).tobytes()
                 frames.append(
                     dict(
                         left=0, top=k * 8, width=fb * 8, height=8, pixels=pixels,
@@ -1244,6 +1292,6 @@ def documents_as_animated_gif_media(
                 }
             )
 
-    return documents.select(
-        F.col("doc_id").alias("media_id"), F.col("text")
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
     ).mapInPandas(_worker, schema="media_id long, content binary")

@@ -29,9 +29,26 @@ workers).
 from __future__ import annotations
 
 
-def _build_png_codec():
+def _build_png_codec(force_scalar=False):
+    """Build the codec closures. When numpy is importable (and
+    ``force_scalar`` is not set), the batch-parallel stages run
+    vectorized with EXACT integer arithmetic — scanline unfilter for
+    types None/Sub/Up (uint8 adds wrap mod 256 like the scalar ``& 0xFF``;
+    Sub is a per-lane ``np.add.accumulate``), sub-byte sample unpacking
+    (``np.unpackbits`` + grouped weights), Adam7 pass scatter (strided
+    assignment), palette expansion (fancy indexing) and gray scaling
+    (``v * 255 // maxv`` vectorized). Average/Paeth rows have a true
+    left-neighbor data dependency and stay scalar (this repo's encoder
+    emits filter 0 only, so fixture streams never hit them). Byte parity
+    with the stdlib path is asserted in tests/test_codec_parity.py."""
     import struct
     import zlib
+
+    try:
+        import numpy as _np
+    except ImportError:  # pragma: no cover - numpy is baked into the image
+        _np = None
+    np = None if force_scalar else _np
 
     # Adam7 pass geometry: (x0, y0, dx, dy)
     ADAM7 = (
@@ -96,7 +113,10 @@ def _build_png_codec():
         except Exception:
             return None
 
-    def _decode(b):
+    def _parse(b):
+        """Header + chunk walk shared by the scalar and numpy decoders:
+        (width, height, depth, ctype, channels, interlace, plte, raw)
+        or None."""
         if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
             return None
         width = int.from_bytes(b[16:20], "big")
@@ -128,6 +148,116 @@ def _build_png_codec():
         if ctype == 3 and (plte is None or len(plte) % 3):
             return None
         raw = zlib.decompress(bytes(idat))
+        return width, height, depth, ctype, channels, interlace, plte, raw
+
+    def _unfilter_np(raw, off, pw, ph, bpp, stride):
+        """Vectorized unfilter for one (sub-)image: types 0/2 are whole-
+        row uint8 adds (wrap == the scalar's ``& 0xFF``), type 1 is a
+        per-lane modular prefix sum; types 3/4 (left-neighbor data
+        dependency) run the scalar loop on that row. Output rows are
+        byte-identical to ``_unfilter``."""
+        rows_out = np.empty((ph, stride), np.uint8)
+        prev = np.zeros(stride, np.uint8)
+        for y in range(ph):
+            rs = off + y * (stride + 1)
+            if rs >= len(raw):
+                return None
+            ftype = raw[rs]
+            line = np.frombuffer(raw[rs + 1 : rs + 1 + stride], np.uint8)
+            if line.size != stride:
+                return None
+            if ftype == 0:
+                cur = line.copy()
+            elif ftype == 1:  # Sub: per-lane modular prefix sum
+                cur = line.copy()
+                for lane in range(min(bpp, stride)):
+                    np.add.accumulate(cur[lane::bpp], out=cur[lane::bpp])
+            elif ftype == 2:  # Up
+                cur = line + prev
+            elif ftype in (3, 4):  # Average/Paeth: sequential left dep
+                sl = bytearray(line.tobytes())
+                pv = prev.tobytes()
+                if ftype == 3:
+                    for x in range(stride):
+                        a = sl[x - bpp] if x >= bpp else 0
+                        sl[x] = (sl[x] + ((a + pv[x]) >> 1)) & 0xFF
+                else:
+                    for x in range(stride):
+                        a = sl[x - bpp] if x >= bpp else 0
+                        c = pv[x - bpp] if x >= bpp else 0
+                        p = a + pv[x] - c
+                        pa, pb, pc = abs(p - a), abs(p - pv[x]), abs(p - c)
+                        pred = (
+                            a
+                            if (pa <= pb and pa <= pc)
+                            else (pv[x] if pb <= pc else c)
+                        )
+                        sl[x] = (sl[x] + pred) & 0xFF
+                cur = np.frombuffer(bytes(sl), np.uint8)
+            else:
+                return None
+            rows_out[y] = cur
+            prev = cur
+        return rows_out
+
+    def _decode_np(parsed):
+        width, height, depth, ctype, channels, interlace, plte, raw = parsed
+        bits = depth * channels
+        bpp = max(1, bits // 8)
+        passes = ADAM7 if interlace else ((0, 0, 1, 1),)
+        target = np.zeros((height, width, channels), np.uint8)
+        covered = np.zeros((height, width), bool)
+        off = 0
+        for x0, y0, dx, dy in passes:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * bits + 7) // 8
+            rows = _unfilter_np(raw, off, pw, ph, bpp, stride)
+            if rows is None:
+                return None
+            off += ph * (stride + 1)
+            if depth == 8:
+                samples = rows[:, : pw * channels].reshape(ph, pw, channels)
+            else:
+                # MSB-first sub-byte samples: unpack to bits, group per
+                # sample, recombine with the same shift weights
+                bitarr = np.unpackbits(rows, axis=1)[:, : pw * depth]
+                weights = (1 << np.arange(depth - 1, -1, -1, dtype=np.uint8))
+                samples = (
+                    (bitarr.reshape(ph, pw, depth) * weights)
+                    .sum(axis=2, dtype=np.uint8)
+                    .reshape(ph, pw, 1)
+                )
+            target[y0::dy, x0::dx] = samples
+            covered[y0::dy, x0::dx] = True
+        if off != len(raw):
+            return None
+        if not covered.all():
+            return None
+        if ctype == 3:
+            npal = len(plte) // 3
+            idx = target[:, :, 0]
+            if int(idx.max()) >= npal:
+                return None
+            pala = np.frombuffer(plte[: 3 * npal], np.uint8).reshape(npal, 3)
+            return width, height, 3, pala[idx].tobytes()
+        if depth < 8:  # single-channel gray, scale to 8-bit
+            maxv = (1 << depth) - 1
+            scaled = (target[:, :, 0].astype(np.uint16) * 255 // maxv).astype(
+                np.uint8
+            )
+            return width, height, 1, scaled.tobytes()
+        return width, height, channels, target.tobytes()
+
+    def _decode(b):
+        parsed = _parse(b)
+        if parsed is None:
+            return None
+        if np is not None:
+            return _decode_np(parsed)
+        width, height, depth, ctype, channels, interlace, plte, raw = parsed
 
         bits = depth * channels
         bpp = max(1, bits // 8)
@@ -196,6 +326,17 @@ def _build_png_codec():
             raw = b"".join(
                 b"\x00" + padded[y * width : (y + 1) * width] for y in range(h)
             )
+        elif np is not None:
+            arr = np.frombuffer(padded, np.uint8).reshape(h, width)
+            parts = []
+            for x0, y0, dx, dy in ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub = arr[y0::dy, x0::dx]
+                parts.extend(b"\x00" + sub[ry].tobytes() for ry in range(ph))
+            raw = b"".join(parts)
         else:
             parts = []
             for x0, y0, dx, dy in ADAM7:

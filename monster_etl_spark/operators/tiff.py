@@ -31,8 +31,25 @@ Defined inside ``_build_tiff_codec`` for by-value closure shipping.
 from __future__ import annotations
 
 
-def _build_tiff_codec():
+def _build_tiff_codec(force_scalar=False):
+    """Build the codec closures. With numpy importable (and not
+    ``force_scalar``), the batch stages vectorize with exact integer
+    arithmetic: LZW code extraction (MSB-first bit unpack + per-batch
+    integer matmul between the deterministic early-change width
+    boundaries — the same horizon argument as the GIF decoder, shifted
+    by the KwKwK table lag), and the horizontal-differencing predictor
+    undo (per-lane modular prefix sums; uint8 accumulate wraps exactly
+    like the scalar ``& 0xFF``). The dictionary-growth loop and the LZW
+    *encoder* (true sequential data dependencies) stay scalar. Byte
+    parity with the stdlib build is asserted in
+    tests/test_codec_parity.py."""
     import struct
+
+    try:
+        import numpy as _np
+    except ImportError:  # pragma: no cover - numpy is baked into the image
+        _np = None
+    np = None if force_scalar else _np
 
     CLEAR, EOI, FIRST = 256, 257, 258
 
@@ -78,7 +95,7 @@ def _build_tiff_codec():
             emit(0, 8 - nbits)  # flush
         return bytes(out)
 
-    def lzw_decode(data):
+    def lzw_decode_scalar(data):
         pos = 0  # bit position
         total = 8 * len(data)
 
@@ -126,6 +143,70 @@ def _build_tiff_codec():
                 width += 1
             prev = entry
         return bytes(out)
+
+    def lzw_decode_np(data):
+        """``lzw_decode_scalar`` with VECTORIZED code extraction: between
+        the deterministic width-change points (a CLEAR reset, or the
+        table reaching ``(1 << width) - 2`` — each non-reset code grows
+        the table by at most one entry, so at most that many codes fit
+        before the geometry changes) codes are pulled in one MSB-first
+        bit-unpack + integer matmul. The dictionary-growth loop keeps
+        the scalar structure; the end-of-data rule matches (fewer than
+        ``width`` bits left <=> the scalar reader's 'lzw truncated')."""
+        bits = np.unpackbits(np.frombuffer(bytes(data), np.uint8))
+        total = int(bits.size)
+        bp = 0
+        base_table = [bytes([i]) for i in range(256)] + [b"", b""]
+        out = bytearray()
+        table: list = []
+        width = 9
+        prev = None
+        pending: list = []
+        pi = 0
+        while True:
+            if pi >= len(pending):
+                horizon = (
+                    ((1 << width) - 2 - len(table)) if width < 12 else (1 << 30)
+                )
+                avail = (total - bp) // width
+                n = min(max(horizon, 1), avail, 1 << 16)
+                if n <= 0:
+                    raise ValueError("lzw truncated")
+                chunk = bits[bp : bp + n * width].reshape(n, width).astype(np.int32)
+                weights = 1 << np.arange(width - 1, -1, -1, dtype=np.int32)
+                pending = (chunk @ weights).tolist()
+                pi = 0
+            code = pending[pi]
+            pi += 1
+            bp += width
+            if code == EOI:
+                break
+            if code == CLEAR:
+                table = list(base_table)
+                width = 9
+                prev = None
+                pending = []
+                continue
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("lzw: first code after clear not literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("lzw: code out of range")
+            out += entry
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+                pending = []
+            prev = entry
+        return bytes(out)
+
+    lzw_decode = lzw_decode_scalar if np is None else lzw_decode_np
 
     # ---- PackBits --------------------------------------------------------
     def packbits_encode(data):
@@ -320,10 +401,27 @@ def _build_tiff_codec():
             rows_here = min(rps, height - si * rps)
             raw = raw[: rows_here * row_bytes]
             if pred == 2:
-                und = bytearray(raw)
-                for r0 in range(0, len(und), row_bytes):
+                if np is not None:
+                    # per-lane modular prefix sum over full rows (uint8
+                    # accumulate wraps == the scalar & 0xFF); a ragged
+                    # tail row keeps the scalar loop
+                    nr = len(raw) // row_bytes
+                    a = np.frombuffer(raw[: nr * row_bytes], np.uint8).reshape(
+                        nr, row_bytes
+                    ).copy()
+                    for lane in range(min(spp, row_bytes)):
+                        np.add.accumulate(
+                            a[:, lane::spp], axis=1, out=a[:, lane::spp]
+                        )
+                    und = bytearray(a.tobytes()) + bytearray(raw[nr * row_bytes :])
+                    r0 = nr * row_bytes
                     for x in range(spp, min(row_bytes, len(und) - r0)):
                         und[r0 + x] = (und[r0 + x] + und[r0 + x - spp]) & 0xFF
+                else:
+                    und = bytearray(raw)
+                    for r0 in range(0, len(und), row_bytes):
+                        for x in range(spp, min(row_bytes, len(und) - r0)):
+                            und[r0 + x] = (und[r0 + x] + und[r0 + x - spp]) & 0xFF
                 raw = bytes(und)
             out += raw
         if len(out) < width * height * spp:
