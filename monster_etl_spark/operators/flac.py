@@ -44,9 +44,15 @@ workers capture them BY VALUE (the image-codec shipping discipline).
 from __future__ import annotations
 
 
-def _build_flac_codec():
+def _build_flac_codec(force_scalar=False):
     import hashlib
     import struct
+
+    try:
+        import numpy as _np
+    except ImportError:  # pragma: no cover - numpy is baked into the image
+        _np = None
+    np = None if force_scalar else _np
 
     # ---- CRCs (RFC 9639: CRC-8 poly 0x07, CRC-16 poly 0x8005, init 0) ----
     CRC8_TAB = []
@@ -138,6 +144,12 @@ def _build_flac_codec():
     FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
 
     def _residuals(blk, order):
+        if np is not None:
+            # FIXED-predictor residuals ARE the order-th backward finite
+            # difference; np.diff is the identical integer recurrence
+            if order == 0:
+                return list(blk)
+            return np.diff(np.asarray(blk, np.int64), n=order).tolist()
         co = FIXED_COEF[order]
         return [
             blk[i] - sum(c * blk[i - 1 - j] for j, c in enumerate(co))
@@ -183,28 +195,54 @@ def _build_flac_codec():
             w.w(1, 1)
             w.w(u, param)
 
+    def _splice(dst, src):
+        """Append a (possibly unaligned) bit-writer's content to another."""
+        for byte in src.buf:
+            dst.w(byte, 8)
+        if src.n:
+            dst.w(src.acc, src.n)
+
     def _write_subframe_safe(w, blk, bps):
+        """Write the best subframe for ``blk`` into ``w``. The candidate
+        is built in a FRESH writer and spliced in only on success — an
+        OverflowError raised mid-residual must not leave a partially
+        written FIXED subframe in the frame (the fallback would otherwise
+        produce a corrupt stream). Unreachable for int16 input (rice
+        quotients are bounded by |residual| / 2^param with the fitted
+        param), but the fallback has to be correct to exist."""
+        cand = W()
         try:
-            _write_subframe(w, blk, bps)
+            _write_subframe(cand, blk, bps)
         except OverflowError:
-            # VERBATIM fallback (never triggers for int16 input, kept for
-            # safety: rice quotients are bounded by |residual|/2^param)
-            w.w(0, 1)
-            w.w(0b000001, 6)
-            w.w(0, 1)
+            cand = W()  # VERBATIM fallback in its own fresh writer
+            cand.w(0, 1)
+            cand.w(0b000001, 6)
+            cand.w(0, 1)
             for v in blk:
-                w.w(v, bps)
+                cand.w(v, bps)
+        _splice(w, cand)
 
     def encode_pcm16(samples, sample_rate=16000, n_channels=1):
         """Mono/stereo 16-bit FLAC from interleaved int samples."""
-        samples = [max(-32768, min(32767, int(s))) for s in samples]
+        if np is not None:
+            arr = np.asarray(list(samples))
+            if arr.dtype.kind == "f":
+                arr = arr.astype(np.int64)  # int() truncation
+            samples = np.clip(arr, -32768, 32767).astype(np.int64).tolist()
+        else:
+            samples = [max(-32768, min(32767, int(s))) for s in samples]
         if n_channels not in (1, 2):
             raise ValueError("encoder supports 1 or 2 channels")
         nframes_total = len(samples) // n_channels
         samples = samples[: nframes_total * n_channels]
-        md5 = hashlib.md5(
-            b"".join(struct.pack("<h", s) for s in samples)
-        ).digest()
+        if np is not None:
+            md5 = hashlib.md5(
+                np.asarray(samples, np.int64).astype("<i2").tobytes()
+            ).digest()
+        else:
+            md5 = hashlib.md5(
+                b"".join(struct.pack("<h", s) for s in samples)
+            ).digest()
         si = W()
         si.w(BLOCK, 16)
         si.w(BLOCK, 16)
@@ -315,12 +353,26 @@ def _build_flac_codec():
             out = [r.rs(eff) for _ in range(order)]
             res = []
             _read_residual(r, n, order, res)
-            co = FIXED_COEF[order]
-            for i in range(order, n):
-                out.append(
-                    res[i - order]
-                    + sum(c * out[i - 1 - j] for j, c in enumerate(co))
-                )
+            if np is not None and order and res:
+                # the FIXED recurrence inverts the order-th backward
+                # difference: integrate the residuals ``order`` times,
+                # seeding each pass with the warmup's finite differences
+                # — exact int64 (values never exceed the sample domain)
+                warm = np.asarray(out, np.int64)
+                cur = np.asarray(res, np.int64)
+                for j in range(order, 0, -1):
+                    seed = int(np.diff(warm, n=j - 1)[-1]) if j > 1 else int(warm[-1])
+                    cur = seed + np.cumsum(cur)
+                out.extend(cur.tolist())
+            elif order == 0:
+                out.extend(res)  # order-0 prediction is the residual itself
+            else:
+                co = FIXED_COEF[order]
+                for i in range(order, n):
+                    out.append(
+                        res[i - order]
+                        + sum(c * out[i - 1 - j] for j, c in enumerate(co))
+                    )
         elif t >= 32:  # LPC order 1-32
             order = t - 31
             out = [r.rs(eff) for _ in range(order)]
@@ -376,7 +428,10 @@ def _build_flac_codec():
         if rate is None or not rate:
             return None
         chans_acc = [[] for _ in range(n_ch)]
-        while pos < len(b) and total and len(chans_acc[0]) < total:
+        # total == 0 is the legal 'unknown length' STREAMINFO value
+        # (RFC 9639): decode frames to end-of-stream and skip the
+        # length check/trim; a nonzero total bounds the loop as before
+        while pos < len(b) and (not total or len(chans_acc[0]) < total):
             fstart = pos
             r = R(b, pos * 8)
             if r.r(14) != 0b11111111111110 or r.r(1):
@@ -455,15 +510,28 @@ def _build_flac_codec():
                 if len(chans_acc[c]) < total:
                     return None
                 chans_acc[c] = chans_acc[c][:total]
-        out = []
-        for i in range(len(chans_acc[0])):
-            for c in range(n_ch):
-                out.append(chans_acc[c][i])
+        if np is not None and chans_acc[0]:
+            out = (
+                np.stack([np.asarray(c, np.int64) for c in chans_acc], axis=1)
+                .reshape(-1)
+                .tolist()
+            )
+        else:
+            out = []
+            for i in range(len(chans_acc[0])):
+                for c in range(n_ch):
+                    out.append(chans_acc[c][i])
         if verify_md5 and md5 and md5 != b"\x00" * 16 and bps % 8 == 0:
             nbytes = bps // 8
-            raw = b"".join(
-                int(v).to_bytes(nbytes, "little", signed=True) for v in out
-            )
+            if np is not None and bps == 16:
+                arr = np.asarray(out, np.int64)
+                if arr.size and (int(arr.min()) < -32768 or int(arr.max()) > 32767):
+                    raise OverflowError  # scalar to_bytes raises the same
+                raw = arr.astype("<i2").tobytes()
+            else:
+                raw = b"".join(
+                    int(v).to_bytes(nbytes, "little", signed=True) for v in out
+                )
             if hashlib.md5(raw).digest() != md5:
                 return None
         return rate, n_ch, bps, out

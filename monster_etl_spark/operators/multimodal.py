@@ -882,6 +882,7 @@ def extract_audio_stats(media: DataFrame, codec: str = "wav") -> DataFrame:
     def _worker(batches):
         import math
 
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -904,8 +905,18 @@ def extract_audio_stats(media: DataFrame, codec: str = "wav") -> DataFrame:
                 rows["n_samples"].append(len(samples) // n_ch)
                 rows["duration_sec"].append((len(samples) // n_ch) / rate)
                 if samples:
-                    rows["peak_abs"].append(max(abs(v) for v in samples))
-                    rows["rms"].append(math.sqrt(sum(v * v for v in samples) / len(samples)))
+                    arr = np.asarray(samples, np.int64)
+                    peak = int(np.abs(arr).max())
+                    rows["peak_abs"].append(peak)
+                    if peak < (1 << 16):
+                        # int64 square sum exact: n * (2^16)^2 < 2^63 up
+                        # to 2^31 samples — the exact integer the scalar
+                        # sum() builds, so sqrt of the same rational is
+                        # IEEE-identical (all 16-bit-or-less content)
+                        sq = int((arr * arr).sum(dtype=np.int64))
+                    else:
+                        sq = sum(v * v for v in samples)  # arbitrary precision
+                    rows["rms"].append(math.sqrt(sq / arr.size))
                 else:
                     rows["peak_abs"].append(None)
                     rows["rms"].append(None)
@@ -1012,10 +1023,15 @@ def documents_as_adpcm_media(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
                     "content": [
+                        # truncate CHARACTERS first, then encode: the
+                        # DuckDB oracle slices with substr(text, 1, n)
+                        # (character semantics), and a byte-prefix slice
+                        # of non-ASCII text would both diverge from it
+                        # and risk splitting a multi-byte code point
                         encode_local(
                             [
                                 (v - 128) * 256
-                                for v in bytes(t, "utf-8")[:max_samples]
+                                for v in bytes(t[:max_samples], "utf-8")
                             ],
                             sample_rate,
                             block_bytes,

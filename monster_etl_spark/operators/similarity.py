@@ -789,6 +789,15 @@ def brute_force_topk_arrow(
     )
     import numpy as np
 
+    # edge contract parity with the JVM path (which scores NULL vectors
+    # NULL and an empty query side to an empty result): skip NULL-vector
+    # query rows instead of crashing on list(None), and short-circuit an
+    # empty query set to an empty frame of the output schema
+    q_rows = [r for r in q_rows if r.qv is not None]
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank long"
+        )
     qid_arr = np.asarray([r.query_id for r in q_rows], dtype=np.int64)
     qm = np.asarray([list(r.qv) for r in q_rows], dtype=np.float64)
     n_q, dims = qm.shape
@@ -800,7 +809,9 @@ def brute_force_topk_arrow(
     c = _spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
-        )
+        # NULL corpus vectors score NULL in the JVM path (sorted last);
+        # the kernel skips them up front instead of crashing np.asarray
+        ).where(F.col("nv").isNotNull())
     )
 
     # 1e-6 covers a 6dp rounded tie on either side; the rest absorbs
@@ -905,6 +916,10 @@ def ivf_topk_arrow(
     import numpy as np
 
     cent_rows = kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters).collect()
+    if not cent_rows:  # empty corpus -> nothing to probe; empty result
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank long"
+        )
     cent_rows.sort(key=lambda r: r.cent_id)
     cent_ids = np.asarray([r.cent_id for r in cent_rows], dtype=np.int64)
     cm = np.asarray([list(r.cv) for r in cent_rows], dtype=np.float64)
@@ -913,6 +928,13 @@ def ivf_topk_arrow(
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).collect()  # bounded by contract (JVM path broadcasts this side)
+    # same edge contract as brute_force_topk_arrow: drop NULL-vector
+    # query rows; empty query set or no centroids -> empty result frame
+    q_rows = [r for r in q_rows if r.qv is not None]
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank long"
+        )
     qid_arr = np.asarray([r.query_id for r in q_rows], dtype=np.int64)
     qm = np.asarray([list(r.qv) for r in q_rows], dtype=np.float64)
     n_q = len(qid_arr)
@@ -935,7 +957,7 @@ def ivf_topk_arrow(
     c = _spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
-        )
+        ).where(F.col("nv").isNotNull())  # same NULL contract as above
     )
     slack = 2e-6  # cosine selection: 6dp tie + GEMM reassociation error
 

@@ -42,8 +42,24 @@ discipline).
 from __future__ import annotations
 
 
-def _build_wav_codec():
+def _build_wav_codec(force_scalar=False):
+    """Build the codec closures. With numpy importable (and not
+    ``force_scalar``), the sample-parallel stages vectorize with exact
+    integer arithmetic: G.711 decode is a 256-entry ``np.take`` LUT and
+    G.711 *encode* a 65536-entry LUT built from the scalar segment
+    encoders (table lookup == the function, by construction); PCM
+    8/16/24/32 and IEEE-float decode are ``np.frombuffer`` casts with
+    the same truncate-then-clip sequence. The IMA ADPCM state machine
+    (true sequential dependency: each sample's step size depends on the
+    previous code) stays scalar both ways. Byte/values parity with the
+    stdlib build is asserted in tests/test_codec_parity.py."""
     import struct
+
+    try:
+        import numpy as _np
+    except ImportError:  # pragma: no cover - numpy is baked into the image
+        _np = None
+    np = None if force_scalar else _np
 
     # ---- G.711 (ITU-T; tables identical to Sun g711.c / CPython audioop) --
     def _lin2ulaw(x):
@@ -95,6 +111,14 @@ def _build_wav_codec():
 
     ULAW_DEC = [_ulaw2lin(c) for c in range(256)]
     ALAW_DEC = [_alaw2lin(c) for c in range(256)]
+    if np is not None:
+        ULAW_DEC_ARR = np.array(ULAW_DEC, np.int32)
+        ALAW_DEC_ARR = np.array(ALAW_DEC, np.int32)
+        # encode LUTs over the full int16 domain, built from the scalar
+        # segment encoders — lookup is the function by construction
+        _dom = range(-32768, 32768)
+        ULAW_ENC_ARR = np.fromiter((_lin2ulaw(x) for x in _dom), np.uint8, 65536)
+        ALAW_ENC_ARR = np.fromiter((_lin2alaw(x) for x in _dom), np.uint8, 65536)
 
     # ---- IMA/DVI ADPCM reference tables ----------------------------------
     ADPCM_STEP = [
@@ -146,7 +170,15 @@ def _build_wav_codec():
     def encode_pcm16(samples, sample_rate=16000):
         """Mono 16-bit little-endian PCM WAV from an iterable of ints in
         [-32768, 32767]."""
-        data = b"".join(struct.pack("<h", max(-32768, min(32767, int(s)))) for s in samples)
+        if np is not None:
+            arr = np.asarray(list(samples))
+            if arr.dtype.kind == "f":
+                arr = arr.astype(np.int64)  # int() truncation
+            data = np.clip(arr, -32768, 32767).astype("<i2").tobytes()
+        else:
+            data = b"".join(
+                struct.pack("<h", max(-32768, min(32767, int(s)))) for s in samples
+            )
         byte_rate = sample_rate * 2
         hdr = (
             b"RIFF"
@@ -174,9 +206,17 @@ def _build_wav_codec():
         """Mono G.711 WAV (format 7 mu-law / 6 A-law) from 16-bit ints.
         18-byte fmt (cbSize=0) + ``fact`` chunk, per the spec for
         non-PCM encodings."""
-        enc = _lin2ulaw if law == "ulaw" else _lin2alaw
         code = 7 if law == "ulaw" else 6
-        data = bytes(enc(max(-32768, min(32767, int(s)))) for s in samples)
+        if np is not None:
+            arr = np.asarray(list(samples))
+            if arr.dtype.kind == "f":
+                arr = arr.astype(np.int64)  # int() truncation
+            idx = np.clip(arr, -32768, 32767).astype(np.int64) + 32768
+            lut = ULAW_ENC_ARR if law == "ulaw" else ALAW_ENC_ARR
+            data = lut[idx].tobytes()
+        else:
+            enc = _lin2ulaw if law == "ulaw" else _lin2alaw
+            data = bytes(enc(max(-32768, min(32767, int(s)))) for s in samples)
         fmt = struct.pack("<HHIIHHH", code, 1, sample_rate, sample_rate, 1, 8, 0)
         fact = struct.pack("<I", len(data))
         return _riff(fmt, [(b"fact", fact)], data)
@@ -247,19 +287,39 @@ def _build_wav_codec():
             return None
         if audio_fmt == 1:  # integer PCM
             if bits == 8:
-                samples = [v - 128 for v in data]
+                if np is not None:
+                    samples = (
+                        np.frombuffer(data, np.uint8).astype(np.int16) - 128
+                    ).tolist()
+                else:
+                    samples = [v - 128 for v in data]
             elif bits == 16:
                 n = len(data) // 2
-                samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+                if np is not None:
+                    samples = np.frombuffer(data[: 2 * n], "<i2").tolist()
+                else:
+                    samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
             elif bits == 24:
                 n = len(data) // 3
-                samples = [
-                    int.from_bytes(data[3 * k : 3 * k + 3], "little", signed=True)
-                    for k in range(n)
-                ]
+                if np is not None:
+                    a = np.frombuffer(data[: 3 * n], np.uint8).reshape(n, 3)
+                    v = (
+                        a[:, 0].astype(np.int32)
+                        | (a[:, 1].astype(np.int32) << 8)
+                        | (a[:, 2].astype(np.int32) << 16)
+                    )
+                    samples = ((v ^ 0x800000) - 0x800000).tolist()
+                else:
+                    samples = [
+                        int.from_bytes(data[3 * k : 3 * k + 3], "little", signed=True)
+                        for k in range(n)
+                    ]
             elif bits == 32:
                 n = len(data) // 4
-                samples = list(struct.unpack(f"<{n}i", data[: 4 * n]))
+                if np is not None:
+                    samples = np.frombuffer(data[: 4 * n], "<i4").tolist()
+                else:
+                    samples = list(struct.unpack(f"<{n}i", data[: 4 * n]))
             else:
                 return None
         elif audio_fmt == 3:  # IEEE float, scaled onto the 24-bit grid
@@ -271,17 +331,31 @@ def _build_wav_codec():
                 raw = struct.unpack(f"<{n}d", data[: 8 * n])
             else:
                 return None
-            samples = [
-                max(-8388608, min(8388607, int(v * 8388608.0))) for v in raw
-            ]
+            if np is not None:
+                fa = np.asarray(raw, np.float64) * 8388608.0
+                if not np.isfinite(fa).all():
+                    raise ValueError("non-finite float sample")  # scalar int() raises too
+                samples = (
+                    np.clip(np.trunc(fa), -8388608, 8388607).astype(np.int64).tolist()
+                )
+            else:
+                samples = [
+                    max(-8388608, min(8388607, int(v * 8388608.0))) for v in raw
+                ]
         elif audio_fmt == 7:  # G.711 mu-law
             if bits != 8:
                 return None
-            samples = [ULAW_DEC[v] for v in data]
+            if np is not None:
+                samples = ULAW_DEC_ARR[np.frombuffer(data, np.uint8)].tolist()
+            else:
+                samples = [ULAW_DEC[v] for v in data]
         elif audio_fmt == 6:  # G.711 A-law
             if bits != 8:
                 return None
-            samples = [ALAW_DEC[v] for v in data]
+            if np is not None:
+                samples = ALAW_DEC_ARR[np.frombuffer(data, np.uint8)].tolist()
+            else:
+                samples = [ALAW_DEC[v] for v in data]
         elif audio_fmt == 0x11:  # IMA ADPCM (mono)
             if bits != 4 or n_ch != 1 or _ba < 5:
                 return None

@@ -134,3 +134,80 @@ def test_jpeg_rgb_parity():
         enc = js[key](rgb, 32)
         assert enc == jn[key](rgb, 32)
         assert js["decode"](enc) == jn["decode"](enc)
+
+
+def test_wav_parity():
+    import struct
+
+    from monster_etl_spark.operators.wav import _build_wav_codec
+
+    ws = _build_wav_codec(force_scalar=True)
+    wn = _build_wav_codec(force_scalar=False)
+    rng = random.Random(23)
+
+    def mkwav(fmt_code, bits, data, rate=8000, ch=1):
+        fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate, max(1, bits // 8), bits)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            chunks += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    for _ in range(15):
+        n = rng.randint(0, 400)
+        samples = [rng.randint(-40000, 40000) for _ in range(n)]
+        assert ws["encode_pcm16"](samples) == wn["encode_pcm16"](samples)
+        for law in ("ulaw", "alaw"):
+            enc = ws["encode_g711"](samples, law)
+            assert enc == wn["encode_g711"](samples, law)
+            assert ws["decode"](enc) == wn["decode"](enc)
+        enc = ws["encode_adpcm"](samples)
+        assert enc == wn["encode_adpcm"](samples)
+        assert ws["decode"](enc) == wn["decode"](enc)
+        # PCM widths + IEEE float, incl. non-finite -> None on both
+        for bits in (8, 16, 24, 32):
+            nb = max(1, bits // 8)
+            data = bytes(rng.randrange(256) for _ in range(nb * n))
+            w = mkwav(1, bits, data)
+            assert ws["decode"](w) == wn["decode"](w)
+        fdata = b"".join(struct.pack("<f", rng.uniform(-2, 2)) for _ in range(n))
+        w = mkwav(3, 32, fdata)
+        assert ws["decode"](w) == wn["decode"](w)
+        w2 = mkwav(3, 32, fdata + struct.pack("<f", float("nan")))
+        assert ws["decode"](w2) == wn["decode"](w2) is None
+
+
+def test_flac_parity_and_unknown_length():
+    from monster_etl_spark.operators.flac import _build_flac_codec
+
+    fs = _build_flac_codec(force_scalar=True)
+    fn = _build_flac_codec(force_scalar=False)
+    rng = random.Random(29)
+    for _ in range(10):
+        n = rng.randint(0, 800)
+        nch = rng.choice([1, 2])
+        samples = [rng.randint(-33000, 33000) for _ in range(n)]
+        enc = fs["encode_pcm16"](samples, 16000, nch)
+        assert enc == fn["encode_pcm16"](samples, 16000, nch)
+        assert fs["decode"](enc) == fn["decode"](enc)
+    # smooth signals exercise FIXED orders 1/2 (cumsum reconstruction)
+    v = 0
+    samples = []
+    for _ in range(3000):
+        v += rng.randint(-3, 3)
+        samples.append(v)
+    enc = fs["encode_pcm16"](samples)
+    assert enc == fn["encode_pcm16"](samples)
+    d = fs["decode"](enc)
+    assert d == fn["decode"](enc)
+    assert d is not None and d[3] == samples
+
+    # RFC 9639 total=0 'unknown length': frames decode to end-of-stream
+    # in both builds (round-5 ADVICE #2)
+    e = bytearray(enc)
+    e[8 + 13] &= 0xF0
+    for k in range(14, 18):
+        e[8 + k] = 0
+    da = fs["decode"](bytes(e))
+    assert da == fn["decode"](bytes(e))
+    assert da is not None and da[3] == samples

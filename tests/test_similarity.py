@@ -427,3 +427,47 @@ def test_auto_assignment_two_level_path_matches_flat(spark, sf_dir, monkeypatch)
         ).collect()
     }
     assert len(auto & flat) >= 0.95 * len(auto | flat) if (auto or flat) else True
+
+
+def test_arrow_kernels_edge_inputs(spark, sf_dir):
+    """Round-5 ADVICE #4: the Arrow kernels must match the JVM paths on
+    edge inputs — an EMPTY query set returns an empty frame of the
+    output schema (not a shape-unpack crash), and NULL embedding rows
+    are skipped (not a TypeError)."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    empty_q = emb.filter(F.lit(False))
+    for fn in (sim.brute_force_topk_arrow, sim.ivf_topk_arrow):
+        out = fn(empty_q, emb, k=3)
+        assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+        assert out.count() == 0
+
+    # NULL embedding among the queries: skipped, others still answered
+    some = emb.filter(emb.vec_id % 100 == 0)
+    nulled = some.withColumn(
+        "embedding",
+        F.when(emb.vec_id == some.select(F.min("vec_id")).collect()[0][0], F.lit(None))
+        .otherwise(F.col("embedding")),
+    )
+    null_qid = some.select(F.min("vec_id")).collect()[0][0]
+    jvm = _topk_sets(sim.brute_force_topk(nulled, emb, k=3))
+    arrow = _topk_sets(sim.brute_force_topk_arrow(nulled, emb, k=3))
+    # the JVM path ranks the NULL query's NULL-scored rows (sorted
+    # last); the kernel drops the query entirely — the documented
+    # no-real-candidates divergence. Every real query must match.
+    assert set(arrow) == set(jvm) - {null_qid}
+    for q in arrow:
+        assert arrow[q] == jvm[q]
+
+    # NULL embedding in the corpus: kernel skips the row instead of
+    # crashing; every remaining neighbor set matches the JVM path on
+    # the NULL-free corpus contract (NULL scores sort last there)
+    corpus_nulled = emb.withColumn(
+        "embedding",
+        F.when(emb.vec_id == 1, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    q = emb.filter(emb.vec_id % 200 == 0)
+    a = _topk_sets(sim.brute_force_topk_arrow(q, corpus_nulled, k=3))
+    j = _topk_sets(sim.brute_force_topk(q, corpus_nulled, k=3))
+    assert a == j
