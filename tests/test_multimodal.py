@@ -1,5 +1,5 @@
 """Multimodal plumbing tests: schema, mapInPandas batch shape, deterministic
-fake decode, and the real-decode stub gate."""
+fake decode, and the real-decode codec routing."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -36,11 +36,22 @@ def test_extract_image_features(media):
         assert r["byte_crc"] == zlib.crc32(src[mid])
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        list(mm.decode_image_batch(iter([]), real_decode=True))
-    with pytest.raises(NotImplementedError):
-        mm.extract_image_features(None, real_decode=True)
+def test_real_decode_routes_to_codecs():
+    """real_decode=True no longer raises — it routes to the shipped
+    pixel decoders (round-5 verdict #5). The module-level worker decodes
+    a real PNG to its true dims and falls back to fake dims for junk."""
+    import pandas as pd
+
+    from monster_etl_spark.operators.png import png_encode_gray8_full
+
+    blob = png_encode_gray8_full(bytes(range(64)), 16)  # 16x4 gray PNG
+    junk = b"not an image"
+    pdf = pd.DataFrame({"media_id": [1, 2], "content": [blob, junk]})
+    out = pd.concat(list(mm.decode_image_batch(iter([pdf]), real_decode=True)))
+    by_id = {int(r.media_id): (int(r.width), int(r.height)) for r in out.itertuples()}
+    assert by_id[1] == (16, 4)
+    n = len(junk)
+    assert by_id[2] == ((n % 640) + 1, (n % 480) + 1)
 
 
 def test_module_fn_and_worker_closure_agree(media):
@@ -78,9 +89,56 @@ def test_resize_images_plumbing(media):
         assert c == (s * (192 // len(s) + 1))[:192] if s else c == b"\x00" * 192
 
 
-def test_resize_real_decode_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        mm.resize_images(media, 4, 4, real_decode=True)
+def test_resize_real_decode_resamples_decoded_pixels(spark, sf_dir):
+    """Round-5 verdict #5: real_decode=True must consume the shipped
+    pixel decoders, not raise. Nearest-neighbor over decoded PNG pixels
+    is analytically checkable: out[y][x] = src[(y*h)//H][(x*w)//W]."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    png_media = mm.documents_as_png_media(docs, width=32)
+    out = {
+        r["media_id"]: bytes(r["content"])
+        for r in mm.resize_images(png_media, 8, 8, real_decode=True).collect()
+    }
+    for r in docs.collect():
+        data = bytes(r["text"], "utf-8")
+        h = max(1, -(-len(data) // 32))
+        padded = data.ljust(32 * h, b"\x00")
+        expect = bytes(
+            padded[((y * h) // 8) * 32 + (x * 32) // 8]
+            for y in range(8)
+            for x in range(8)
+        )
+        assert out[r["doc_id"]] == expect
+
+    # undecodable content falls back to the fake cycle/truncate kernel
+    raw = mm.documents_as_media(docs)
+    fake = {
+        r["media_id"]: bytes(r["content"])
+        for r in mm.resize_images(raw, 4, 4, real_decode=True).collect()
+    }
+    for r in docs.collect():
+        s = bytes(r["text"], "utf-8")
+        want = (s * (16 // len(s) + 1))[:16] if s else b"\x00" * 16
+        assert fake[r["doc_id"]] == want
+
+
+def test_extract_image_features_real_decode_dims(spark, sf_dir):
+    """real_decode=True reports FULL-decode dimensions — including TIFF
+    and BMP, which the header fast path can't size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(6)
+    for adapter, w in (
+        (lambda d: mm.documents_as_png_media(d, width=32), 32),
+        (lambda d: mm.documents_as_tiff_media(d, width=32), 32),
+        (lambda d: mm.documents_as_bmp_media(d, width=32), 32),
+    ):
+        feats = {
+            r["media_id"]: (r["width"], r["height"])
+            for r in mm.extract_image_features(adapter(docs), real_decode=True).collect()
+        }
+        for r in docs.collect():
+            n = len(bytes(r["text"], "utf-8"))
+            h = max(1, -(-n // 32))
+            assert feats[r["doc_id"]] == (w, h)
 
 
 def test_frame_sample_ids(media):
