@@ -464,8 +464,9 @@ def ivf_topk(
     find its cells; the probe join is an equi-join on cell id, so
     per-query work is linear in the probed cells, never the full corpus.
     Deterministic given the corpus; recall is tested against the exact
-    brute-force ranking (rows-only in the driver contract — the
-    construction is too stateful for a readable SQL oracle).
+    brute-force ranking, and the registry query carries a FULL-pipeline
+    DuckDB oracle (queries/similarity_queries.py::KNN_IVF_SQL) that
+    replays the fixed-seed k-means and both assignments in SQL.
     """
     cent_arr = F.broadcast(
         _centroid_array(kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters))

