@@ -376,35 +376,36 @@ def main() -> None:
             from monster_etl_spark import metrics as _metrics
 
             sweep: dict[str, dict[str, float]] = {}
-            stage_metrics: dict[str, dict[str, int]] = {}
+            # round-5 verdict item 4: stage metrics at EVERY sweep sf (not
+            # just the largest) so cross-sf regressions are attributable
+            # to shuffle/spill deltas, not guessed at
+            stage_metrics: dict[str, dict[str, dict[str, int]]] = {}
             for d in dirs:
                 key = f"{_sf_of(d):g}"
-                at_largest = d == dirs[-1]
                 per: dict[str, float] = {}
+                sf_metrics: dict[str, dict[str, int]] = {}
                 for name in SOAK_QUERIES:
-                    if d == sf_dir.rstrip("/") and name in timings and not at_largest:
-                        per[name] = timings[name]  # reuse the primary-run number
-                        continue
                     fn = registry[name].fn
                     best = float("inf")
                     for _ in range(2):
-                        before = _metrics.snapshot(spark) if at_largest else None
+                        before = _metrics.snapshot(spark)
                         t0 = time.perf_counter()
                         fn(spark, d).write.format("noop").mode("overwrite").save()
                         elapsed = time.perf_counter() - t0
                         if elapsed < best:
                             best = elapsed
-                            if at_largest:
-                                dm = _metrics.delta(before, _metrics.snapshot(spark))
-                                if dm is not None:
-                                    stage_metrics[name] = dm
+                            dm = _metrics.delta(before, _metrics.snapshot(spark))
+                            if dm is not None:
+                                sf_metrics[name] = dm
                     per[name] = round(best, 3)
                 sweep[key] = per
+                if sf_metrics:
+                    stage_metrics[key] = sf_metrics
             if stage_metrics:
                 # shuffle bytes written/read + mem/disk spill per soak query
-                # at the sweep's LARGEST sf — the "is this disk-bound or
-                # plan-defective" evidence (best-timed attempt's delta)
-                out["stage_metrics"] = {f"{_sf_of(dirs[-1]):g}": stage_metrics}
+                # per sf — the "is this disk-bound or plan-defective"
+                # evidence (best-timed attempt's delta)
+                out["stage_metrics"] = stage_metrics
             # data skipping must WIN where there are enough files to skip:
             # the pair is re-run at the largest sf with a file count sized
             # to it (the sf0.1 pair in `queries` shows overhead-dominated

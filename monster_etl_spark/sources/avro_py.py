@@ -291,9 +291,45 @@ def _build_avro_codec():
             out += sync
         return bytes(out)
 
+    def split_ocf(blob, target_bytes=1 << 25):
+        """Split one OCF blob into independently-decodable chunks of
+        ~``target_bytes`` each: WALK the block boundaries (varint count +
+        varint size + payload + 16-byte sync — pure offset arithmetic, NO
+        decompression or datum decode) and emit ``header + blocks-run``
+        slices. This is what OCF sync markers exist for (Avro spec,
+        "Object Container Files"): any run of whole blocks prefixed with
+        the original header is itself a valid OCF, so each chunk decodes
+        through ``read_ocf`` unchanged. Returns ``[blob]`` untouched when
+        it already fits the target."""
+        blob = bytes(blob)
+        if len(blob) <= target_bytes:
+            return [blob]
+        if blob[:4] != MAGIC:
+            raise ValueError("not an Avro object container file")
+        dec = Dec(blob, 4)
+        read_datum(dec, ["map", "bytes"])  # skip metadata (validates it)
+        dec.raw(16)  # sync
+        header_end = dec.p
+        header = blob[:header_end]
+        bounds = [header_end]
+        while dec.p < len(blob):
+            dec.long()  # count
+            size = dec.long()
+            dec.p += size + 16  # payload + sync (verified on decode)
+            if dec.p > len(blob):
+                raise ValueError("truncated Avro block")
+            bounds.append(dec.p)
+        chunks = []
+        start = bounds[0]
+        for end in bounds[1:]:
+            if end - start >= target_bytes or end == bounds[-1]:
+                chunks.append(header + blob[start:end])
+                start = end
+        return chunks
+
     # map metadata values decoded as str keys: read_datum(map,bytes) gives
     # str keys / bytes values; normalize access above handles both.
-    return {"read_ocf": read_ocf, "write_ocf": write_ocf}
+    return {"read_ocf": read_ocf, "write_ocf": write_ocf, "split_ocf": split_ocf}
 
 
 _CODEC = None

@@ -141,3 +141,61 @@ def test_write_avro_py_roundtrip(spark, tmp_path):
     assert back.count() == 500
     got = {r["k"]: r for r in back.collect()}
     assert got[0]["s"] is None and got[1]["s"] == "s1" and got[9]["xs"] == [9, 27]
+
+
+def test_split_ocf_block_boundaries():
+    """split_ocf walks block boundaries without decoding: each chunk is a
+    valid standalone OCF (header + whole blocks) and the concatenated
+    record streams equal the original."""
+    from monster_etl_spark.sources.avro_py import _build_avro_codec
+
+    codec = _build_avro_codec()
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "k", "type": "long"},
+                         {"name": "s", "type": "string"}]}
+    recs = [{"k": i, "s": f"v{i}" * 20} for i in range(5000)]
+    blob = codec["write_ocf"](schema, recs, codec="deflate", block_records=250)
+    # small target -> many chunks; each must decode independently
+    chunks = codec["split_ocf"](blob, target_bytes=4096)
+    assert len(chunks) > 3
+    out = []
+    for ch in chunks:
+        sj, rs = codec["read_ocf"](ch)
+        assert sj["name"] == "R"
+        out.extend(rs)
+    assert out == recs
+    # oversized target: untouched
+    assert codec["split_ocf"](blob, target_bytes=1 << 30) == [blob]
+
+
+def test_read_avro_py_splits_single_large_file(spark, tmp_path):
+    """One large .avro file must decode across >1 task (round-5 verdict
+    item 6): the plan carries the round-robin exchange between the
+    boundary-walk pass and the decode pass, and rows are unchanged."""
+    from monster_etl_spark.sources.avro_py import avro_write_blob
+    from monster_etl_spark.sources.columnar import read_avro_py
+
+    schema = {"type": "record", "name": "Big",
+              "fields": [{"name": "k", "type": "long"},
+                         {"name": "payload", "type": "string"}]}
+    recs = [{"k": i, "payload": ("x" * 200) + str(i)} for i in range(20000)]
+    # null codec so the blob comfortably exceeds a small split target;
+    # monkey-patch the split size via the module constant instead? the
+    # reader uses 32 MB — write ~45 MB so it genuinely splits
+    big = avro_write_blob(schema, recs, codec="null")
+    reps = (45 * (1 << 20)) // len(big) + 1
+    # many blocks of the same records: vary k per block-run via distinct
+    # writes appended is invalid OCF; instead write one file with enough
+    # records to cross 32 MB
+    n = reps * 20000
+    recs = [{"k": i, "payload": ("x" * 200) + str(i)} for i in range(n)]
+    big = avro_write_blob(schema, recs, codec="null")
+    assert len(big) > (1 << 25)
+    (tmp_path / "one.avro").write_bytes(big)
+    df = read_avro_py(spark, f"{tmp_path}/one.avro")
+    # decode stage parallelism: the repartition pins >1 partition
+    assert df.rdd.getNumPartitions() > 1
+    assert df.count() == n
+    sample = {r["k"]: r["payload"] for r in df.filter("k % 10007 = 0").collect()}
+    for k, v in sample.items():
+        assert v == ("x" * 200) + str(k)
