@@ -1405,7 +1405,7 @@ def pq_topk(
                 Window.partitionBy("query_id").orderBy(
                     F.desc("cosine_sim"), F.asc("neighbor_id")
                 )
-            ),
+            ).cast("long"),
         )
         .filter(F.col("rank") <= k)
     )
