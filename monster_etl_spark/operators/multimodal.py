@@ -490,6 +490,7 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
     from monster_etl_spark.operators.png import _build_png_codec
     from monster_etl_spark.operators.tiff import _build_tiff_codec
+    from monster_etl_spark.operators.webp import _build_webp_codec
 
     # built at driver; the returned closures are locally defined, so
     # cloudpickle ships them wholesale inside _worker (by value)
@@ -498,6 +499,7 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
     gif_decode_local = _build_gif_codec()["decode"]
     tiff_decode_local = _build_tiff_codec()["decode"]
     bmp_decode_local = _build_bmp_codec()["decode"]
+    webp_decode_local = _build_webp_codec()["decode"]
 
     def _worker(batches):
         import numpy as np
@@ -524,6 +526,8 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
                     d = tiff_decode_local(bytes(c))
                 if d is None:
                     d = bmp_decode_local(bytes(c))
+                if d is None:
+                    d = webp_decode_local(bytes(c))
                 if d is None:
                     for k in ("width", "height", "channels", "mean_intensity",
                               "min_intensity", "max_intensity"):
@@ -1201,6 +1205,39 @@ def documents_as_bmp_media(documents: DataFrame, width: int = 32) -> DataFrame:
                     "media_id": pdf["media_id"].astype("int64"),
                     "content": [
                         encode_local(bytes(t, "utf-8"), width, bool(int(m) % 2))
+                        for m, t in zip(pdf["media_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
+    ).mapInPandas(_worker, schema="media_id long, content binary")
+
+
+def documents_as_webp_media(documents: DataFrame, width: int = 32) -> DataFrame:
+    """Adapter: each document's UTF-8 bytes become a real lossless WebP
+    (VP8L) with the SAME 32-wide gray pixel layout as the PNG adapter.
+    ``doc_id % 3`` picks the bitstream layout — subtract-green +
+    color-cache + LZ77 runs, predictor-transform tile grid, or
+    color-indexing with sub-byte bundling — so one corpus exercises
+    three independent VP8L decode paths. All three are lossless, so the
+    analytic PNG oracle applies verbatim. Blobs born on executors;
+    encoder ships by value."""
+    from monster_etl_spark.operators.webp import _build_webp_codec
+
+    encode_local = _build_webp_codec()["encode_gray8"]
+    modes = ("lz77", "predictor", "palette")
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": [
+                        encode_local(bytes(t, "utf-8"), width, modes[int(m) % 3])
                         for m, t in zip(pdf["media_id"], pdf["text"])
                     ],
                 }

@@ -1,0 +1,952 @@
+"""WebP lossless (VP8L) codec in pure stdlib Python + numpy.
+
+Extends the media tier (PNG / JPEG / GIF / TIFF / BMP / FLAC / WAV / AVI)
+into the modern-web-format decade: WebP is the most common "modern
+compressed format" in web corpora, and its LOSSLESS coding mode (VP8L)
+is implementable honestly without native libraries. Everything here is
+from the public WebP Lossless Bitstream Specification and RFC 9649
+(container); the spec's own reference decoder (libwebp) fixes the
+bit-level conventions restated below.
+
+Coverage:
+
+- ``decode``: RIFF/WEBP container walk (unknown chunks skipped), VP8L
+  header, ALL FOUR transforms (predictor with the 14 modes + edge
+  rules, color/cross-color, subtract-green, color-indexing with
+  sub-byte pixel bundling), color cache, meta prefix codes (entropy
+  image selecting per-tile code groups), simple and normal prefix
+  codes (code-length codes with 16/17/18 repeats and the optional
+  max-symbol early stop), and LZ77 backward references with the
+  2D distance mapping. Returns ``(width, height, channels, bytes)``
+  — the shared media contract — or ``None`` on malformed input.
+- ``encode_gray8``: three independently coded lossless layouts over
+  the same gray pixels (chosen per blob by the adapter so one corpus
+  exercises three decode paths): ``lz77`` (subtract-green transform,
+  color cache, distance-1 run backrefs), ``predictor`` (mode-2 tile
+  grid, literal residuals), ``palette`` (color-indexing transform
+  with bundling down to 1-bit pixels). All lossless, so the analytic
+  PNG oracle applies verbatim to decoded statistics.
+
+Bit-level conventions (spec + libwebp ``huffman_utils.c``):
+- the byte stream is read LSB-first;
+- prefix codes are canonical (DEFLATE convention: codes assigned in
+  increasing (length, symbol) order) and their bits enter the stream
+  MSB-of-code-first — i.e. the writer emits ``reverse(code, len)``
+  into the LSB-first accumulator;
+- LZ77 length/distance values use the spec's prefix-coding: values
+  1..4 direct, then ``(2 + (c & 1)) << ((c - 2) >> 1) + extra + 1``.
+
+Vectorized stages (numpy) keep bit-identical scalar twins selected by
+``force_scalar=True`` — the codec-parity discipline
+(``tests/test_codec_parity.py``): inverse subtract-green, the
+all-mode-2 predictor fast path, palette cumsum + unbundling, and the
+final channel split. The per-symbol entropy loop is sequentially
+constrained (like JPEG Huffman) and stays scalar on both builds.
+
+The 2D distance-map table and the exotic predictor modes (Select,
+ClampAddSubtract*) follow the spec text; the in-repo encoder never
+emits them (it uses unmapped distances and mode-2 tiles), so registry
+correctness never rests on them — round-trip property tests pin the
+subset the encoder emits, and the transform inverses carry unit tests.
+
+Defined inside ``_build_webp_codec`` for by-value closure shipping
+(cloudpickle ships the nested functions wholesale into ``mapInPandas``
+workers; no module import on executors is assumed).
+"""
+
+from __future__ import annotations
+
+
+def _build_webp_codec(force_scalar: bool = False):
+    import struct
+    from heapq import heapify, heappop, heappush
+
+    # kCodeLengthCodeOrder — the permutation in which the 3-bit lengths
+    # of the code-length code are stored (spec "Decoding the code lengths")
+    CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+    HASH_MUL = 0x1E35A7BD  # color-cache multiplier (spec)
+
+    # 2D distance mapping: LZ77 distance values 1..120 address a pixel
+    # neighborhood (dx, dy) instead of a linear offset (spec table).
+    DIST_MAP = (
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+        (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+        (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+        (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+        (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+        (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+        (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+        (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+        (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+        (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+        (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+        (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+        (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+    )
+
+    # ------------------------------------------------------------------ io
+    class _W:
+        """LSB-first bit accumulator; ``code`` writes a canonical prefix
+        code MSB-first (the DEFLATE packing VP8L shares)."""
+
+        __slots__ = ("out", "acc", "n")
+
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def bits(self, v, k):
+            self.acc |= (v & ((1 << k) - 1)) << self.n
+            self.n += k
+            while self.n >= 8:
+                self.out.append(self.acc & 0xFF)
+                self.acc >>= 8
+                self.n -= 8
+
+        def code(self, c, k):
+            r = 0
+            for _ in range(k):
+                r = (r << 1) | (c & 1)
+                c >>= 1
+            self.bits(r, k)
+
+        def done(self):
+            if self.n:
+                self.out.append(self.acc & 0xFF)
+                self.acc = 0
+                self.n = 0
+            return bytes(self.out)
+
+    class _R:
+        """LSB-first bit reader over one VP8L payload. Reads past the end
+        yield zero bits (the spec permits the final byte's padding)."""
+
+        __slots__ = ("b", "ln", "pos", "acc", "n")
+
+        def __init__(self, b):
+            self.b = b
+            self.ln = len(b)
+            self.pos = 0
+            self.acc = 0
+            self.n = 0
+
+        def read(self, k):
+            if k == 0:
+                return 0
+            while self.n < k:
+                nxt = self.b[self.pos] if self.pos < self.ln else 0
+                if self.pos >= self.ln + 8:  # runaway read = corrupt stream
+                    raise ValueError("bitstream overrun")
+                self.pos += 1
+                self.acc |= nxt << self.n
+                self.n += 8
+            v = self.acc & ((1 << k) - 1)
+            self.acc >>= k
+            self.n -= k
+            return v
+
+        def sym(self, tbl):
+            lookup, mb, only = tbl
+            if mb == 0:
+                return only
+            while self.n < mb:
+                nxt = self.b[self.pos] if self.pos < self.ln else 0
+                if self.pos >= self.ln + 8:
+                    raise ValueError("bitstream overrun")
+                self.pos += 1
+                self.acc |= nxt << self.n
+                self.n += 8
+            s, ln = lookup[self.acc & ((1 << mb) - 1)]
+            if ln < 0:
+                raise ValueError("invalid prefix code")
+            self.acc >>= ln
+            self.n -= ln
+            return s
+
+    # --------------------------------------------------- canonical codes
+    def _table(lengths):
+        """lengths (list sym->len) -> (lookup, maxbits, only): a flat
+        2^maxbits table keyed by the next maxbits LSB-first stream bits
+        (i.e. by the bit-reversed canonical code, zlib-style)."""
+        nz = [(l, s) for s, l in enumerate(lengths) if l]
+        if not nz:
+            raise ValueError("empty prefix code")
+        if len(nz) == 1:
+            return (None, 0, nz[0][1])
+        maxlen = max(l for l, _ in nz)
+        bl = [0] * (maxlen + 1)
+        for l, _ in nz:
+            bl[l] += 1
+        code = 0
+        nxt = [0] * (maxlen + 1)
+        for l in range(1, maxlen + 1):
+            code = (code + bl[l - 1]) << 1
+            nxt[l] = code
+        lookup = [(0, -1)] * (1 << maxlen)
+        for s, l in enumerate(lengths):
+            if not l:
+                continue
+            c = nxt[l]
+            nxt[l] += 1
+            r = 0
+            cc = c
+            for _ in range(l):
+                r = (r << 1) | (cc & 1)
+                cc >>= 1
+            for idx in range(r, 1 << maxlen, 1 << l):
+                lookup[idx] = (s, l)
+        return (lookup, maxlen, None)
+
+    def _simple_table(syms):
+        if len(syms) == 1:
+            return (None, 0, syms[0])
+        # simple 2-symbol code: first symbol read = code 0, second = 1
+        return ([(syms[0], 1), (syms[1], 1)], 1, None)
+
+    def _hlengths(freqs, limit):
+        """Huffman code lengths (dict sym->len) capped at ``limit`` by
+        count-damping (the zlib practice); deterministic tie-breaks via
+        insertion serials over sorted symbols. len(freqs) >= 2."""
+        cnts = dict(freqs)
+        while True:
+            heap = []
+            serial = 0
+            for s in sorted(cnts):
+                heap.append((cnts[s], serial, (s,)))
+                serial += 1
+            heapify(heap)
+            depth = dict.fromkeys(cnts, 0)
+            while len(heap) > 1:
+                c1, _, g1 = heappop(heap)
+                c2, _, g2 = heappop(heap)
+                for s in g1:
+                    depth[s] += 1
+                for s in g2:
+                    depth[s] += 1
+                heappush(heap, (c1 + c2, serial, g1 + g2))
+                serial += 1
+            if max(depth.values()) <= limit:
+                return depth
+            cnts = {s: max(1, (c + 1) >> 1) for s, c in cnts.items()}
+
+    # ------------------------------------------------- code (de)scription
+    def _read_code(r, alphabet):
+        """Read one prefix-code description; returns a decode table."""
+        if r.read(1):  # simple
+            n = r.read(1) + 1
+            s0 = r.read(8 if r.read(1) else 1)
+            if n == 2:
+                return _simple_table([s0, r.read(8)])
+            return _simple_table([s0])
+        num_cl = 4 + r.read(4)
+        cl_lengths = [0] * 19
+        for i in range(num_cl):
+            cl_lengths[CL_ORDER[i]] = r.read(3)
+        cl_tbl = _table(cl_lengths)
+        if r.read(1):  # optional token budget ("use max symbol")
+            nbits = 2 + 2 * r.read(3)
+            max_tokens = 2 + r.read(nbits)
+        else:
+            max_tokens = -1
+        lengths = [0] * alphabet
+        sym = 0
+        prev = 8
+        while sym < alphabet:
+            if max_tokens == 0:
+                break
+            if max_tokens > 0:
+                max_tokens -= 1
+            cl = r.sym(cl_tbl)
+            if cl < 16:
+                lengths[sym] = cl
+                sym += 1
+                if cl:
+                    prev = cl
+            elif cl == 16:
+                rep = 3 + r.read(2)
+                for _ in range(rep):
+                    if sym < alphabet:
+                        lengths[sym] = prev
+                        sym += 1
+            elif cl == 17:
+                sym += 3 + r.read(3)
+            else:
+                sym += 11 + r.read(7)
+        return _table(lengths)
+
+    def _write_code(w, lengths, alphabet):
+        """Write a prefix-code description for ``lengths`` (dict sym->len
+        produced by _hlengths, or {s: 1, t: 1} pairs)."""
+        syms = sorted(lengths)
+        if len(syms) <= 2 and all(s <= 255 for s in syms):
+            w.bits(1, 1)
+            w.bits(len(syms) - 1, 1)
+            s0 = syms[0]
+            if s0 <= 1:
+                w.bits(0, 1)
+                w.bits(s0, 1)
+            else:
+                w.bits(1, 1)
+                w.bits(s0, 8)
+            if len(syms) == 2:
+                w.bits(syms[1], 8)
+            return
+        arr = [0] * alphabet
+        for s, l in lengths.items():
+            arr[s] = l
+        # token stream: literals + 17/18 zero runs (covers ALL slots, so
+        # the reader stops exactly at alphabet symbols; no max-symbol)
+        tokens = []  # (cl_sym, extra_val, extra_bits)
+        i = 0
+        while i < alphabet:
+            if arr[i] == 0:
+                j = i
+                while j < alphabet and arr[j] == 0:
+                    j += 1
+                run = j - i
+                while run >= 11:
+                    chunk = min(run, 138)
+                    tokens.append((18, chunk - 11, 7))
+                    run -= chunk
+                while run >= 3:
+                    chunk = min(run, 10)
+                    tokens.append((17, chunk - 3, 3))
+                    run -= chunk
+                tokens.extend((0, 0, 0) for _ in range(run))
+                i = j
+            else:
+                tokens.append((arr[i], 0, 0))
+                i += 1
+        hist = {}
+        for t, _, _ in tokens:
+            hist[t] = hist.get(t, 0) + 1
+        if len(hist) == 1:
+            # a single-symbol code-length code would be incomplete; pad
+            # with an unused CL symbol so the canonical code is complete
+            dummy = 0 if 0 not in hist else 1
+            hist[dummy] = 1
+        cl_len = _hlengths(hist, 7)
+        codes = _canon(cl_len)
+        num_cl = max(i for i, s in enumerate(CL_ORDER) if s in cl_len) + 1
+        num_cl = max(num_cl, 4)
+        w.bits(0, 1)  # not simple
+        w.bits(num_cl - 4, 4)
+        for i in range(num_cl):
+            w.bits(cl_len.get(CL_ORDER[i], 0), 3)
+        w.bits(0, 1)  # no max-symbol early stop
+        for t, ev, eb in tokens:
+            c, l = codes[t]
+            w.code(c, l)
+            if eb:
+                w.bits(ev, eb)
+
+    def _canon(lengths):
+        """dict sym->len -> dict sym->(code, len), canonical order."""
+        maxlen = max(lengths.values())
+        bl = [0] * (maxlen + 1)
+        for l in lengths.values():
+            bl[l] += 1
+        code = 0
+        nxt = [0] * (maxlen + 1)
+        for l in range(1, maxlen + 1):
+            code = (code + bl[l - 1]) << 1
+            nxt[l] = code
+        out = {}
+        for s in sorted(lengths):
+            l = lengths[s]
+            out[s] = (nxt[l], l)
+            nxt[l] += 1
+        return out
+
+    # --------------------------------------------------- LZ77 prefix vals
+    def _lz_val(r, code):
+        if code < 4:
+            return code + 1
+        extra = (code - 2) >> 1
+        return ((2 + (code & 1)) << extra) + r.read(extra) + 1
+
+    def _lz_sym(v):
+        """value >= 1 -> (prefix_sym, extra_bits, extra_val)."""
+        if v <= 4:
+            return v - 1, 0, 0
+        c = 4
+        while True:
+            extra = (c - 2) >> 1
+            off = (2 + (c & 1)) << extra
+            if off + 1 <= v <= off + (1 << extra):
+                return c, extra, v - off - 1
+            c += 1
+
+    # ------------------------------------------------------ pixel helpers
+    def _addpx(a, b):
+        """Per-channel (mod 256) ARGB add — two-lane SWAR."""
+        return ((((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00)
+                | (((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF))
+
+    def _avg2(a, b):
+        """Per-channel floor((a+b)/2) — SWAR."""
+        return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+    def _clamp(v):
+        return 0 if v < 0 else 255 if v > 255 else v
+
+    def _cas_full(l, t, tl):
+        out = 0
+        for sh in (24, 16, 8, 0):
+            out |= _clamp(((l >> sh) & 255) + ((t >> sh) & 255)
+                          - ((tl >> sh) & 255)) << sh
+        return out
+
+    def _cas_half(l, t, tl):
+        out = 0
+        for sh in (24, 16, 8, 0):
+            av = (((l >> sh) & 255) + ((t >> sh) & 255)) >> 1
+            d = (av - ((tl >> sh) & 255)) >> 1 if av >= ((tl >> sh) & 255) else -((((tl >> sh) & 255) - av) >> 1)
+            out |= _clamp(av + d) << sh
+        return out
+
+    def _select(l, t, tl):
+        p_l = 0
+        p_t = 0
+        for sh in (24, 16, 8, 0):
+            lc = (l >> sh) & 255
+            tc = (t >> sh) & 255
+            cc = (tl >> sh) & 255
+            p = lc + tc - cc
+            p_l += abs(p - lc)
+            p_t += abs(p - tc)
+        return l if p_l < p_t else t
+
+    def _predict(mode, l, t, tl, tr):
+        if mode == 0:
+            return 0xFF000000
+        if mode == 1:
+            return l
+        if mode == 2:
+            return t
+        if mode == 3:
+            return tr
+        if mode == 4:
+            return tl
+        if mode == 5:
+            return _avg2(_avg2(l, tr), t)
+        if mode == 6:
+            return _avg2(l, tl)
+        if mode == 7:
+            return _avg2(l, t)
+        if mode == 8:
+            return _avg2(tl, t)
+        if mode == 9:
+            return _avg2(t, tr)
+        if mode == 10:
+            return _avg2(_avg2(l, tl), _avg2(t, tr))
+        if mode == 11:
+            return _select(l, t, tl)
+        if mode == 12:
+            return _cas_full(l, t, tl)
+        return _cas_half(l, t, tl)
+
+    # --------------------------------------------------- inverse transforms
+    def _inv_subtract_green(px):
+        if not force_scalar:
+            import numpy as np
+
+            a = np.asarray(px, dtype=np.uint32)
+            g = (a >> 8) & 0xFF
+            r = (((a >> 16) & 0xFF) + g) & 0xFF
+            b = ((a & 0xFF) + g) & 0xFF
+            return [int(v) for v in (a & 0xFF00FF00) | (r << 16) | b]
+        for i, p in enumerate(px):
+            g = (p >> 8) & 0xFF
+            r = (((p >> 16) & 0xFF) + g) & 0xFF
+            b = ((p & 0xFF) + g) & 0xFF
+            px[i] = (p & 0xFF00FF00) | (r << 16) | b
+        return px
+
+    def _inv_predictor(px, w, h, sb, timg, tw):
+        modes = [(p >> 8) & 0xFF for p in timg]
+        if not force_scalar and all(m == 2 for m in modes):
+            # the in-repo encoder's layout: every tile mode 2 (T). Edge
+            # rules still apply: (0,0) += BLACK, row 0 takes L, column
+            # rule is subsumed by T. Vectorized as cumsums mod 256.
+            import numpy as np
+
+            a = np.asarray(px, dtype=np.uint32).reshape(h, w)
+            ch = np.stack([(a >> s) & 0xFF for s in (24, 16, 8, 0)])
+            ch[0, 0, 0] = (ch[0, 0, 0] + 0xFF) & 0xFF  # BLACK alpha at (0,0)
+            ch[:, 0, :] = ch[:, 0, :].cumsum(axis=1) & 0xFF  # row 0: L chain
+            ch = ch.cumsum(axis=1) & 0xFF  # rows: T chain seeded by row 0
+            out = (ch[0] << 24) | (ch[1] << 16) | (ch[2] << 8) | ch[3]
+            return [int(v) for v in out.reshape(-1)]
+        for y in range(h):
+            trow = (y >> sb) * tw
+            for x in range(w):
+                i = y * w + x
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = px[i - 1]
+                elif x == 0:
+                    pred = px[i - w]
+                else:
+                    m = modes[trow + (x >> sb)]
+                    tr = px[i - w + 1] if x + 1 < w else px[i - w]
+                    pred = _predict(m, px[i - 1], px[i - w], px[i - w - 1], tr)
+                px[i] = _addpx(px[i], pred)
+        return px
+
+    def _ct_delta(t, c):
+        if t > 127:
+            t -= 256
+        if c > 127:
+            c -= 256
+        return (t * c) >> 5
+
+    def _inv_color(px, w, h, sb, timg, tw):
+        for y in range(h):
+            trow = (y >> sb) * tw
+            for x in range(w):
+                m = timg[trow + (x >> sb)]
+                g2r = m & 0xFF
+                g2b = (m >> 8) & 0xFF
+                r2b = (m >> 16) & 0xFF
+                p = px[y * w + x]
+                g = (p >> 8) & 0xFF
+                r = ((p >> 16) & 0xFF)
+                b = p & 0xFF
+                r = (r + _ct_delta(g2r, g)) & 0xFF
+                b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+                px[y * w + x] = (p & 0xFF00FF00) | (r << 16) | b
+        return px
+
+    def _inv_palette(px, w_orig, h, n, pal_img, xb):
+        # palette entries are stored delta-coded per channel
+        pal = list(pal_img)
+        for i in range(1, n):
+            pal[i] = _addpx(pal[i], pal[i - 1])
+        if xb == 0:
+            return [pal[(p >> 8) & 0xFF] if ((p >> 8) & 0xFF) < n else 0
+                    for p in px]
+        bpp = 8 >> xb
+        mask = (1 << bpp) - 1
+        pw = (w_orig + (1 << xb) - 1) >> xb
+        if not force_scalar:
+            import numpy as np
+
+            g = ((np.asarray(px, dtype=np.uint32) >> 8) & 0xFF).reshape(h, pw)
+            shifts = (np.arange(w_orig) & ((1 << xb) - 1)) * bpp
+            idx = (g[:, np.arange(w_orig) >> xb] >> shifts[None, :]) & mask
+            lut = np.zeros(256, dtype=np.uint32)
+            lut[: len(pal)] = pal
+            return [int(v) for v in lut[idx].reshape(-1)]
+        out = []
+        for y in range(h):
+            for x in range(w_orig):
+                g = (px[y * pw + (x >> xb)] >> 8) & 0xFF
+                idx = (g >> ((x & ((1 << xb) - 1)) * bpp)) & mask
+                out.append(pal[idx] if idx < n else 0)
+        return out
+
+    # ------------------------------------------------------- image stream
+    def _decode_stream(r, w, h, level0):
+        transforms = []
+        xsize = w
+        if level0:
+            while r.read(1):
+                t = r.read(2)
+                if t == 2:
+                    transforms.append(("sg",))
+                elif t in (0, 1):
+                    sb = r.read(3) + 2
+                    tw = (xsize + (1 << sb) - 1) >> sb
+                    th = (h + (1 << sb) - 1) >> sb
+                    timg = _decode_stream(r, tw, th, False)
+                    transforms.append(
+                        ("pred" if t == 0 else "color", sb, timg, tw)
+                    )
+                else:
+                    n = r.read(8) + 1
+                    pal = _decode_stream(r, n, 1, False)
+                    xb = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+                    transforms.append(("pal", n, pal, xb, xsize))
+                    xsize = (xsize + (1 << xb) - 1) >> xb
+        cache_bits = r.read(4) if r.read(1) else 0
+        cache_size = (1 << cache_bits) if cache_bits else 0
+        meta = None
+        meta_sb = 0
+        meta_w = 0
+        n_groups = 1
+        if level0 and r.read(1):
+            meta_sb = r.read(3) + 2
+            meta_w = (xsize + (1 << meta_sb) - 1) >> meta_sb
+            mh = (h + (1 << meta_sb) - 1) >> meta_sb
+            meta = _decode_stream(r, meta_w, mh, False)
+            n_groups = max(((p >> 8) & 0xFFFF) for p in meta) + 1
+        galpha = 256 + 24 + cache_size
+        groups = []
+        for _ in range(n_groups):
+            groups.append((
+                _read_code(r, galpha), _read_code(r, 256),
+                _read_code(r, 256), _read_code(r, 256), _read_code(r, 40),
+            ))
+        npx = xsize * h
+        out = [0] * npx
+        cache = [0] * cache_size
+        pos = 0
+        sym = _R.sym
+        gc, rc, bc, ac, dc = groups[0]
+        while pos < npx:
+            if meta is not None:
+                x = pos % xsize
+                y = pos // xsize
+                gi = (meta[(y >> meta_sb) * meta_w + (x >> meta_sb)] >> 8) & 0xFFFF
+                gc, rc, bc, ac, dc = groups[gi]
+            s = sym(r, gc)
+            if s < 256:
+                red = sym(r, rc)
+                blue = sym(r, bc)
+                alpha = sym(r, ac)
+                p = (alpha << 24) | (red << 16) | (s << 8) | blue
+                out[pos] = p
+                pos += 1
+                if cache_size:
+                    cache[((HASH_MUL * p) & 0xFFFFFFFF) >> (32 - cache_bits)] = p
+            elif s < 280:
+                length = _lz_val(r, s - 256)
+                dval = _lz_val(r, sym(r, dc))
+                if dval > 120:
+                    d = dval - 120
+                else:
+                    dx, dy = DIST_MAP[dval - 1]
+                    d = dy * xsize + dx
+                    if d < 1:
+                        d = 1
+                if d > pos or pos + length > npx:
+                    raise ValueError("backref out of range")
+                if cache_size:
+                    for _ in range(length):
+                        p = out[pos - d]
+                        out[pos] = p
+                        cache[((HASH_MUL * p) & 0xFFFFFFFF) >> (32 - cache_bits)] = p
+                        pos += 1
+                else:
+                    for _ in range(length):
+                        out[pos] = out[pos - d]
+                        pos += 1
+            else:
+                out[pos] = cache[s - 280]
+                pos += 1
+        if level0:
+            for t in reversed(transforms):
+                if t[0] == "sg":
+                    out = _inv_subtract_green(out)
+                elif t[0] == "pred":
+                    out = _inv_predictor(out, w, h, t[1], t[2], t[3])
+                elif t[0] == "color":
+                    out = _inv_color(out, w, h, t[1], t[2], t[3])
+                else:
+                    out = _inv_palette(out, t[4], h, t[1], t[2], t[3])
+        return out
+
+    # -------------------------------------------------------------- decode
+    def decode(b):
+        try:
+            return _decode(bytes(b))
+        except Exception:
+            return None
+
+    def _decode(b):
+        if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+            return None
+        off = 12
+        payload = None
+        while off + 8 <= len(b):
+            tag = b[off: off + 4]
+            sz = struct.unpack_from("<I", b, off + 4)[0]
+            if tag == b"VP8L":
+                payload = b[off + 8: off + 8 + sz]
+                break
+            off += 8 + sz + (sz & 1)
+        if payload is None or not payload:
+            return None
+        r = _R(payload)
+        if r.read(8) != 0x2F:
+            return None
+        w = r.read(14) + 1
+        h = r.read(14) + 1
+        r.read(1)  # alpha-is-used hint
+        if r.read(3) != 0:  # version
+            return None
+        px = _decode_stream(r, w, h, True)
+        if not force_scalar:
+            import numpy as np
+
+            a = np.asarray(px, dtype=np.uint32)
+            alpha = (a >> 24).astype(np.uint8)
+            rgb = np.empty((len(px), 3), np.uint8)
+            rgb[:, 0] = (a >> 16) & 0xFF
+            rgb[:, 1] = (a >> 8) & 0xFF
+            rgb[:, 2] = a & 0xFF
+            if (alpha == 255).all():
+                return (w, h, 3, rgb.tobytes())
+            rgba = np.empty((len(px), 4), np.uint8)
+            rgba[:, :3] = rgb
+            rgba[:, 3] = alpha
+            return (w, h, 4, rgba.tobytes())
+        opaque = all((p >> 24) == 255 for p in px)
+        out = bytearray()
+        for p in px:
+            out.append((p >> 16) & 0xFF)
+            out.append((p >> 8) & 0xFF)
+            out.append(p & 0xFF)
+            if not opaque:
+                out.append((p >> 24) & 0xFF)
+        return (w, h, 3 if opaque else 4, bytes(out))
+
+    # -------------------------------------------------------------- encode
+    def _emit_tokens(w, tokens, cache_bits, dist_hist):
+        """Write the 5 prefix codes + token stream for one image."""
+        galpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+        ghist = {}
+        rhist = {}
+        bhist = {}
+        ahist = {}
+        for t in tokens:
+            kind = t[0]
+            if kind == "lit":
+                _, red, green, blue, alpha = t
+                ghist[green] = ghist.get(green, 0) + 1
+                rhist[red] = rhist.get(red, 0) + 1
+                bhist[blue] = bhist.get(blue, 0) + 1
+                ahist[alpha] = ahist.get(alpha, 0) + 1
+            elif kind == "copy":
+                s, _, _ = _lz_sym(t[1])
+                ghist[256 + s] = ghist.get(256 + s, 0) + 1
+            else:  # cache
+                ghist[280 + t[1]] = ghist.get(280 + t[1], 0) + 1
+        if not rhist:
+            # no literals (cannot actually happen: the first pixel is
+            # always a literal) — keep the codes well-formed anyway
+            rhist = bhist = ahist = {0: 1}
+
+        def _lengths(hist):
+            syms = sorted(hist)
+            if len(syms) <= 2 and all(s <= 255 for s in syms):
+                return {s: 1 for s in syms}, True
+            if len(syms) == 1:
+                s = syms[0]
+                return {s: 1, (0 if s else 1): 1}, False
+            return _hlengths(hist, 15), False
+
+        glen, _ = _lengths(ghist)
+        rlen, _ = _lengths(rhist)
+        blen, _ = _lengths(bhist)
+        alen, _ = _lengths(ahist)
+        dlen, _ = _lengths(dist_hist or {0: 1})
+        _write_code(w, glen, galpha)
+        _write_code(w, rlen, 256)
+        _write_code(w, blen, 256)
+        _write_code(w, alen, 256)
+        _write_code(w, dlen, 40)
+        gcodes = _canon(glen)
+        rcodes = _canon(rlen)
+        bcodes = _canon(blen)
+        acodes = _canon(alen)
+        dcodes = _canon(dlen)
+
+        def _put(codes, s):
+            c, l = codes[s]
+            if len(codes) > 1:
+                w.code(c, l)
+
+        for t in tokens:
+            kind = t[0]
+            if kind == "lit":
+                _, red, green, blue, alpha = t
+                _put(gcodes, green)
+                _put(rcodes, red)
+                _put(bcodes, blue)
+                _put(acodes, alpha)
+            elif kind == "copy":
+                s, eb, ev = _lz_sym(t[1])
+                _put(gcodes, 256 + s)
+                if eb:
+                    w.bits(ev, eb)
+                ds, deb, dev = _lz_sym(t[2])
+                _put(dcodes, ds)
+                if deb:
+                    w.bits(dev, deb)
+            else:
+                _put(gcodes, 280 + t[1])
+
+    def _emit_subimage(w, pixels):
+        """Literal-only subimage (palette / predictor tiles): cache off,
+        one code group, every pixel a literal."""
+        w.bits(0, 1)  # no color cache
+        tokens = [
+            ("lit", (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, (p >> 24) & 0xFF)
+            for p in pixels
+        ]
+        _emit_tokens(w, tokens, 0, None)
+
+    def encode_gray8(data, width=32, mode="lz77"):
+        """Encode gray bytes (one byte per pixel, zero-padded to whole
+        ``width``-wide rows, min one row) as a lossless VP8L WebP. Modes
+        pick independent bitstream layouts over identical pixels."""
+        data = bytes(data)
+        n = len(data)
+        h = max(1, -(-n // width))
+        if width > 16384 or h > 16384:
+            raise ValueError("VP8L dimensions are 14-bit (max 16384)")
+        vals = data + b"\x00" * (width * h - n)
+        w = _W()
+        w.bits(0x2F, 8)
+        w.bits(width - 1, 14)
+        w.bits(h - 1, 14)
+        w.bits(0, 1)  # fully opaque
+        w.bits(0, 3)  # version 0
+        if mode == "lz77":
+            _encode_lz77(w, vals, width, h)
+        elif mode == "predictor":
+            _encode_predictor(w, vals, width, h)
+        elif mode == "palette":
+            _encode_palette(w, vals, width, h)
+        else:
+            raise ValueError(f"unknown webp encode mode: {mode}")
+        payload = w.done()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    def _encode_lz77(w, vals, width, h):
+        """Subtract-green + color cache + distance-1 run backrefs."""
+        w.bits(1, 1)
+        w.bits(2, 2)  # SUBTRACT_GREEN
+        w.bits(0, 1)  # end of transforms
+        cache_bits = 6
+        w.bits(1, 1)
+        w.bits(cache_bits, 4)
+        w.bits(0, 1)  # no meta prefix codes
+        # post-subtract-green pixels: a=255, r=b=0, g=v
+        pix = [0xFF000000 | (v << 8) for v in vals]
+        npx = len(pix)
+        cache = [0] * (1 << cache_bits)
+        shift = 32 - cache_bits
+        tokens = []
+        dist_hist = {}
+        i = 0
+        while i < npx:
+            if i > 0:
+                prev = pix[i - 1]
+                run = 0
+                while i + run < npx and pix[i + run] == prev and run < 4096:
+                    run += 1
+                if run >= 3:
+                    tokens.append(("copy", run, 121))  # distance 1, unmapped
+                    ds, _, _ = _lz_sym(121)
+                    dist_hist[ds] = dist_hist.get(ds, 0) + 1
+                    k = ((HASH_MUL * prev) & 0xFFFFFFFF) >> shift
+                    cache[k] = prev  # run of one value: one insert
+                    i += run
+                    continue
+            p = pix[i]
+            k = ((HASH_MUL * p) & 0xFFFFFFFF) >> shift
+            if cache[k] == p:
+                tokens.append(("cache", k))
+            else:
+                tokens.append(("lit", 0, (p >> 8) & 0xFF, 0, 255))
+                cache[k] = p
+            i += 1
+        _emit_tokens(w, tokens, cache_bits, dist_hist)
+
+    def _encode_predictor(w, vals, width, h):
+        """Predictor transform, every tile mode 2 (T), literal residuals."""
+        sb = 9  # 512-pixel tiles: 1 tile across for any doc-shaped width
+        w.bits(1, 1)
+        w.bits(0, 2)  # PREDICTOR
+        w.bits(sb - 2, 3)
+        tw = (width + (1 << sb) - 1) >> sb
+        th = (h + (1 << sb) - 1) >> sb
+        _emit_subimage(w, [2 << 8] * (tw * th))  # green = mode 2
+        w.bits(0, 1)  # end of transforms
+        w.bits(0, 1)  # no color cache
+        w.bits(0, 1)  # no meta prefix codes
+        import numpy as np
+
+        g = np.frombuffer(vals, np.uint8).reshape(h, width).astype(np.int16)
+        res = np.empty_like(g)
+        res[0, 0] = g[0, 0]
+        res[0, 1:] = g[0, 1:] - g[0, :-1]  # row 0: L
+        res[1:, :] = g[1:, :] - g[:-1, :]  # rest: T
+        res &= 0xFF
+        rb = res.astype(np.uint8).reshape(-1)
+        # alpha residual is 0 everywhere: (0,0) predicts BLACK (a=255)
+        tokens = [("lit", int(v), int(v), int(v), 0) for v in rb]
+        _emit_tokens(w, tokens, 0, None)
+
+    def _encode_palette(w, vals, width, h):
+        """Color-indexing transform; indices bundle to sub-byte pixels
+        when the palette is small."""
+        distinct = sorted(set(vals))
+        n = len(distinct)
+        w.bits(1, 1)
+        w.bits(3, 2)  # COLOR_INDEXING
+        w.bits(n - 1, 8)
+        pal = [0xFF000000 | (v << 16) | (v << 8) | v for v in distinct]
+        diffs = [pal[0]]
+        for i in range(1, n):
+            d = 0
+            for sh in (24, 16, 8, 0):
+                d |= (((pal[i] >> sh) - (pal[i - 1] >> sh)) & 0xFF) << sh
+            diffs.append(d)
+        _emit_subimage(w, diffs)
+        w.bits(0, 1)  # end of transforms
+        w.bits(0, 1)  # no color cache
+        w.bits(0, 1)  # no meta prefix codes
+        xb = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+        bpp = 8 >> xb
+        pw = (width + (1 << xb) - 1) >> xb
+        lut = {v: i for i, v in enumerate(distinct)}
+        tokens = []
+        for y in range(h):
+            row = vals[y * width: (y + 1) * width]
+            for bx in range(pw):
+                packed = 0
+                for sub in range(1 << xb):
+                    x = (bx << xb) + sub
+                    if x < width:
+                        packed |= lut[row[x]] << (sub * bpp)
+                tokens.append(("lit", 0, packed, 0, 255))
+        _emit_tokens(w, tokens, 0, None)
+
+    return {
+        "decode": decode,
+        "encode_gray8": encode_gray8,
+        # exposed for unit tests of the transform inverses
+        "_inv_color": _inv_color,
+        "_inv_predictor": _inv_predictor,
+        "_predict": _predict,
+    }
+
+
+def _codec():
+    global _C
+    try:
+        return _C
+    except NameError:
+        _C = _build_webp_codec()
+        return _C
+
+
+def webp_decode(b: bytes):
+    """Decode a WebP-lossless blob to ``(w, h, channels, bytes)`` or ``None``."""
+    return _codec()["decode"](b)
+
+
+def webp_encode_gray8(pixels: bytes, width: int = 32, mode: str = "lz77") -> bytes:
+    """Encode gray bytes as a lossless VP8L WebP (see ``encode_gray8``)."""
+    return _codec()["encode_gray8"](pixels, width, mode)

@@ -21,6 +21,7 @@ from monster_etl_spark.operators.multimodal import (
     documents_as_bmp_media,
     documents_as_dib_avi_media,
     documents_as_flac_media,
+    documents_as_webp_media,
     documents_as_g711_media,
     documents_as_gif_media,
     documents_as_jpeg_media,
@@ -524,6 +525,27 @@ def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless (VP8L) encode -> decode round-trip, fully
+    distributed: each document becomes a VP8L bitstream with the same
+    gray pixel layout as the PNG adapter, the layout rotating by doc_id
+    over three independent coding paths — subtract-green + color-cache
+    + LZ77 run backrefs, a predictor-transform tile grid (mode-2 tiles
+    plus the spec's corner/edge rules), and the color-indexing
+    transform with sub-byte pixel bundling. The pure-stdlib decoder
+    (operators/webp.py) walks RIFF, canonical prefix codes (simple and
+    code-length-coded), the color cache, backward references and all
+    transform inverses. VP8L is lossless, so PNG_PIXEL_SQL applies
+    VERBATIM — a hash match over the mixed corpus proves all three
+    decode paths reconstruct exact pixels."""
+    media = documents_as_webp_media(load(spark, sf_dir, "documents"), width=_PNG_W)
+    return extract_pixel_stats(media).select(
+        "media_id", "width", "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "min_intensity", "max_intensity", "decoded",
+    )
+
+
 def multimodal_flac_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL FLAC encode -> decode round-trip, fully distributed: each
     document byte becomes one mono 16-bit sample ((cp-128)*256), FLAC-
@@ -922,6 +944,11 @@ QUERIES = {
         multimodal_bmp_pixel_stats,
         PNG_PIXEL_SQL,
         "real BMP (raw + RLE8 mixed corpus) round-trip, PNG oracle reused verbatim",
+    ),
+    "multimodal_webp_pixel_stats": QuerySpec(
+        multimodal_webp_pixel_stats,
+        PNG_PIXEL_SQL,
+        "real WebP-lossless (VP8L: transforms/cache/LZ77) round-trip, PNG oracle verbatim",
     ),
     "multimodal_flac_sample_stats": QuerySpec(
         multimodal_flac_sample_stats,

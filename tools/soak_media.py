@@ -35,6 +35,7 @@ MEDIA_QUERIES = [
     "multimodal_video_dib_frame_stats",
     "multimodal_tiff_pixel_stats",
     "multimodal_bmp_pixel_stats",
+    "multimodal_webp_pixel_stats",
     "multimodal_wav_sample_stats",
     "multimodal_g711_ulaw_stats",
     "multimodal_g711_alaw_stats",
@@ -64,6 +65,7 @@ def _blob_bytes(spark, sf_dir: str, name: str) -> int:
         "multimodal_video_dib_frame_stats": lambda: mm.documents_as_dib_avi_media(docs),
         "multimodal_tiff_pixel_stats": lambda: mm.documents_as_tiff_media(docs),
         "multimodal_bmp_pixel_stats": lambda: mm.documents_as_bmp_media(docs),
+        "multimodal_webp_pixel_stats": lambda: mm.documents_as_webp_media(docs),
         "multimodal_wav_sample_stats": lambda: mm.documents_as_wav_media(docs),
         "multimodal_g711_ulaw_stats": lambda: mm.documents_as_g711_media(docs, law="ulaw"),
         "multimodal_g711_alaw_stats": lambda: mm.documents_as_g711_media(docs, law="alaw"),
@@ -76,6 +78,12 @@ def _blob_bytes(spark, sf_dir: str, name: str) -> int:
 
 
 def main() -> None:
+    # optional comma-separated filter for the decade-up runs (cheap codecs
+    # only — the Huffman-tier queries are measured at sf0.1/sf1)
+    only = os.environ.get("SOAK_MEDIA_QUERIES")
+    if only:
+        keep = {q.strip() for q in only.split(",")}
+        MEDIA_QUERIES[:] = [q for q in MEDIA_QUERIES if q in keep]
     dirs = sys.argv[1:] or [
         "/root/testdata/sf0.1",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
