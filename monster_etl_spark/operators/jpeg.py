@@ -140,15 +140,33 @@ def _build_jpeg_codec(force_scalar=False):
             code <<= 1
         return enc
 
+    # flat peek-table decode state, memoized on the DHT payload: one
+    # (lookup, maxlen) pair per DISTINCT table per worker, so the 2^maxlen
+    # build cost amortizes across every blob in the stream (the in-repo
+    # encoder emits identical DHT segments for the whole corpus)
+    _dec_cache = {}
+
     def build_dec_table(bits, vals):
-        code, k, dec = 0, 0, {}
+        key = (bytes(bits), bytes(vals))
+        hit = _dec_cache.get(key)
+        if hit is not None:
+            return hit
+        maxlen = max((ln for ln in range(1, 17) if bits[ln - 1]), default=1)
+        lookup = [(-1, -1)] * (1 << maxlen)
+        code, k = 0, 0
         for ln in range(1, 17):
             for _ in range(bits[ln - 1]):
-                dec[(ln, code)] = vals[k]
+                sym = vals[k]
+                base = code << (maxlen - ln)
+                entry = (sym, ln)
+                for idx in range(base, base + (1 << (maxlen - ln))):
+                    lookup[idx] = entry
                 code += 1
                 k += 1
             code <<= 1
-        return dec
+        tbl = (lookup, maxlen)
+        _dec_cache[key] = tbl
+        return tbl
 
     # ---------------- encoding ----------------
 
@@ -956,14 +974,19 @@ def _build_jpeg_codec(force_scalar=False):
             return v
 
         def read_huff(table):
-            code, ln = 0, 0
-            while ln < 16:
-                code = (code << 1) | read_bits(1)
-                ln += 1
-                sym = table.get((ln, code))
-                if sym is not None:
-                    return sym
-            raise ValueError("bad huffman code")
+            # one flat-table probe per SYMBOL (the stream packs codes
+            # MSB-first, so the peeked maxlen bits index directly); the
+            # tail refill feeds marker-padding zeros without advancing,
+            # so over-peeking at the end of scan data is safe
+            lookup, mb = table
+            while bit_n[0] < mb:
+                refill()
+            sym, ln = lookup[(bit_acc[0] >> (bit_n[0] - mb)) & ((1 << mb) - 1)]
+            if ln < 0:
+                raise ValueError("bad huffman code")
+            bit_n[0] -= ln
+            bit_acc[0] &= (1 << bit_n[0]) - 1
+            return sym
 
         def extend(v, s):
             return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
@@ -1122,14 +1145,16 @@ def _build_jpeg_codec(force_scalar=False):
             return v
 
         def read_huff(table):
-            code, ln = 0, 0
-            while ln < 16:
-                code = (code << 1) | read_bits(1)
-                ln += 1
-                sym = table.get((ln, code))
-                if sym is not None:
-                    return sym
-            raise ValueError("bad huffman code")
+            # flat-table probe, same shape as the baseline-scan decoder
+            lookup, mb = table
+            while state[2] < mb:
+                refill()
+            sym, ln = lookup[(state[1] >> (state[2] - mb)) & ((1 << mb) - 1)]
+            if ln < 0:
+                raise ValueError("bad huffman code")
+            state[2] -= ln
+            state[1] &= (1 << state[2]) - 1
+            return sym
 
         def restart():
             state[1] = 0
