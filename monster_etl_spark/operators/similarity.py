@@ -537,6 +537,83 @@ SEMANTIC_FIT_MIN_SAMPLE = 20_000
 SEMANTIC_FIT_PER_CELL = 64
 
 
+def _cell_pairs_arrow(threshold: float):
+    """Per-cell near-duplicate pair kernel for ``applyInPandas`` — the
+    SemDeDup pair step's Arrow twin (the third audited Python-eval
+    exception, same discipline as ``brute_force_topk_arrow``):
+
+    - SELECT with one float64 GEMM per cell chunk (``U_chunk @ U.T``),
+      thresholded at ``threshold - 5e-7 - 1e-9`` — 5e-7 covers the
+      6-dp HALF_UP round the JVM applies before ITS filter, 1e-9
+      dwarfs the fold-order |GEMM - sequential| gap (<= d * eps *
+      partial-sum magnitude ~ 1e-14 for unit vectors at d=64);
+    - RESCORE every surviving pair with the exact JVM fold: products
+      left-to-right, ``acc + x`` from 0.0 — bit-identical doubles to
+      ``dot()``'s aggregate(zip_with), so downstream JVM round+filter
+      reproduces the self-join path EXACTLY (asserted in
+      tests/test_similarity.py).
+
+    Rows arrive already unit-normalized (``_with_unit`` runs JVM-side;
+    doubles cross Arrow losslessly). Pairs emit with ``id_a < id_b``
+    via an ascending id sort inside the cell. Chunked GEMM bounds the
+    mask at ``4096 x cell_rows`` so a skewed giant cell cannot blow
+    worker memory (the cell-size distribution itself is bounded by the
+    ~sqrt(N) centroid recipe upstream)."""
+
+    margin = 5e-7 + 1e-9
+
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine_sim": pd.Series(dtype="float64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        vid = pdf["vid"].to_numpy()
+        order = np.argsort(vid)
+        vid = vid[order]
+        U = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf["u"].to_numpy()[order]]
+        )
+        thr = threshold - margin
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        col = np.arange(n)[None, :]
+        for i0 in range(0, n, 4096):
+            i1 = min(i0 + 4096, n)
+            g = U[i0:i1] @ U.T
+            mask = (g >= thr) & (col > np.arange(i0, i1)[:, None])
+            ci, cj = np.nonzero(mask)
+            for r, j in zip(ci.tolist(), cj.tolist()):
+                ua = U[i0 + r]
+                ub = U[j]
+                s = 0.0
+                for k in range(ua.shape[0]):  # the JVM fold, verbatim
+                    s += float(ua[k]) * float(ub[k])
+                out_a.append(int(vid[i0 + r]))
+                out_b.append(int(vid[j]))
+                out_s.append(s)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.asarray(out_a, dtype="int64"),
+                "id_b": np.asarray(out_b, dtype="int64"),
+                "cosine_sim": np.asarray(out_s, dtype="float64"),
+            }
+        )
+
+    return _pairs
+
+
 def semantic_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -547,6 +624,7 @@ def semantic_dup_pairs(
     fit_fraction: float | None = None,
     assignment: str = "auto",
     sup_probes: int = 4,
+    pair_engine: str = "jvm",
 ) -> DataFrame:
     """SemDeDup-style candidate pairs: embed-space near-duplicates found
     WITHIN k-means cells (Abbas et al. 2023 — semantic dedup prunes pairs
@@ -628,6 +706,19 @@ def semantic_dup_pairs(
             # assignment subtree (same trick as the shingle-index self-join)
             .repartition(F.col("_cell"))
         )
+    if pair_engine == "arrow":
+        # one grouped shuffle on the cell id (groupBy supplies it — the
+        # explicit repartition above is reused as its exchange), then the
+        # per-cell GEMM select + exact-fold rescore kernel; the JVM
+        # round+filter below is IDENTICAL to the self-join path's, so
+        # both engines emit the same rows bit-for-bit
+        raw = v.groupBy("_cell").applyInPandas(
+            _cell_pairs_arrow(threshold),
+            schema="id_a long, id_b long, cosine_sim double",
+        )
+        return raw.select(
+            "id_a", "id_b", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")
+        ).filter(F.col("cosine_sim") >= threshold)
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, (F.col("a._cell") == F.col("b._cell")) & (F.col("a.vid") < F.col("b.vid")))
@@ -647,6 +738,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_centroids: int | None = None,
     kmeans_iters: int = IVF_KMEANS_ITERS,
+    pair_engine: str = "jvm",
 ) -> DataFrame:
     """Full semantic-dedup verdict per document: (id, rep_id, keep) where
     ``rep_id`` is the minimum id of the document's near-duplicate
@@ -659,7 +751,8 @@ def semantic_dedup(
     from monster_etl_spark.operators.graph import connected_components
 
     pairs = semantic_dup_pairs(
-        corpus, id_col, vec_col, threshold, n_centroids, kmeans_iters
+        corpus, id_col, vec_col, threshold, n_centroids, kmeans_iters,
+        pair_engine=pair_engine,
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     ids = corpus.select(F.col(id_col).alias("id"))

@@ -90,7 +90,15 @@ def test_python_eval_only_in_multimodal_and_untar(spark, sf_dir):
     # express as interpreted HOF folds — measured 7.6x at 2M corpus
     # rows, see brute_force_topk_arrow's docstring); each
     # must document the bit-parity argument in its docstring
-    allowed_names = {"knn_brute_force_arrow", "knn_ivf_arrow"}
+    allowed_names = {
+        "knn_brute_force_arrow",
+        "knn_ivf_arrow",
+        # per-cell GEMM pair kernel with exact-fold rescore — the
+        # SemDeDup pair step's audited twin (_cell_pairs_arrow docstring
+        # carries the bit-parity argument; equality asserted in
+        # tests/test_similarity.py::test_semantic_pair_engines_equal)
+        "semantic_dedup_verdicts_arrow",
+    }
     bad = {}
     for name, spec in Q.items():
         if (

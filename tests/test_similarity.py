@@ -471,3 +471,72 @@ def test_arrow_kernels_edge_inputs(spark, sf_dir):
     a = _topk_sets(sim.brute_force_topk_arrow(q, corpus_nulled, k=3))
     j = _topk_sets(sim.brute_force_topk(q, corpus_nulled, k=3))
     assert a == j
+
+
+def test_semantic_pair_engines_equal(spark):
+    """The Arrow per-cell GEMM pair kernel must emit EXACTLY the
+    self-join path's rows — ids and 6-dp scores bit-for-bit — on a
+    corpus with planted near-dups, borderline-threshold pairs, and a
+    zero-norm vector (dropped by both engines)."""
+    import math
+    import random
+
+    rng = random.Random(23)
+    dims = 16
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = [unit([rng.gauss(0, 1) for _ in range(dims)]) for _ in range(40)]
+    rows = [(i, base[i]) for i in range(40)]
+    for nid, src, eps in ((100, 3, 0.005), (101, 3, 0.004), (102, 7, 0.2),
+                          (103, 7, 0.35), (104, 11, 0.5)):
+        rows.append((nid, unit([x + rng.gauss(0, eps) for x in base[src]])))
+    rows.append((105, [0.0] * dims))  # zero-norm: no direction, no pairs
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    for thr in (0.95, 0.8, 0.5):
+        jvm = sim.semantic_dup_pairs(
+            df, threshold=thr, n_centroids=4, kmeans_iters=2, pair_engine="jvm"
+        ).collect()
+        arw = sim.semantic_dup_pairs(
+            df, threshold=thr, n_centroids=4, kmeans_iters=2, pair_engine="arrow"
+        ).collect()
+        sj = sorted((r.id_a, r.id_b, r.cosine_sim) for r in jvm)
+        sa = sorted((r.id_a, r.id_b, r.cosine_sim) for r in arw)
+        assert sj == sa, thr
+        assert all(a < b for a, b, _ in sa)
+    # low threshold actually produced pairs (the equality was not vacuous)
+    assert len(sa) >= 3
+
+
+def test_semantic_dedup_verdicts_arrow_matches_default(spark):
+    """End-to-end verdict equality between pair engines on the planted
+    corpus (the registry row's oracle is the identity verdict; this
+    pins the duplicate-collapsing direction for the arrow engine)."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    dims = 16
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = [unit([rng.gauss(0, 1) for _ in range(dims)]) for _ in range(30)]
+    rows = [(i, base[i]) for i in range(30)]
+    for nid, src in ((200, 2), (201, 2), (300, 9)):
+        rows.append((nid, unit([x + rng.gauss(0, 0.005) for x in base[src]])))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    a = sorted(map(tuple, sim.semantic_dedup(
+        df, threshold=0.97, n_centroids=4, kmeans_iters=2, pair_engine="arrow"
+    ).collect()))
+    j = sorted(map(tuple, sim.semantic_dedup(
+        df, threshold=0.97, n_centroids=4, kmeans_iters=2, pair_engine="jvm"
+    ).collect()))
+    assert a == j
+    out = dict((r[0], (r[1], r[2])) for r in a)
+    assert out[200] == (2, False) and out[201] == (2, False) and out[2] == (2, True)
