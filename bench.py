@@ -115,6 +115,11 @@ BENCH_QUERIES = [
     # GEMM kernel; 7.6x over the JVM fold at 2M corpus rows)
     "knn_brute_force_arrow",
     "knn_ivf_arrow",
+    # round-6 additions: the WebP-lossless (VP8L) codec joins the tracked
+    # media surface; the SemDeDup verdict chain on the per-cell GEMM
+    # pair kernel rides next to its self-join twin
+    "multimodal_webp_pixel_stats",
+    "semantic_dedup_verdicts_arrow",
 ]
 
 
@@ -148,6 +153,9 @@ SOAK_QUERIES = [
     # round-4 scale claim: candidates hash-prefiltered before the rank
     # window (the fix must hold its near-constant cost as the corpus grows)
     "q_negative_samples",
+    # round-6 scale claim: the GEMM pair kernel must widen its lead over
+    # the self-join twin as the per-cell pair count grows
+    "semantic_dedup_verdicts_arrow",
 ]
 
 

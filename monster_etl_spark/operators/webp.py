@@ -707,6 +707,18 @@ def _build_webp_codec(force_scalar: bool = False):
         return (w, h, 3 if opaque else 4, bytes(out))
 
     # -------------------------------------------------------------- encode
+    def _choose_lengths(hist):
+        """Code lengths for one prefix code: simple pairs where the
+        symbols fit 8 bits, a complete dummy-padded pair for a single
+        wide symbol, Huffman (capped 15) otherwise."""
+        syms = sorted(hist)
+        if len(syms) <= 2 and all(s <= 255 for s in syms):
+            return {s: 1 for s in syms}
+        if len(syms) == 1:
+            s = syms[0]
+            return {s: 1, (0 if s else 1): 1}
+        return _hlengths(hist, 15)
+
     def _emit_tokens(w, tokens, cache_bits, dist_hist):
         """Write the 5 prefix codes + token stream for one image."""
         galpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
@@ -732,20 +744,11 @@ def _build_webp_codec(force_scalar: bool = False):
             # always a literal) — keep the codes well-formed anyway
             rhist = bhist = ahist = {0: 1}
 
-        def _lengths(hist):
-            syms = sorted(hist)
-            if len(syms) <= 2 and all(s <= 255 for s in syms):
-                return {s: 1 for s in syms}, True
-            if len(syms) == 1:
-                s = syms[0]
-                return {s: 1, (0 if s else 1): 1}, False
-            return _hlengths(hist, 15), False
-
-        glen, _ = _lengths(ghist)
-        rlen, _ = _lengths(rhist)
-        blen, _ = _lengths(bhist)
-        alen, _ = _lengths(ahist)
-        dlen, _ = _lengths(dist_hist or {0: 1})
+        glen = _choose_lengths(ghist)
+        rlen = _choose_lengths(rhist)
+        blen = _choose_lengths(bhist)
+        alen = _choose_lengths(ahist)
+        dlen = _choose_lengths(dist_hist or {0: 1})
         _write_code(w, glen, galpha)
         _write_code(w, rlen, 256)
         _write_code(w, blen, 256)
@@ -782,6 +785,130 @@ def _build_webp_codec(force_scalar: bool = False):
             else:
                 _put(gcodes, 280 + t[1])
 
+    def _emit_grouped(w, tagged, dist_hists, n_groups):
+        """Token stream under META prefix codes: ``tagged`` holds
+        (group, token) in stream order; each group gets its own five
+        prefix codes (descriptions written group-major, the order the
+        decoder reads them), and every token emits through the codes of
+        the group its START position's tile selects."""
+        hists = [
+            {"g": {}, "r": {}, "b": {}, "a": {}} for _ in range(n_groups)
+        ]
+        for g, t in tagged:
+            hh = hists[g]
+            if t[0] == "lit":
+                _, red, green, blue, alpha = t
+                hh["g"][green] = hh["g"].get(green, 0) + 1
+                hh["r"][red] = hh["r"].get(red, 0) + 1
+                hh["b"][blue] = hh["b"].get(blue, 0) + 1
+                hh["a"][alpha] = hh["a"].get(alpha, 0) + 1
+            elif t[0] == "copy":
+                s, _, _ = _lz_sym(t[1])
+                hh["g"][256 + s] = hh["g"].get(256 + s, 0) + 1
+        group_codes = []
+        for g in range(n_groups):
+            hh = hists[g]
+            for key in ("r", "b", "a"):
+                if not hh[key]:
+                    hh[key] = {0: 1}
+            if not hh["g"]:
+                hh["g"] = {0: 1}
+            glen = _choose_lengths(hh["g"])
+            rlen = _choose_lengths(hh["r"])
+            blen = _choose_lengths(hh["b"])
+            alen = _choose_lengths(hh["a"])
+            dlen = _choose_lengths(dist_hists[g] or {0: 1})
+            _write_code(w, glen, 280)
+            _write_code(w, rlen, 256)
+            _write_code(w, blen, 256)
+            _write_code(w, alen, 256)
+            _write_code(w, dlen, 40)
+            group_codes.append(tuple(map(_canon, (glen, rlen, blen, alen, dlen))))
+
+        def _put(codes, s):
+            c, l = codes[s]
+            if len(codes) > 1:
+                w.code(c, l)
+
+        for g, t in tagged:
+            gc, rc, bc, ac, dc = group_codes[g]
+            if t[0] == "lit":
+                _, red, green, blue, alpha = t
+                _put(gc, green)
+                _put(rc, red)
+                _put(bc, blue)
+                _put(ac, alpha)
+            else:
+                s, eb, ev = _lz_sym(t[1])
+                _put(gc, 256 + s)
+                if eb:
+                    w.bits(ev, eb)
+                ds, deb, dev = _lz_sym(t[2])
+                _put(dc, ds)
+                if deb:
+                    w.bits(dev, deb)
+
+    def _encode_meta(w, vals, width, h):
+        """TEST-ONLY layout (never emitted by the adapter): subtract-green
+        + META prefix codes (two code groups on a 4-px tile checkerboard)
+        + runs carried by the MAPPED distance value 2 (DIST_MAP[1] =
+        (dx=1, dy=0) -> linear distance 1) — a full-bitstream round-trip
+        through the decoder's entropy-image group selection and 2D
+        distance mapping."""
+        w.bits(1, 1)
+        w.bits(2, 2)  # SUBTRACT_GREEN
+        w.bits(0, 1)  # end of transforms
+        w.bits(0, 1)  # no color cache
+        w.bits(1, 1)  # meta prefix codes present
+        sb = 2
+        w.bits(sb - 2, 3)
+        tw = (width + 3) >> 2
+        th = (h + 3) >> 2
+        meta_px = [((tx + ty) & 1) << 8 for ty in range(th) for tx in range(tw)]
+        _emit_subimage(w, meta_px)
+        pix = [0xFF000000 | (v << 8) for v in vals]
+        npx = len(pix)
+        tagged = []
+        dist_hists = [{}, {}]
+        i = 0
+        while i < npx:
+            g = (((i % width) >> sb) + ((i // width) >> sb)) & 1
+            if i > 0:
+                prev = pix[i - 1]
+                run = 0
+                while i + run < npx and pix[i + run] == prev and run < 4096:
+                    run += 1
+                if run >= 3:
+                    tagged.append((g, ("copy", run, 2)))
+                    ds, _, _ = _lz_sym(2)
+                    dist_hists[g][ds] = dist_hists[g].get(ds, 0) + 1
+                    i += run
+                    continue
+            tagged.append((g, ("lit", 0, (pix[i] >> 8) & 0xFF, 0, 255)))
+            i += 1
+        _emit_grouped(w, tagged, dist_hists, 2)
+
+    def _encode_cross(w, vals, width, h):
+        """TEST-ONLY layout: identity cross-color transform (zero
+        multipliers on a 4-px tile grid) composed with subtract-green —
+        a full-bitstream round-trip through ``_inv_color``'s tile walk.
+        Stream order [color, sg] means the decoder inverts sg first,
+        then color; with zero multipliers the color step is identity, so
+        encoding applies only subtract-green."""
+        w.bits(1, 1)
+        w.bits(1, 2)  # COLOR_TRANSFORM
+        sb = 2
+        w.bits(sb - 2, 3)
+        tw = (width + 3) >> 2
+        th = (h + 3) >> 2
+        _emit_subimage(w, [0] * (tw * th))
+        w.bits(1, 1)
+        w.bits(2, 2)  # SUBTRACT_GREEN
+        w.bits(0, 1)  # end of transforms
+        w.bits(0, 1)  # no color cache
+        w.bits(0, 1)  # no meta prefix codes
+        _emit_tokens(w, [("lit", 0, v, 0, 255) for v in vals], 0, None)
+
     def _emit_subimage(w, pixels):
         """Literal-only subimage (palette / predictor tiles): cache off,
         one code group, every pixel a literal."""
@@ -814,6 +941,10 @@ def _build_webp_codec(force_scalar: bool = False):
             _encode_predictor(w, vals, width, h)
         elif mode == "palette":
             _encode_palette(w, vals, width, h)
+        elif mode == "meta":
+            _encode_meta(w, vals, width, h)
+        elif mode == "cross":
+            _encode_cross(w, vals, width, h)
         else:
             raise ValueError(f"unknown webp encode mode: {mode}")
         payload = w.done()

@@ -188,3 +188,23 @@ def test_predictor_modes_match_per_channel_reference():
         for i in range(0, len(pixels) - 3, 4):
             l, t, tl, tr = pixels[i: i + 4]
             assert predict(mode, l, t, tl, tr) == ref(mode, l, t, tl, tr), mode
+
+
+def test_meta_prefix_and_mapped_distance_roundtrip():
+    """TEST-ONLY 'meta' layout: two code groups selected by a 4-px-tile
+    entropy image, runs carried by MAPPED distance value 2 (DIST_MAP[1]
+    = (1,0) -> linear distance 1) — the decoder's group switching and
+    2D distance mapping round-trip on real streams."""
+    for data in CASES:
+        blob = webp_encode_gray8(data, 32, "meta")
+        assert webp_decode(blob) == _gray_rgb(data, 32), len(data)
+        assert CS["decode"](blob) == C["decode"](blob)
+
+
+def test_cross_color_transform_roundtrip():
+    """TEST-ONLY 'cross' layout: identity cross-color transform (zero
+    multipliers, 4-px tiles) composed with subtract-green — the
+    _inv_color tile walk exercised by a full bitstream."""
+    for data in CASES:
+        blob = webp_encode_gray8(data, 32, "cross")
+        assert webp_decode(blob) == _gray_rgb(data, 32), len(data)
