@@ -310,6 +310,62 @@ def _build_flac_codec(force_scalar=False):
             v = (v << 6) | (b & 0x3F)
         return v
 
+    def _rice_prep(r, param):
+        """Lazy per-reader caches for the vectorized Rice path: the whole
+        stream unpacked to a bit array, the positions of its one-bits,
+        and a per-param JUMP array — ``jump[j] = index of the first one
+        at-or-after ones[j] + 1 + param``, i.e. the next code's
+        terminator given this code's. One searchsorted builds the whole
+        chain's transition function, so decoding a partition is a
+        3-op-per-sample pointer chase plus vectorized gathers."""
+        if not hasattr(r, "_ones"):
+            bits = np.unpackbits(np.frombuffer(r.d, np.uint8))
+            r._bits = bits
+            r._ones = np.flatnonzero(bits).astype(np.int64)
+            r._jumps = {}
+        if param not in r._jumps:
+            r._jumps[param] = np.searchsorted(
+                r._ones, r._ones + 1 + param
+            ).tolist()
+        return r._bits, r._ones, r._jumps[param]
+
+    def _rice_fast(r, cnt, param):
+        """Vectorized Rice partition decode, bit-identical to the scalar
+        unary/fixed loop: terminators via the jump chain, quotients as
+        ``terminator - cursor`` (the gap is all zero bits by
+        construction), fixed bits as a batched gather, zigzag un-mapped
+        in int64. Raises EOFError exactly where the scalar path would
+        (no terminator, runaway quotient, fixed bits past stream end)."""
+        bits, ones, jump = _rice_prep(r, param)
+        j = int(np.searchsorted(ones, r.p))
+        no = len(jump)
+        chain = []
+        for _ in range(cnt):
+            if j >= no:
+                raise EOFError
+            chain.append(j)
+            j = jump[j]
+        t = ones[np.asarray(chain, dtype=np.int64)]
+        cursors = np.empty(cnt, np.int64)
+        cursors[0] = r.p
+        if cnt > 1:
+            cursors[1:] = t[:-1] + 1 + param
+        q = t - cursors
+        if q.min() < 0 or q.max() > (1 << 20):
+            raise EOFError
+        if param:
+            idx = t[:, None] + 1 + np.arange(param, dtype=np.int64)[None, :]
+            if int(idx[-1, -1]) >= bits.shape[0]:
+                raise EOFError
+            weights = 1 << np.arange(param - 1, -1, -1, dtype=np.int64)
+            fixed = bits[idx].astype(np.int64) @ weights
+            u = (q << param) | fixed
+            r.p = int(t[-1]) + 1 + param
+        else:
+            u = q
+            r.p = int(t[-1]) + 1
+        return ((u >> 1) ^ -(u & 1)).tolist()
+
     def _read_residual(r, n, order, out):
         method = r.r(2)
         if method > 1:
@@ -329,6 +385,10 @@ def _build_flac_codec(force_scalar=False):
                 raw = r.r(5)
                 for _ in range(cnt):
                     out.append(r.rs(raw) if raw else 0)
+            elif np is not None and cnt and len(r.d) < (32 << 20):
+                # vectorized path (bit-parity twin of the loop below);
+                # the 32 MB cap bounds the unpacked-bit cache at 256 MB
+                out.extend(_rice_fast(r, cnt, param))
             else:
                 for _ in range(cnt):
                     q = r.unary()
