@@ -99,6 +99,26 @@ def _build_flac_codec(force_scalar=False):
             if self.n:
                 self.w(0, 8 - self.n)
 
+        def w_bits_np(self, bits_np):
+            """Append an MSB-first 0/1 uint8 array in one packbits pass
+            (bit-identical to per-code ``w`` calls; the partial
+            accumulator is folded into the array head and the sub-byte
+            tail folded back)."""
+            if self.n:
+                lead = np.array(
+                    [(self.acc >> (self.n - 1 - i)) & 1 for i in range(self.n)],
+                    np.uint8,
+                )
+                bits_np = np.concatenate([lead, bits_np])
+                self.acc = 0
+                self.n = 0
+            nbytes = len(bits_np) >> 3
+            if nbytes:
+                self.buf.extend(np.packbits(bits_np[: nbytes * 8]).tobytes())
+            for b in bits_np[nbytes * 8:].tolist():
+                self.acc = (self.acc << 1) | int(b)
+                self.n += 1
+
         def bytes(self):
             return bytes(self.buf)
 
@@ -186,6 +206,29 @@ def _build_flac_codec(force_scalar=False):
         while param < 14 and (1 << param) < mean + 1:
             param += 1
         w.w(param, 4)
+        if np is not None and n:
+            # vectorized twin of the loop below: one bit array for the
+            # whole partition (zigzag, terminators and fixed bits as
+            # batched scatters), appended in a single packbits pass
+            rr = np.asarray(best_res, np.int64)
+            u = (rr << 1) ^ (rr >> 63)
+            q = u >> param
+            if int(q.max(initial=0)) > 1 << 16:
+                raise OverflowError
+            lens = q + 1 + param
+            offs = np.zeros(n, np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            bits = np.zeros(int(lens.sum()), np.uint8)
+            term = offs + q
+            bits[term] = 1
+            if param:
+                idx = term[:, None] + 1 + np.arange(param, dtype=np.int64)[None, :]
+                vals = (
+                    u[:, None] >> np.arange(param - 1, -1, -1, dtype=np.int64)[None, :]
+                ) & 1
+                bits[idx] = vals.astype(np.uint8)
+            w.w_bits_np(bits)
+            return
         for r in best_res:
             u = (r << 1) ^ (r >> 63)  # zigzag (python ints: arithmetic >>)
             q = u >> param
