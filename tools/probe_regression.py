@@ -1,8 +1,8 @@
 """Attribute the sf1 regressions flagged in the round-5 verdict (item 4).
 
 q18_large_orders (+35%), dedup_exact (+61%), scan_full_filter (+29%) slowed
-at sf1 between r4 (manual 256-partition knob... actually r4 default = 32
-per-core partitions) and r5 (adaptive default: AQE initialPartitionNum=1024).
+at sf1 between r4 (per-core default: 32 shuffle partitions) and r5 (adaptive
+default: AQE initialPartitionNum=1024).
 Hypothesis: the 1024-way map-side fan-out has a fixed per-mapper cost
 (sort + 1024-block index per map task) that is visible only when the whole
 query is sub-2 s. This probe measures each query at sf1 under
