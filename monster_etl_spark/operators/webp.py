@@ -361,6 +361,19 @@ def _build_webp_codec(force_scalar: bool = False):
             nxt[l] += 1
         return out
 
+    def _canon_rev(lengths):
+        """_canon with the code bits pre-reversed, so emission is one
+        LSB-first ``bits()`` call per symbol instead of a per-bit loop
+        (identical stream bytes — ``W.code`` reverses at write time)."""
+        out = {}
+        for s, (c, l) in _canon(lengths).items():
+            r = 0
+            for _ in range(l):
+                r = (r << 1) | (c & 1)
+                c >>= 1
+            out[s] = (r, l)
+        return out
+
     # --------------------------------------------------- LZ77 prefix vals
     def _lz_val(r, code):
         if code < 4:
@@ -754,16 +767,16 @@ def _build_webp_codec(force_scalar: bool = False):
         _write_code(w, blen, 256)
         _write_code(w, alen, 256)
         _write_code(w, dlen, 40)
-        gcodes = _canon(glen)
-        rcodes = _canon(rlen)
-        bcodes = _canon(blen)
-        acodes = _canon(alen)
-        dcodes = _canon(dlen)
+        gcodes = _canon_rev(glen)
+        rcodes = _canon_rev(rlen)
+        bcodes = _canon_rev(blen)
+        acodes = _canon_rev(alen)
+        dcodes = _canon_rev(dlen)
 
         def _put(codes, s):
-            c, l = codes[s]
+            r, l = codes[s]
             if len(codes) > 1:
-                w.code(c, l)
+                w.bits(r, l)
 
         for t in tokens:
             kind = t[0]
@@ -823,12 +836,12 @@ def _build_webp_codec(force_scalar: bool = False):
             _write_code(w, blen, 256)
             _write_code(w, alen, 256)
             _write_code(w, dlen, 40)
-            group_codes.append(tuple(map(_canon, (glen, rlen, blen, alen, dlen))))
+            group_codes.append(tuple(map(_canon_rev, (glen, rlen, blen, alen, dlen))))
 
         def _put(codes, s):
-            c, l = codes[s]
+            r, l = codes[s]
             if len(codes) > 1:
-                w.code(c, l)
+                w.bits(r, l)
 
         for g, t in tagged:
             gc, rc, bc, ac, dc = group_codes[g]
