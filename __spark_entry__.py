@@ -4,9 +4,11 @@
 ``queries()``  — every implemented operator/query from SURVEY.md §2 plus the
                  training-data-pipeline surface (dedup / similarity / text /
                  events), as (spark, sf_dir) -> DataFrame callables.
-``oracle_sql()`` — DuckDB twins for the hash-compare gate. Only
-                 ``t16_path_column`` is rows-only (the oracle cannot observe
-                 Spark's input file paths).
+``oracle_sql()`` — DuckDB twins for the hash-compare gate. Every registry
+                 query is oracle-backed (zero rows-only entries): t16's
+                 path column round-trips through a partition directory, and
+                 the approximate-kNN variants carry full-pipeline
+                 fixed-seed CTE oracles.
 
 Implementations live in ``monster_etl_spark.queries`` (registry) over the
 operator library in ``monster_etl_spark.operators``.

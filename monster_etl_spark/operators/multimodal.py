@@ -130,8 +130,13 @@ def _fake_decode(content: bytes) -> tuple[int, int]:
     return (n % 640) + 1, (n % 480) + 1
 
 
-def _header_dims(b: bytes) -> "tuple[int, int] | None":
-    """(width, height) from the image CONTAINER HEADER, no codec needed:
+def _header_dims_fn():
+    """Factory returning the header parser as a NESTED, self-contained
+    function so cloudpickle ships it *by value* inside mapInPandas
+    closures (executors need neither this package nor any import).
+    ``_header_dims`` below is the module-level alias of the same body.
+
+    (width, height) from the image CONTAINER HEADER, no codec needed:
 
     - PNG: IHDR is mandated to be the first chunk — width/height are
       big-endian u32 at offsets 16/20 after the 8-byte signature;
@@ -143,40 +148,47 @@ def _header_dims(b: bytes) -> "tuple[int, int] | None":
     Returns None (caller falls back to the deterministic fake) for
     anything else or for truncated/corrupt headers — a malformed blob
     must never raise mid-batch at scale."""
-    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
-        return (
-            int.from_bytes(b[16:20], "big"),
-            int.from_bytes(b[20:24], "big"),
-        )
-    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
-        return (
-            int.from_bytes(b[6:8], "little"),
-            int.from_bytes(b[8:10], "little"),
-        )
-    if len(b) >= 4 and b[:2] == b"\xff\xd8":
-        i = 2
-        while i + 4 <= len(b):
-            if b[i] != 0xFF:
-                return None
-            marker = b[i + 1]
-            if marker == 0xFF:  # fill byte
-                i += 1
-                continue
-            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
-                i += 2  # standalone markers carry no length
-                continue
-            if i + 4 > len(b):
-                return None
-            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
-            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                if i + 9 > len(b):
+
+    def header_dims(b):
+        if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            return (
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+            )
+        if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+            return (
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+            )
+        if len(b) >= 4 and b[:2] == b"\xff\xd8":
+            i = 2
+            while i + 4 <= len(b):
+                if b[i] != 0xFF:
                     return None
-                return (
-                    int.from_bytes(b[i + 7 : i + 9], "big"),
-                    int.from_bytes(b[i + 5 : i + 7], "big"),
-                )
-            i += 2 + seg_len
-    return None
+                marker = b[i + 1]
+                if marker == 0xFF:  # fill byte
+                    i += 1
+                    continue
+                if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                    continue
+                if i + 4 > len(b):
+                    return None
+                seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if i + 9 > len(b):
+                        return None
+                    return (
+                        int.from_bytes(b[i + 7 : i + 9], "big"),
+                        int.from_bytes(b[i + 5 : i + 7], "big"),
+                    )
+                i += 2 + seg_len
+        return None
+
+    return header_dims
+
+
+_header_dims = _header_dims_fn()
 
 
 def _full_decode_fn():
@@ -265,9 +277,10 @@ def extract_image_features(media: DataFrame, real_decode: bool = False) -> DataF
     executors without the package installed.
     """
     if real_decode:
-        # the decode closure is captured here (not referenced via the
-        # module) so cloudpickle ships the whole codec set by value
+        # the decode + header-parse closures are captured here (not
+        # referenced via the module) so cloudpickle ships them by value
         full_decode = _full_decode_fn()
+        header_dims = _header_dims_fn()
 
         def _worker_real(batches):
             import zlib
@@ -282,8 +295,14 @@ def extract_image_features(media: DataFrame, real_decode: bool = False) -> DataF
                     if d is not None:
                         dims.append((d[0], d[1]))
                     else:
+                        # same fallback chain as decode_image_batch: header
+                        # dims when the container is parseable, else the
+                        # deterministic fake
                         n = len(c)
-                        dims.append(((n % 640) + 1, (n % 480) + 1))
+                        dims.append(
+                            header_dims(c)
+                            or ((n % 640) + 1, (n % 480) + 1)
+                        )
                 yield pd.DataFrame(
                     {
                         "media_id": pdf["media_id"].astype("int64"),
@@ -298,42 +317,14 @@ def extract_image_features(media: DataFrame, real_decode: bool = False) -> DataF
             _worker_real, schema=IMAGE_FEATURES_SCHEMA
         )
 
+    # captured by value via the factory (see _header_dims_fn): the closure
+    # stays self-contained, no package needed on executors
+    header_dims = _header_dims_fn()
+
     def _worker(batches):
         import zlib
 
         import pandas as pd
-
-        def header_dims(b):
-            # nested duplicate of _header_dims: keeps the closure
-            # self-contained (shipped by value, no package on executors)
-            if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
-                return int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
-            if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
-                return int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little")
-            if len(b) >= 4 and b[:2] == b"\xff\xd8":
-                i = 2
-                while i + 4 <= len(b):
-                    if b[i] != 0xFF:
-                        return None
-                    marker = b[i + 1]
-                    if marker == 0xFF:
-                        i += 1
-                        continue
-                    if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
-                        i += 2
-                        continue
-                    if i + 4 > len(b):
-                        return None
-                    seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
-                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                        if i + 9 > len(b):
-                            return None
-                        return (
-                            int.from_bytes(b[i + 7 : i + 9], "big"),
-                            int.from_bytes(b[i + 5 : i + 7], "big"),
-                        )
-                    i += 2 + seg_len
-            return None
 
         for pdf in batches:
             contents = [bytes(c) for c in pdf["content"]]

@@ -506,7 +506,11 @@ def _build_webp_codec(force_scalar: bool = False):
                     pred = px[i - w]
                 else:
                     m = modes[trow + (x >> sb)]
-                    tr = px[i - w + 1] if x + 1 < w else px[i - w]
+                    # Spec rule for the rightmost column: the TR pixel wraps
+                    # to the leftmost pixel of the SAME row (contiguous-buffer
+                    # wrap, as libwebp implements). i - w + 1 == y*w at
+                    # x == w-1, which is that already-decoded pixel.
+                    tr = px[i - w + 1]
                     pred = _predict(m, px[i - 1], px[i - w], px[i - w - 1], tr)
                 px[i] = _addpx(px[i], pred)
         return px
@@ -577,8 +581,12 @@ def _build_webp_codec(force_scalar: bool = False):
                     tw = (xsize + (1 << sb) - 1) >> sb
                     th = (h + (1 << sb) - 1) >> sb
                     timg = _decode_stream(r, tw, th, False)
+                    # record the xsize in effect when this transform was
+                    # read: a stream that lists COLOR_INDEXING first codes
+                    # later transforms at the palette-reduced width, and the
+                    # inverse must walk the buffer at that width.
                     transforms.append(
-                        ("pred" if t == 0 else "color", sb, timg, tw)
+                        ("pred" if t == 0 else "color", sb, timg, tw, xsize)
                     )
                 else:
                     n = r.read(8) + 1
@@ -657,9 +665,9 @@ def _build_webp_codec(force_scalar: bool = False):
                 if t[0] == "sg":
                     out = _inv_subtract_green(out)
                 elif t[0] == "pred":
-                    out = _inv_predictor(out, w, h, t[1], t[2], t[3])
+                    out = _inv_predictor(out, t[4], h, t[1], t[2], t[3])
                 elif t[0] == "color":
-                    out = _inv_color(out, w, h, t[1], t[2], t[3])
+                    out = _inv_color(out, t[4], h, t[1], t[2], t[3])
                 else:
                     out = _inv_palette(out, t[4], h, t[1], t[2], t[3])
         return out

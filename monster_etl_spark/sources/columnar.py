@@ -118,8 +118,14 @@ def read_avro_py(spark: SparkSession, path: str) -> DataFrame:
         .select("content")
         .mapInPandas(_splitter, schema="content binary")
     )
-    spread = chunks.repartition(spark.sparkContext.defaultParallelism)
-    return spread.mapInPandas(_worker, schema=ddl)
+    # Never-shrink guard (mirrors _cpu_spread): only widen to
+    # defaultParallelism when the chunk scan is narrower — a many-file
+    # scan already wider than the core count keeps its partitioning and
+    # skips the blob shuffle entirely.
+    target = spark.sparkContext.defaultParallelism
+    if chunks.rdd.getNumPartitions() < target:
+        chunks = chunks.repartition(target)
+    return chunks.mapInPandas(_worker, schema=ddl)
 
 
 def write_avro_py(df: DataFrame, path: str, codec: str = "deflate") -> None:

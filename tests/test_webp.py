@@ -208,3 +208,168 @@ def test_cross_color_transform_roundtrip():
     for data in CASES:
         blob = webp_encode_gray8(data, 32, "cross")
         assert webp_decode(blob) == _gray_rgb(data, 32), len(data)
+
+
+def _addpx_ref(a, b):
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= (((a >> sh) + (b >> sh)) & 0xFF) << sh
+    return out
+
+
+@pytest.mark.parametrize("mode", [3, 5, 9, 10])
+def test_predictor_right_edge_tr_wraps_to_row_left(mode):
+    """Spec rule (libwebp contiguous-buffer wrap): the TR pixel of a
+    rightmost-column pixel is the leftmost pixel of the SAME row —
+    px[i - w + 1] unconditionally, never the top pixel. Exercises the
+    TR-using modes 3/5/9/10 that the in-repo encoder (mode 2 only)
+    never emits."""
+    predict = C["_predict"]
+    rng = random.Random(777 + mode)
+    w, h = 4, 3
+    residuals = [rng.randrange(1 << 32) for _ in range(w * h)]
+    timg = [mode << 8]
+
+    def ref(res):
+        px = list(res)
+        for y in range(h):
+            for x in range(w):
+                i = y * w + x
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = px[i - 1]
+                elif x == 0:
+                    pred = px[i - w]
+                else:
+                    tr = px[i - w + 1]  # x == w-1 -> y*w, this row's left
+                    pred = predict(mode, px[i - 1], px[i - w], px[i - w - 1], tr)
+                px[i] = _addpx_ref(px[i], pred)
+        return px
+
+    expect = ref(residuals)
+    assert C["_inv_predictor"](list(residuals), w, h, 9, timg, 1) == expect
+    assert CS["_inv_predictor"](list(residuals), w, h, 9, timg, 1) == expect
+    # the wrap rule must actually bite: at least one right-edge pixel
+    # below row 0 differs from the old top-pixel-as-TR behavior
+    def old(res):
+        px = list(res)
+        for y in range(h):
+            for x in range(w):
+                i = y * w + x
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = px[i - 1]
+                elif x == 0:
+                    pred = px[i - w]
+                else:
+                    tr = px[i - w + 1] if x + 1 < w else px[i - w]
+                    pred = predict(mode, px[i - 1], px[i - w], px[i - w - 1], tr)
+                px[i] = _addpx_ref(px[i], pred)
+        return px
+
+    assert old(residuals) != expect
+
+
+class _BitW:
+    """LSB-first bit writer for hand-crafting spec-legal VP8L payloads."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v, k):
+        self.acc |= (v & ((1 << k) - 1)) << self.n
+        self.n += k
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def done(self):
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def test_palette_before_predictor_stream_decodes():
+    """A spec-legal stream listing COLOR_INDEXING before PREDICTOR codes
+    the predictor at the palette-reduced xsize; the inverse must walk
+    the reduced-width buffer (not the full image width). Hand-crafted
+    4x2 image, 4-color palette (xb=2 -> packed width 1), predictor
+    mode 1 over the packed image."""
+    import struct
+
+    w = _BitW()
+
+    def simple2(s0, s1):
+        w.bits(1, 1)  # simple code
+        w.bits(1, 1)  # two symbols
+        w.bits(1, 1)  # first symbol in 8 bits
+        w.bits(s0, 8)
+        w.bits(s1, 8)
+
+    def simple1(s0):
+        w.bits(1, 1)  # simple code
+        w.bits(0, 1)  # one symbol
+        w.bits(1, 1)  # 8-bit form
+        w.bits(s0, 8)
+
+    # header
+    w.bits(0x2F, 8)
+    w.bits(4 - 1, 14)
+    w.bits(2 - 1, 14)
+    w.bits(0, 1)  # alpha hint
+    w.bits(0, 3)  # version
+    # transform 1: COLOR_INDEXING, 4 entries (xb=2)
+    w.bits(1, 1)
+    w.bits(3, 2)
+    w.bits(4 - 1, 8)
+    # palette sub-stream (4x1): delta-coded entries
+    # pal[0]=(A255,R10,G20,B30), deltas then (0,5,5,5) x3
+    w.bits(0, 1)  # no color cache
+    simple2(20, 5)    # green
+    simple2(10, 5)    # red
+    simple2(30, 5)    # blue
+    simple2(255, 0)   # alpha
+    simple1(0)        # distance (unused)
+    w.bits(0b0000, 4)  # entry 0: g,r,b,a = first symbols
+    for _ in range(3):
+        w.bits(0b1111, 4)  # entries 1-3: second symbols
+    # transform 2: PREDICTOR at the REDUCED xsize (packed width 1)
+    w.bits(1, 1)
+    w.bits(0, 2)
+    w.bits(7, 3)  # sb=9 -> one tile
+    # tile image sub-stream (1x1): mode 1 (L) in the green channel
+    w.bits(0, 1)  # no cache
+    simple1(1)    # green = mode 1
+    simple1(0)    # red
+    simple1(0)    # blue
+    simple1(0)    # alpha
+    simple1(0)    # distance
+    # (single-symbol codes: the tile pixel costs zero bits)
+    w.bits(0, 1)  # end of transforms
+    w.bits(0, 1)  # no color cache
+    w.bits(0, 1)  # no meta prefix
+    # main image (packed 1x2). Packed greens: row0 idx [0,1,2,3] -> 228,
+    # row1 idx [3,2,1,0] -> 27. Predictor residuals (pred: BLACK then T):
+    # px0 res = (A 1, G 228), px1 res = (G 55).
+    simple2(228, 55)  # green
+    simple1(0)        # red
+    simple1(0)        # blue
+    simple2(1, 0)     # alpha
+    simple1(0)        # distance
+    w.bits(0b00, 2)   # px0: green=228, alpha=1 (red/blue cost 0 bits)
+    w.bits(0b11, 2)   # px1: green=55, alpha=0
+    payload = w.done()
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(payload)) + payload
+    )
+    pal = [(10, 20, 30), (15, 25, 35), (20, 30, 40), (25, 35, 45)]
+    order = [0, 1, 2, 3, 3, 2, 1, 0]
+    expect = (4, 2, 3, bytes(v for i in order for v in pal[i]))
+    assert webp_decode(blob) == expect
+    assert CS["decode"](blob) == expect

@@ -45,14 +45,12 @@ def main() -> None:
         "Source of truth: `monster_etl_spark/queries/` (this file mirrors `all_queries()`;",
         "regenerate with `python tools/gen_queries_md.py`).",
         "",
-        "Verification depth (round 4): the full registry is driver-replica",
-        "green at sf0.01 (the driver's gate; committed as",
-        "`DRIVER_CHECK.json`); every query added or replanned in round 4",
-        "(JPEG/GIF pixel round-trips, prefiltered negative sampling,",
-        "two-phase compaction/equi-depth, auto semantic-dedup assignment)",
-        "is hash-re-verified at sf0.01 and covered by plan-pin or codec",
-        "unit tests. Rows-only entries (the three approximate kNN",
-        "variants) carry oracle-checked recall>=0.5 contract twins.",
+        "Verification depth: the full registry is driver-replica green at",
+        "sf0.01 (the driver's gate; committed as `DRIVER_CHECK.json`), with",
+        "every query DuckDB-hash-matched — zero rows-only entries. The",
+        "approximate-kNN variants carry full-pipeline fixed-seed CTE oracles",
+        "plus recall>=0.5 contract twins; t16's path column is oracle-checked",
+        "via a partition-directory round-trip.",
     ]
     unknown = set(by_module) - set(SECTIONS)
     if unknown:
