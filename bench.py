@@ -1,11 +1,26 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+final JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}. The final line is kept COMPACT
+(the driver's capture keeps only the last ~2000 chars of stdout): when the
+full per-query dict would overflow that budget, the line carries the
+slowest queries plus a count, and the COMPLETE result — per-query timings,
+per-run spread, the scale sweep, stage metrics, scaling exponents — is
+written to ``BENCH_SUMMARY.json`` next to this file. One compact
+``{"sweep_sf": ..., "results": ...}`` progress line is also printed per
+sweep scale factor as it completes.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side collect). One warm-up run of a small query absorbs JVM/codegen
 startup so per-query numbers reflect steady-state execution.
+
+Measurement protocol (round-7: best-of-2 sampled the JIT/page-cache
+warm-up tail and manufactured phantom regressions on multi-second
+queries): every query gets one compile/warm run; if that run exceeds
+2 s the warm run is DISCARDED and the reported number is the best of 3
+further warm runs, with the min-max spread recorded alongside. Cheap
+queries (<=2 s) keep best-of-2 (the compile run + one warm run) — their
+absolute noise is bounded by the threshold.
 
 Scale sweep: when larger-scale data exists (generate with
 ``python tools/gen_scale.py`` -> ``.scaledata/sf1``, a 10x TPC-H-faithful
@@ -157,6 +172,50 @@ SOAK_QUERIES = [
     # the self-join twin as the per-cell pair count grows
     "semantic_dedup_verdicts_arrow",
 ]
+
+
+_WARM_THRESHOLD_S = 2.0
+
+
+def _time_query(run, snapshot=None, delta=None):
+    """Warm-run protocol. ``run()`` executes the query end-to-end and
+    returns elapsed seconds. Returns ``(best, spread, metrics_delta)``:
+
+    - first run = plan compilation + JIT + page-cache warm-up;
+    - if it finished <= 2 s, one more run, best-of-2 (compile run kept:
+      sub-2s queries bound the noise by construction);
+    - else the warm run is DISCARDED and best-of-3 warm runs is
+      reported, spread = max-min of the kept runs.
+
+    ``snapshot``/``delta`` (optional, monster_etl_spark.metrics) attach
+    the stage-metric delta of the best kept run."""
+    kept: list[float] = []
+    best_dm = None
+
+    def one():
+        nonlocal best_dm
+        before = snapshot() if snapshot else None
+        t0 = time.perf_counter()
+        run()
+        el = time.perf_counter() - t0
+        kept.append(el)
+        if el == min(kept) and before is not None:
+            dm = delta(before, snapshot())
+            if dm is not None:
+                best_dm = dm
+        return el
+
+    first = one()
+    if first <= _WARM_THRESHOLD_S:
+        one()
+    else:
+        kept.clear()
+        best_dm = None
+        for _ in range(3):
+            one()
+    best = min(kept)
+    spread = max(kept) - best
+    return round(best, 3), round(spread, 3), best_dm
 
 
 def _sweep_dirs(primary: str) -> list[str]:
@@ -338,19 +397,18 @@ def main() -> None:
     # warm-up: JVM + codegen + parquet footer caches
     registry["t3_extract_fields"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Two runs per query, report the best: the first run pays one-time plan
-    # compilation + whole-stage codegen (~0.5-1.5s per novel plan), which at
-    # cluster scale amortizes to nothing; steady-state execution is the
-    # number that scales with data volume.
+    # Warm-run protocol (see module docstring): compile run, then
+    # best-of-2 for cheap queries / discard + best-of-3 for >2s queries,
+    # min-max spread recorded per query.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name].fn
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        best, spread, _ = _time_query(
+            lambda: fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        )
+        timings[name] = best
+        spreads[name] = spread
 
     # the reference's own workload shape (TSV -> clean/typed JSON-lines)
     import tempfile
@@ -368,10 +426,14 @@ def main() -> None:
     timings["lookup_full_filter"] = bf
 
     out: dict = {
-        "metric": "headline query wall-clock, steady-state (best of 2), noop sink",
+        "metric": (
+            "headline query wall-clock, steady-state "
+            "(warm best-of-2; >2s: discard+best-of-3), noop sink"
+        ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
         "sf": float(sf),
     }
 
@@ -384,6 +446,7 @@ def main() -> None:
             from monster_etl_spark import metrics as _metrics
 
             sweep: dict[str, dict[str, float]] = {}
+            sweep_spread: dict[str, dict[str, float]] = {}
             # round-5 verdict item 4: stage metrics at EVERY sweep sf (not
             # just the largest) so cross-sf regressions are attributable
             # to shuffle/spill deltas, not guessed at
@@ -391,24 +454,26 @@ def main() -> None:
             for d in dirs:
                 key = f"{_sf_of(d):g}"
                 per: dict[str, float] = {}
+                per_spread: dict[str, float] = {}
                 sf_metrics: dict[str, dict[str, int]] = {}
                 for name in SOAK_QUERIES:
                     fn = registry[name].fn
-                    best = float("inf")
-                    for _ in range(2):
-                        before = _metrics.snapshot(spark)
-                        t0 = time.perf_counter()
-                        fn(spark, d).write.format("noop").mode("overwrite").save()
-                        elapsed = time.perf_counter() - t0
-                        if elapsed < best:
-                            best = elapsed
-                            dm = _metrics.delta(before, _metrics.snapshot(spark))
-                            if dm is not None:
-                                sf_metrics[name] = dm
-                    per[name] = round(best, 3)
+                    best, spread, dm = _time_query(
+                        lambda: fn(spark, d).write.format("noop").mode("overwrite").save(),
+                        snapshot=lambda: _metrics.snapshot(spark),
+                        delta=_metrics.delta,
+                    )
+                    per[name] = best
+                    per_spread[name] = spread
+                    if dm is not None:
+                        sf_metrics[name] = dm
                 sweep[key] = per
+                sweep_spread[key] = per_spread
                 if sf_metrics:
                     stage_metrics[key] = sf_metrics
+                # compact per-sf progress line: survives any tail buffer
+                # even if the process dies mid-sweep
+                print(json.dumps({"sweep_sf": key, "results": per}), flush=True)
             if stage_metrics:
                 # shuffle bytes written/read + mem/disk spill per soak query
                 # per sf — the "is this disk-bound or plan-defective"
@@ -442,6 +507,7 @@ def main() -> None:
                 if t_lo and t_hi:
                     exps[name] = round(math.log(t_hi / t_lo) / ratio, 2)
             out["sweep"] = sweep
+            out["sweep_spread"] = sweep_spread
             out["scaling_exponent"] = exps
             out["scaling_note"] = (
                 f"t ~ sf^alpha fit on sf{_sf_of(lo):g}->sf{_sf_of(hi):g}; "
@@ -449,7 +515,26 @@ def main() -> None:
                 "with fixed overhead)"
             )
 
-    print(json.dumps(out))
+    # Complete result -> sidecar; final stdout line kept under the
+    # driver's ~2000-char tail capture so it always parses.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_SUMMARY.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    line = dict(out)
+    line["detail"] = "BENCH_SUMMARY.json"
+    for bulky in ("sweep", "sweep_spread", "stage_metrics", "spread",
+                  "scaling_exponent", "scaling_note", "skipping"):
+        line.pop(bulky, None)
+    budget = 1800
+    if len(json.dumps(line)) > budget:
+        # keep the slowest queries that fit; the sidecar has the rest
+        ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+        line["queries_total"] = len(timings)
+        for n in range(len(ranked), 0, -1):
+            line["queries"] = dict(ranked[:n])
+            if len(json.dumps(line)) <= budget:
+                break
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":
