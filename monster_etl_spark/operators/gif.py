@@ -377,6 +377,132 @@ def _build_gif_codec(force_scalar=False):
             return None
         return sw, sh, len(frames), frames
 
+    def decode_frame_stats(b, max_frames=10000):
+        """Timeline STATS without per-frame canvas materialization:
+        ``(screen_w, screen_h, n_frames, [(delay_cs, r_sum), ...])`` where
+        ``r_sum`` is the exact integer sum of the composed canvas's R
+        channel AFTER that frame renders — equal by construction to
+        ``sum(rgb[::3])`` over ``decode_frames``' snapshot (asserted in
+        tests/test_gif.py), but maintained incrementally: each frame costs
+        O(frame rect), not O(canvas), so an n-frame animation's stats are
+        linear in total band bytes instead of quadratic. This is the
+        100 TB path for per-frame timeline analytics; ``decode_frames``
+        stays the parity reference (and the force_scalar twin computes
+        stats from its snapshots directly)."""
+        try:
+            if np is None:
+                parsed = _decode_frames(bytes(b), max_frames)
+                if parsed is None:
+                    return None
+                sw, sh, nf, frames = parsed
+                return sw, sh, nf, [(d, sum(rgb[::3])) for d, rgb in frames]
+            return _decode_frame_stats(bytes(b), max_frames)
+        except Exception:
+            return None
+
+    def _decode_frame_stats(b, max_frames):
+        if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        sw, sh = struct.unpack("<HH", b[6:10])
+        if not sw or not sh:
+            return None
+        packed = b[10]
+        bg_index = b[11]
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = b[i : i + 3 * n]
+            i += 3 * n
+        if gct is not None and bg_index < len(gct) // 3:
+            bg_rgb = gct[3 * bg_index : 3 * bg_index + 3]
+        else:
+            bg_rgb = b"\x00\x00\x00"
+        canvas = np.empty((sh, sw, 3), np.uint8)
+        canvas[:] = np.frombuffer(bg_rgb, np.uint8)
+        r_sum = int(bg_rgb[0]) * sw * sh
+        stats = []
+        disposal, delay, trans = 0, 0, None
+        while i < len(b):
+            blk = b[i]
+            i += 1
+            if blk == 0x3B:  # trailer
+                break
+            if blk == 0x21:  # extension
+                label = b[i]
+                i += 1
+                if label == 0xF9 and b[i] >= 4:
+                    flags = b[i + 1]
+                    delay = struct.unpack("<H", b[i + 2 : i + 4])[0]
+                    disposal = (flags >> 2) & 7
+                    trans = b[i + 4] if flags & 1 else None
+                while b[i]:
+                    i += 1 + b[i]
+                i += 1
+                continue
+            if blk != 0x2C:
+                return None
+            left, top, w, h = struct.unpack("<HHHH", b[i : i + 8])
+            ipacked = b[i + 8]
+            i += 9
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = b[i : i + 3 * n]
+                i += 3 * n
+            if pal is None or not w or not h or left + w > sw or top + h > sh:
+                return None
+            interlaced = bool(ipacked & 0x40)
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while b[i]:
+                ln = b[i]
+                data += b[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            i += 1
+            idx = _lzw(data, min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            if interlaced:
+                idx = _deinterlace(idx, w, h)
+            npal = len(pal) // 3
+            if disposal == 3:
+                saved = canvas.copy()
+                saved_r = r_sum
+            else:
+                saved = None
+            idxa = np.frombuffer(idx[: w * h], np.uint8).reshape(h, w)
+            pala = np.frombuffer(pal[: 3 * npal], np.uint8).reshape(npal, 3)
+            region = canvas[top : top + h, left : left + w]
+            old_r = int(region[:, :, 0].sum(dtype=np.int64))
+            if trans is None:
+                if int(idxa.max()) >= npal:
+                    return None
+                region[:] = pala[idxa]
+            else:
+                mask = idxa != trans
+                if mask.any():
+                    vis = idxa[mask]
+                    if int(vis.max()) >= npal:
+                        return None
+                    region[mask] = pala[vis]
+            new_r = int(region[:, :, 0].sum(dtype=np.int64))
+            r_sum += new_r - old_r
+            stats.append((delay, r_sum))
+            if len(stats) >= max_frames:
+                break
+            if disposal == 2:
+                region[:] = np.frombuffer(bg_rgb, np.uint8)
+                r_sum += int(bg_rgb[0]) * (w * h) - new_r
+            elif disposal == 3 and saved is not None:
+                canvas = saved
+                r_sum = saved_r
+            disposal, delay, trans = 0, 0, None
+        if not stats:
+            return None
+        return sw, sh, len(stats), stats
+
     def _deinterlace(idx, w, h):
         rows = [idx[r * w : (r + 1) * w] for r in range(h)]
         srcrow = iter(rows)
@@ -437,6 +563,8 @@ def _build_gif_codec(force_scalar=False):
                 width += 1
         return bytes(out)
 
+    _lzw_base_cache: dict = {}
+
     def _lzw_np(data, min_code, limit):
         """LZW with VECTORIZED code extraction. The variable code width
         only changes at deterministic points — a CLEAR reset or the table
@@ -459,15 +587,65 @@ def _build_gif_codec(force_scalar=False):
         total = int(bits.size)
         bp = 0
         width = min_code + 1
-        base_table = [bytes([k]) for k in range(CLEAR)] + [b"", b""]
-        table = list(base_table)
+        # SPECULATIVE whole-stream pass: if every code (at the initial
+        # width) is a literal or CLEAR and no CLEAR-separated run grows
+        # the table to the width-bump threshold, the geometry is constant
+        # and the entire stream is one extraction — exactly the
+        # "uncompressed GIF" construction (CLEAR every <=2^w-2^mc-2
+        # literals). Any violation falls through to the stateful loop
+        # below from bit 0, so outputs stay byte-identical to the scalar.
+        n_all = total // width
+        cap = min(n_all, 2 * limit + 64)
+        if cap:
+            w8 = (1 << np.arange(width, dtype=np.int32))
+            ca = bits[: cap * width].reshape(cap, width).astype(np.int32) @ w8
+            ends = np.nonzero(ca == END)[0]
+            stop = int(ends[0]) if ends.size else cap
+            ca = ca[:stop]
+            if ca.size == 0:
+                return b""
+            if int(ca.max()) <= CLEAR:
+                clears = np.nonzero(ca == CLEAR)[0]
+                bnd = np.concatenate(([-1], clears, [stop]))
+                runs = np.diff(bnd) - 1
+                if (runs <= (1 << width) - CLEAR - 2).all():
+                    lit = ca[ca < CLEAR]
+                    if ends.size or cap == n_all or lit.size >= limit:
+                        ne = min(int(lit.size), limit)
+                        return lit[:ne].astype(np.uint8).tobytes()
+        # FULLY LAZY dictionary for the all-literals fast path: a batch of
+        # ne literal codes grows the table by ne 2-byte entries that a
+        # later code only *might* reference. Materializing them (2 bytes
+        # objects per INPUT byte) — and even building the 2^min_code-entry
+        # base table per call — dominated the profile, so the table stays
+        # None with a virtual length until a table-referencing code
+        # appears; the deferred (prev, batch-bytes) records are then
+        # replayed byte-identically (usually never).
+        table = None
+        table_len = CLEAR + 2
+        deferred: list = []
+
+        def _ensure_table():
+            nonlocal table
+            if table is None:
+                bt = _lzw_base_cache.get(min_code)
+                if bt is None:
+                    bt = [bytes([k]) for k in range(CLEAR)] + [b"", b""]
+                    _lzw_base_cache[min_code] = bt
+                table = list(bt)
+            for prevb, arrb in deferred:
+                if prevb is not None:
+                    table.append(prevb + arrb[:1])
+                table.extend(arrb[i : i + 2] for i in range(len(arrb) - 1))
+            deferred.clear()
+
         prev = None
         out = bytearray()
         pending: list = []
         pi = 0
         while len(out) < limit:
             if pi >= len(pending):
-                horizon = ((1 << width) - len(table)) if width < 12 else (1 << 30)
+                horizon = ((1 << width) - table_len) if width < 12 else (1 << 30)
                 avail = (total - bp) // width
                 n = min(max(horizon, 1), avail, 1 << 16)
                 if n <= 0:
@@ -485,21 +663,43 @@ def _build_gif_codec(force_scalar=False):
                 # lands in the identical state. Byte-exact by
                 # construction; asserted against _lzw_scalar in tests.
                 ne = min(n, limit - len(out))  # scalar stops at limit per-code
-                if ne > 0 and int(codes[:ne].max()) < CLEAR:
-                    arr = codes[:ne].astype(np.uint8)
-                    out += arr.tobytes()
-                    bp += ne * width
-                    if prev is not None:
-                        table.append(prev + arr[:1].tobytes())
-                    if ne > 1:
-                        pb = np.stack([arr[:-1], arr[1:]], axis=1).tobytes()
-                        table.extend(pb[2 * i : 2 * i + 2] for i in range(ne - 1))
-                    prev = arr[-1:].tobytes()
-                    if len(table) >= (1 << width) and width < 12:
-                        width += 1
-                    pending = []
-                    pi = 0
-                    continue
+                if ne > 0:
+                    ca = codes[:ne]
+                    nonlit = np.nonzero(ca >= CLEAR)[0]
+                    j = int(nonlit[0]) if nonlit.size else ne
+                    if j > 0:
+                        # leading literal run: wholesale emit + lazy table
+                        arrb = ca[:j].astype(np.uint8).tobytes()
+                        out += arrb
+                        bp += j * width
+                        deferred.append((prev, arrb))
+                        table_len += (j - 1) + (1 if prev is not None else 0)
+                        prev = arrb[-1:]
+                        # equality, not >=: a degenerate stream whose base
+                        # table already exceeds 1<<width (min_code < 2)
+                        # must never bump, exactly like the scalar check
+                        if table_len == (1 << width) and width < 12:
+                            width += 1
+                        pending = []  # geometry may have changed: re-extract
+                        pi = 0
+                        continue
+                    first = int(ca[0])
+                    if first == END:
+                        break
+                    if first == CLEAR:
+                        # handled inline so a periodic CLEAR (the
+                        # uncompressed-GIF idiom) never forces a
+                        # materialization it is about to discard
+                        bp += width
+                        width = min_code + 1
+                        table = None
+                        table_len = CLEAR + 2
+                        deferred.clear()
+                        prev = None
+                        pending = []
+                        pi = 0
+                        continue
+                _ensure_table()  # a table-referencing code needs it
                 pending = codes.tolist()
                 pi = 0
             code = pending[pi]
@@ -509,7 +709,9 @@ def _build_gif_codec(force_scalar=False):
                 break
             if code == CLEAR:
                 width = min_code + 1
-                table = list(base_table)
+                table = None
+                table_len = CLEAR + 2
+                deferred.clear()
                 prev = None
                 pending = []  # geometry reset: re-extract at new width
                 continue
@@ -521,14 +723,16 @@ def _build_gif_codec(force_scalar=False):
             elif code < tlen:
                 entry = table[code]
                 table.append(prev + entry[:1])
+                table_len += 1
             elif code == tlen:
                 entry = prev + prev[:1]
                 table.append(entry)
+                table_len += 1
             else:
                 return None
             out += entry
             prev = entry
-            if len(table) == (1 << width) and width < 12:
+            if table_len == (1 << width) and width < 12:
                 width += 1
                 pending = []  # code width grew: re-extract
         return bytes(out)
@@ -540,6 +744,7 @@ def _build_gif_codec(force_scalar=False):
         "encode_frames": encode_frames,
         "decode": decode,
         "decode_frames": decode_frames,
+        "decode_frame_stats": decode_frame_stats,
         # internal hooks for the scalar/numpy bit-parity tests
         "_lzw": _lzw,
         "_pack_lzw_8bit": _pack_lzw_8bit,

@@ -1346,10 +1346,9 @@ def extract_gif_frame_stats(media: DataFrame) -> DataFrame:
     stdlib, Arrow-batched ``mapInPandas``, blobs never shuffle."""
     from monster_etl_spark.operators.gif import _build_gif_codec
 
-    decode_frames_local = _build_gif_codec()["decode_frames"]
+    frame_stats_local = _build_gif_codec()["decode_frame_stats"]
 
     def _worker(batches):
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -1368,16 +1367,17 @@ def extract_gif_frame_stats(media: DataFrame) -> DataFrame:
                 rows["decoded"].append(ok)
 
             for mid, c in zip(pdf["media_id"].astype("int64"), pdf["content"]):
-                parsed = decode_frames_local(bytes(c))
+                # incremental timeline stats: the composed canvas's exact
+                # integer R-sum per frame at O(frame rect) cost — equal to
+                # sum(rgb[::3]) of decode_frames' snapshot (parity-tested),
+                # without the O(n_frames * canvas) snapshot materialization
+                parsed = frame_stats_local(bytes(c))
                 if parsed is None:
                     emit(int(mid), None, None, None, None, None, False)
                     continue
-                w, h, _nf, frames = parsed
+                w, h, _nf, stats = parsed
                 npx = w * h
-                for fid, (delay, rgb) in enumerate(frames):
-                    # R-channel mean; numpy strided int64 sum is the exact
-                    # integer Python's sum() computes, just vectorized
-                    r_sum = int(np.frombuffer(rgb, np.uint8)[::3].sum(dtype=np.int64))
+                for fid, (delay, r_sum) in enumerate(stats):
                     emit(int(mid), fid, delay, w, h, r_sum / npx, True)
             yield pd.DataFrame(rows)
 

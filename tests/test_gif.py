@@ -226,3 +226,137 @@ def test_frames_max_frames_cap():
     frames = [_fr(0, 0, 4, 4, bytes([k]) * 16) for k in range(10)]
     r = gif_decode_frames(gif_encode_frames(4, 4, frames), max_frames=4)
     assert r is not None and r[2] == 4
+
+
+def test_frame_stats_match_snapshot_sums_all_disposals():
+    """decode_frame_stats' incremental R-sums must equal sum(rgb[::3])
+    over decode_frames' snapshots for every disposal method,
+    transparency, and the banded-animation construction — and the
+    force_scalar twin must return the identical tuples."""
+    from monster_etl_spark.operators.gif import _build_gif_codec
+
+    C = _build_gif_codec()
+    CS = _build_gif_codec(force_scalar=True)
+    cases = [
+        # banded leave-disposal animation (the registry construction)
+        [
+            _fr(0, k * 8, 16, 8,
+                bytes([((k + 1) * 50 + j) % 256 for j in range(128)]),
+                disposal=1, transparent=0 if k else None)
+            for k in range(5)
+        ],
+        # restore-background then restore-previous
+        [
+            _fr(0, 0, 16, 24, bytes([200]) * (16 * 24), disposal=2),
+            _fr(4, 4, 8, 8, bytes([10]) * 64, disposal=3),
+            _fr(0, 0, 16, 8, bytes(range(128)), disposal=0),
+        ],
+        # transparency over a painted canvas
+        [
+            _fr(0, 0, 8, 8, bytes([99]) * 64),
+            _fr(0, 0, 8, 8, bytes([0, 123] * 32), transparent=0),
+        ],
+    ]
+    from monster_etl_spark.operators.gif import gif_encode_frames
+
+    for frames in cases:
+        sw = max(f["left"] + f["width"] for f in frames)
+        sh = max(f["top"] + f["height"] for f in frames)
+        blob = gif_encode_frames(sw, sh, frames)
+        got = C["decode_frame_stats"](blob)
+        ref = C["decode_frames"](blob)
+        assert got is not None and ref is not None
+        assert got[:3] == ref[:3]
+        for (d1, r_sum), (d2, rgb) in zip(got[3], ref[3]):
+            assert d1 == d2
+            assert r_sum == sum(rgb[::3])
+        assert CS["decode_frame_stats"](blob) == got
+    assert C["decode_frame_stats"](b"junk") is None
+    assert C["decode_frame_stats"](b"") is None
+
+
+def test_lzw_lazy_table_and_speculative_path_parity():
+    """The lazy-dictionary + speculative whole-stream fast paths must be
+    byte-identical to the scalar decoder on: literal/CLEAR streams at
+    every run length around the width-bump threshold (including runs
+    that DO grow the width), streams with valid back-references (forcing
+    materialization of deferred entries), and degenerate min_code < 2
+    streams where the base table already exceeds 1 << width."""
+    import random
+
+    from monster_etl_spark.operators.gif import _build_gif_codec
+
+    lz = _build_gif_codec()["_lzw"]
+    lzs = _build_gif_codec(force_scalar=True)["_lzw"]
+    rng = random.Random(20260815)
+
+    def pack(codes, mc):
+        acc = nb = 0
+        buf = bytearray()
+        w, tl, prev = mc + 1, (1 << mc) + 2, False
+        CLEAR = 1 << mc
+        for c in codes:
+            acc |= c << nb
+            nb += w
+            while nb >= 8:
+                buf.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+            if c == CLEAR:
+                tl, prev, w = CLEAR + 2, False, mc + 1
+            elif c != CLEAR + 1:
+                if prev:
+                    tl += 1
+                prev = True
+                if tl == (1 << w) and w < 12:
+                    w += 1
+        if nb:
+            buf.append(acc & 0xFF)
+        return bytes(buf)
+
+    for mc in (2, 4, 8):
+        CLEAR = 1 << mc
+        bound = (1 << (mc + 1)) - CLEAR - 2
+        for L in (1, bound, bound + 1, 300):
+            vals = [rng.randrange(CLEAR) for _ in range(900)]
+            codes, run = [CLEAR], 0
+            for v in vals:
+                if run == L:
+                    codes.append(CLEAR)
+                    run = 0
+                codes.append(v)
+                run += 1
+            codes.append(CLEAR + 1)
+            data = pack(codes, mc)
+            for lim in (1, 50, 10**6):
+                assert lz(data, mc, lim) == lzs(data, mc, lim), (mc, L, lim)
+    # back-reference streams: deferred entries must materialize correctly
+    for _ in range(60):
+        mc, CLEAR = 8, 256
+        codes, tl, w, prev = [CLEAR], 258, 9, False
+        for _ in range(rng.randrange(5, 300)):
+            r = rng.random()
+            if r < 0.6:
+                c = rng.randrange(CLEAR)
+            elif r < 0.9 and tl > 258:
+                c = rng.randrange(258, tl + 1)
+            else:
+                c = CLEAR
+            codes.append(c)
+            if c == CLEAR:
+                tl, prev, w = 258, False, 9
+            else:
+                if prev:
+                    tl += 1
+                prev = True
+                if tl == (1 << w) and w < 12:
+                    w += 1
+        data = pack(codes, mc)
+        for lim in (1, 100, 10**6):
+            assert lz(data, mc, lim) == lzs(data, mc, lim)
+    # random garbage at every min_code, incl. the degenerate ones
+    for _ in range(400):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200)))
+        mc = rng.choice([0, 1, 2, 3, 4, 8])
+        lim = rng.randrange(1, 3000)
+        assert lz(data, mc, lim) == lzs(data, mc, lim)
