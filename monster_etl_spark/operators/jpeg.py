@@ -438,6 +438,233 @@ def _build_jpeg_codec(force_scalar=False):
             + b"\xff\xd9"
         )
 
+    _bitlen_cache = []
+
+    def _bitlen_lut():
+        """bit_length LUT for DC-diff magnitudes (|diff| <= 2*8*128 with
+        quant>=1, far below the 1<<13 bound; larger values fall back to
+        the scalar encoder before this is indexed)."""
+        if not _bitlen_cache:
+            _bitlen_cache.append(
+                np.array([v.bit_length() for v in range(1 << 13)], np.int64)
+            )
+        return _bitlen_cache[0]
+
+    def encode_gray8_batch(frames, width, quant=1, restart_interval=0):
+        """Batched `encode_gray8`: one vectorized pass over every frame
+        whose 8x8 blocks are all CONSTANT (the only shape the fixture
+        adapters emit — their nonzero spectrum is an integer DC), with
+        per-frame scalar fallback for anything else. Returns a list of
+        JPEG blobs byte-identical to ``[encode_gray8(p, width, quant,
+        restart_interval) for p in frames]`` (pinned by tests).
+
+        The bit stream of a DC-only block is (DC category code,
+        magnitude bits, EOB) — three fixed-position fields whose lengths
+        come from table lookups, so the whole entropy pass packs as one
+        uint32-window scatter-OR per field (the Rice-encoder discipline)
+        followed by one global FF->FF00 stuffing repeat. Restart
+        segments are the packing unit: each pads to a byte boundary with
+        1-bits and resets the DC predictor, exactly like the scalar
+        writer's flush-before-RSTn."""
+        n = len(frames)
+        if np is None or n == 0:
+            return [
+                encode_gray8(p, width, quant, restart_interval) for p in frames
+            ]
+        results = [None] * n
+        dc_t = build_enc_table(BITS_DC_L, VALS_DC)
+        ac_t = build_enc_table(BITS_AC_L, VALS_AC_L)
+        dc_code = np.zeros(16, np.uint32)
+        dc_len = np.zeros(16, np.int64)
+        for s, (c, ln) in dc_t.items():
+            if s < 16:
+                dc_code[s] = c
+                dc_len[s] = ln
+        eob_code, eob_len = ac_t[0x00]
+        w8 = -(-width // 8) * 8
+        bw_blk = w8 // 8
+        # group frames by pixel length (=> same height/block geometry)
+        by_len = {}
+        for i, p in enumerate(frames):
+            by_len.setdefault(len(p), []).append(i)
+        hdr_cache = {}
+
+        def _header(height):
+            hit = hdr_cache.get(height)
+            if hit is None:
+                sof = _seg(
+                    0xC0,
+                    bytes([8])
+                    + struct.pack(">HH", height, width)
+                    + bytes([1, 1, 0x11, 0]),
+                )
+                sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+                dri = (
+                    _seg(0xDD, struct.pack(">H", restart_interval))
+                    if restart_interval
+                    else b""
+                )
+                hit = (
+                    b"\xff\xd8"
+                    + _dqt_seg(quant)
+                    + dri
+                    + sof
+                    + _dht_segs(
+                        [(0, 0, BITS_DC_L, VALS_DC), (1, 0, BITS_AC_L, VALS_AC_L)]
+                    )
+                    + sos
+                )
+                hdr_cache[height] = hit
+            return hit
+
+        for plen, idxs in by_len.items():
+            height = max(1, -(-plen // width))
+            h8 = -(-height // 8) * 8
+            bh_blk = h8 // 8
+            nb = bw_blk * bh_blk
+            m = len(idxs)
+            # stacked zero-padded pixel grid -> (m*nb, 64) level-shifted
+            a = np.zeros((m, h8, w8), np.int16)
+            for t, i in enumerate(idxs):
+                pix = np.frombuffer(
+                    bytes(frames[i]).ljust(width * height, b"\x00"), np.uint8
+                )
+                a[t, :height, :width] = pix.reshape(height, width)
+            blocks = (
+                a.reshape(m, bh_blk, 8, bw_blk, 8)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(m * nb, 64)
+                .astype(np.int32)
+                - 128
+            )
+            const = (blocks.max(axis=1) == blocks.min(axis=1)).reshape(m, nb)
+            good = const.all(axis=1)
+            for t in np.flatnonzero(~good).tolist():
+                results[idxs[t]] = encode_gray8(
+                    frames[idxs[t]], width, quant, restart_interval
+                )
+            gsel = np.flatnonzero(good)
+            mg = len(gsel)
+            if not mg:
+                continue
+            # exact integer DC quantization: floor(8*v/q + 0.5)
+            dcv = 8 * blocks.reshape(m, nb, 64)[gsel, :, 0].astype(np.int64)
+            q2 = 2 * quant
+            dcq = np.where(
+                dcv >= 0, (2 * dcv + quant) // q2, -((-2 * dcv + quant) // q2)
+            )  # (mg, nb)
+            ri = restart_interval or nb
+            nseg = -(-nb // ri)
+            # DC diff resets at each segment start
+            prev = np.zeros_like(dcq)
+            prev[:, 1:] = dcq[:, :-1]
+            prev[:, ::ri] = 0
+            diff = dcq - prev
+            adiff = np.abs(diff)
+            if int(adiff.max(initial=0)) >= (1 << 13):
+                for t in gsel.tolist():
+                    results[idxs[t]] = encode_gray8(
+                        frames[idxs[t]], width, quant, restart_interval
+                    )
+                continue
+            s = _bitlen_lut()[adiff]  # (mg, nb)
+            mant = np.where(diff > 0, diff, diff + (np.int64(1) << s) - 1)
+            mant = mant & ((np.int64(1) << s) - 1)
+            blk_bits = dc_len[s] + s + eob_len  # per block
+            # per-segment bit/byte geometry ((mg, nseg) via reshape; the
+            # last segment may be short — pad the block axis)
+            pad_nb = nseg * ri
+            bb = np.zeros((mg, pad_nb), np.int64)
+            bb[:, :nb] = blk_bits
+            sp = np.zeros((mg, pad_nb), np.int64)
+            sp[:, :nb] = s
+            mantp = np.zeros((mg, pad_nb), np.int64)
+            mantp[:, :nb] = mant
+            seg_bits = bb.reshape(mg, nseg, ri).sum(axis=2)
+            seg_bytes = (seg_bits + 7) >> 3
+            flat_sb = seg_bytes.ravel()
+            seg_start = np.zeros(mg * nseg + 1, np.int64)
+            np.cumsum(flat_sb, out=seg_start[1:])
+            total_bytes = int(seg_start[-1])
+            buf = np.zeros(total_bytes + 4, np.uint8)
+            # bit offset of each block within its segment
+            cb = np.cumsum(bb.reshape(mg, nseg, ri), axis=2)
+            boff = cb - bb.reshape(mg, nseg, ri)
+            # three fields per block: DC code, magnitude bits, EOB
+            s3 = sp.reshape(mg, nseg, ri)
+            f_codes = np.stack(
+                [
+                    dc_code[s3].astype(np.uint32),
+                    mantp.reshape(mg, nseg, ri).astype(np.uint32),
+                    np.full((mg, nseg, ri), eob_code, np.uint32),
+                ],
+                axis=3,
+            )
+            f_lens = np.stack(
+                [
+                    dc_len[s3],
+                    s3,
+                    np.full((mg, nseg, ri), eob_len, np.int64),
+                ],
+                axis=3,
+            )
+            f_off = np.zeros((mg, nseg, ri, 3), np.int64)
+            f_off[:, :, :, 0] = boff
+            f_off[:, :, :, 1] = boff + f_lens[:, :, :, 0]
+            f_off[:, :, :, 2] = boff + f_lens[:, :, :, 0] + f_lens[:, :, :, 1]
+            # mask out the phantom blocks of the padded last segment
+            real = np.zeros((mg, pad_nb), bool)
+            real[:, :nb] = True
+            real = real.reshape(mg, nseg, ri, 1).repeat(3, axis=3)
+            real &= f_lens > 0
+            codes_f = f_codes[real]
+            lens_f = f_lens[real]
+            offs_f = f_off[real]
+            seg_id = np.broadcast_to(
+                np.arange(mg * nseg, dtype=np.int64).reshape(mg, nseg, 1, 1),
+                real.shape,
+            )[real]
+            r = (offs_f & 7).astype(np.uint32)
+            w32 = codes_f << (np.uint32(32) - lens_f.astype(np.uint32) - r)
+            bidx = seg_start[seg_id] + (offs_f >> 3)
+            for k in range(4):
+                np.bitwise_or.at(
+                    buf, bidx + k, ((w32 >> (24 - 8 * k)) & 0xFF).astype(np.uint8)
+                )
+            # 1-bit padding of each segment's final partial byte
+            used = (seg_bits.ravel() & 7).astype(np.int64)
+            pmask = np.where(used > 0, (1 << (8 - used)) - 1, 0).astype(np.uint8)
+            pbyte = seg_start[1:] - 1
+            has_pad = (pmask > 0) & (flat_sb > 0)
+            np.bitwise_or.at(buf, pbyte[has_pad], pmask[has_pad])
+            buf = buf[:total_bytes]
+            # FF -> FF 00 stuffing, one global repeat
+            is_ff = buf == 0xFF
+            reps = np.ones(total_bytes, np.int64)
+            reps[is_ff] = 2
+            out = np.repeat(buf, reps)
+            second = np.cumsum(reps)[is_ff] - 1
+            out[second] = 0
+            # stuffed segment boundaries
+            ffc = np.zeros(total_bytes + 1, np.int64)
+            np.cumsum(is_ff, out=ffc[1:])
+            sseg_start = seg_start + ffc[seg_start]
+            out_b = out.tobytes()
+            header = _header(height)
+            markers = [
+                b"" if j == 0 else bytes([0xFF, 0xD0 + (j - 1) % 8])
+                for j in range(nseg)
+            ]
+            for t, gi in enumerate(gsel.tolist()):
+                parts = [header]
+                for j in range(nseg):
+                    sid = t * nseg + j
+                    parts.append(markers[j])
+                    parts.append(out_b[sseg_start[sid] : sseg_start[sid + 1]])
+                parts.append(b"\xff\xd9")
+                results[idxs[gi]] = b"".join(parts)
+        return results
+
     def _rgb_planes(rgb, width, sh, sv):
         """JFIF RGB->YCbCr with box-averaged chroma; shared by the
         baseline and progressive RGB encoders."""
@@ -1167,6 +1394,128 @@ def _build_jpeg_codec(force_scalar=False):
         lane_ofs = np.arange(len(kept), dtype=np.int64) - starts[lane_of]
         return kept, lane_of, lane_ofs, lane_sizes, open_ended
 
+    def _split_scan_batch(views, n_expected):
+        """Batched `_split_restart_segments`: ONE concatenated marker
+        pass over every blob's entropy region instead of ~20 small-array
+        numpy calls per blob (the per-frame overhead that dominated the
+        pooled MJPEG path). ``views`` are uint8 scan views (blob bytes
+        from scan start), ``n_expected`` the per-blob lane counts.
+        Returns a list of per-blob ``(kept, lane_of, lane_ofs,
+        lane_sizes, open_ended)`` tuples — each a zero-copy slice of the
+        batch-level arrays, byte-for-byte what `_split_restart_segments`
+        returns — or ``None`` where the marker count disagrees with the
+        MCU geometry (scalar path authoritative, same contract)."""
+        n = len(views)
+        if n == 0:
+            return []
+        n_expected = np.asarray(n_expected, np.int64)
+        lens = np.fromiter((v.size for v in views), np.int64, n)
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        total = int(starts[-1])
+        big = np.concatenate(views) if total else np.empty(0, np.uint8)
+        ff = np.flatnonzero(big == 0xFF)
+        fbi = np.searchsorted(starts, ff, side="right") - 1
+        valid = ff < starts[fbi + 1] - 1  # has a next byte in its own blob
+        ffv = ff[valid]
+        fbv = fbi[valid]
+        nxt = big[ffv + 1]
+        is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+        is_data = nxt == 0x00
+        term = ffv[~is_rst & ~is_data]
+        tbi = fbv[~is_rst & ~is_data]
+        end_g = starts[1:].copy()  # no terminal marker -> open-ended
+        open_ended = np.ones(n, bool)
+        ub, ui = np.unique(tbi, return_index=True)  # first terminal per blob
+        end_g[ub] = term[ui]
+        open_ended[ub] = False
+        # keep mask over the concatenated buffer: default True, then
+        # clear the (sparse) beyond-end tails with a repeat/arange
+        # scatter — removals are rare, so no full-width cumsum needed
+        keep = np.ones(total, bool)
+        taill = starts[1:] - end_g
+        if taill.any():
+            tsum = np.zeros(n + 1, np.int64)
+            np.cumsum(taill, out=tsum[1:])
+            tidx = np.repeat(end_g, taill) + (
+                np.arange(int(tsum[-1]), dtype=np.int64) - np.repeat(tsum[:-1], taill)
+            )
+            keep[tidx] = False
+        within = ffv < end_g[fbv]
+        stuffed = ffv[is_data & within]
+        keep[stuffed + 1] = False  # the 0x00 of each FF 00 pair
+        rmask = is_rst & within
+        rst = ffv[rmask]
+        rbi = fbv[rmask]
+        keep[rst] = False  # both marker bytes
+        rp1 = rst + 1
+        keep[rp1[rp1 < end_g[rbi]]] = False
+        # open-ended + lone trailing FF: scalar drops the final byte
+        oe = np.flatnonzero(open_ended & (lens > 0))
+        tr = end_g[oe] - 1
+        keep[tr[big[tr] == 0xFF]] = False
+        # marker-count check (scalar: len(rst) != n_expected - 1 -> None)
+        cnt = np.bincount(rbi, minlength=n)
+        ok = cnt == n_expected - 1
+        # lane bookkeeping over ok blobs only (a bad blob's excess RSTs
+        # would otherwise bleed lane ids into its neighbours). Per-blob
+        # kept counts come from reduceat; per-byte blob ids from repeat
+        # — both linear, no per-byte searchsorted.
+        kcnt_all = np.zeros(n, np.int64)
+        ne_mask = lens > 0
+        if ne_mask.any():
+            red = np.add.reduceat(keep, starts[:-1][ne_mask], dtype=np.int64)
+            kcnt_all[ne_mask] = red
+        bad_b = np.flatnonzero(~ok)
+        if len(bad_b):
+            # drop bad blobs' bytes from the kept stream entirely
+            bsum = np.zeros(n + 1, np.int64)
+            np.cumsum(lens, out=bsum[1:])
+            for k in bad_b.tolist():
+                keep[starts[k] : starts[k + 1]] = False
+            kcnt_all[bad_b] = 0
+        kept_idx = np.flatnonzero(keep)
+        kb = np.repeat(np.arange(n, dtype=np.int64), kcnt_all)
+        kept = big[kept_idx]
+        lane_base = np.zeros(n, np.int64)
+        np.cumsum(n_expected[:-1], out=lane_base[1:])
+        tot_lanes = int(n_expected.sum())
+        koff = np.zeros(n + 1, np.int64)
+        np.cumsum(kcnt_all, out=koff[1:])
+        if len(rst):
+            rst_before = np.searchsorted(rst, starts[:-1])
+            lane_of = np.searchsorted(rst, kept_idx) - rst_before[kb]
+            glid = lane_of + lane_base[kb]
+            lane_sizes_g = np.bincount(glid, minlength=tot_lanes)
+            lstart = np.zeros(tot_lanes, np.int64)
+            np.cumsum(lane_sizes_g[:-1], out=lstart[1:])
+            lane_ofs = np.arange(len(kept_idx), dtype=np.int64) - lstart[glid]
+        else:
+            # single-lane blobs everywhere: lane 0, offset = rank in blob
+            lane_of = np.zeros(len(kept_idx), np.int64)
+            lane_sizes_g = np.zeros(tot_lanes, np.int64)
+            lane_sizes_g[lane_base] = kcnt_all
+            lane_ofs = np.arange(len(kept_idx), dtype=np.int64) - np.repeat(
+                koff[:-1], kcnt_all
+            )
+        out = []
+        for k in range(n):
+            if not ok[k]:
+                out.append(None)
+                continue
+            s, e = int(koff[k]), int(koff[k + 1])
+            lb, le = int(lane_base[k]), int(lane_base[k] + n_expected[k])
+            out.append(
+                (
+                    kept[s:e],
+                    lane_of[s:e],
+                    lane_ofs[s:e],
+                    lane_sizes_g[lb:le],
+                    bool(open_ended[k]),
+                )
+            )
+        return out
+
     def _decode_scan_lanes(b, pos, frame, scomp, qt, hdc, hac, ri):
         """Vectorized restart-segment decode for single-component
         baseline scans (h=v=1). Returns the ``_decode_scan`` result or
@@ -1208,8 +1557,9 @@ def _build_jpeg_codec(force_scalar=False):
     def _parse_gray_headers(b):
         """Light marker walk for the pooled batch path: returns
         (scan_pos, frame, cid, q, dc_tbl, ac_tbl, ri) for a baseline
-        single-component h=v=1 8-bit stream with ri>0, else ``None``
-        (per-blob ``decode`` is then authoritative)."""
+        single-component h=v=1 8-bit stream (ri may be 0 — the caller
+        then pools the whole scan as one lane), else ``None`` (per-blob
+        ``decode`` is then authoritative)."""
         if len(b) < 4 or b[0:2] != b"\xff\xd8":
             return None
         i = 2
@@ -1273,7 +1623,6 @@ def _build_jpeg_codec(force_scalar=False):
             elif m == 0xDA:
                 if (
                     frame is None
-                    or not ri
                     or seg[0] != 1
                     or seg[1] != frame[2][0]["id"]
                 ):
@@ -1308,29 +1657,60 @@ def _build_jpeg_codec(force_scalar=False):
             for i, b in enumerate(blobs):
                 results[i] = decode(b)
             return results
-        groups = {}
+        # phase 1 — headers. Frames from one encoder share identical
+        # bytes up to the scan start, so the marker walk is memoized on
+        # that prefix (the parse is a pure function of it).
+        hdr_cache = {}
+        prefix_lens = []
+        pending = []  # (i, b, hdr)
         for i, raw in enumerate(blobs):
             b = bytes(raw)
             hdr = None
-            try:
-                hdr = _parse_gray_headers(b)
-            except Exception:
-                hdr = None
+            for L in prefix_lens:
+                hdr = hdr_cache.get(b[:L])
+                if hdr is not None:
+                    break
             if hdr is None:
-                results[i] = decode(b)
-                continue
+                try:
+                    hdr = _parse_gray_headers(b)
+                except Exception:
+                    hdr = None
+                if hdr is None:
+                    results[i] = decode(b)
+                    continue
+                pfx = b[: hdr[0]]
+                if pfx not in hdr_cache:
+                    hdr_cache[pfx] = hdr
+                    prefix_lens.append(hdr[0])
+            pending.append((i, b, hdr))
+        # phase 2 — ONE batched split pass over every pending scan
+        views = []
+        lanes_expected = []
+        metas = []
+        for i, b, hdr in pending:
             pos, frame, cid, q, dc_tbl, ac_tbl, ri = hdr
             W, H = frame[0], frame[1]
             bw_blk, bh_blk = -(-W // 8), -(-H // 8)
             nblocks = bw_blk * bh_blk
-            n_lanes = -(-nblocks // ri)
-            try:
-                split = _split_restart_segments(b, pos, n_lanes)
-            except Exception:
-                split = None
+            # ri=0 pools the whole scan as ONE lane: small images (e.g.
+            # MJPEG frames) still decode lockstep across the batch
+            ri_eff = ri or nblocks
+            n_lanes = -(-nblocks // ri_eff)
+            views.append(np.frombuffer(b, np.uint8)[pos:])
+            lanes_expected.append(n_lanes)
+            metas.append((i, b, hdr, bw_blk, bh_blk, n_lanes, ri_eff))
+        try:
+            all_splits = _split_scan_batch(views, lanes_expected)
+        except Exception:
+            all_splits = [None] * len(views)
+        groups = {}
+        for (i, b, hdr, bw_blk, bh_blk, n_lanes, ri_eff), split in zip(
+            metas, all_splits
+        ):
             if split is None:
                 results[i] = decode(b)
                 continue
+            pos, frame, cid, q, dc_tbl, ac_tbl, _ri = hdr
             kept, lane_of, lane_ofs, lane_sizes, open_ended = split
             key = (id(dc_tbl[0]), id(ac_tbl[0]), tuple(q))
             g = groups.setdefault(
@@ -1338,49 +1718,113 @@ def _build_jpeg_codec(force_scalar=False):
                       "sizes": [], "n_lanes": 0, "meta": []}
             )
             g["meta"].append(
-                (i, b, frame, cid, bw_blk, bh_blk, n_lanes, open_ended, ri)
+                (i, b, frame, cid, bw_blk, bh_blk, n_lanes, open_ended, ri_eff)
             )
             g["splits"].append((kept, g["n_lanes"], lane_of, lane_ofs))
             g["sizes"].append(lane_sizes)
             g["n_lanes"] += n_lanes
-        for g in groups.values():
-            seg_len = np.concatenate(g["sizes"])
-            lane_blocks = np.empty(g["n_lanes"], np.int64)
+        def _run_chunk(g, lo, hi):
+            """Decode blobs g["meta"][lo:hi] in one lane pass. Per-frame
+            validity checks run as cumsum-difference lookups and the
+            all-DC-only frames (the common MJPEG/adapter case) rebuild
+            their pixel planes in ONE gather+repeat per frame shape —
+            byte-identical to `_lane_blocks_to_plane` + `_planes_to_pixels`."""
+            metas = g["meta"][lo:hi]
+            splits = g["splits"][lo:hi]
+            seg_len = np.concatenate(g["sizes"][lo:hi])
+            nfr = len(metas)
+            n_lanes_fr = np.fromiter((m[6] for m in metas), np.int64, nfr)
+            nblocks_fr = np.fromiter((m[4] * m[5] for m in metas), np.int64, nfr)
+            lane_lo = np.zeros(nfr + 1, np.int64)
+            np.cumsum(n_lanes_fr, out=lane_lo[1:])
+            blk_lo = np.zeros(nfr + 1, np.int64)
+            np.cumsum(nblocks_fr, out=blk_lo[1:])
+            n_lanes_tot = int(lane_lo[-1])
+            lane_blocks = np.empty(n_lanes_tot, np.int64)
             at = 0
-            for _i, _b, _f, _c, bwb, bhb, nl, _oe, ri_ in g["meta"]:
+            for _i, _b, _f, _c, bwb, bhb, nl, _oe, ri_ in metas:
                 nb = bwb * bhb
                 lane_blocks[at : at + nl] = ri_
                 lane_blocks[at + nl - 1] = nb - ri_ * (nl - 1)
                 at += nl
             width = int(seg_len.max()) + 8 if len(seg_len) else 8
-            mat = np.zeros((g["n_lanes"], width), np.uint8)
+            mat = np.zeros((n_lanes_tot, width), np.uint8)
             mflat = mat.ravel()
-            for kept, base, lane_of, lane_ofs in g["splits"]:
-                mflat[(base + lane_of) * width + lane_ofs] = kept
+            lane_base0 = splits[0][1]
+            for kept, base, lane_of, lane_ofs in splits:
+                mflat[(base - lane_base0 + lane_of) * width + lane_ofs] = kept
             coef, has_ac, need, err = _lane_entropy_decode(
                 mat, lane_blocks, g["dc"], g["ac"], g["q"]
             )
             fed_short = -(-need // 8) < seg_len  # unread segment bytes
-            lane_at = 0
-            blk_at = 0
-            for i, b, frame, cid, bw_blk, bh_blk, n_lanes, open_ended, _ri in g["meta"]:
-                nblocks = bw_blk * bh_blk
-                le, be = lane_at + n_lanes, blk_at + nblocks
-                bad = err[lane_at:le].any() or fed_short[lane_at : le - 1].any()
-                if not bad and open_ended and (
-                    need[le - 1] > seg_len[le - 1] * 8
-                ):
-                    bad = True  # scalar refill runs off the raw buffer
-                if bad:
-                    results[i] = decode(b)
-                else:
+            # per-frame checks, vectorized: any(err), any(fed_short) over
+            # all-but-last lane, the open-ended final-lane bit bound
+            errc = np.zeros(n_lanes_tot + 1, np.int64)
+            np.cumsum(err, out=errc[1:])
+            fedc = np.zeros(n_lanes_tot + 1, np.int64)
+            np.cumsum(fed_short, out=fedc[1:])
+            acc = np.zeros(int(blk_lo[-1]) + 1, np.int64)
+            np.cumsum(has_ac, out=acc[1:])
+            bad_fr = (errc[lane_lo[1:]] - errc[lane_lo[:-1]]) > 0
+            bad_fr |= (fedc[lane_lo[1:] - 1] - fedc[lane_lo[:-1]]) > 0
+            oe_fr = np.fromiter((m[7] for m in metas), bool, nfr)
+            last = lane_lo[1:] - 1
+            bad_fr |= oe_fr & (need[last] > seg_len[last] * 8)
+            any_ac_fr = (acc[blk_lo[1:]] - acc[blk_lo[:-1]]) > 0
+            # the scalar DC-only pixel formula, once for every block
+            val_all = np.clip(
+                np.floor(coef[:, 0].astype(np.float64) / 8 + 128.5), 0, 255
+            ).astype(np.uint8)
+            shape_groups = {}
+            for k in range(nfr):
+                i, b, frame, cid, bw_blk, bh_blk, _nl, _oe, _ri = metas[k]
+                if bad_fr[k]:
+                    results[i] = decode(b)  # scalar walk is authoritative
+                elif any_ac_fr[k]:
                     plane = _lane_blocks_to_plane(
-                        coef[blk_at:be], has_ac[blk_at:be], bw_blk, bh_blk
+                        coef[blk_lo[k] : blk_lo[k + 1]],
+                        has_ac[blk_lo[k] : blk_lo[k + 1]],
+                        bw_blk,
+                        bh_blk,
                     )
                     results[i] = _planes_to_pixels(
                         frame, {cid: plane}, {cid: bw_blk * 8}
                     )
-                lane_at, blk_at = le, be
+                else:
+                    shape_groups.setdefault(
+                        (bw_blk, bh_blk, frame[0], frame[1]), []
+                    ).append(k)
+            for (bw_blk, bh_blk, W, H), ks in shape_groups.items():
+                ka = np.asarray(ks, np.int64)
+                nb = bw_blk * bh_blk
+                gidx = (
+                    blk_lo[ka][:, None] + np.arange(nb, dtype=np.int64)[None, :]
+                ).ravel()
+                vals = val_all[gidx].reshape(len(ks), bh_blk, bw_blk)
+                img = np.repeat(np.repeat(vals, 8, axis=1), 8, axis=2)[
+                    :, :H, :W
+                ]
+                flat = np.ascontiguousarray(img).reshape(len(ks), H * W).tobytes()
+                step = H * W
+                for t, k in enumerate(ks):
+                    results[metas[k][0]] = (
+                        W, H, 1, flat[t * step : (t + 1) * step]
+                    )
+
+        # chunk each group so the (blocks, 64) int64 coefficient matrix
+        # stays bounded (~128 MB) no matter how many blobs were pooled
+        max_blocks = 1 << 18
+        for g in groups.values():
+            lo = 0
+            blocks_acc = 0
+            for j, m in enumerate(g["meta"]):
+                nb = m[4] * m[5]
+                if blocks_acc and blocks_acc + nb > max_blocks:
+                    _run_chunk(g, lo, j)
+                    lo, blocks_acc = j, 0
+                blocks_acc += nb
+            if lo < len(g["meta"]):
+                _run_chunk(g, lo, len(g["meta"]))
         return results
 
     def _decode_scan(b, pos, frame, scomp, qt, hdc, hac, ri):
@@ -1980,6 +2424,7 @@ def _build_jpeg_codec(force_scalar=False):
 
     return {
         "encode_gray8": encode_gray8,
+        "encode_gray8_batch": encode_gray8_batch,
         "encode_rgb8": encode_rgb8,
         "encode_gray8_progressive": encode_gray8_progressive,
         "encode_rgb8_progressive": encode_rgb8_progressive,

@@ -614,9 +614,9 @@ def documents_as_jpeg_media(
     value (closure capture)."""
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
 
-    encode_local = _build_jpeg_codec()[
-        "encode_gray8_progressive" if progressive else "encode_gray8"
-    ]
+    codec_local = _build_jpeg_codec()
+    encode_prog_local = codec_local["encode_gray8_progressive"]
+    encode_batch_local = codec_local["encode_gray8_batch"]
     bpr = blocks_per_row
     prog = progressive
 
@@ -624,27 +624,32 @@ def documents_as_jpeg_media(
         import numpy as np
         import pandas as pd
 
-        def doc_to_jpeg(text):
+        def doc_pixels(text):
             data = bytes(text, "utf-8")
             n_rows = max(1, -(-len(data) // bpr))
             padded = data.ljust(n_rows * bpr, b"\x00")
             # byte k -> constant 8x8 block: expand 8x horizontally then
             # 8x vertically (identical bytes to the nested-join scalar)
             arr = np.frombuffer(padded, np.uint8).reshape(n_rows, bpr)
-            pixels = np.repeat(np.repeat(arr, 8, axis=1), 8, axis=0).tobytes()
-            if prog:
-                return encode_local(pixels, bpr * 8, 1)
-            # one RSTn per block row: restart segments decode to the
-            # SAME pixels (DRI only re-segments the entropy stream, so
-            # the analytic oracle is untouched) while letting the
-            # decoder run its lockstep multi-lane fast path
-            return encode_local(pixels, bpr * 8, 1, restart_interval=bpr)
+            return np.repeat(np.repeat(arr, 8, axis=1), 8, axis=0).tobytes()
 
         for pdf in batches:
+            pixels = [doc_pixels(t) for t in pdf["text"]]
+            if prog:
+                content = [encode_prog_local(p, bpr * 8, 1) for p in pixels]
+            else:
+                # one RSTn per block row: restart segments decode to the
+                # SAME pixels (DRI only re-segments the entropy stream,
+                # so the analytic oracle is untouched) while letting the
+                # decoder run its lockstep multi-lane fast path; the
+                # whole batch encodes in one vectorized pass
+                content = encode_batch_local(
+                    pixels, bpr * 8, 1, restart_interval=bpr
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
-                    "content": [doc_to_jpeg(t) for t in pdf["text"]],
+                    "content": content,
                 }
             )
 
@@ -810,7 +815,7 @@ def extract_video_frame_stats(media: DataFrame) -> DataFrame:
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
 
     avi_frames_ex_local = _build_avi_codec()["frames_ex"]
-    jpeg_decode_local = _build_jpeg_codec()["decode"]
+    jpeg_batch_local = _build_jpeg_codec()["decode_gray8_batch"]
 
     def _worker(batches):
         import numpy as np
@@ -846,22 +851,45 @@ def extract_video_frame_stats(media: DataFrame) -> DataFrame:
                 rows["mean_intensity"].append(mean)
                 rows["decoded"].append(ok)
 
+            # two passes per bounded flush: collect the MJPEG frames of a
+            # bunch of clips, decode them in one pooled lane pass (each
+            # frame is an independent entropy segment — cross-frame
+            # batching), then emit rows in the original order. The flush
+            # bound keeps frames+pixels memory constant per task no
+            # matter how many clips one partition holds.
+            parsed_buf = []
+            mjpeg_frames = []
+
+            def flush():
+                decoded = iter(jpeg_batch_local(mjpeg_frames))
+                for mid, parsed in parsed_buf:
+                    if parsed is None:
+                        emit(mid, None, None, None, None, None, False)
+                        continue
+                    fps, fmt, frames = parsed
+                    raw = fmt is not None and fmt["compression"] == 0
+                    for fid, fr in enumerate(frames):
+                        d = dib_decode(fr, fmt) if raw else next(decoded)
+                        if d is None:
+                            emit(mid, fid, fps, None, None, None, False)
+                        else:
+                            w, h, _ch, px = d
+                            pxa = np.frombuffer(bytes(px), np.uint8)
+                            emit(mid, fid, fps, w, h,
+                                 int(pxa.sum(dtype=np.int64)) / pxa.size, True)
+                parsed_buf.clear()
+                mjpeg_frames.clear()
+
             for mid, c in zip(pdf["media_id"].astype("int64"), pdf["content"]):
                 parsed = avi_frames_ex_local(bytes(c))
-                if parsed is None:
-                    emit(int(mid), None, None, None, None, None, False)
-                    continue
-                fps, fmt, frames = parsed
-                raw = fmt is not None and fmt["compression"] == 0
-                for fid, fr in enumerate(frames):
-                    d = dib_decode(fr, fmt) if raw else jpeg_decode_local(fr)
-                    if d is None:
-                        emit(int(mid), fid, fps, None, None, None, False)
-                    else:
-                        w, h, _ch, px = d
-                        pxa = np.frombuffer(bytes(px), np.uint8)
-                        emit(int(mid), fid, fps, w, h,
-                             int(pxa.sum(dtype=np.int64)) / pxa.size, True)
+                parsed_buf.append((int(mid), parsed))
+                if parsed is not None:
+                    fps, fmt, frames = parsed
+                    if not (fmt is not None and fmt["compression"] == 0):
+                        mjpeg_frames.extend(frames)
+                if len(mjpeg_frames) >= 32768:
+                    flush()
+            flush()
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(
@@ -882,31 +910,44 @@ def documents_as_mjpeg_media(
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
 
     avi_encode_local = _build_avi_codec()["encode_mjpeg"]
-    jpeg_encode_local = _build_jpeg_codec()["encode_gray8"]
+    jpeg_encode_batch_local = _build_jpeg_codec()["encode_gray8_batch"]
     fb = frame_bytes
 
     def _worker(batches):
         import numpy as np
         import pandas as pd
 
-        def doc_to_avi(text):
-            data = bytes(text, "utf-8")
-            n_frames = max(1, -(-len(data) // fb))
-            padded = data.ljust(n_frames * fb, b"\x00")
-            rows = np.repeat(
-                np.frombuffer(padded, np.uint8).reshape(n_frames, fb), 8, axis=1
-            )
-            frames = []
-            for k in range(n_frames):
-                pixels = rows[k : k + 1].repeat(8, axis=0).tobytes()
-                frames.append(jpeg_encode_local(pixels, fb * 8, 1))
-            return avi_encode_local(frames, fb * 8, 8, fps)
-
         for pdf in batches:
+            # all frames of the whole batch encode in ONE vectorized
+            # pass (byte-identical to per-frame encode_gray8), then the
+            # per-doc slices wrap into AVI containers
+            pixels = []
+            counts = []
+            for text in pdf["text"]:
+                data = bytes(text, "utf-8")
+                n_frames = max(1, -(-len(data) // fb))
+                padded = data.ljust(n_frames * fb, b"\x00")
+                rows = np.repeat(
+                    np.frombuffer(padded, np.uint8).reshape(n_frames, fb),
+                    8,
+                    axis=1,
+                )
+                flat = np.repeat(rows, 8, axis=0).reshape(n_frames, 8 * fb * 8)
+                pixels.extend(flat.tobytes()[k * 8 * fb * 8 : (k + 1) * 8 * fb * 8]
+                              for k in range(n_frames))
+                counts.append(n_frames)
+            frames = jpeg_encode_batch_local(pixels, fb * 8, 1)
+            content = []
+            at = 0
+            for n_frames in counts:
+                content.append(
+                    avi_encode_local(frames[at : at + n_frames], fb * 8, 8, fps)
+                )
+                at += n_frames
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
-                    "content": [doc_to_avi(t) for t in pdf["text"]],
+                    "content": content,
                 }
             )
 
