@@ -2078,11 +2078,17 @@ def _build_jpeg_codec(force_scalar=False):
 
         return read_bits, read_huff, restart, tell
 
-    def _decode_prog_scan(b, pos, frame, geom, scomp, band, hdc, hac, ri, coef):
+    def _decode_prog_scan(
+        b, pos, frame, geom, scomp, band, hdc, hac, ri, coef, nzc=None
+    ):
         """One progressive scan (T.81 G.2): decodes into the per-component
         quantized-coefficient blocks ``coef`` (natural order) and returns
         the byte offset where entropy data ended. ``band`` = (Ss, Se, Ah,
-        Al); ``scomp`` = [(comp_id, dc_table, ac_table), ...]."""
+        Al); ``scomp`` = [(comp_id, dc_table, ac_table), ...]. ``nzc``
+        (optional, shared across a blob's scans) counts each block's
+        nonzero AC coefficients so refinement scans can skip the
+        correction-bit walk for blocks an EOB run covers that hold no
+        nonzero AC at all — those read zero bits by construction."""
         Ss, Se, Ah, Al = band
         # T.81 scan-header constraints: DC scans are exactly the 0..0
         # band; AC bands live in 1..63; successive approximation steps
@@ -2098,6 +2104,8 @@ def _build_jpeg_codec(force_scalar=False):
 
         preds = {cid: 0 for cid, _td, _ta in scomp}
         eobrun = [0]
+        if nzc is None:
+            nzc = {}
 
         def dc_first(blk, td):
             s = read_huff(hdc[td])
@@ -2125,6 +2133,7 @@ def _build_jpeg_codec(force_scalar=False):
                     raise ValueError("AC run past band end")
                 coefs = coef[blk]
                 coefs[ZZ[k]] = extend(read_bits(s), s) << Al
+                nzc[blk] = nzc.get(blk, 0) + 1
                 k += 1
 
         def ac_refine(blk, ta):
@@ -2161,6 +2170,7 @@ def _build_jpeg_codec(force_scalar=False):
                         k += 1
                     if val and k <= Se:
                         coefs[ZZ[k]] = val
+                        nzc[blk] = nzc.get(blk, 0) + 1
                     k += 1
             if eobrun[0] > 0:
                 # end-of-band: remaining nonzero coefficients still get
@@ -2224,6 +2234,11 @@ def _build_jpeg_codec(force_scalar=False):
                     else:
                         if Ah == 0:
                             ac_first(blk, ta)
+                        elif eobrun[0] > 0 and not nzc.get(blk):
+                            # EOB-run-covered block with zero nonzero AC:
+                            # ac_refine would read no bits and change
+                            # nothing — consume the run entry inline
+                            eobrun[0] -= 1
                         else:
                             ac_refine(blk, ta)
         return _tell()
@@ -2248,11 +2263,19 @@ def _build_jpeg_codec(force_scalar=False):
                 q = qt[info["c"]["tq"]]
                 fbw, fbh = info["full_bw"], info["full_bh"]
                 nbk = fbw * fbh
-                mat = np.zeros((nbk, 64), np.int64)
-                present = np.zeros(nbk, bool)
-                for bi, coefs in per_cid.get(cid, ()):
-                    mat[bi] = coefs
-                    present[bi] = True
+                rows = per_cid.get(cid, ())
+                if len(rows) == nbk:
+                    # decode() pre-creates every block: one C-level
+                    # list-of-lists conversion in block order
+                    order = sorted(rows)
+                    mat = np.array([c for _bi, c in order], np.int64)
+                    present = np.ones(nbk, bool)
+                else:
+                    mat = np.zeros((nbk, 64), np.int64)
+                    present = np.zeros(nbk, bool)
+                    for bi, coefs in rows:
+                        mat[bi] = coefs
+                        present[bi] = True
                 qarr = np.array(q, np.int64)
                 has_ac = (mat[:, 1:] != 0).any(axis=1)
                 pix = np.full((nbk, 64), 128, np.uint8)  # absent -> mid-gray
@@ -2404,10 +2427,11 @@ def _build_jpeg_codec(force_scalar=False):
                             for cid, info in geom["per_comp"].items()
                             for k in range(info["full_bw"] * info["full_bh"])
                         }
+                        nzc = {}
                     band = tuple(seg[1 + 2 * ns : 4 + 2 * ns])  # Ss, Se, (Ah<<4)|Al
                     band = (band[0], band[1], band[2] >> 4, band[2] & 15)
                     end = _decode_prog_scan(
-                        b, i, frame, geom, scomp, band, hdc, hac, ri, coef
+                        b, i, frame, geom, scomp, band, hdc, hac, ri, coef, nzc
                     )
                     # resync: skip pad bits/stuffing to the next marker
                     i = end
