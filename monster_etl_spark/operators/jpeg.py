@@ -1512,6 +1512,7 @@ def _build_jpeg_codec(force_scalar=False):
                     lane_ofs[s:e],
                     lane_sizes_g[lb:le],
                     bool(open_ended[k]),
+                    int(end_g[k] - starts[k]),  # entropy end within the view
                 )
             )
         return out
@@ -1643,6 +1644,410 @@ def _build_jpeg_codec(force_scalar=False):
                 return None
         return None
 
+    def _parse_prog_headers(b):
+        """Marker walk to the FIRST scan of a progressive (SOF2)
+        single-component h=v=1 8-bit stream with ri=0: returns
+        (scan_pos, frame, cid, q, hdc, hac, band0) or ``None`` (per-blob
+        ``decode`` authoritative). Pure function of ``b[:scan_pos]``, so
+        the pooled batch memoizes it on that prefix."""
+        if len(b) < 4 or b[0:2] != b"\xff\xd8":
+            return None
+        i = 2
+        qt, hdc, hac = {}, {}, {}
+        frame = None
+        while i + 2 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            m = b[i + 1]
+            i += 2
+            if m == 0xFF:
+                i -= 1
+                continue
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                continue
+            if m == 0xD9:
+                return None
+            ln = int.from_bytes(b[i : i + 2], "big")
+            seg = b[i + 2 : i + ln]
+            i += ln
+            if m == 0xDB:
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    j += 1
+                    if pq == 0:
+                        raw = list(seg[j : j + 64])
+                        j += 64
+                    else:
+                        raw = [
+                            int.from_bytes(seg[j + 2 * k : j + 2 * k + 2], "big")
+                            for k in range(64)
+                        ]
+                        j += 128
+                    nat = [0] * 64
+                    for k in range(64):
+                        nat[ZZ[k]] = raw[k]
+                    qt[tq] = nat
+            elif m == 0xC4:
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    j += 1
+                    bits = list(seg[j : j + 16])
+                    j += 16
+                    n = sum(bits)
+                    vals = list(seg[j : j + n])
+                    j += n
+                    (hdc if tc == 0 else hac)[th] = build_dec_table(bits, vals)
+            elif m == 0xC2:
+                if seg[0] != 8 or seg[5] != 1:
+                    return None
+                H = int.from_bytes(seg[1:3], "big")
+                W = int.from_bytes(seg[3:5], "big")
+                if not W or not H or seg[7] != 0x11:
+                    return None
+                frame = (W, H, [{"id": seg[6], "h": 1, "v": 1, "tq": seg[8]}])
+            elif m == 0xDD:
+                if int.from_bytes(seg[0:2], "big"):
+                    return None  # restart intervals: scalar path
+            elif m == 0xDA:
+                if frame is None or seg[0] != 1 or seg[1] != frame[2][0]["id"]:
+                    return None
+                if frame[2][0]["tq"] not in qt:
+                    return None
+                band = (seg[3], seg[4], seg[5] >> 4, seg[5] & 15, seg[2])
+                return (i, frame, frame[2][0]["id"], qt[frame[2][0]["tq"]], hdc, hac, band)
+            elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None
+        return None
+
+    def _peek32_fn(seg_mat):
+        """Factory for the lane decoders' 32-bit big-endian window probe
+        (same zero-feed semantics as `_lane_entropy_decode.peek32`)."""
+        flat = np.ascontiguousarray(seg_mat).ravel()
+        row_w = seg_mat.shape[1]
+        row_base = np.arange(seg_mat.shape[0], dtype=np.int64) * row_w
+        u32 = np.uint32
+
+        def peek32(cur):
+            bi = np.minimum(cur >> 3, row_w - 4)
+            ix = row_base + bi
+            w = (
+                (flat[ix].astype(u32) << u32(24))
+                | (flat[ix + 1].astype(u32) << u32(16))
+                | (flat[ix + 2].astype(u32) << u32(8))
+                | flat[ix + 3].astype(u32)
+            )
+            return w << (cur & 7).astype(u32)
+
+        return peek32
+
+    def _lane_dc_first(seg_mat, lane_blocks, dc_tbl):
+        """Lockstep DC-first progressive scan: one (huff, extend) pair
+        per block per lane. Returns (dcdiff (total,), need, err)."""
+        dc_sym, dc_len, dc_mb = _np_dec_table(dc_tbl)
+        L = len(lane_blocks)
+        total = int(lane_blocks.sum())
+        lane_start = np.zeros(L, np.int64)
+        np.cumsum(lane_blocks[:-1], out=lane_start[1:])
+        dcdiff = np.zeros(total, np.int64)
+        cur = np.zeros(L, np.int64)
+        need = np.zeros(L, np.int64)
+        err = np.zeros(L, bool)
+        peek32 = _peek32_fn(seg_mat)
+        u32 = np.uint32
+        maxb = int(lane_blocks.max()) if L else 0
+        for i in range(maxb):
+            act = (lane_blocks > i) & ~err
+            if not act.any():
+                break
+            w = peek32(cur)
+            idx = (w >> (u32(32) - u32(dc_mb))).astype(np.int64)
+            s = dc_sym[idx].astype(np.int64)
+            ln = dc_len[idx].astype(np.int64)
+            bad = act & ((ln < 0) | (s > 16))
+            err |= bad
+            act &= ~bad
+            need = np.where(act, np.maximum(need, cur + dc_mb), need)
+            cur = np.where(act, cur + ln, cur)
+            take = act & (s > 0)
+            if take.any():
+                w2 = peek32(cur)
+                s_c = np.minimum(np.maximum(s, 1), 16).astype(u32)
+                raw = (w2 >> (u32(32) - s_c)).astype(np.int64)
+                half = np.int64(1) << (s_c.astype(np.int64) - 1)
+                ext = np.where(raw < half, raw - (half << 1) + 1, raw)
+                ta = np.flatnonzero(take)
+                dcdiff[lane_start[ta] + i] = ext[ta]
+                need = np.where(take, np.maximum(need, cur + s), need)
+                cur = np.where(take, cur + s, cur)
+        return dcdiff, need, err
+
+    def _lane_dc_refine(seg_mat, lane_blocks):
+        """Lockstep DC-refinement scan: exactly one raw bit per block.
+        Returns (bits (L, maxb) int64, need)."""
+        L, row_w = seg_mat.shape
+        maxb = int(lane_blocks.max()) if L else 0
+        cols = np.arange(maxb, dtype=np.int64)
+        nbyte = min(row_w, (maxb + 7) >> 3)
+        bmat = np.zeros((L, ((maxb + 7) >> 3)), np.uint8)
+        bmat[:, :nbyte] = seg_mat[:, :nbyte]
+        bits = (bmat[:, cols >> 3] >> (7 - (cols & 7)).astype(np.uint8)) & 1
+        return bits.astype(np.int64), lane_blocks.copy()
+
+    def _lane_ac_zero(seg_mat, lane_blocks, ac_tbl, Ss, Se):
+        """Lockstep AC scan (first or refine) over lanes whose blocks
+        hold NO nonzero AC anywhere: only EOBn runs and ZRLs are legal
+        (anything that would insert a coefficient flags the lane for the
+        scalar path). Identical bit consumption for both scan kinds on
+        such lanes — EOBn skips (1<<r)+bits blocks, ZRL advances k by 16
+        with no correction bits. Returns (need, err)."""
+        ac_sym, ac_len, ac_mb = _np_dec_table(ac_tbl)
+        L = len(lane_blocks)
+        cur = np.zeros(L, np.int64)
+        need = np.zeros(L, np.int64)
+        err = np.zeros(L, bool)
+        blk = np.zeros(L, np.int64)
+        k = np.full(L, Ss, np.int64)
+        peek32 = _peek32_fn(seg_mat)
+        u32 = np.uint32
+        steps_left = 6 * int(lane_blocks.max() if L else 0) + 64
+        while True:
+            act = (blk < lane_blocks) & ~err
+            if not act.any():
+                break
+            steps_left -= 1
+            if steps_left < 0:
+                err |= act
+                break
+            w = peek32(cur)
+            idx = (w >> (u32(32) - u32(ac_mb))).astype(np.int64)
+            sym = ac_sym[idx].astype(np.int64)
+            ln = ac_len[idx].astype(np.int64)
+            bad = act & (ln < 0)
+            r = sym >> 4
+            s = sym & 15
+            # an insert (s>0) means the lane is not zero-AC after all
+            bad |= act & (s > 0)
+            err |= bad
+            act &= ~bad
+            need = np.where(act, np.maximum(need, cur + ac_mb), need)
+            cur = np.where(act, cur + ln, cur)
+            zrl = act & (r == 15)
+            if zrl.any():
+                k = np.where(zrl, k + 16, k)
+                done = zrl & (k > Se)
+                blk = np.where(done, blk + 1, blk)
+                k = np.where(done, Ss, k)
+            eob = act & (r < 15)
+            if eob.any():
+                w2 = peek32(cur)
+                r_c = np.minimum(np.maximum(r, 1), 16).astype(u32)
+                raw = np.where(
+                    r > 0, (w2 >> (u32(32) - r_c)).astype(np.int64), 0
+                )
+                skip = (np.int64(1) << r) + raw
+                need = np.where(eob & (r > 0), np.maximum(need, cur + r), need)
+                cur = np.where(eob & (r > 0), cur + r, cur)
+                blk = np.where(eob, blk + skip, blk)
+                k = np.where(eob, Ss, k)
+        return need, err
+
+    def _decode_prog_pooled(items, results):
+        """Pool progressive single-component DC-only streams: every scan
+        of every blob decodes in lockstep lane passes (one lane per blob
+        per scan), with whole-blob scalar fallback the moment a lane
+        shows AC content, an unexpected marker, or a bit overrun —
+        outputs stay byte-identical to per-blob ``decode``."""
+        n = len(items)
+        state = []  # per blob mutable scan state
+        for i, b, hdr in items:
+            pos, frame, cid, q, hdc, hac, band = hdr
+            W, H = frame[0], frame[1]
+            bw_blk, bh_blk = -(-W // 8), -(-H // 8)
+            state.append(
+                {
+                    "i": i, "b": b, "frame": frame, "cid": cid, "q": q,
+                    "hdc": hdc, "hac": hac, "band": band, "pos": pos,
+                    "bw": bw_blk, "bh": bh_blk, "nb": bw_blk * bh_blk,
+                    "coef0": np.zeros(bw_blk * bh_blk, np.int64),
+                    "saw_dc": False, "bad": False, "done": False,
+                }
+            )
+        sos_cache = {}
+        for _round in range(64):  # structural bound on scan count
+            live = [
+                st for st in state if not st["bad"] and not st["done"]
+            ]
+            if not live:
+                break
+            views = [np.frombuffer(st["b"], np.uint8)[st["pos"]:] for st in live]
+            try:
+                splits = _split_scan_batch(views, [1] * len(live))
+            except Exception:
+                splits = [None] * len(live)
+            # group lanes by (scan kind, band, table ids)
+            groups = {}
+            for st, split in zip(live, splits):
+                if split is None:
+                    st["bad"] = True
+                    continue
+                Ss, Se, Ah, Al, tdta = st["band"]
+                td, ta = tdta >> 4, tdta & 15
+                if (Ss == 0) != (Se == 0) or Se > 63 or Se < Ss or Ah not in (0, Al + 1):
+                    st["bad"] = True
+                    continue
+                if Ss == 0:
+                    kind = "dc0" if Ah == 0 else "dcr"
+                    tbl = st["hdc"].get(td)
+                    if kind == "dc0" and st["saw_dc"]:
+                        # second DC-first scan: scalar semantics overwrite
+                        # the predictor chain — out of fast-path scope
+                        st["bad"] = True
+                        continue
+                    if kind == "dcr" and not st["saw_dc"]:
+                        st["bad"] = True
+                        continue
+                else:
+                    kind = "ac"
+                    tbl = st["hac"].get(ta)
+                if tbl is None and kind != "dcr":
+                    st["bad"] = True
+                    continue
+                key = (kind, Ss, Se, Ah, Al, id(tbl[0]) if tbl else 0)
+                groups.setdefault(key, []).append((st, split))
+            def _run_prog_group(kind, Ss, Se, Ah, Al, members):
+                L = len(members)
+                lane_blocks = np.fromiter(
+                    (st["nb"] for st, _s in members), np.int64, L
+                )
+                seg_len = np.fromiter(
+                    (int(sp[3][0]) for _st, sp in members), np.int64, L
+                )
+                width = int(seg_len.max()) + 8 if L else 8
+                mat = np.zeros((L, width), np.uint8)
+                for row, (_st, sp) in enumerate(members):
+                    kept = sp[0]
+                    mat[row, : len(kept)] = kept
+                tbl0 = None
+                if kind == "dc0":
+                    st0 = members[0][0]
+                    tbl0 = st0["hdc"][st0["band"][4] >> 4]
+                    dcdiff, need, err = _lane_dc_first(mat, lane_blocks, tbl0)
+                    pred = np.cumsum(dcdiff)
+                    lane_start = np.zeros(L, np.int64)
+                    np.cumsum(lane_blocks[:-1], out=lane_start[1:])
+                    base = np.zeros(L, np.int64)
+                    base[1:] = pred[lane_start[1:] - 1]
+                    pred = pred - np.repeat(base, lane_blocks)
+                    at = 0
+                    for row, (st, _sp) in enumerate(members):
+                        st["coef0"] = pred[at : at + st["nb"]] << Al
+                        st["saw_dc"] = True
+                        at += st["nb"]
+                elif kind == "dcr":
+                    bits, need = _lane_dc_refine(mat, lane_blocks)
+                    err = np.zeros(L, bool)
+                    for row, (st, _sp) in enumerate(members):
+                        st["coef0"] = st["coef0"] | (
+                            bits[row, : st["nb"]] << Al
+                        )
+                else:
+                    st0 = members[0][0]
+                    tbl0 = st0["hac"][st0["band"][4] & 15]
+                    need, err = _lane_ac_zero(mat, lane_blocks, tbl0, Ss, Se)
+                # bit-overrun vs the segment's real data: scalar zero-feeds
+                # at the terminal marker identically, but an OPEN-ENDED
+                # segment would make the scalar reader raise IndexError —
+                # conservative fallback either way keeps parity without
+                # modeling it
+                over = need > seg_len * 8
+                for row, (st, sp) in enumerate(members):
+                    if err[row] or (over[row] and sp[4]):
+                        st["bad"] = True
+
+            # chunk each group by lane-matrix area (sorted by segment
+            # length so one huge scan doesn't widen every row)
+            for (kind, Ss, Se, Ah, Al, _tid), members in groups.items():
+                members.sort(key=lambda m: int(m[1][3][0]))
+                lo = 0
+                while lo < len(members):
+                    hi = lo + 1
+                    wmax = int(members[lo][1][3][0]) + 8
+                    area = wmax
+                    while hi < len(members):
+                        w_new = int(members[hi][1][3][0]) + 8
+                        if (hi - lo + 1) * w_new > (64 << 20):
+                            break
+                        area = (hi - lo + 1) * w_new
+                        hi += 1
+                    _run_prog_group(kind, Ss, Se, Ah, Al, members[lo:hi])
+                    lo = hi
+            # advance every still-good live blob to its next scan
+            for st, split in zip(live, splits):
+                if st["bad"] or split is None:
+                    continue
+                b = st["b"]
+                e = st["pos"] + split[5]
+                if e + 1 >= len(b):
+                    st["bad"] = True
+                    continue
+                mk = b[e + 1]
+                if mk == 0xD9:
+                    st["done"] = True
+                    continue
+                if mk != 0xDA:
+                    st["bad"] = True  # inter-scan DHT/DQT: scalar scope
+                    continue
+                ln = int.from_bytes(b[e + 2 : e + 4], "big")
+                hdrb = bytes(b[e : e + 2 + ln])
+                parsed = sos_cache.get(hdrb)
+                if parsed is None:
+                    seg = b[e + 4 : e + 2 + ln]
+                    if len(seg) < 6 or seg[0] != 1:
+                        parsed = ("bad",)
+                    else:
+                        parsed = (
+                            "ok",
+                            ln,
+                            seg[1],
+                            (seg[3], seg[4], seg[5] >> 4, seg[5] & 15, seg[2]),
+                        )
+                    sos_cache[hdrb] = parsed
+                if parsed[0] != "ok" or parsed[2] != st["cid"]:
+                    st["bad"] = True
+                    continue
+                st["pos"] = e + 2 + parsed[1]
+                st["band"] = parsed[3]
+        # reconstruction: DC-only pixels, batched per frame shape
+        shape_groups = {}
+        for st in state:
+            if st["bad"] or not st["done"] or not st["saw_dc"]:
+                results[st["i"]] = decode(st["b"])
+            else:
+                shape_groups.setdefault(
+                    (st["bw"], st["bh"], st["frame"][0], st["frame"][1]), []
+                ).append(st)
+        for (bw_blk, bh_blk, W, H), sts in shape_groups.items():
+            q0s = {int(st["q"][0]) for st in sts}
+            for q0 in q0s:
+                sub = [st for st in sts if int(st["q"][0]) == q0]
+                dc = np.concatenate([st["coef0"] for st in sub])
+                val = np.clip(
+                    np.floor((dc * q0).astype(np.float64) / 8 + 128.5), 0, 255
+                ).astype(np.uint8)
+                m = len(sub)
+                vals = val.reshape(m, bh_blk, bw_blk)
+                img = np.repeat(np.repeat(vals, 8, axis=1), 8, axis=2)[
+                    :, :H, :W
+                ]
+                flat = np.ascontiguousarray(img).reshape(m, H * W).tobytes()
+                step = H * W
+                for t, st in enumerate(sub):
+                    results[st["i"]] = (
+                        W, H, 1, flat[t * step : (t + 1) * step]
+                    )
+
     def decode_gray8_batch(blobs):
         """Batch decode: pool every eligible baseline restart-segmented
         grayscale JPEG in ``blobs`` into ONE lockstep lane pass (wall
@@ -1662,27 +2067,38 @@ def _build_jpeg_codec(force_scalar=False):
         # that prefix (the parse is a pure function of it).
         hdr_cache = {}
         prefix_lens = []
-        pending = []  # (i, b, hdr)
+        pending = []  # (i, b, hdr) — baseline
+        prog_items = []  # (i, b, hdr) — progressive
         for i, raw in enumerate(blobs):
             b = bytes(raw)
-            hdr = None
+            tagged = None
             for L in prefix_lens:
-                hdr = hdr_cache.get(b[:L])
-                if hdr is not None:
+                tagged = hdr_cache.get(b[:L])
+                if tagged is not None:
                     break
-            if hdr is None:
+            if tagged is None:
+                hdr = phdr = None
                 try:
                     hdr = _parse_gray_headers(b)
                 except Exception:
                     hdr = None
                 if hdr is None:
+                    try:
+                        phdr = _parse_prog_headers(b)
+                    except Exception:
+                        phdr = None
+                if hdr is None and phdr is None:
                     results[i] = decode(b)
                     continue
-                pfx = b[: hdr[0]]
+                tagged = ("base", hdr) if hdr is not None else ("prog", phdr)
+                pfx = b[: tagged[1][0]]
                 if pfx not in hdr_cache:
-                    hdr_cache[pfx] = hdr
-                    prefix_lens.append(hdr[0])
-            pending.append((i, b, hdr))
+                    hdr_cache[pfx] = tagged
+                    prefix_lens.append(tagged[1][0])
+            if tagged[0] == "base":
+                pending.append((i, b, tagged[1]))
+            else:
+                prog_items.append((i, b, tagged[1]))
         # phase 2 — ONE batched split pass over every pending scan
         views = []
         lanes_expected = []
@@ -1711,7 +2127,7 @@ def _build_jpeg_codec(force_scalar=False):
                 results[i] = decode(b)
                 continue
             pos, frame, cid, q, dc_tbl, ac_tbl, _ri = hdr
-            kept, lane_of, lane_ofs, lane_sizes, open_ended = split
+            kept, lane_of, lane_ofs, lane_sizes, open_ended, _end = split
             key = (id(dc_tbl[0]), id(ac_tbl[0]), tuple(q))
             g = groups.setdefault(
                 key, {"dc": dc_tbl, "ac": ac_tbl, "q": q, "splits": [],
@@ -1825,6 +2241,12 @@ def _build_jpeg_codec(force_scalar=False):
                 blocks_acc += nb
             if lo < len(g["meta"]):
                 _run_chunk(g, lo, len(g["meta"]))
+        if prog_items:
+            try:
+                _decode_prog_pooled(prog_items, results)
+            except Exception:
+                for i, b, _hdr in prog_items:
+                    results[i] = decode(b)
         return results
 
     def _decode_scan(b, pos, frame, scomp, qt, hdc, hac, ri):

@@ -289,3 +289,87 @@ def test_lane_decoder_restart_interval_pixel_invariance():
         for ri in (1, 4, 8):
             blob = fast["encode_gray8"](px, w, 1, restart_interval=ri)
             assert fast["decode"](blob) == base
+
+
+def test_pooled_progressive_decode_parity_and_fuzz():
+    """The pooled progressive path in decode_gray8_batch (lockstep
+    DC-first/DC-refine/AC-EOB lane scans, whole-blob scalar fallback on
+    AC content or damage) must be byte-identical to per-blob decode()
+    and the force_scalar build on pristine, AC-bearing, truncated and
+    corrupted SOF2 streams mixed with baseline blobs and junk."""
+    import random
+
+    from monster_etl_spark.operators.jpeg import _build_jpeg_codec
+
+    fast = _build_jpeg_codec()
+    slow = _build_jpeg_codec(force_scalar=True)
+    random.seed(4321)
+    blobs = []
+    for trial in range(120):
+        w = random.choice([16, 32, 64])
+        if trial % 3 == 0:
+            # constant 8x8 blocks: the DC-only pooled fast path
+            nb = random.randrange(1, 30)
+            row = [random.randrange(256) for _ in range(w // 8)]
+            px = bytes(
+                v for _r in range(8 * nb) for v in row for _x in range(8)
+            )
+        else:
+            px = bytes(
+                random.randrange(256)
+                for _ in range(w * random.choice([8, 24, 80]))
+            )
+        blob = bytearray(
+            fast["encode_gray8_progressive"](px, w, random.choice([1, 2]))
+        )
+        mode = trial % 5
+        if mode == 1:
+            blob = blob[: random.randrange(2, len(blob))]
+        elif mode == 2:
+            for _ in range(3):
+                blob[random.randrange(len(blob))] = random.randrange(256)
+        blobs.append(bytes(blob))
+    blobs.append(b"\xff\xd8\xff\xc2")
+    blobs.append(fast["encode_gray8"](bytes(range(64)), 8, 1))
+    ref = [slow["decode"](b) for b in blobs]
+    assert [fast["decode"](b) for b in blobs] == ref
+    assert fast["decode_gray8_batch"](blobs) == ref
+
+
+def test_batch_encoder_parity():
+    """encode_gray8_batch must emit byte-identical blobs to per-frame
+    encode_gray8 across constant-block frames (vectorized path), random
+    frames (scalar fallback), ragged tails, quants and restart
+    intervals."""
+    import random
+
+    from monster_etl_spark.operators.jpeg import _build_jpeg_codec
+
+    codec = _build_jpeg_codec()
+    enc, encb = codec["encode_gray8"], codec["encode_gray8_batch"]
+    random.seed(77)
+    for quant in (1, 2, 5):
+        for ri in (0, 3, 8):
+            frames = []
+            for t in range(40):
+                w = random.choice([16, 32, 61])
+                if t % 2:
+                    nb = random.randrange(1, 12)
+                    row = [random.randrange(256) for _ in range(-(-w // 8))]
+                    px = bytes(
+                        v
+                        for _r in range(8 * nb)
+                        for v in row
+                        for _x in range(8)
+                    )[: w * 8 * nb]
+                else:
+                    px = bytes(
+                        random.randrange(256)
+                        for _ in range(random.randrange(1, 700))
+                    )
+                frames.append((px, w))
+            for w in {wf for _p, wf in frames}:
+                sub = [p for p, wf in frames if wf == w]
+                assert encb(sub, w, quant, ri) == [
+                    enc(p, w, quant, ri) for p in sub
+                ]
