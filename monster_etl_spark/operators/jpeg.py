@@ -450,6 +450,84 @@ def _build_jpeg_codec(force_scalar=False):
             )
         return _bitlen_cache[0]
 
+    def _pack_bits_np(codes, lens):
+        """Pack (code, len) field arrays into one byte-aligned entropy
+        segment — uint32-window scatter-OR, 1-bit padding, FF->FF00
+        stuffing — byte-identical to feeding the fields through
+        `_BitWriter.put` + `flush`."""
+        lens = np.asarray(lens, np.int64)
+        codes = np.asarray(codes, np.uint32)
+        off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        total_bits = int(off[-1])
+        nbytes = (total_bits + 7) >> 3
+        buf = np.zeros(nbytes + 4, np.uint8)
+        sel = lens > 0
+        o = off[:-1][sel]
+        ln = lens[sel]
+        r = (o & 7).astype(np.uint32)
+        w32 = (codes[sel] & ((np.uint32(1) << ln.astype(np.uint32)) - 1)) << (
+            np.uint32(32) - ln.astype(np.uint32) - r
+        )
+        bidx = o >> 3
+        for k in range(4):
+            np.bitwise_or.at(
+                buf, bidx + k, ((w32 >> (24 - 8 * k)) & 0xFF).astype(np.uint8)
+            )
+        used = total_bits & 7
+        if used and nbytes:
+            buf[nbytes - 1] |= (1 << (8 - used)) - 1
+        buf = buf[:nbytes]
+        is_ff = buf == 0xFF
+        if is_ff.any():
+            reps = np.ones(nbytes, np.int64)
+            reps[is_ff] = 2
+            out = np.repeat(buf, reps)
+            out[np.cumsum(reps)[is_ff] - 1] = 0
+            return out.tobytes()
+        return buf.tobytes()
+
+    def _enc_dc_scan_np(dcs, Ah, Al, dc_tbl):
+        """Vectorized single-component `_enc_dc_scan`: returns the
+        scan's entropy bytes, or ``None`` when a diff magnitude exceeds
+        the bit-length LUT (caller then uses the scalar walk)."""
+        v = np.asarray(dcs, np.int64) >> Al
+        if Ah != 0:
+            bits = (v & 1).astype(np.uint8)
+            pad = (-len(bits)) % 8
+            if pad:
+                bits = np.concatenate([bits, np.ones(pad, np.uint8)])
+            buf = np.packbits(bits)
+            is_ff = buf == 0xFF
+            if is_ff.any():
+                reps = np.ones(len(buf), np.int64)
+                reps[is_ff] = 2
+                out = np.repeat(buf, reps)
+                out[np.cumsum(reps)[is_ff] - 1] = 0
+                return out.tobytes()
+            return buf.tobytes()
+        diff = v.copy()
+        diff[1:] = v[1:] - v[:-1]
+        adiff = np.abs(diff)
+        if int(adiff.max(initial=0)) >= (1 << 13):
+            return None
+        s = _bitlen_lut()[adiff]
+        dc_code = np.zeros(16, np.uint32)
+        dc_len = np.zeros(16, np.int64)
+        for sym, (c, ln) in dc_tbl.items():
+            if sym < 16:
+                dc_code[sym] = c
+                dc_len[sym] = ln
+        mant = np.where(diff > 0, diff, diff + (np.int64(1) << s) - 1)
+        n = len(v)
+        codes = np.empty(2 * n, np.uint32)
+        lens = np.empty(2 * n, np.int64)
+        codes[0::2] = dc_code[s]
+        lens[0::2] = dc_len[s]
+        codes[1::2] = (mant & ((np.int64(1) << s) - 1)).astype(np.uint32)
+        lens[1::2] = s
+        return _pack_bits_np(codes, lens)
+
     def encode_gray8_batch(frames, width, quant=1, restart_interval=0):
         """Batched `encode_gray8`: one vectorized pass over every frame
         whose 8x8 blocks are all CONSTANT (the only shape the fixture
@@ -962,14 +1040,31 @@ def _build_jpeg_codec(force_scalar=False):
             zz_band = blocks[:, [ZZ[k] for k in range(Ss, Se + 1)]]
             a_mat = np.where(zz_band < 0, (-zz_band) >> Al, zz_band >> Al)
             sg_mat = (zz_band >= 0).astype(np.int8)
-            content = (a_mat != 0).any(axis=1).tolist()
-            for bi, has in enumerate(content):
-                if not has:
+            content = a_mat.any(axis=1)
+
+            def bump(gap):
+                """Fold ``gap`` all-zero blocks into the EOB run with the
+                same flush points the per-block loop hits (pend_run is
+                always empty at block boundaries, so only the FIRST zero
+                block can see pend_eob > 900)."""
+                nonlocal eobrun
+                if gap and len(pend_eob) > 900:
                     eobrun += 1
-                    if eobrun == 0x7FFF or len(pend_eob) > 900:
+                    gap -= 1
+                    emit_eobrun()
+                while gap:
+                    take = min(gap, 0x7FFF - eobrun)
+                    eobrun += take
+                    gap -= take
+                    if eobrun == 0x7FFF:
                         emit_eobrun()
-                    continue
+
+            pos = 0
+            for bi in np.flatnonzero(content).tolist():
+                bump(bi - pos)
                 refine_block(list(zip(a_mat[bi].tolist(), sg_mat[bi].tolist())))
+                pos = bi + 1
+            bump(blocks.shape[0] - pos)
             emit_eobrun()
             return
 
@@ -1033,14 +1128,25 @@ def _build_jpeg_codec(force_scalar=False):
             scans.append(_sos_prog(scomp, Ss, Se, Ah, Al) + bytes(bw.buf))
 
         one = [(1, 0, 0)]
-        scan(lambda w: _enc_dc_scan(w, units, 0, 1, {0: dc_t}), one, 0, 0, 0, 1)
+        npdc = np is not None and isinstance(blocks, np.ndarray)
+        dcb = _enc_dc_scan_np(blocks[:, 0], 0, 1, dc_t) if npdc else None
+        if dcb is not None:
+            scans.append(_sos_prog(one, 0, 0, 0, 1) + dcb)
+        else:
+            scan(lambda w: _enc_dc_scan(w, units, 0, 1, {0: dc_t}), one, 0, 0, 0, 1)
         scan(lambda w: _enc_ac_first_scan(w, blocks, 1, 5, 2, ac_t), one, 1, 5, 0, 2)
         scan(lambda w: _enc_ac_first_scan(w, blocks, 6, 63, 2, ac_t), one, 6, 63, 0, 2)
         scan(lambda w: _enc_ac_refine_scan(w, blocks, 1, 5, 1, ac_t), one, 1, 5, 2, 1)
         scan(lambda w: _enc_ac_refine_scan(w, blocks, 6, 63, 1, ac_t), one, 6, 63, 2, 1)
         scan(lambda w: _enc_ac_refine_scan(w, blocks, 1, 5, 0, ac_t), one, 1, 5, 1, 0)
         scan(lambda w: _enc_ac_refine_scan(w, blocks, 6, 63, 0, ac_t), one, 6, 63, 1, 0)
-        scan(lambda w: _enc_dc_scan(w, units, 1, 0, {0: dc_t}), one, 0, 0, 1, 0)
+        if npdc:
+            scans.append(
+                _sos_prog(one, 0, 0, 1, 0)
+                + _enc_dc_scan_np(blocks[:, 0], 1, 0, dc_t)
+            )
+        else:
+            scan(lambda w: _enc_dc_scan(w, units, 1, 0, {0: dc_t}), one, 0, 0, 1, 0)
 
         sof = _seg(
             0xC2, bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0])
