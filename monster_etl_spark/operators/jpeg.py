@@ -1300,16 +1300,20 @@ def _build_jpeg_codec(force_scalar=False):
         its end-of-data semantics exactly). ``lane_blocks``: (L,) block
         counts each lane must produce. ``q``: 64 natural-order quant ints.
 
-        Returns ``(coef, has_ac, need_bits, err)``: ``coef`` is
-        (sum(lane_blocks), 64) int64 DEQUANTIZED natural-order
-        coefficients with the per-lane DC prediction already folded in,
-        ``has_ac`` marks blocks with nonzero AC, ``need_bits`` is the
-        per-lane maximum bit extent any probe required — the caller
-        compares it against the segment's real bit length to reproduce
-        the scalar restart-position check — and ``err`` flags lanes that
-        hit a state the scalar path raises on (bad code, AC run past
-        block end, out-of-range size category): any blob owning an
-        errored lane must re-decode through the scalar walk.
+        Returns ``(dc0, has_ac, need_bits, err, ac_sparse)``: ``dc0`` is
+        the (sum(lane_blocks),) int64 DEQUANTIZED DC coefficient with
+        the per-lane prediction folded in; ``ac_sparse`` = (block_index,
+        natural_index, dequantized_value) arrays holding every nonzero
+        AC — kept sparse so the DC-only common case never allocates or
+        zero-fills a (blocks, 64) matrix (134 MB/chunk that collapsed
+        32-way-concurrent throughput); ``has_ac`` marks blocks with
+        nonzero AC, ``need_bits`` is the per-lane maximum bit extent any
+        probe required — the caller compares it against the segment's
+        real bit length to reproduce the scalar restart-position check —
+        and ``err`` flags lanes that hit a state the scalar path raises
+        on (bad code, AC run past block end, out-of-range size
+        category): any blob owning an errored lane must re-decode
+        through the scalar walk.
         """
         dc_sym, dc_len, dc_mb = _np_dec_table(dc_tbl)
         ac_sym, ac_len, ac_mb = _np_dec_table(ac_tbl)
@@ -1319,7 +1323,7 @@ def _build_jpeg_codec(force_scalar=False):
         np.cumsum(lane_blocks[:-1], out=lane_start[1:])
         zz = np.array(ZZ, np.int64)
         qarr = np.array(q, np.int64)
-        coef = np.zeros((total, 64), np.int64)
+        ac_blks, ac_nats, ac_vals = [], [], []
         has_ac = np.zeros(total, bool)
         dcdiff = np.zeros(total, np.int64)
 
@@ -1415,7 +1419,9 @@ def _build_jpeg_codec(force_scalar=False):
                 ai = np.flatnonzero(acoef)
                 if len(ai):
                     nat = zz[kk[ai]]
-                    coef[blk[ai], nat] = ext[ai] * qarr[nat]
+                    ac_blks.append(blk[ai])
+                    ac_nats.append(nat)
+                    ac_vals.append(ext[ai] * qarr[nat])
                     has_ac[blk[ai]] = True
                     kpos = np.where(acoef, kk + 1, kpos)
                     ended |= acoef & (kpos > 63)
@@ -1435,21 +1441,37 @@ def _build_jpeg_codec(force_scalar=False):
         base = np.zeros(L, np.int64)
         base[1:] = pred[lane_start[1:] - 1]
         pred -= np.repeat(base, lane_blocks)
-        coef[:, 0] = pred * int(q[0])
-        return coef, has_ac, need, err
+        dc0 = pred * int(q[0])
+        if ac_blks:
+            ab = np.concatenate(ac_blks)
+            an = np.concatenate(ac_nats)
+            av = np.concatenate(ac_vals)
+            order = np.argsort(ab, kind="stable")  # block-sorted for slicing
+            ac_sparse = (ab[order], an[order], av[order])
+        else:
+            e = np.empty(0, np.int64)
+            ac_sparse = (e, e, e)
+        return dc0, has_ac, need, err, ac_sparse
 
-    def _lane_blocks_to_plane(coef, has_ac, bw_blk, bh_blk):
-        """(nblocks, 64) dequantized coefficients -> plane bytes, with
-        the scalar decoder's exact pixel semantics: DC-only blocks take
-        the one-multiply flat formula, AC blocks run the scalar
-        ``idct_block`` fold order."""
+    def _lane_blocks_to_plane(dc0, has_ac, ac_sparse, bw_blk, bh_blk):
+        """Dequantized DC vector + sparse AC triplets (block-relative
+        indices, SORTED by block) -> plane bytes, with the scalar
+        decoder's exact pixel semantics: DC-only blocks take the
+        one-multiply flat formula, AC blocks materialize their 64-row
+        and run the scalar ``idct_block`` fold order."""
         nbk = bw_blk * bh_blk
         pix = np.empty((nbk, 64), np.uint8)
         dc_only = ~has_ac
-        val = np.floor(coef[dc_only, 0].astype(np.float64) / 8 + 128.5)
+        val = np.floor(dc0[dc_only].astype(np.float64) / 8 + 128.5)
         pix[dc_only] = np.clip(val, 0, 255).astype(np.uint8)[:, None]
+        ab, an, av = ac_sparse
         for i in np.flatnonzero(has_ac).tolist():
-            pix[i] = np.frombuffer(bytes(idct_block(coef[i].tolist())), np.uint8)
+            row = np.zeros(64, np.int64)
+            row[0] = dc0[i]
+            lo = np.searchsorted(ab, i)
+            hi = np.searchsorted(ab, i + 1)
+            row[an[lo:hi]] = av[lo:hi]
+            pix[i] = np.frombuffer(bytes(idct_block(row.tolist())), np.uint8)
         return bytearray(
             pix.reshape(bh_blk, bw_blk, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -1563,59 +1585,49 @@ def _build_jpeg_codec(force_scalar=False):
         # marker-count check (scalar: len(rst) != n_expected - 1 -> None)
         cnt = np.bincount(rbi, minlength=n)
         ok = cnt == n_expected - 1
-        # lane bookkeeping over ok blobs only (a bad blob's excess RSTs
-        # would otherwise bleed lane ids into its neighbours). Per-blob
-        # kept counts come from reduceat; per-byte blob ids from repeat
-        # — both linear, no per-byte searchsorted.
-        kcnt_all = np.zeros(n, np.int64)
-        ne_mask = lens > 0
-        if ne_mask.any():
-            red = np.add.reduceat(keep, starts[:-1][ne_mask], dtype=np.int64)
-            kcnt_all[ne_mask] = red
         bad_b = np.flatnonzero(~ok)
         if len(bad_b):
             # drop bad blobs' bytes from the kept stream entirely
-            bsum = np.zeros(n + 1, np.int64)
-            np.cumsum(lens, out=bsum[1:])
             for k in bad_b.tolist():
                 keep[starts[k] : starts[k + 1]] = False
-            kcnt_all[bad_b] = 0
-        kept_idx = np.flatnonzero(keep)
-        kb = np.repeat(np.arange(n, dtype=np.int64), kcnt_all)
-        kept = big[kept_idx]
-        lane_base = np.zeros(n, np.int64)
-        np.cumsum(n_expected[:-1], out=lane_base[1:])
-        tot_lanes = int(n_expected.sum())
-        koff = np.zeros(n + 1, np.int64)
-        np.cumsum(kcnt_all, out=koff[1:])
+        # per-lane kept counts WITHOUT per-byte index arrays: one int32
+        # prefix count over keep, then gathers at the (small) lane
+        # boundary set — lane k's bytes are the keeps in [boundary_k,
+        # boundary_{k+1}), robust to empty lanes
+        kcum = np.zeros(total + 1, np.int32)
+        np.cumsum(keep, out=kcum[1:])
+        lane_base = np.zeros(n + 1, np.int64)
+        np.cumsum(n_expected, out=lane_base[1:])
+        tot_lanes = int(lane_base[-1])
+        # zeros, not empty: a marker-count-mismatch blob's inner lane
+        # boundaries stay unset and must still index kcum safely (its
+        # sizes are garbage but the blob is emitted as None)
+        bounds = np.zeros(tot_lanes + 1, np.int64)
+        bounds[lane_base[:-1]] = starts[:-1]
+        bounds[-1] = total
         if len(rst):
-            rst_before = np.searchsorted(rst, starts[:-1])
-            lane_of = np.searchsorted(rst, kept_idx) - rst_before[kb]
-            glid = lane_of + lane_base[kb]
-            lane_sizes_g = np.bincount(glid, minlength=tot_lanes)
-            lstart = np.zeros(tot_lanes, np.int64)
-            np.cumsum(lane_sizes_g[:-1], out=lstart[1:])
-            lane_ofs = np.arange(len(kept_idx), dtype=np.int64) - lstart[glid]
-        else:
-            # single-lane blobs everywhere: lane 0, offset = rank in blob
-            lane_of = np.zeros(len(kept_idx), np.int64)
-            lane_sizes_g = np.zeros(tot_lanes, np.int64)
-            lane_sizes_g[lane_base] = kcnt_all
-            lane_ofs = np.arange(len(kept_idx), dtype=np.int64) - np.repeat(
-                koff[:-1], kcnt_all
-            )
+            # rst positions of OK blobs open their blobs' lanes 1..m
+            rsel = ok[rbi]
+            rr = rst[rsel]
+            rb2 = rbi[rsel]
+            rank = np.arange(len(rr), dtype=np.int64)
+            first = np.zeros(n, np.int64)
+            np.cumsum(np.bincount(rb2, minlength=n)[:-1], out=first[1:])
+            bounds[lane_base[rb2] + (rank - first[rb2]) + 1] = rr + 2
+        lane_sizes_g = (kcum[bounds[1:]] - kcum[bounds[:-1]]).astype(np.int64)
+        kept = big[keep]
+        koff = np.zeros(n + 1, np.int64)
+        koff[1:] = kcum[starts[1:]]
         out = []
         for k in range(n):
             if not ok[k]:
                 out.append(None)
                 continue
             s, e = int(koff[k]), int(koff[k + 1])
-            lb, le = int(lane_base[k]), int(lane_base[k] + n_expected[k])
+            lb, le = int(lane_base[k]), int(lane_base[k + 1])
             out.append(
                 (
                     kept[s:e],
-                    lane_of[s:e],
-                    lane_ofs[s:e],
                     lane_sizes_g[lb:le],
                     bool(open_ended[k]),
                     int(end_g[k] - starts[k]),  # entropy end within the view
@@ -1645,7 +1657,7 @@ def _build_jpeg_codec(force_scalar=False):
         width = int(seg_len.max()) + 8 if len(seg_len) else 8
         seg_mat = np.zeros((n_lanes, width), np.uint8)
         seg_mat.ravel()[lane_of * width + lane_ofs] = kept
-        coef, has_ac, need, err = _lane_entropy_decode(
+        dc0, has_ac, need, err, ac_sparse = _lane_entropy_decode(
             seg_mat, lane_blocks, hdc[td], hac[ta], q
         )
         if err.any():
@@ -1658,7 +1670,7 @@ def _build_jpeg_codec(force_scalar=False):
             return None
         if open_ended and need[-1] > seg_len[-1] * 8:
             return None  # scalar refill would run off the raw buffer
-        plane = _lane_blocks_to_plane(coef, has_ac, bw_blk, bh_blk)
+        plane = _lane_blocks_to_plane(dc0, has_ac, ac_sparse, bw_blk, bh_blk)
         return _planes_to_pixels(frame, {cid: plane}, {cid: bw_blk * 8})
 
     def _parse_gray_headers(b):
@@ -2028,7 +2040,7 @@ def _build_jpeg_codec(force_scalar=False):
                     (st["nb"] for st, _s in members), np.int64, L
                 )
                 seg_len = np.fromiter(
-                    (int(sp[3][0]) for _st, sp in members), np.int64, L
+                    (int(sp[1][0]) for _st, sp in members), np.int64, L
                 )
                 width = int(seg_len.max()) + 8 if L else 8
                 mat = np.zeros((L, width), np.uint8)
@@ -2069,13 +2081,13 @@ def _build_jpeg_codec(force_scalar=False):
                 # modeling it
                 over = need > seg_len * 8
                 for row, (st, sp) in enumerate(members):
-                    if err[row] or (over[row] and sp[4]):
+                    if err[row] or (over[row] and sp[2]):
                         st["bad"] = True
 
             # chunk each group by lane-matrix area (sorted by segment
             # length so one huge scan doesn't widen every row)
             for (kind, Ss, Se, Ah, Al, _tid), members in groups.items():
-                members.sort(key=lambda m: int(m[1][3][0]))
+                members.sort(key=lambda m: int(m[1][1][0]))
                 lo = 0
                 while lo < len(members):
                     hi = lo + 1
@@ -2094,7 +2106,7 @@ def _build_jpeg_codec(force_scalar=False):
                 if st["bad"] or split is None:
                     continue
                 b = st["b"]
-                e = st["pos"] + split[5]
+                e = st["pos"] + split[3]
                 if e + 1 >= len(b):
                     st["bad"] = True
                     continue
@@ -2233,7 +2245,7 @@ def _build_jpeg_codec(force_scalar=False):
                 results[i] = decode(b)
                 continue
             pos, frame, cid, q, dc_tbl, ac_tbl, _ri = hdr
-            kept, lane_of, lane_ofs, lane_sizes, open_ended, _end = split
+            kept, lane_sizes, open_ended, _end = split
             key = (id(dc_tbl[0]), id(ac_tbl[0]), tuple(q))
             g = groups.setdefault(
                 key, {"dc": dc_tbl, "ac": ac_tbl, "q": q, "splits": [],
@@ -2242,7 +2254,7 @@ def _build_jpeg_codec(force_scalar=False):
             g["meta"].append(
                 (i, b, frame, cid, bw_blk, bh_blk, n_lanes, open_ended, ri_eff)
             )
-            g["splits"].append((kept, g["n_lanes"], lane_of, lane_ofs))
+            g["splits"].append(kept)
             g["sizes"].append(lane_sizes)
             g["n_lanes"] += n_lanes
         def _run_chunk(g, lo, hi):
@@ -2271,11 +2283,13 @@ def _build_jpeg_codec(force_scalar=False):
                 at += nl
             width = int(seg_len.max()) + 8 if len(seg_len) else 8
             mat = np.zeros((n_lanes_tot, width), np.uint8)
-            mflat = mat.ravel()
-            lane_base0 = splits[0][1]
-            for kept, base, lane_of, lane_ofs in splits:
-                mflat[(base - lane_base0 + lane_of) * width + lane_ofs] = kept
-            coef, has_ac, need, err = _lane_entropy_decode(
+            # boolean-mask scatter: kept bytes are already in (blob,
+            # lane) order, so row k takes the next seg_len[k] bytes —
+            # no per-byte index arrays (intp conversions were the
+            # 32-way-concurrency bandwidth hot spot)
+            mask = np.arange(width, dtype=np.int32)[None, :] < seg_len[:, None]
+            mat.ravel()[mask.ravel()] = np.concatenate(splits)
+            dc0, has_ac, need, err, ac_sparse = _lane_entropy_decode(
                 mat, lane_blocks, g["dc"], g["ac"], g["q"]
             )
             fed_short = -(-need // 8) < seg_len  # unread segment bytes
@@ -2295,17 +2309,22 @@ def _build_jpeg_codec(force_scalar=False):
             any_ac_fr = (acc[blk_lo[1:]] - acc[blk_lo[:-1]]) > 0
             # the scalar DC-only pixel formula, once for every block
             val_all = np.clip(
-                np.floor(coef[:, 0].astype(np.float64) / 8 + 128.5), 0, 255
+                np.floor(dc0.astype(np.float64) / 8 + 128.5), 0, 255
             ).astype(np.uint8)
+            ab, an, av = ac_sparse
             shape_groups = {}
             for k in range(nfr):
                 i, b, frame, cid, bw_blk, bh_blk, _nl, _oe, _ri = metas[k]
                 if bad_fr[k]:
                     results[i] = decode(b)  # scalar walk is authoritative
                 elif any_ac_fr[k]:
+                    lo, hi = blk_lo[k], blk_lo[k + 1]
+                    slo = np.searchsorted(ab, lo)
+                    shi = np.searchsorted(ab, hi)
                     plane = _lane_blocks_to_plane(
-                        coef[blk_lo[k] : blk_lo[k + 1]],
-                        has_ac[blk_lo[k] : blk_lo[k + 1]],
+                        dc0[lo:hi],
+                        has_ac[lo:hi],
+                        (ab[slo:shi] - lo, an[slo:shi], av[slo:shi]),
                         bw_blk,
                         bh_blk,
                     )
@@ -2333,8 +2352,8 @@ def _build_jpeg_codec(force_scalar=False):
                         W, H, 1, flat[t * step : (t + 1) * step]
                     )
 
-        # chunk each group so the (blocks, 64) int64 coefficient matrix
-        # stays bounded (~128 MB) no matter how many blobs were pooled
+        # chunk each group so the per-block vectors and the lane matrix
+        # stay cache-sized no matter how many blobs were pooled
         max_blocks = 1 << 18
         for g in groups.values():
             lo = 0
