@@ -2091,10 +2091,10 @@ def _build_jpeg_codec(force_scalar=False):
                 lo = 0
                 while lo < len(members):
                     hi = lo + 1
-                    wmax = int(members[lo][1][3][0]) + 8
+                    wmax = int(members[lo][1][1][0]) + 8
                     area = wmax
                     while hi < len(members):
-                        w_new = int(members[hi][1][3][0]) + 8
+                        w_new = int(members[hi][1][1][0]) + 8
                         if (hi - lo + 1) * w_new > (64 << 20):
                             break
                         area = (hi - lo + 1) * w_new
