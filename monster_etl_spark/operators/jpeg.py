@@ -439,6 +439,7 @@ def _build_jpeg_codec(force_scalar=False):
         )
 
     _bitlen_cache = []
+    _prog_ac_cache = {}
 
     def _bitlen_lut():
         """bit_length LUT for DC-diff magnitudes (|diff| <= 2*8*128 with
@@ -1159,6 +1160,243 @@ def _build_jpeg_codec(force_scalar=False):
             + b"".join(scans)
             + b"\xff\xd9"
         )
+
+    def _pack_segments_np(codes, lens, seg_id, nseg):
+        """Pack (code, len) fields tagged with a segment id into nseg
+        independent byte-aligned entropy segments (1-bit padding +
+        FF->FF00 stuffing each) — returns (stuffed_bytes, offsets) with
+        offsets[k]:offsets[k+1] delimiting segment k. Byte-identical to
+        feeding each segment through `_BitWriter`."""
+        lens = np.asarray(lens, np.int64)
+        codes = np.asarray(codes, np.uint32)
+        seg_id = np.asarray(seg_id, np.int64)
+        seg_bits = np.bincount(seg_id, weights=lens, minlength=nseg).astype(
+            np.int64
+        )
+        seg_bytes = (seg_bits + 7) >> 3
+        seg_start = np.zeros(nseg + 1, np.int64)
+        np.cumsum(seg_bytes, out=seg_start[1:])
+        total_bytes = int(seg_start[-1])
+        buf = np.zeros(total_bytes + 4, np.uint8)
+        # bit offset of each field within its segment (fields arrive in
+        # segment-then-stream order, so a plain cumsum rebased per
+        # segment suffices)
+        cum = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=cum[1:])
+        seg_first = np.zeros(nseg, np.int64)
+        first_idx = np.searchsorted(seg_id, np.arange(nseg))
+        seg_first = cum[first_idx]
+        off = cum[:-1] - seg_first[seg_id]
+        sel = lens > 0
+        o = off[sel]
+        ln = lens[sel]
+        r = (o & 7).astype(np.uint32)
+        w32 = (codes[sel] & ((np.uint32(1) << ln.astype(np.uint32)) - 1)) << (
+            np.uint32(32) - ln.astype(np.uint32) - r
+        )
+        bidx = seg_start[seg_id[sel]] + (o >> 3)
+        for k in range(4):
+            np.bitwise_or.at(
+                buf, bidx + k, ((w32 >> (24 - 8 * k)) & 0xFF).astype(np.uint8)
+            )
+        used = (seg_bits & 7).astype(np.int64)
+        pmask = np.where(used > 0, (1 << (8 - used)) - 1, 0).astype(np.uint8)
+        pbyte = seg_start[1:] - 1
+        has_pad = (pmask > 0) & (seg_bytes > 0)
+        np.bitwise_or.at(buf, pbyte[has_pad], pmask[has_pad])
+        buf = buf[:total_bytes]
+        is_ff = buf == 0xFF
+        if is_ff.any():
+            reps = np.ones(total_bytes, np.int64)
+            reps[is_ff] = 2
+            out = np.repeat(buf, reps)
+            out[np.cumsum(reps)[is_ff] - 1] = 0
+            ffc = np.zeros(total_bytes + 1, np.int64)
+            np.cumsum(is_ff, out=ffc[1:])
+            return out.tobytes(), (seg_start + ffc[seg_start])
+        return buf.tobytes(), seg_start
+
+    def encode_gray8_progressive_batch(frames, width, quant=1):
+        """Batched `encode_gray8_progressive` for all-constant-block
+        frames (per-frame scalar fallback otherwise), byte-identical to
+        the scalar encoder. For such frames the six AC scans are pure
+        EOB-run streams that depend ONLY on the block count — computed
+        once per distinct geometry through the scalar emitters and
+        reused — while the two DC scans pack through one multi-segment
+        scatter-OR pass per frame group."""
+        n = len(frames)
+        if np is None or n == 0:
+            return [encode_gray8_progressive(p, width, quant) for p in frames]
+        results = [None] * n
+        dc_t = build_enc_table(BITS_DC_L, VALS_DC)
+        ac_t = build_enc_table(BITS_AC_PROG, VALS_AC_PROG)
+        one = [(1, 0, 0)]
+        dc_code = np.zeros(16, np.uint32)
+        dc_len = np.zeros(16, np.int64)
+        for sym, (c, ln) in dc_t.items():
+            if sym < 16:
+                dc_code[sym] = c
+                dc_len[sym] = ln
+        w8 = -(-width // 8) * 8
+        bw_blk = w8 // 8
+        BANDS = (
+            (1, 5, 0, 2, "f"),
+            (6, 63, 0, 2, "f"),
+            (1, 5, 2, 1, "r"),
+            (6, 63, 2, 1, "r"),
+            (1, 5, 1, 0, "r"),
+            (6, 63, 1, 0, "r"),
+        )
+        ac_cache = _prog_ac_cache  # closure-level: keyed by nb only
+
+        def ac_scans_bytes(nb):
+            hit = ac_cache.get(nb)
+            if hit is None:
+                zeros = np.zeros((nb, 64), np.int32)
+                parts = []
+                for Ss, Se, Ah, Al, kind in BANDS:
+                    bw = _BitWriter()
+                    if kind == "f":
+                        _enc_ac_first_scan(bw, zeros, Ss, Se, Al, ac_t)
+                    else:
+                        _enc_ac_refine_scan(bw, zeros, Ss, Se, Al, ac_t)
+                    bw.flush()
+                    parts.append(_sos_prog(one, Ss, Se, Ah, Al) + bytes(bw.buf))
+                hit = b"".join(parts)
+                ac_cache[nb] = hit
+            return hit
+
+        hdr_cache = {}
+
+        def _header(height):
+            hit = hdr_cache.get(height)
+            if hit is None:
+                sof = _seg(
+                    0xC2,
+                    bytes([8])
+                    + struct.pack(">HH", height, width)
+                    + bytes([1, 1, 0x11, 0]),
+                )
+                hit = (
+                    b"\xff\xd8"
+                    + _dqt_seg(quant)
+                    + sof
+                    + _dht_segs(
+                        [
+                            (0, 0, BITS_DC_L, VALS_DC),
+                            (1, 0, BITS_AC_PROG, VALS_AC_PROG),
+                        ]
+                    )
+                )
+                hdr_cache[height] = hit
+            return hit
+
+        by_len = {}
+        for i, p in enumerate(frames):
+            by_len.setdefault(len(p), []).append(i)
+        sos_dc1 = _sos_prog(one, 0, 0, 0, 1)
+        sos_dcr = _sos_prog(one, 0, 0, 1, 0)
+        # fields of EVERY group accumulate into one global two-pack —
+        # per-group packing drowned in fixed numpy overhead when doc
+        # lengths are near-unique (5-doc groups)
+        g_codes, g_lens = [], []
+        g_rbits = []
+        plan = []  # (result_index, header, nb) in global segment order
+        nseg = 0
+        for plen, idxs in by_len.items():
+            height = max(1, -(-plen // width))
+            h8 = -(-height // 8) * 8
+            bh_blk = h8 // 8
+            nb = bw_blk * bh_blk
+            m = len(idxs)
+            a = np.zeros((m, h8, w8), np.int16)
+            for t, i in enumerate(idxs):
+                pix = np.frombuffer(
+                    bytes(frames[i]).ljust(width * height, b"\x00"), np.uint8
+                )
+                a[t, :height, :width] = pix.reshape(height, width)
+            blocks = (
+                a.reshape(m, bh_blk, 8, bw_blk, 8)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(m * nb, 64)
+                .astype(np.int32)
+                - 128
+            )
+            const = (blocks.max(axis=1) == blocks.min(axis=1)).reshape(m, nb)
+            good = const.all(axis=1)
+            for t in np.flatnonzero(~good).tolist():
+                results[idxs[t]] = encode_gray8_progressive(
+                    frames[idxs[t]], width, quant
+                )
+            gsel = np.flatnonzero(good)
+            mg = len(gsel)
+            if not mg:
+                continue
+            dcv = 8 * blocks.reshape(m, nb, 64)[gsel, :, 0].astype(np.int64)
+            q2 = 2 * quant
+            dcq = np.where(
+                dcv >= 0, (2 * dcv + quant) // q2, -((-2 * dcv + quant) // q2)
+            )
+            # DC-first scan at Al=1: diffs of the point-transformed value
+            v1 = dcq >> 1
+            diff = v1.copy()
+            diff[:, 1:] = v1[:, 1:] - v1[:, :-1]
+            adiff = np.abs(diff)
+            if int(adiff.max(initial=0)) >= (1 << 13):
+                for t in gsel.tolist():
+                    results[idxs[t]] = encode_gray8_progressive(
+                        frames[idxs[t]], width, quant
+                    )
+                continue
+            s = _bitlen_lut()[adiff]
+            mant = np.where(diff > 0, diff, diff + (np.int64(1) << s) - 1)
+            mant = mant & ((np.int64(1) << s) - 1)
+            codes = np.empty((mg, nb, 2), np.uint32)
+            lens = np.empty((mg, nb, 2), np.int64)
+            codes[:, :, 0] = dc_code[s]
+            lens[:, :, 0] = dc_len[s]
+            codes[:, :, 1] = mant.astype(np.uint32)
+            lens[:, :, 1] = s
+            g_codes.append(codes.reshape(mg, -1))
+            g_lens.append(lens.reshape(mg, -1))
+            g_rbits.append((dcq & 1).astype(np.uint32))
+            header = _header(height)
+            for gi in gsel.tolist():
+                plan.append((idxs[gi], header, nb))
+            nseg += mg
+        if not plan:
+            return results
+        # one global pack for each DC scan across every group
+        f_codes = np.concatenate([c.ravel() for c in g_codes])
+        f_lens = np.concatenate([c.ravel() for c in g_lens])
+        f_seg = np.repeat(
+            np.arange(nseg, dtype=np.int64),
+            np.concatenate([np.full(c.shape[0], c.shape[1], np.int64)
+                            for c in g_codes]),
+        )
+        dcb, dco = _pack_segments_np(f_codes, f_lens, f_seg, nseg)
+        r_codes = np.concatenate([c.ravel() for c in g_rbits])
+        r_seg = np.repeat(
+            np.arange(nseg, dtype=np.int64),
+            np.concatenate([np.full(c.shape[0], c.shape[1], np.int64)
+                            for c in g_rbits]),
+        )
+        rb, rbo = _pack_segments_np(
+            r_codes, np.ones(len(r_codes), np.int64), r_seg, nseg
+        )
+        for t, (ri_, header, nb) in enumerate(plan):
+            results[ri_] = b"".join(
+                (
+                    header,
+                    sos_dc1,
+                    dcb[dco[t] : dco[t + 1]],
+                    ac_scans_bytes(nb),
+                    sos_dcr,
+                    rb[rbo[t] : rbo[t + 1]],
+                    b"\xff\xd9",
+                )
+            )
+        return results
 
     def encode_rgb8_progressive(rgb, width, subsample=(2, 2), quant=1):
         """Progressive (SOF2) YCbCr JPEG: interleaved DC first scan over
@@ -2998,6 +3236,7 @@ def _build_jpeg_codec(force_scalar=False):
         "encode_gray8_batch": encode_gray8_batch,
         "encode_rgb8": encode_rgb8,
         "encode_gray8_progressive": encode_gray8_progressive,
+        "encode_gray8_progressive_batch": encode_gray8_progressive_batch,
         "encode_rgb8_progressive": encode_rgb8_progressive,
         "decode": decode,
         "decode_gray8_batch": decode_gray8_batch,

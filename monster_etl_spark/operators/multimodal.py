@@ -498,25 +498,7 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            # pooled lane decode for every JPEG-magic blob in the batch:
-            # identical per-blob results to jpeg_decode_local (pinned by
-            # tests), one lockstep entropy pass instead of len(batch)
-            contents = [bytes(c) for c in pdf["content"]]
-            jpeg_ix = [i for i, c in enumerate(contents) if c[:2] == b"\xff\xd8"]
-            jpeg_results = dict(
-                zip(jpeg_ix, jpeg_batch_local([contents[i] for i in jpeg_ix]))
-            )
-            rows = {
-                "media_id": pdf["media_id"].astype("int64"),
-                "width": [],
-                "height": [],
-                "channels": [],
-                "mean_intensity": [],
-                "min_intensity": [],
-                "max_intensity": [],
-                "decoded": [],
-            }
+        def stats_chunk(rows, contents, jpeg_results):
             for ci, c in enumerate(contents):
                 d = decode(c)
                 if d is None:
@@ -556,6 +538,38 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
                     rows["min_intensity"].append(int(pxa.min()))
                     rows["max_intensity"].append(int(pxa.max()))
                     rows["decoded"].append(True)
+
+        # bounded sub-batches: decoding a whole 10k-doc Arrow batch in
+        # one pooled pass holds every decoded pixel buffer live at once
+        # (hundreds of MB), which collapses 32-way-concurrent allocator
+        # throughput — chunking keeps the pooled-lane win with constant
+        # memory
+        CHUNK = 512
+        for pdf in batches:
+            rows = {
+                "media_id": pdf["media_id"].astype("int64"),
+                "width": [],
+                "height": [],
+                "channels": [],
+                "mean_intensity": [],
+                "min_intensity": [],
+                "max_intensity": [],
+                "decoded": [],
+            }
+            all_contents = list(pdf["content"])
+            for clo in range(0, len(all_contents), CHUNK):
+                # pooled lane decode for every JPEG-magic blob in the
+                # chunk: identical per-blob results to jpeg_decode_local
+                # (pinned by tests), one lockstep entropy pass instead of
+                # len(chunk)
+                contents = [bytes(c) for c in all_contents[clo : clo + CHUNK]]
+                jpeg_ix = [
+                    i for i, c in enumerate(contents) if c[:2] == b"\xff\xd8"
+                ]
+                jpeg_results = dict(
+                    zip(jpeg_ix, jpeg_batch_local([contents[i] for i in jpeg_ix]))
+                )
+                stats_chunk(rows, contents, jpeg_results)
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(
@@ -615,7 +629,7 @@ def documents_as_jpeg_media(
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
 
     codec_local = _build_jpeg_codec()
-    encode_prog_local = codec_local["encode_gray8_progressive"]
+    encode_prog_local = codec_local["encode_gray8_progressive_batch"]
     encode_batch_local = codec_local["encode_gray8_batch"]
     bpr = blocks_per_row
     prog = progressive
@@ -633,25 +647,33 @@ def documents_as_jpeg_media(
             arr = np.frombuffer(padded, np.uint8).reshape(n_rows, bpr)
             return np.repeat(np.repeat(arr, 8, axis=1), 8, axis=0).tobytes()
 
+        # bounded sub-batches: an Arrow batch can carry 10k docs, and
+        # holding every doc's pixel buffer live at once (~40 KB each)
+        # saturates the allocator when 32 workers do it concurrently —
+        # the measured sf10 adapter cost was 5x the codec's own time
+        # before chunking
+        CHUNK = 512
         for pdf in batches:
-            pixels = [doc_pixels(t) for t in pdf["text"]]
-            if prog:
-                content = [encode_prog_local(p, bpr * 8, 1) for p in pixels]
-            else:
-                # one RSTn per block row: restart segments decode to the
-                # SAME pixels (DRI only re-segments the entropy stream,
-                # so the analytic oracle is untouched) while letting the
-                # decoder run its lockstep multi-lane fast path; the
-                # whole batch encodes in one vectorized pass
-                content = encode_batch_local(
-                    pixels, bpr * 8, 1, restart_interval=bpr
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": content,
-                }
-            )
+            mids = pdf["media_id"].astype("int64")
+            texts = list(pdf["text"])
+            content = []
+            for lo in range(0, len(texts), CHUNK):
+                pixels = [doc_pixels(t) for t in texts[lo : lo + CHUNK]]
+                if prog:
+                    content.extend(encode_prog_local(pixels, bpr * 8, 1))
+                else:
+                    # one RSTn per block row: restart segments decode to
+                    # the SAME pixels (DRI only re-segments the entropy
+                    # stream, so the analytic oracle is untouched) while
+                    # letting the decoder run its lockstep multi-lane
+                    # fast path; each chunk encodes in one vectorized
+                    # pass
+                    content.extend(
+                        encode_batch_local(
+                            pixels, bpr * 8, 1, restart_interval=bpr
+                        )
+                    )
+            yield pd.DataFrame({"media_id": mids, "content": content})
 
     return _cpu_spread(
         documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
