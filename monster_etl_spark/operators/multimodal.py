@@ -656,11 +656,10 @@ def documents_as_jpeg_media(
         for pdf in batches:
             mids = pdf["media_id"].astype("int64")
             texts = list(pdf["text"])
-            content = []
             for lo in range(0, len(texts), CHUNK):
                 pixels = [doc_pixels(t) for t in texts[lo : lo + CHUNK]]
                 if prog:
-                    content.extend(encode_prog_local(pixels, bpr * 8, 1))
+                    content = encode_prog_local(pixels, bpr * 8, 1)
                 else:
                     # one RSTn per block row: restart segments decode to
                     # the SAME pixels (DRI only re-segments the entropy
@@ -668,12 +667,17 @@ def documents_as_jpeg_media(
                     # letting the decoder run its lockstep multi-lane
                     # fast path; each chunk encodes in one vectorized
                     # pass
-                    content.extend(
-                        encode_batch_local(
-                            pixels, bpr * 8, 1, restart_interval=bpr
-                        )
+                    content = encode_batch_local(
+                        pixels, bpr * 8, 1, restart_interval=bpr
                     )
-            yield pd.DataFrame({"media_id": mids, "content": content})
+                # yield per chunk: small Arrow batches pipeline smoothly
+                # and keep worker memory flat
+                yield pd.DataFrame(
+                    {
+                        "media_id": mids.iloc[lo : lo + CHUNK],
+                        "content": content,
+                    }
+                )
 
     return _cpu_spread(
         documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
@@ -939,12 +943,44 @@ def documents_as_mjpeg_media(
         import numpy as np
         import pandas as pd
 
+        # bounded flushes: chunks of docs encode all their frames in ONE
+        # vectorized pass (byte-identical to per-frame encode_gray8),
+        # then wrap into AVI containers — without holding a whole Arrow
+        # batch's frames live (the 32-worker allocator collapse)
+        FRAME_BUDGET = 16384
         for pdf in batches:
-            # all frames of the whole batch encode in ONE vectorized
-            # pass (byte-identical to per-frame encode_gray8), then the
-            # per-doc slices wrap into AVI containers
+            mids = list(pdf["media_id"].astype("int64"))
+            content = []
+            done = 0
             pixels = []
             counts = []
+
+            def flush():
+                """Encode buffered frames, wrap per-doc AVIs, and yield
+                the finished slice — small Arrow batches pipeline
+                smoothly and keep worker memory flat."""
+                nonlocal done
+                frames = jpeg_encode_batch_local(pixels, fb * 8, 1)
+                at = 0
+                for n_frames in counts:
+                    content.append(
+                        avi_encode_local(
+                            frames[at : at + n_frames], fb * 8, 8, fps
+                        )
+                    )
+                    at += n_frames
+                pixels.clear()
+                counts.clear()
+                out = pd.DataFrame(
+                    {
+                        "media_id": mids[done : done + len(content)],
+                        "content": list(content),
+                    }
+                )
+                done += len(content)
+                content.clear()
+                return out
+
             for text in pdf["text"]:
                 data = bytes(text, "utf-8")
                 n_frames = max(1, -(-len(data) // fb))
@@ -958,20 +994,10 @@ def documents_as_mjpeg_media(
                 pixels.extend(flat.tobytes()[k * 8 * fb * 8 : (k + 1) * 8 * fb * 8]
                               for k in range(n_frames))
                 counts.append(n_frames)
-            frames = jpeg_encode_batch_local(pixels, fb * 8, 1)
-            content = []
-            at = 0
-            for n_frames in counts:
-                content.append(
-                    avi_encode_local(frames[at : at + n_frames], fb * 8, 8, fps)
-                )
-                at += n_frames
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": content,
-                }
-            )
+                if len(pixels) >= FRAME_BUDGET:
+                    yield flush()
+            if counts:
+                yield flush()
 
     return _cpu_spread(
         documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
@@ -1433,23 +1459,15 @@ def extract_gif_frame_stats(media: DataFrame) -> DataFrame:
     frame_stats_local = _build_gif_codec()["decode_frame_stats"]
 
     def _worker(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            rows = {k: [] for k in (
-                "media_id", "frame_id", "delay_cs", "width", "height",
-                "mean_intensity", "decoded",
-            )}
-
-            def emit(mid, fid, delay, w, h, mean, ok):
-                rows["media_id"].append(mid)
-                rows["frame_id"].append(fid)
-                rows["delay_cs"].append(delay)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["mean_intensity"].append(mean)
-                rows["decoded"].append(ok)
-
+            # columnar assembly: a clip's frames land as numpy slices,
+            # not 18M Python list appends — the per-ROW cost of the
+            # frame-level output (37 rows/doc) dominated the sf10 wall
+            # before the decode itself did
+            mids, fids, delays, ws, hs, means, oks = [], [], [], [], [], [], []
             for mid, c in zip(pdf["media_id"].astype("int64"), pdf["content"]):
                 # incremental timeline stats: the composed canvas's exact
                 # integer R-sum per frame at O(frame rect) cost — equal to
@@ -1457,13 +1475,47 @@ def extract_gif_frame_stats(media: DataFrame) -> DataFrame:
                 # without the O(n_frames * canvas) snapshot materialization
                 parsed = frame_stats_local(bytes(c))
                 if parsed is None:
-                    emit(int(mid), None, None, None, None, None, False)
+                    mids.append(np.array([int(mid)], np.int64))
+                    fids.append(np.zeros(1, np.int64))
+                    delays.append(np.zeros(1, np.int64))
+                    ws.append(np.zeros(1, np.int64))
+                    hs.append(np.zeros(1, np.int64))
+                    means.append(np.zeros(1, np.float64))
+                    oks.append(np.zeros(1, bool))
                     continue
-                w, h, _nf, stats = parsed
+                w, h, nf, stats = parsed
                 npx = w * h
-                for fid, (delay, r_sum) in enumerate(stats):
-                    emit(int(mid), fid, delay, w, h, r_sum / npx, True)
-            yield pd.DataFrame(rows)
+                st = np.asarray(stats, np.int64).reshape(nf, 2)
+                mids.append(np.full(nf, int(mid), np.int64))
+                fids.append(np.arange(nf, dtype=np.int64))
+                delays.append(st[:, 0])
+                ws.append(np.full(nf, w, np.int64))
+                hs.append(np.full(nf, h, np.int64))
+                means.append(st[:, 1] / npx)
+                oks.append(np.ones(nf, bool))
+            ok = np.concatenate(oks)
+            miss = ~ok
+            yield pd.DataFrame(
+                {
+                    "media_id": np.concatenate(mids),
+                    "frame_id": pd.arrays.IntegerArray(
+                        np.concatenate(fids), miss.copy()
+                    ),
+                    "delay_cs": pd.arrays.IntegerArray(
+                        np.concatenate(delays), miss.copy()
+                    ),
+                    "width": pd.arrays.IntegerArray(
+                        np.concatenate(ws), miss.copy()
+                    ),
+                    "height": pd.arrays.IntegerArray(
+                        np.concatenate(hs), miss.copy()
+                    ),
+                    "mean_intensity": pd.arrays.FloatingArray(
+                        np.concatenate(means), miss.copy()
+                    ),
+                    "decoded": ok,
+                }
+            )
 
     return media.select("media_id", "content").mapInPandas(
         _worker, schema=GIF_FRAME_SCHEMA
@@ -1512,13 +1564,23 @@ def documents_as_animated_gif_media(
                 )
             return encode_frames_local(fb * 8, 8 * n_frames, frames)
 
+        # yield per bounded chunk: one 10k-doc Arrow batch would other-
+        # wise become a single ~340 MB pandas frame held live through
+        # serialization — small output batches pipeline smoothly and
+        # keep worker memory flat
+        CHUNK = 256
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": [doc_to_gif(t) for t in pdf["text"]],
-                }
-            )
+            mids = pdf["media_id"].astype("int64")
+            texts = list(pdf["text"])
+            for lo in range(0, len(texts), CHUNK):
+                yield pd.DataFrame(
+                    {
+                        "media_id": mids.iloc[lo : lo + CHUNK],
+                        "content": [
+                            doc_to_gif(t) for t in texts[lo : lo + CHUNK]
+                        ],
+                    }
+                )
 
     return _cpu_spread(
         documents.select(F.col("doc_id").alias("media_id"), F.col("text"))

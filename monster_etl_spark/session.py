@@ -78,7 +78,15 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "true" if ansi else "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] is a single JVM doing 32 executors' work: media
+        # queries stream ~100 MB of blobs per task through Arrow with
+        # several transient copies JVM-side, so an 8g heap OOMs the
+        # whole process at sf10 (observed on the animated-GIF tier,
+        # 17 GB of blobs in flight). Measured sweet spot is 16g: 8g
+        # dies, 48g is ~1.7x SLOWER on the same query (G1 young gen
+        # sprawls over tens of GB and cache/TLB locality collapses).
+        # On a real cluster this maps to ordinary executor sizing.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
