@@ -142,6 +142,18 @@ def main():
     # relative path, or symlink never silently skips the write.
     is_driver_sf = os.path.realpath(args.sf_dir) == os.path.realpath("/root/testdata/sf0.01")
     if not args.queries and is_driver_sf:
+        # stamp the exact code state the gate ran against (deterministic
+        # — a regeneration at the same HEAD stays byte-identical, so
+        # output-invariance checks still work)
+        try:
+            import subprocess
+
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True, text=True
+            ).stdout.strip()
+        except Exception:
+            head = None
+        results["_meta"] = {"git_head": head, "n_queries": len(names)}
         with open("DRIVER_CHECK.json", "w") as f:
             json.dump(results, f, indent=1)
     elif not args.queries:
