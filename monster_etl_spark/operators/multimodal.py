@@ -90,6 +90,30 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _chunked_media_yield(pdf, encode_one, chunk=512):
+    """Yield per-chunk (media_id, content) frames from one Arrow batch of
+    (media_id, text). One 10k-doc batch yielded as a single pandas frame
+    holds every encoded blob live through serialization and stalls the
+    chained-Python-stage pipeline (round-7 sf10 finding: ~30% core
+    utilization on the GIF tier); small output batches pipeline smoothly
+    and keep worker memory flat. ``encode_one`` takes (media_id, text)."""
+    import pandas as pd
+
+    mids = pdf["media_id"].astype("int64")
+    texts = list(pdf["text"])
+    for lo in range(0, len(texts), chunk):
+        sl = mids.iloc[lo : lo + chunk]
+        yield pd.DataFrame(
+            {
+                "media_id": sl,
+                "content": [
+                    encode_one(int(m), t)
+                    for m, t in zip(sl, texts[lo : lo + chunk])
+                ],
+            }
+        )
+
+
 def _cpu_spread(documents: DataFrame) -> DataFrame:
     """Round-robin repartition a (media_id, text) projection to the
     session's default parallelism before a codec ``mapInPandas`` stage.
@@ -596,14 +620,8 @@ def documents_as_png_media(
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": [
-                        encode_local(bytes(t, "utf-8"), width, interlaced)
-                        for t in pdf["text"]
-                    ],
-                }
+            yield from _chunked_media_yield(
+                pdf, lambda _m, t: encode_local(bytes(t, "utf-8"), width, interlaced)
             )
 
     return _cpu_spread(
@@ -700,11 +718,8 @@ def documents_as_gif_media(documents: DataFrame, width: int = 32) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": [encode_local(bytes(t, "utf-8"), width) for t in pdf["text"]],
-                }
+            yield from _chunked_media_yield(
+                pdf, lambda _m, t: encode_local(bytes(t, "utf-8"), width)
             )
 
     return _cpu_spread(
@@ -1032,12 +1047,7 @@ def documents_as_dib_avi_media(
             return avi_encode_dib_local(frames, fb, 2, fps)
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": [doc_to_avi(t) for t in pdf["text"]],
-                }
-            )
+            yield from _chunked_media_yield(pdf, lambda _m, t: doc_to_avi(t))
 
     return _cpu_spread(
         documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
@@ -1147,16 +1157,11 @@ def documents_as_wav_media(documents: DataFrame, sample_rate: int = 16000) -> Da
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": [
-                        encode_local(
-                            [(v - 128) * 256 for v in bytes(t, "utf-8")], sample_rate
-                        )
-                        for t in pdf["text"]
-                    ],
-                }
+            yield from _chunked_media_yield(
+                pdf,
+                lambda _m, t: encode_local(
+                    [(v - 128) * 256 for v in bytes(t, "utf-8")], sample_rate
+                ),
             )
 
     return _cpu_spread(
@@ -1182,18 +1187,11 @@ def documents_as_g711_media(
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": [
-                        encode_local(
-                            [(v - 80) * 301 for v in bytes(t, "utf-8")],
-                            law,
-                            sample_rate,
-                        )
-                        for t in pdf["text"]
-                    ],
-                }
+            yield from _chunked_media_yield(
+                pdf,
+                lambda _m, t: encode_local(
+                    [(v - 80) * 301 for v in bytes(t, "utf-8")], law, sample_rate
+                ),
             )
 
     return _cpu_spread(
@@ -1224,26 +1222,17 @@ def documents_as_adpcm_media(
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": [
-                        # truncate CHARACTERS first, then encode: the
-                        # DuckDB oracle slices with substr(text, 1, n)
-                        # (character semantics), and a byte-prefix slice
-                        # of non-ASCII text would both diverge from it
-                        # and risk splitting a multi-byte code point
-                        encode_local(
-                            [
-                                (v - 128) * 256
-                                for v in bytes(t[:max_samples], "utf-8")
-                            ],
-                            sample_rate,
-                            block_bytes,
-                        )
-                        for t in pdf["text"]
-                    ],
-                }
+            # truncate CHARACTERS first, then encode: the DuckDB oracle
+            # slices with substr(text, 1, n) (character semantics), and
+            # a byte-prefix slice of non-ASCII text would both diverge
+            # from it and risk splitting a multi-byte code point
+            yield from _chunked_media_yield(
+                pdf,
+                lambda _m, t: encode_local(
+                    [(v - 128) * 256 for v in bytes(t[:max_samples], "utf-8")],
+                    sample_rate,
+                    block_bytes,
+                ),
             )
 
     return _cpu_spread(
@@ -1270,14 +1259,9 @@ def documents_as_tiff_media(
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": [
-                        encode_local(bytes(t, "utf-8"), width, rows_per_strip, 5, 2)
-                        for t in pdf["text"]
-                    ],
-                }
+            yield from _chunked_media_yield(
+                pdf,
+                lambda _m, t: encode_local(bytes(t, "utf-8"), width, rows_per_strip, 5, 2),
             )
 
     return _cpu_spread(
@@ -1301,14 +1285,9 @@ def documents_as_bmp_media(documents: DataFrame, width: int = 32) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": [
-                        encode_local(bytes(t, "utf-8"), width, bool(int(m) % 2))
-                        for m, t in zip(pdf["media_id"], pdf["text"])
-                    ],
-                }
+            yield from _chunked_media_yield(
+                pdf,
+                lambda m, t: encode_local(bytes(t, "utf-8"), width, bool(m % 2)),
             )
 
     return _cpu_spread(
@@ -1334,14 +1313,9 @@ def documents_as_webp_media(documents: DataFrame, width: int = 32) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": [
-                        encode_local(bytes(t, "utf-8"), width, modes[int(m) % 3])
-                        for m, t in zip(pdf["media_id"], pdf["text"])
-                    ],
-                }
+            yield from _chunked_media_yield(
+                pdf,
+                lambda m, t: encode_local(bytes(t, "utf-8"), width, modes[m % 3]),
             )
 
     return _cpu_spread(
@@ -1367,18 +1341,11 @@ def documents_as_flac_media(
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": [
-                        encode_local(
-                            [(v - 128) * 256 for v in bytes(t, "utf-8")],
-                            sample_rate,
-                            1,
-                        )
-                        for t in pdf["text"]
-                    ],
-                }
+            yield from _chunked_media_yield(
+                pdf,
+                lambda _m, t: encode_local(
+                    [(v - 128) * 256 for v in bytes(t, "utf-8")], sample_rate, 1
+                ),
             )
 
     return _cpu_spread(
