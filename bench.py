@@ -22,6 +22,24 @@ further warm runs, with the min-max spread recorded alongside. Cheap
 queries (<=2 s) keep best-of-2 (the compile run + one warm run) — their
 absolute noise is bounded by the threshold.
 
+Round-over-round self-attribution (round-7 verdict #2: the sf0.1 drift
+shipped unexplained because nothing compared against the previous
+sidecar): before overwriting ``BENCH_SUMMARY.json``, the PREVIOUS
+summary for the same sf (working tree if it matches, else the last
+committed copy — local smoke runs at other SFs overwrite the tree) is
+loaded and a per-query ``deltas_vs_prev`` block is emitted. Every
+steady-state regression >15% is auto-probed in-session (4 extra warm
+runs, the tools/probe_regression.py protocol) and lands with a NAMED
+cause: ``converges-at-steady-state`` (probe best within 15% of prev —
+measurement depth, not a plan change), ``stage-metric-shift:<k>``
+(shuffle/spill delta >20% vs the previous round's stage metrics — a
+plan or data change), ``session-config-change`` (the session
+fingerprint differs — re-probe under the previous config before
+believing the wall), or ``persistent-unexplained`` (stays slow at
+steady state with unchanged stage metrics — environment or code path;
+needs review). The session fingerprint (heap, shuffle partitions,
+master) is recorded so config drift is visible in the sidecar itself.
+
 Scale sweep: when larger-scale data exists (generate with
 ``python tools/gen_scale.py`` -> ``.scaledata/sf1``, a 10x TPC-H-faithful
 replication of sf0.1), the soak subset — the shuffle-heavy joins plus the
@@ -175,6 +193,152 @@ SOAK_QUERIES = [
 
 
 _WARM_THRESHOLD_S = 2.0
+
+# --- round-over-round self-attribution knobs ---
+_DRIFT = 0.15  # relative steady-state delta that demands an attribution
+_PROBE_RUNS = 4  # extra warm runs per flagged regression (probe protocol)
+_PROBE_BUDGET = 8  # worst regressions probed per bench run (cost bound)
+_MIN_ABS_S = 0.2  # both-rounds-under-this deltas are timer noise, skipped
+_METRIC_SHIFT = 0.2  # stage-metric relative change that names a cause
+
+
+def _session_fingerprint(spark) -> dict:
+    """The config axes that have historically moved wall-clock between
+    rounds (r5: initialPartitionNum; r7: driver heap) — recorded in the
+    sidecar so a config-driven delta is attributable from the JSON alone."""
+    conf = spark.conf
+    return {
+        "driver_memory": spark.sparkContext.getConf().get("spark.driver.memory", "?"),
+        "shuffle_partitions": conf.get("spark.sql.shuffle.partitions"),
+        "initial_partitions": conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        ),
+        "master": spark.sparkContext.master,
+    }
+
+
+def _prev_summary(here: str, sf: float) -> dict | None:
+    """The previous round's sidecar for the SAME scale factor: the
+    working-tree BENCH_SUMMARY.json when its sf matches, else the last
+    COMMITTED copy (iterating locally at another sf overwrites the tree;
+    the committed sidecar is the round-over-round baseline)."""
+    import subprocess
+
+    cands = []
+    try:
+        with open(os.path.join(here, "BENCH_SUMMARY.json")) as f:
+            cands.append(json.load(f))
+    except Exception:
+        pass
+    try:
+        blob = subprocess.run(
+            ["git", "show", "HEAD:BENCH_SUMMARY.json"],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        )
+        if blob.returncode == 0:
+            cands.append(json.loads(blob.stdout))
+    except Exception:
+        pass
+    for c in cands:
+        if c.get("sf") == sf and isinstance(c.get("queries"), dict):
+            return c
+    return None
+
+
+def _metric_shift(prev_m: dict | None, cur_m: dict | None) -> str | None:
+    """Name the largest shuffle/spill metric that moved >_METRIC_SHIFT
+    between rounds, or None when both sides are missing or flat."""
+    if not prev_m or not cur_m:
+        return None
+    worst_key, worst_rel = None, _METRIC_SHIFT
+    for k, cur in cur_m.items():
+        prev = prev_m.get(k, 0)
+        base = max(prev, 1 << 20)  # ignore sub-MiB wiggle
+        rel = abs(cur - prev) / base
+        if rel > worst_rel:
+            worst_key, worst_rel = k, rel
+    if worst_key is None:
+        return None
+    return f"{worst_key} {prev_m.get(worst_key, 0)} -> {cur_m[worst_key]}"
+
+
+def _attribute_deltas(
+    prev: dict,
+    timings: dict[str, float],
+    registry,
+    spark,
+    sf_dir: str,
+    fingerprint: dict,
+    cur_stage_metrics: dict | None,
+) -> dict:
+    """Per-query round-over-round deltas with auto-probed causes for
+    every >_DRIFT steady-state regression (the round-6 protocol, now
+    enforced by the tool instead of promised by the process)."""
+    prev_q: dict[str, float] = prev.get("queries", {})
+    prev_fp: dict = prev.get("session", {})
+    sf_key = f"{prev.get('sf'):g}"
+    prev_sm = (prev.get("stage_metrics") or {}).get(sf_key, {})
+    cur_sm = (cur_stage_metrics or {}).get(sf_key, {})
+
+    deltas: dict[str, dict] = {}
+    regressions: list[tuple[float, str]] = []
+    for name, cur in timings.items():
+        pv = prev_q.get(name)
+        if pv is None or pv <= 0:
+            continue
+        ratio = cur / pv
+        if abs(ratio - 1.0) <= _DRIFT or max(cur, pv) < _MIN_ABS_S:
+            continue
+        rec = {"prev": pv, "cur": cur, "ratio": round(ratio, 2)}
+        if ratio < 1.0:
+            rec["cause"] = "improvement"
+            deltas[name] = rec
+        else:
+            deltas[name] = rec
+            regressions.append((ratio, name))
+
+    fp_diff = {
+        k: {"prev": prev_fp.get(k), "cur": v}
+        for k, v in fingerprint.items()
+        if prev_fp and prev_fp.get(k) != v
+    }
+    regressions.sort(reverse=True)
+    for i, (_, name) in enumerate(regressions):
+        rec = deltas[name]
+        if i >= _PROBE_BUDGET:
+            rec["cause"] = "unprobed (probe budget exhausted; worst offenders probed first)"
+            continue
+        if name not in registry:
+            rec["cause"] = "non-registry benchmark (etl/scan pair) — not auto-probed"
+            continue
+        # probe protocol: _PROBE_RUNS extra warm runs at session steady state
+        fn = registry[name].fn
+        runs = []
+        for _ in range(_PROBE_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        steady = min(runs)
+        rec["probe_runs"] = runs
+        rec["steady"] = steady
+        if steady <= rec["prev"] * (1.0 + _DRIFT):
+            rec["cause"] = (
+                "converges-at-steady-state (measurement depth / warm-up "
+                "tail, not a plan change)"
+            )
+            continue
+        shift = _metric_shift(prev_sm.get(name), cur_sm.get(name))
+        if shift:
+            rec["cause"] = f"stage-metric-shift: {shift}"
+        elif fp_diff:
+            rec["cause"] = f"session-config-change: {fp_diff}"
+        else:
+            rec["cause"] = (
+                "persistent-unexplained: steady-state stays "
+                f"{steady / rec['prev']:.2f}x prev with stage metrics "
+                "unchanged — environment or code-path change; needs review"
+            )
+    return deltas
 
 
 def _time_query(run, snapshot=None, delta=None):
@@ -515,16 +679,33 @@ def main() -> None:
                 "with fixed overhead)"
             )
 
+    # ---- round-over-round self-attribution (round-7 verdict #2) ----
+    here = os.path.dirname(os.path.abspath(__file__))
+    fingerprint = _session_fingerprint(spark)
+    out["session"] = fingerprint
+    prev = _prev_summary(here, float(sf))
+    if prev is not None:
+        out["deltas_vs_prev"] = _attribute_deltas(
+            prev, timings, registry, spark, sf_dir, fingerprint,
+            out.get("stage_metrics"),
+        )
+
     # Complete result -> sidecar; final stdout line kept under the
     # driver's ~2000-char tail capture so it always parses.
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_SUMMARY.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     line = dict(out)
     line["detail"] = "BENCH_SUMMARY.json"
     for bulky in ("sweep", "sweep_spread", "stage_metrics", "spread",
-                  "scaling_exponent", "scaling_note", "skipping"):
+                  "scaling_exponent", "scaling_note", "skipping",
+                  "deltas_vs_prev", "session"):
         line.pop(bulky, None)
+    if "deltas_vs_prev" in out:
+        d = out["deltas_vs_prev"]
+        line["deltas_vs_prev_count"] = len(d)
+        line["regressions_unexplained"] = sum(
+            1 for r in d.values() if str(r.get("cause", "")).startswith("persistent")
+        )
     budget = 1800
     if len(json.dumps(line)) > budget:
         # keep the slowest queries that fit; the sidecar has the rest

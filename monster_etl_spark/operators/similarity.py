@@ -223,6 +223,18 @@ IVF_CENTROIDS = 16
 IVF_PROBES = 4
 IVF_KMEANS_ITERS = 3
 
+#: cell count below which two-level assignment cannot win: per-row cost is
+#: ~(1 + sup_probes) * sqrt(cells) dots vs ``cells`` flat, so the crossover
+#: is cells ~ 25 at sup_probes=4; 64 adds margin for the index-build jobs.
+#: Below it "auto" stays flat WITHOUT a count job — the guard is what keeps
+#: the default small-cell kNN paths (IVF_CENTROIDS=16) zero-overhead.
+TWO_LEVEL_MIN_CELLS = 64
+
+#: super-cells probed per row in two-level assignment (boundary vectors'
+#: true cell often lives in a runner-up super: measured 64% flat-agreement
+#: at probes=1 vs 95%+ at probes=4 — see two_level_assign).
+TWO_LEVEL_SUP_PROBES = 4
+
 
 def _centroid_array(cent: DataFrame) -> DataFrame:
     """Collapse a (cent_id, cv) centroid table into ONE row holding the
@@ -407,7 +419,14 @@ def kmeans_centroids(
 
 
 def _ivf_assign(
-    df: DataFrame, cent_arr: DataFrame, idc: str, vecc: str, keep_vec: str, top: int
+    df: DataFrame,
+    cent_arr: DataFrame,
+    idc: str,
+    vecc: str,
+    keep_vec: str,
+    top: int,
+    two_level: DataFrame | None = None,
+    sup_probes: int = 4,
 ) -> DataFrame:
     """Cell assignment against a broadcast 1-row centroid array: top=1 ->
     (id, unit vec, cent_id); top=n -> one exploded row per probed cell.
@@ -419,7 +438,34 @@ def _ivf_assign(
     select trips Spark's lateral-column-alias resolution when combined
     with explode. The UNIT vector rides along as ``keep_vec`` (referenced
     once outside any lambda -> computed once per row even after
-    projection collapse), so downstream pair scoring is a single dot."""
+    projection collapse), so downstream pair scoring is a single dot.
+
+    ``two_level`` (a broadcast :func:`_two_level_index` row) swaps the
+    flat N x cells ranking for the coarse-then-fine quantizer — ~(1 +
+    ``sup_probes``) * sqrt(cells) dots per row, the measured sf10 cure
+    for the flat argmax's N^1.5 wall (328 s flat vs 20 s two-level,
+    identical pairs). Same output schema either way; the two-level
+    forms are APPROXIMATE (documented in their helpers)."""
+    if two_level is not None:
+        # same two-projection discipline as the flat path below: compute
+        # the cell/probe column while ``vecc`` still resolves to the RAW
+        # vector, THEN re-alias ``_u`` — one select would resolve ``vecc``
+        # as a lateral alias of the new unit column (and trip Spark's
+        # LateralColumnAliasReference assertion under explode)
+        scored = _with_unit(df.crossJoin(two_level), vecc, "_u")
+        if top == 1:
+            return (
+                scored.withColumn("_cell", _two_level_cells(F.col(vecc), sup_probes))
+                .select(F.col(idc), F.col("_u").alias(keep_vec), F.col("_cell").alias("cent_id"))
+            )
+        return (
+            scored.withColumn("_probes", _two_level_probe_ids(F.col(vecc), sup_probes, top))
+            .select(
+                F.col(idc),
+                F.col("_u").alias(keep_vec),
+                F.explode("_probes").alias("cent_id"),
+            )
+        )
     scored = _with_unit(df.crossJoin(cent_arr), vecc, "_u")
     if top == 1:
         return (
@@ -447,9 +493,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_centroids: int = IVF_CENTROIDS,
+    n_centroids: int | None = IVF_CENTROIDS,
     n_probes: int = IVF_PROBES,
     kmeans_iters: int = IVF_KMEANS_ITERS,
+    assignment: str = "auto",
+    sup_probes: int = TWO_LEVEL_SUP_PROBES,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is inverted into
     ``n_centroids`` cells (nearest-centroid assignment); a query probes its
@@ -467,17 +516,34 @@ def ivf_topk(
     brute-force ranking, and the registry query carries a FULL-pipeline
     DuckDB oracle (queries/similarity_queries.py::KNN_IVF_SQL) that
     replays the fixed-seed k-means and both assignments in SQL.
+
+    100x-scale knobs (all resolved by :func:`_resolve_ivf_knobs`, the
+    SemDeDup auto rules): ``n_centroids=None`` scales cells ~sqrt(N) —
+    a fixed cell count makes in-cell pair work N²/k; ``assignment="auto"``
+    swaps BOTH flat N x cells rankings (corpus argmax AND query probe
+    sets) for the two-level coarse quantizer at >= 100k corpus rows and
+    >= 64 cells (measured sf10, 200k rows x 447 auto cells: flat corpus
+    assignment is the dominant term; two-level is ~(1+sup_probes) *
+    sqrt(cells) dots/row); ``fit_fraction=None`` sample-bounds the Lloyd
+    fit whenever the corpus was counted. The oracle-pinned default
+    (``n_centroids=16`` < TWO_LEVEL_MIN_CELLS) takes none of these
+    paths — no count job, flat exact plan, byte-identical results.
     """
-    cent_arr = F.broadcast(
-        _centroid_array(kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters))
+    n_centroids, assignment, fit_fraction = _resolve_ivf_knobs(
+        corpus, n_centroids, assignment, fit_fraction
     )
+    cent = kmeans_centroids(
+        corpus, id_col, vec_col, n_centroids, kmeans_iters, fit_fraction=fit_fraction
+    )
+    cent_arr = F.broadcast(_centroid_array(cent))
+    tl = F.broadcast(_two_level_index(cent)) if assignment == "two_level" else None
     c_assigned = _ivf_assign(
         _spread(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))),
-        cent_arr, "neighbor_id", "nv", "nv", 1,
+        cent_arr, "neighbor_id", "nv", "nv", 1, two_level=tl, sup_probes=sup_probes,
     )
     q_assigned = _ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        cent_arr, "query_id", "qv", "qv", n_probes,
+        cent_arr, "query_id", "qv", "qv", n_probes, two_level=tl, sup_probes=sup_probes,
     )
     scored = (
         q_assigned.join(c_assigned, "cent_id")
@@ -514,15 +580,67 @@ def auto_centroids(n_rows: int) -> int:
 TWO_LEVEL_AUTO_MIN_ROWS = 100_000
 
 
-def resolve_assignment(assignment: str, n_rows: int) -> str:
+def resolve_assignment(assignment: str, n_rows: int, n_cells: int | None = None) -> str:
     """Resolve the ``assignment`` knob: ``"auto"`` picks the exact flat
     argmax below :data:`TWO_LEVEL_AUTO_MIN_ROWS` rows and the two-level
     coarse quantizer at or above it (the N x cells flat assignment is
     the measured N^1.5 scale-killer — round-3 SCALE.md alpha 1.44);
-    explicit ``"flat"``/``"two_level"`` pass through unchanged."""
+    explicit ``"flat"``/``"two_level"`` pass through unchanged. When
+    ``n_cells`` is known, "auto" additionally stays flat below
+    :data:`TWO_LEVEL_MIN_CELLS` cells — two-level costs MORE dots per
+    row than a small flat argmax."""
     if assignment == "auto":
+        if n_cells is not None and n_cells < TWO_LEVEL_MIN_CELLS:
+            return "flat"
         return "two_level" if n_rows >= TWO_LEVEL_AUTO_MIN_ROWS else "flat"
     return assignment
+
+
+def _resolve_ivf_knobs(
+    corpus: DataFrame,
+    n_centroids: int | None,
+    assignment: str,
+    fit_fraction: float | None,
+) -> tuple:
+    """Shared knob resolution for the kNN index builders (``ivf_topk``,
+    ``ivf_topk_arrow``, ``ivfpq_topk``) — the same auto rules SemDeDup
+    uses (``semantic_dup_pairs``), factored so every IVF-family entry
+    point dispatches identically:
+
+    - ``n_centroids=None`` -> ``auto_centroids`` (~sqrt(N)): a FIXED cell
+      count degenerates in-cell scoring to N²/k as the corpus grows;
+    - ``assignment="auto"`` -> two-level coarse quantization at or above
+      :data:`TWO_LEVEL_AUTO_MIN_ROWS` rows AND :data:`TWO_LEVEL_MIN_CELLS`
+      cells (the flat N x cells argmax is the measured sf10 scale-killer:
+      328 s flat vs 20 s two-level, identical pairs);
+    - ``fit_fraction=None`` -> sample-bounded Lloyd fit
+      (max(PER_CELL * cells, MIN_SAMPLE) vectors) whenever the corpus was
+      counted anyway — without it each Lloyd round is its own N x cells
+      pass.
+
+    ZERO-OVERHEAD fast path: an explicit ``n_centroids`` below
+    :data:`TWO_LEVEL_MIN_CELLS` (the registry's oracle-pinned
+    IVF_CENTROIDS=16) resolves flat with NO count job and an exact full
+    fit — plans for every oracle-pinned query are byte-identical to the
+    pre-knob code. Returns (n_centroids, assignment, fit_fraction).
+    """
+    if (
+        assignment == "auto"
+        and n_centroids is not None
+        and n_centroids < TWO_LEVEL_MIN_CELLS
+    ):
+        assignment = "flat"
+    if n_centroids is None or assignment == "auto":
+        n_rows = corpus.count()
+        if n_centroids is None:
+            n_centroids = auto_centroids(n_rows)
+        assignment = resolve_assignment(assignment, n_rows, n_centroids)
+        if fit_fraction is None:
+            target = max(SEMANTIC_FIT_PER_CELL * n_centroids, SEMANTIC_FIT_MIN_SAMPLE)
+            fit_fraction = min(1.0, target / max(1, n_rows))
+    if fit_fraction is None:
+        fit_fraction = 1.0
+    return n_centroids, assignment, fit_fraction
 
 
 #: auto fit-sample sizing: fit the Lloyd loop on ~max(PER_CELL * cells,
@@ -660,7 +778,7 @@ def semantic_dup_pairs(
         n_rows = corpus.count()
         if n_centroids is None:
             n_centroids = auto_centroids(n_rows)
-        assignment = resolve_assignment(assignment, n_rows)
+        assignment = resolve_assignment(assignment, n_rows, n_centroids)
         if fit_fraction is None:
             target = max(SEMANTIC_FIT_PER_CELL * n_centroids, SEMANTIC_FIT_MIN_SAMPLE)
             fit_fraction = min(1.0, target / max(1, n_rows))
@@ -971,9 +1089,10 @@ def ivf_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_centroids: int = IVF_CENTROIDS,
+    n_centroids: int | None = IVF_CENTROIDS,
     n_probes: int = IVF_PROBES,
     kmeans_iters: int = IVF_KMEANS_ITERS,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """``ivf_topk`` with the cell assignment + in-cell scoring fused into
     one Arrow-vectorized numpy kernel — same centroids (the JVM
@@ -982,6 +1101,18 @@ def ivf_topk_arrow(
     disappears: each corpus batch is assigned AND scored in a single
     narrow ``mapInPandas`` pass, so only <= q x (k+ties) candidate rows
     ever shuffle, for the final rank on query_id).
+
+    ``n_centroids=None`` / ``fit_fraction=None`` resolve exactly as in
+    :func:`ivf_topk` (auto ~sqrt(N) cells, sample-bounded Lloyd fit).
+    Assignment stays the EXACT flat GEMM regardless of corpus size: BLAS
+    moves the N x cells constant ~100x below the interpreted-HOF flat
+    path the two-level quantizer exists to cure, so at auto cells ~
+    sqrt(N) the kernel's assignment FLOPs stay a small fraction of the
+    decode+score pass until corpora far beyond this engine's measured
+    decades; bit-parity with the JVM path is therefore asserted only on
+    the flat (< 100k rows or < 64 cells) configurations both sides
+    share — above that the kernel is the EXACT variant of an
+    approximate JVM plan.
 
     Bit-parity uses the same select-then-rescore discipline as
     ``brute_force_topk_arrow``: BLAS GEMMs pick candidate cells/pairs
@@ -1009,7 +1140,12 @@ def ivf_topk_arrow(
     """
     import numpy as np
 
-    cent_rows = kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters).collect()
+    # "flat" pins assignment (the kernel's GEMM IS the flat path); only
+    # the auto-cells / sampled-fit rules apply here
+    n_centroids, _, fit_fraction = _resolve_ivf_knobs(corpus, n_centroids, "flat", fit_fraction)
+    cent_rows = kmeans_centroids(
+        corpus, id_col, vec_col, n_centroids, kmeans_iters, fit_fraction=fit_fraction
+    ).collect()
     if not cent_rows:  # empty corpus -> nothing to probe; empty result
         return queries.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine_sim double, rank long"
@@ -1510,11 +1646,14 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_centroids: int = IVF_CENTROIDS,
+    n_centroids: int | None = IVF_CENTROIDS,
     n_probes: int = IVF_PROBES + 2,  # pruning + quantization losses compound
     m: int = PQ_SUBSPACES,
     n_codes: int = PQ_CODES,
     shortlist_factor: int = PQ_SHORTLIST_FACTOR,
+    assignment: str = "auto",
+    sup_probes: int = TWO_LEVEL_SUP_PROBES,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF-PQ: the full FAISS-style ANN deployment shape (Jégou et al.
     2011) — coarse cells PRUNE (a query's ADC pass touches only its
@@ -1534,13 +1673,25 @@ def ivfpq_topk(
     (slim rows: id + cell + m codes); the probe pass is an equi-join on
     cent_id against broadcast per-query LUTs; the exact re-rank touches
     raw vectors for shortlist rows only. Deterministic end to end.
+
+    ``n_centroids=None`` / ``assignment="auto"`` / ``fit_fraction=None``
+    resolve via :func:`_resolve_ivf_knobs` exactly as in
+    :func:`ivf_topk` — auto ~sqrt(N) cells, two-level coarse
+    quantization for both assignment sides at >= 100k rows and >= 64
+    cells, sample-bounded Lloyd fit. The oracle-pinned default
+    (IVF_CENTROIDS=16) stays on the exact flat path with no count job.
     """
-    cent_arr = F.broadcast(
-        _centroid_array(kmeans_centroids(corpus, id_col, vec_col, n_centroids, IVF_KMEANS_ITERS))
+    n_centroids, assignment, fit_fraction = _resolve_ivf_knobs(
+        corpus, n_centroids, assignment, fit_fraction
     )
+    cent = kmeans_centroids(
+        corpus, id_col, vec_col, n_centroids, IVF_KMEANS_ITERS, fit_fraction=fit_fraction
+    )
+    cent_arr = F.broadcast(_centroid_array(cent))
+    tl = F.broadcast(_two_level_index(cent)) if assignment == "two_level" else None
     c_cells = _ivf_assign(
         _spread(corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))),
-        cent_arr, "nid", "nv", "nv", 1,
+        cent_arr, "nid", "nv", "nv", 1, two_level=tl, sup_probes=sup_probes,
     ).select("nid", "cent_id")
     books = pq_codebooks(corpus, id_col, vec_col, m, n_codes)
     codes = pq_encode(corpus, books, id_col, vec_col, m).select(
@@ -1551,7 +1702,7 @@ def ivfpq_topk(
 
     q_probes = _ivf_assign(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
-        cent_arr, "qid", "qv", "qv", n_probes,
+        cent_arr, "qid", "qv", "qv", n_probes, two_level=tl, sup_probes=sup_probes,
     ).select("qid", "cent_id")
     qsub = _sub_rows(queries, id_col, vec_col, m)
     lut = (
@@ -1645,58 +1796,72 @@ def _scored_structs(arr: Column, vec: Column, id_field: str) -> Column:
     )
 
 
-def _two_level_cells(vec: Column, sup_probes: int) -> Column:
-    """Per-row two-level nearest-cell id against broadcast ``supers``
-    (array<struct<sup_id, sv>>) + ``members`` (map<sup_id,
-    array<struct<cent_id, cv>>>): rank the super-centroids, then argmax
-    over the UNION of the top-``sup_probes`` supers' member centroids
-    (single-probe misassigns boundary vectors whose true cell lives in
-    the runner-up super — measured 64% agreement at probes=1 vs 95%+ at
-    probes=4). Both levels use the unit-centroid dot ranking of
-    :func:`_scored_cents`. If every probed super lost all members (a
-    super can end empty after the final Lloyd mean update), falls back
-    to the flat argmax over ALL members — a dropped vector would
-    silently lose its duplicates, which is worse than paying the full
-    scan for the rare orphan row."""
+def _pooled_members(vec: Column, sup_probes: int) -> Column:
+    """Union of the top-``sup_probes`` super-cells' member centroids for
+    ``vec``, against broadcast ``supers`` (array<struct<sup_id, sv>>) +
+    ``members`` (map<sup_id, array<struct<cent_id, cv>>>) — the shared
+    coarse stage of both two-level forms (argmax assignment and top-n
+    probe sets). Single-probe misassigns boundary vectors whose true
+    cell lives in the runner-up super — measured 64% flat-agreement at
+    probes=1 vs 95%+ at probes=4."""
     top_sups = F.transform(
         F.slice(F.reverse(F.array_sort(_scored_structs(F.col("supers"), vec, "sup_id"))), 1, sup_probes),
         lambda s: s.getField("sup_id"),
     )
-    pooled = F.flatten(
+    return F.flatten(
         F.transform(top_sups, lambda sid: F.coalesce(
             F.element_at(F.col("members"), sid),
             F.array().cast("array<struct<cent_id:bigint,cv:array<double>>>"),
         ))
     )
+
+
+def _two_level_cells(vec: Column, sup_probes: int) -> Column:
+    """Per-row two-level nearest-cell id: rank the super-centroids, then
+    argmax over the UNION of the top-``sup_probes`` supers' member
+    centroids (:func:`_pooled_members`). Both levels use the
+    unit-centroid dot ranking of :func:`_scored_cents`. If every probed
+    super lost all members (a super can end empty after the final Lloyd
+    mean update), falls back to the flat argmax over ALL members — a
+    dropped vector would silently lose its duplicates, which is worse
+    than paying the full scan for the rare orphan row."""
+    pooled = _pooled_members(vec, sup_probes)
     probed = F.array_max(_scored_structs(pooled, vec, "cent_id")).getField("cent_id")
     all_members = F.flatten(F.map_values(F.col("members")))
     fallback = F.array_max(_scored_structs(all_members, vec, "cent_id")).getField("cent_id")
     return F.when(F.size(pooled) > 0, probed).otherwise(fallback)
 
 
-def two_level_assign(
-    corpus: DataFrame,
-    cent: DataFrame,
-    id_col: str,
-    vec_col: str,
-    n_super: int | None = None,
-    sup_probes: int = 4,
-) -> DataFrame:
-    """Two-level (coarse-then-fine) nearest-centroid assignment — the
-    IVF-of-IVF trick that breaks the N x cells argmax wall: cluster the
-    CENTROID TABLE into ~sqrt(cells) super-centroids (a metadata-sized
-    k-means), broadcast supers + a super->members map in one row, and
-    per corpus row score supers first, then only the chosen super's
-    members — ~2*sqrt(cells) dot products per row instead of cells.
+def _two_level_probe_ids(vec: Column, sup_probes: int, n_probes: int) -> Column:
+    """Per-row two-level top-``n_probes`` cell ids (the QUERY side of a
+    two-level IVF): rank supers, pool the top-``sup_probes`` supers'
+    members, take the ``n_probes`` highest-dot members — ~(1 +
+    sup_probes) * sqrt(cells) dots per row instead of ``cells``, same
+    asymptotic cut as :func:`_two_level_cells`. APPROXIMATE relative to
+    the flat top-n: a probe cell ranked n-th overall but living outside
+    every probed super is missed (boundary effect, same contract as the
+    assignment side; recall is covered by the shortlist re-rank
+    downstream). A pool smaller than ``n_probes`` yields fewer probes;
+    an EMPTY pool (all probed supers emptied by Lloyd) falls back to
+    the flat top-n over all members."""
+    pooled = _pooled_members(vec, sup_probes)
+    top_n = lambda arr: F.transform(  # noqa: E731 — local ranking shorthand
+        F.slice(F.reverse(F.array_sort(_scored_structs(arr, vec, "cent_id"))), 1, n_probes),
+        lambda s: s.getField("cent_id"),
+    )
+    all_members = F.flatten(F.map_values(F.col("members")))
+    return F.when(F.size(pooled) > 0, top_n(pooled)).otherwise(top_n(all_members))
 
-    APPROXIMATE: a vector whose true nearest centroid lives outside all
-    ``sup_probes`` probed super-cells is misassigned (boundary effect —
-    agreement with flat assignment measured in tests and SCALE.md). The
-    flat argmax stays the default everywhere an oracle pins exact
-    output. Per-row cost: n_super + sup_probes * avg_members ~
-    (1 + sup_probes) * sqrt(cells) dots instead of cells.
-    Returns (id, cell_id).
-    """
+
+def _two_level_index(cent: DataFrame, n_super: int | None = None) -> DataFrame:
+    """Build the ONE-row broadcastable two-level index over a (cent_id,
+    cv) centroid table: cluster the CENTROIDS into ~sqrt(cells)
+    super-centroids (a metadata-sized k-means), assign each centroid to
+    its super, and pack ``supers`` (array<struct<sup_id, sv>>) + a
+    ``members`` map (sup_id -> array<struct<cent_id, cv>>) into a single
+    row. Shared by :func:`two_level_assign` (SemDeDup) and the
+    two-level dispatch inside :func:`_ivf_assign` (kNN IVF family).
+    Everything here is centroid-table-scale — never touches the corpus."""
     import math
 
     n_cells = cent.count()
@@ -1721,7 +1886,7 @@ def two_level_assign(
         )
     )
     # ONE broadcast row: supers array + sup_id -> member-centroids map
-    index_row = (
+    return (
         cent_assigned.groupBy("sup_id")
         .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("mem"))
         .agg(
@@ -1731,6 +1896,32 @@ def two_level_assign(
         )
         .crossJoin(F.broadcast(sup.agg(F.array_sort(F.collect_list(F.struct("sup_id", "sv"))).alias("supers"))))
     )
+
+
+def two_level_assign(
+    corpus: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_super: int | None = None,
+    sup_probes: int = TWO_LEVEL_SUP_PROBES,
+) -> DataFrame:
+    """Two-level (coarse-then-fine) nearest-centroid assignment — the
+    IVF-of-IVF trick that breaks the N x cells argmax wall: cluster the
+    CENTROID TABLE into ~sqrt(cells) super-centroids (a metadata-sized
+    k-means), broadcast supers + a super->members map in one row, and
+    per corpus row score supers first, then only the chosen super's
+    members — ~2*sqrt(cells) dot products per row instead of cells.
+
+    APPROXIMATE: a vector whose true nearest centroid lives outside all
+    ``sup_probes`` probed super-cells is misassigned (boundary effect —
+    agreement with flat assignment measured in tests and SCALE.md). The
+    flat argmax stays the default everywhere an oracle pins exact
+    output. Per-row cost: n_super + sup_probes * avg_members ~
+    (1 + sup_probes) * sqrt(cells) dots instead of cells.
+    Returns (id, cell_id).
+    """
+    index_row = _two_level_index(cent, n_super)
     return (
         _spread(corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
         .crossJoin(F.broadcast(index_row))
