@@ -113,6 +113,61 @@ def _build_gif_codec(force_scalar=False):
         out += b"\x00"
         return bytes(out)
 
+    def pack_lzw_8bit_rows(rows):
+        """Pooled ``_pack_lzw_8bit`` over a UNIFORM-length batch: ``rows``
+        is an (F, L) uint8 matrix (or list of equal-length byte strings);
+        returns ``[image_data_block, ...]`` — each byte-identical to
+        ``_pack_lzw_8bit(row)`` (asserted in tests/test_gif.py). The code
+        layout of the clear-every-254 construction is a fixed TEMPLATE for
+        a given L (literal i lands at column 1 + i + i//254), so the whole
+        batch builds as three 2-D column assignments, one broadcast
+        bit-expand, and one axis-1 ``packbits`` — numpy calls per BATCH
+        instead of per frame (round-8: the encode adapter owned more than
+        half the sf1 gif_frame wall)."""
+        CLEAR, _END = 256, 257
+        if np is None:
+            return [_pack_lzw_8bit(bytes(r)) for r in rows]
+        mat = np.asarray(
+            [np.frombuffer(bytes(r), np.uint8) for r in rows]
+            if not isinstance(rows, np.ndarray) else rows,
+            dtype=np.uint8,
+        )
+        F, L = mat.shape if mat.ndim == 2 else (0, 0)
+        if F == 0:
+            return []
+        if L == 0:
+            return [_pack_lzw_8bit(b"") for _ in range(F)]
+        lit_cols = 1 + np.arange(L, dtype=np.int64) + np.arange(L, dtype=np.int64) // 254
+        n_codes = int(lit_cols[-1]) + 2  # + trailing END
+        clear_cols = np.setdiff1d(
+            np.arange(n_codes - 1, dtype=np.int64), lit_cols, assume_unique=False
+        )
+        codes = np.empty((F, n_codes), np.uint16)
+        codes[:, lit_cols] = mat
+        codes[:, clear_cols] = CLEAR
+        codes[:, -1] = _END
+        nbits = 9 * n_codes
+        pad = (-nbits) % 8
+        bits = np.zeros((F, nbits + pad), np.uint8)
+        bits[:, :nbits] = (
+            (codes[:, :, None] >> np.arange(9, dtype=np.uint16)) & 1
+        ).reshape(F, nbits)
+        streams = np.packbits(bits, axis=1, bitorder="little")
+        slen = streams.shape[1]
+        # 255-byte sub-block chunking — uniform, so the block layout is a
+        # template too; assemble per frame from raw-byte views
+        out = []
+        sview = streams.tobytes()
+        for f in range(F):
+            s = sview[f * slen : (f + 1) * slen]
+            blk = bytearray(bytes([8]))
+            for i in range(0, slen, 255):
+                chunk = s[i : i + 255]
+                blk += bytes([len(chunk)]) + chunk
+            blk += b"\x00"
+            out.append(bytes(blk))
+        return out
+
     def _identity_header(sw, sh, bg=0):
         """GIF89a header + logical screen + identity 256-gray palette."""
         out = bytearray(b"GIF89a")
@@ -739,15 +794,426 @@ def _build_gif_codec(force_scalar=False):
 
     _lzw = _lzw_scalar if np is None else _lzw_np
 
+    # ------------------------------------------------------------------
+    # Pooled batch timeline decode (round-7 verdict "Next round" #3): the
+    # per-blob ``decode_frame_stats`` spends its wall in ~6 tiny numpy
+    # calls PER FRAME (bit unpack, matmul, masked scatter, two sums) —
+    # overhead-dominated at ~1 KB/frame. The batch path applies the JPEG
+    # lockstep-lane discipline:
+    #   Phase A: scalar structure walk per blob (cheap byte parsing) into
+    #            flat per-frame records + ONE pooled data buffer;
+    #   Phase B: LZW code extraction pooled across ALL frames of ALL
+    #            blobs — codes come from a 3-byte window gather
+    #            ((pool[p>>3] | pool[..+1]<<8 | pool[..+2]<<16) >> (p&7))
+    #            & mask over a segmented bit-position array, so the whole
+    #            batch is ~6 large vector ops instead of 6 ops x frames.
+    #            The all-literals fast-path checks (max code <= CLEAR, no
+    #            width bump possible: max literal run between CLEARs <=
+    #            2^w - CLEAR - 2, END/cap/limit rule) run segment-
+    #            vectorized via reduceat; any frame failing them falls
+    #            back to the exact per-frame ``_lzw_np``.
+    #   Phase C: lockstep canvas composition — all live blobs advance
+    #            frame round k together; rect scatter/gather, visibility
+    #            masks, palette lookups, and per-lane R-sum deltas are
+    #            single segmented vector ops over an R-PLANE canvas pool
+    #            (stats only read the R channel; composing 1 byte/px
+    #            instead of 3 is exact for r_sum by construction).
+    # Byte parity: output tuples are asserted equal to the per-blob
+    # ``decode_frame_stats`` (itself parity-pinned to ``decode_frames``)
+    # on planted + adversarial streams in tests/test_gif.py.
+    # ------------------------------------------------------------------
+
+    def _segarange(lens):
+        """[2,3] -> [0,1,0,1,2] (int32 — every pooled buffer a chunk
+        builds is bounded far under 2^31 by the 256-blob sub-batches)."""
+        lens = np.asarray(lens, np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return np.zeros(0, np.int32)
+        ends = np.cumsum(lens)
+        out = np.arange(total, dtype=np.int32)
+        out -= np.repeat((ends - lens).astype(np.int32), lens)
+        return out
+
+    def _parse_timeline(b, max_frames):
+        """Phase A: structure walk only (no pixel decode). Returns
+        ``(sw, sh, bg_r, frames)`` where each frame is a dict of rect /
+        control / palette-R / raw LZW payload, or ``None`` on any
+        malformed structure — the EXACT accept/reject rules of
+        ``_decode_frame_stats`` (same early Nones, same GCE pending-state
+        reset, same stop-at-max_frames)."""
+        if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        sw, sh = struct.unpack("<HH", b[6:10])
+        if not sw or not sh:
+            return None
+        packed = b[10]
+        bg_index = b[11]
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = b[i : i + 3 * n]
+            i += 3 * n
+        if gct is not None and bg_index < len(gct) // 3:
+            bg_r = gct[3 * bg_index]
+        else:
+            bg_r = 0
+        frames = []
+        disposal, delay, trans = 0, 0, None
+        while i < len(b):
+            blk = b[i]
+            i += 1
+            if blk == 0x3B:
+                break
+            if blk == 0x21:
+                label = b[i]
+                i += 1
+                if label == 0xF9 and b[i] >= 4:
+                    flags = b[i + 1]
+                    delay = struct.unpack("<H", b[i + 2 : i + 4])[0]
+                    disposal = (flags >> 2) & 7
+                    trans = b[i + 4] if flags & 1 else None
+                while b[i]:
+                    i += 1 + b[i]
+                i += 1
+                continue
+            if blk != 0x2C:
+                return None
+            left, top, w, h = struct.unpack("<HHHH", b[i : i + 8])
+            ipacked = b[i + 8]
+            i += 9
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = b[i : i + 3 * n]
+                i += 3 * n
+            if pal is None or not w or not h or left + w > sw or top + h > sh:
+                return None
+            interlaced = bool(ipacked & 0x40)
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while b[i]:
+                ln = b[i]
+                data += b[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            i += 1
+            frames.append(
+                {
+                    "left": left, "top": top, "w": w, "h": h,
+                    "interlaced": interlaced, "min_code": min_code,
+                    "data": bytes(data), "delay": delay,
+                    "disposal": disposal, "trans": trans,
+                    "pal_r": bytes(pal[0::3]), "npal": len(pal) // 3,
+                }
+            )
+            disposal, delay, trans = 0, 0, None
+            if len(frames) >= max_frames:
+                break
+        if not frames:
+            return None
+        return sw, sh, bg_r, frames
+
+    def _batch_extract_codes(all_frames):
+        """Phase B: fill ``fr["idx"]`` (uint8 numpy array of exactly
+        ``w*h`` palette indices) for every frame record, or set
+        ``fr["dead"] = True`` when the stream is structurally valid GIF
+        but the LZW payload cannot yield ``w*h`` pixels (the per-blob
+        path's ``len(idx) < w*h -> None`` rule).
+
+        Frames sharing (min_code, payload length) form a DENSE
+        ``(n_frames, dlen)`` byte matrix — frames of one animation (and
+        of same-shaped blobs across the batch) share their geometry, so
+        grouping is near-total in practice. Codes come out of the matrix
+        with NO per-code index arrays: the byte offset and bit shift of
+        code j are the same in every row, so three small-index column
+        gathers + a broadcast shift yield the whole group's codes2d in
+        ~6 contiguous passes. The all-literals fast-path checks (max
+        code <= CLEAR pre-END; width-bump impossibility: max literal run
+        between CLEARs <= 2^w - CLEAR - 2 via a running last-CLEAR
+        accumulate; the END/cap/limit acceptance rule of the per-frame
+        speculative path) are 2-D row reductions. Any frame failing them
+        falls back to the exact per-frame ``_lzw_np``; ragged leftovers
+        (a (min_code, dlen) group of one) cost one small matrix each."""
+        by_geom: dict = {}
+        for fr in all_frames:
+            by_geom.setdefault((fr["min_code"], len(fr["data"])), []).append(fr)
+        for (mc, dlen), frs in by_geom.items():
+            CLEAR = 1 << mc
+            END = CLEAR + 1
+            width = mc + 1
+            max_run_ok = (1 << width) - CLEAR - 2
+            limits = np.fromiter((f["w"] * f["h"] for f in frs), np.int64, len(frs))
+            avail = (8 * dlen) // width
+            m = int(min(avail, 2 * int(limits.max()) + 64))  # speculative cap
+            capped = m < avail
+            if m == 0 or m >= (1 << 15):  # int16 column math below
+                for f in frs:
+                    raw = _lzw_np(f["data"], mc, int(f["w"] * f["h"]))
+                    if raw is None or len(raw) < f["w"] * f["h"]:
+                        f["dead"] = True
+                    else:
+                        f["idx"] = np.frombuffer(
+                            raw[: f["w"] * f["h"]], np.uint8
+                        )
+                continue
+            n = len(frs)
+            mat = np.frombuffer(
+                b"".join(f["data"] for f in frs), np.uint8
+            ).reshape(n, dlen)
+            # per-code byte offset / bit shift — identical in every row.
+            # width <= 9 fits a 2-byte window (shift <= 7 keeps >= 9 live
+            # bits in uint16); wider codes take the 3-byte int32 window.
+            bit0 = np.arange(m, dtype=np.int32) * width
+            bp = bit0 >> 3
+            if int(bp.max()) + 3 >= dlen:  # window may read past row end
+                mat = np.concatenate([mat, np.zeros((n, 3), np.uint8)], axis=1)
+            if width <= 9:
+                sh = (bit0 & 7).astype(np.uint16)
+                codes = (
+                    (mat[:, bp].astype(np.uint16) | (mat[:, bp + 1].astype(np.uint16) << 8))
+                    >> sh[None, :]
+                ) & np.uint16((1 << width) - 1)
+            else:
+                sh = (bit0 & 7).astype(np.int32)
+                codes = (
+                    (
+                        mat[:, bp].astype(np.int32)
+                        | (mat[:, bp + 1].astype(np.int32) << 8)
+                        | (mat[:, bp + 2].astype(np.int32) << 16)
+                    )
+                    >> sh[None, :]
+                ) & ((1 << width) - 1)
+            col = np.arange(m, dtype=np.int16)[None, :]
+            # fused structure check: the first code > CLEAR is either the
+            # END (-> stop there; everything before is literal-or-CLEAR,
+            # so the cmax check is free) or a back-reference (-> fallback)
+            gt = codes > CLEAR
+            has_gt = gt.any(axis=1)
+            first_gt = gt.argmax(axis=1)
+            first_val = np.take_along_axis(
+                codes, first_gt[:, None].astype(np.int64), axis=1
+            ).ravel()
+            has_end = has_gt & (first_val == END)
+            all_le = ~has_gt  # no END, no back-reference anywhere
+            stop = np.where(has_end, first_gt, m).astype(np.int16)
+            pre = col < stop[:, None]
+            # width-bump impossibility: with all pre-stop codes <= CLEAR,
+            # the literal run between CLEARs is the POSITIONAL gap. CLEARs
+            # are sparse (one per <= 2^w codes), so the gap check runs on
+            # the SPARSE clear-position list instead of a dense running
+            # max: per-row consecutive diffs with start/stop sentinels,
+            # scatter-maxed into a per-row vector.
+            cr, cc = np.nonzero(codes == CLEAR)
+            keep_c = cc < stop[cr]
+            cr, cc = cr[keep_c], cc[keep_c].astype(np.int64)
+            max_gap = stop.astype(np.int64) - 0  # no-clears default: stop-(-1)-1+1
+            # gaps: first clear vs -1; consecutive clears; last clear vs stop
+            if cr.size:
+                new_row = np.concatenate(([True], cr[1:] != cr[:-1]))
+                prev_c = np.concatenate(([0], cc[:-1]))
+                gap_in = np.where(new_row, cc, cc - prev_c - 1)
+                max_gap = np.zeros(n, np.int64)
+                np.maximum.at(max_gap, cr, gap_in)
+                last_of_row = np.concatenate((new_row[1:], [True]))
+                tail = stop[cr[last_of_row]].astype(np.int64) - cc[last_of_row] - 1
+                np.maximum.at(max_gap, cr[last_of_row], tail)
+                no_clear = np.ones(n, bool)
+                no_clear[cr] = False
+                max_gap[no_clear] = stop[no_clear]
+            n_clears = np.bincount(cr, minlength=n) if cr.size else np.zeros(n, np.int64)
+            lit = pre & (codes != CLEAR)  # pre-stop codes are <= CLEAR
+            lit_cnt = stop.astype(np.int64) - n_clears
+            fast = (
+                (has_end | all_le)
+                & (max_gap <= max_run_ok)
+                & (has_end | (not capped) | (lit_cnt >= limits))
+            )
+            take = fast & (lit_cnt >= limits)
+            # pooled literal extraction (row-major = per-frame order);
+            # rows with surplus literals need the per-row truncation rank
+            if bool((lit_cnt[take] == limits[take]).all()):
+                keep = lit & take[:, None]
+            else:
+                cum = np.cumsum(lit, axis=1, dtype=np.int32)
+                keep = lit & take[:, None] & (cum <= limits[:, None])
+            pooled_lit = codes[keep].astype(np.uint8)
+            out_offs = np.concatenate(([0], np.cumsum(np.where(take, limits, 0))))
+            for fi, f in enumerate(frs):
+                if take[fi]:
+                    f["idx"] = pooled_lit[out_offs[fi] : out_offs[fi + 1]]
+                elif fast[fi]:
+                    f["dead"] = True  # valid literal stream, too few pixels
+                else:
+                    raw = _lzw_np(f["data"], mc, int(limits[fi]))
+                    if raw is None or len(raw) < limits[fi]:
+                        f["dead"] = True
+                    else:
+                        f["idx"] = np.frombuffer(
+                            raw[: int(limits[fi])], np.uint8
+                        )
+        for fr in all_frames:
+            if fr.get("dead") or not fr["interlaced"]:
+                continue
+            h, w = fr["h"], fr["w"]
+            src_order = np.concatenate(
+                [np.arange(s, h, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            out = np.empty((h, w), np.uint8)
+            out[src_order] = fr["idx"].reshape(h, w)
+            fr["idx"] = out.ravel()
+
+    def decode_frame_stats_batch(blobs, max_frames=10000):
+        """Pooled ``decode_frame_stats`` over a list of blobs: returns
+        ``[result_or_None, ...]`` with each entry equal to
+        ``decode_frame_stats(blob, max_frames)`` (asserted in tests).
+        Without numpy, delegates to the per-blob scalar path (the
+        force_scalar twin)."""
+        if np is None:
+            return [decode_frame_stats(b, max_frames) for b in blobs]
+        parsed = []
+        for b in blobs:
+            try:
+                parsed.append(_parse_timeline(bytes(b), max_frames))
+            except Exception:
+                parsed.append(None)
+        live = [i for i, p in enumerate(parsed) if p is not None]
+        all_frames = [fr for i in live for fr in parsed[i][3]]
+        if all_frames:
+            _batch_extract_codes(all_frames)
+        results: list = [None] * len(blobs)
+        if not live:
+            return results
+        # a dead frame kills its whole blob (the per-blob None rule)
+        dead_blob = {
+            i for i in live if any(fr.get("dead") for fr in parsed[i][3])
+        }
+        lanes = [i for i in live if i not in dead_blob]
+        if not lanes:
+            return results
+        # ---- Phase C: lockstep composition over an R-plane canvas pool.
+        # All per-frame attributes flatten ONCE into numpy arrays (frame
+        # order = (lane, k)); each round then selects its frames with a
+        # boolean on the small flat arrays — no Python attribute walks
+        # inside the round loop.
+        n_lanes = len(lanes)
+        sws = np.fromiter((parsed[i][0] for i in lanes), np.int64, n_lanes)
+        shs = np.fromiter((parsed[i][1] for i in lanes), np.int64, n_lanes)
+        bgs = np.fromiter((parsed[i][2] for i in lanes), np.int64, n_lanes)
+        sizes = sws * shs
+        cbase = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+        canvas = np.repeat(bgs.astype(np.uint8), sizes)
+        r_sum = bgs * sizes
+        stats: list = [[] for _ in lanes]
+        lims = np.fromiter(
+            (min(len(parsed[i][3]), max_frames) for i in lanes), np.int64, n_lanes
+        )
+        flat = [
+            (li, k, fr)
+            for li, i in enumerate(lanes)
+            for k, fr in enumerate(parsed[i][3][: int(lims[li])])
+        ]
+        nF = len(flat)
+        f_lane = np.fromiter((t[0] for t in flat), np.int64, nF)
+        f_k = np.fromiter((t[1] for t in flat), np.int64, nF)
+        f_px = np.fromiter((t[2]["w"] * t[2]["h"] for t in flat), np.int64, nF)
+        f_w = np.fromiter((t[2]["w"] for t in flat), np.int64, nF)
+        f_h = np.fromiter((t[2]["h"] for t in flat), np.int64, nF)
+        f_row0 = (
+            cbase[f_lane]
+            + np.fromiter((t[2]["top"] for t in flat), np.int64, nF) * sws[f_lane]
+            + np.fromiter((t[2]["left"] for t in flat), np.int64, nF)
+        )
+        f_delay = np.fromiter((t[2]["delay"] for t in flat), np.int64, nF)
+        f_disp = np.fromiter((t[2]["disposal"] for t in flat), np.int64, nF)
+        f_trans = np.fromiter(
+            (256 if t[2]["trans"] is None else t[2]["trans"] for t in flat),
+            np.int16, nF,
+        )
+        f_npal = np.fromiter((t[2]["npal"] for t in flat), np.int16, nF)
+        idx_pool = (
+            np.concatenate([t[2]["idx"] for t in flat])
+            if nF else np.zeros(0, np.uint8)
+        )
+        f_ioff = np.concatenate(([0], np.cumsum(f_px)))[:-1]
+        pal_blobs = [t[2]["pal_r"] for t in flat]
+        f_plen = np.fromiter(map(len, pal_blobs), np.int64, nF)
+        # +256 zero pad: an out-of-palette index on a (dead-on-arrival)
+        # lane must gather garbage safely, never step past the pool
+        pal_pool = np.frombuffer(b"".join(pal_blobs) + b"\x00" * 256, np.uint8)
+        f_poff = np.concatenate(([0], np.cumsum(f_plen)))[:-1]
+        for k in range(int(lims.max()) if n_lanes else 0):
+            sel = np.nonzero((f_k == k) & (lims[f_lane] > k))[0]
+            if sel.size == 0:
+                if not (lims > k).any():
+                    break
+                continue
+            act = f_lane[sel]
+            px = f_px[sel]
+            pstart = np.concatenate(([0], np.cumsum(px)))[:-1].astype(np.int64)
+            # rect flat indices: per-frame rows, then per-row runs
+            hs, ws = f_h[sel], f_w[sel]
+            row_starts = np.repeat(f_row0[sel], hs).astype(np.int32) + _segarange(
+                hs
+            ) * np.repeat(sws[act], hs).astype(np.int32)
+            wrow = np.repeat(ws, hs)
+            fidx = np.repeat(row_starts, wrow) + _segarange(wrow)
+            vis = np.concatenate(
+                [idx_pool[f_ioff[s] : f_ioff[s] + f_px[s]] for s in sel]
+            ).astype(np.int16)
+            mask = vis != np.repeat(f_trans[sel], px)
+            # palette-range check over VISIBLE pixels only (scalar rule)
+            vmax = np.maximum.reduceat(np.where(mask, vis, np.int16(-1)), pstart)
+            bad = vmax >= f_npal[sel]
+            old = canvas[fidx]
+            # vis <= 255 structurally (uint8 source); int32 gather index
+            palv = pal_pool[np.repeat(f_poff[sel], px).astype(np.int32) + vis]
+            new = np.where(mask, palv, old)
+            canvas[fidx] = new
+            diff = new.astype(np.int16) - old
+            d_s = np.add.reduceat(diff, pstart, dtype=np.int64)
+            new_s = np.add.reduceat(new, pstart, dtype=np.int64)
+            r_sum[act] += d_s
+            delays = f_delay[sel]
+            for j in range(sel.size):
+                a = act[j]
+                if bad[j]:
+                    lims[a] = -1  # kill the lane -> None
+                else:
+                    stats[a].append((int(delays[j]), int(r_sum[a])))
+            # disposal (only lanes still alive with frames left)
+            more = (lims[act] > k + 1) & ~bad
+            disp = f_disp[sel]
+            sel2 = more & (disp == 2)
+            if sel2.any():
+                pxmask2 = np.repeat(sel2, px)
+                canvas[fidx[pxmask2]] = np.repeat(bgs[act].astype(np.uint8), px)[
+                    pxmask2
+                ]
+                r_sum[act[sel2]] += bgs[act[sel2]] * px[sel2] - new_s[sel2]
+            sel3 = more & (disp == 3)
+            if sel3.any():
+                pxmask3 = np.repeat(sel3, px)
+                canvas[fidx[pxmask3]] = old[pxmask3]
+                r_sum[act[sel3]] -= d_s[sel3]
+        for j, i in enumerate(lanes):
+            if lims[j] >= 0 and stats[j]:
+                results[i] = (parsed[i][0], parsed[i][1], len(stats[j]), stats[j])
+        return results
+
     return {
         "encode_gray8": encode_gray8,
         "encode_frames": encode_frames,
         "decode": decode,
         "decode_frames": decode_frames,
         "decode_frame_stats": decode_frame_stats,
+        "decode_frame_stats_batch": decode_frame_stats_batch,
+        "pack_lzw_8bit_rows": pack_lzw_8bit_rows,
         # internal hooks for the scalar/numpy bit-parity tests
         "_lzw": _lzw,
         "_pack_lzw_8bit": _pack_lzw_8bit,
+        "_identity_header": _identity_header,
     }
 
 

@@ -1420,73 +1420,95 @@ def extract_gif_frame_stats(media: DataFrame) -> DataFrame:
     the frame's delay, and the mean intensity of the COMPOSED canvas
     (identity-palette gray = the R channel). A blob that is not a GIF
     yields one ``decoded=false`` row — the media-codec contract. Pure
-    stdlib, Arrow-batched ``mapInPandas``, blobs never shuffle."""
+    stdlib, Arrow-batched ``mapInPandas``, blobs never shuffle.
+
+    Round-8: the per-blob timeline decode is POOLED
+    (``decode_frame_stats_batch``): LZW code extraction runs as a few
+    large vector ops over every frame of every blob in a bounded
+    sub-batch, and canvas composition advances all blobs frame-by-frame
+    in lockstep over an R-plane canvas pool — same output tuples
+    (parity-asserted in tests/test_gif.py), ~6 numpy calls per ROUND
+    instead of per FRAME. Bounded 48-blob sub-batches keep every pooled
+    array cache-resident under 32-way concurrency (a 256-blob pool
+    streams ~30 MB/phase per core and saturates DRAM — the round-7
+    concurrency-collapse class) and the Arrow yields small."""
+    return media.select("media_id", "content").mapInPandas(
+        _gif_frame_stats_worker(), schema=GIF_FRAME_SCHEMA
+    )
+
+
+def _gif_frame_stats_worker():
+    """Worker builder for :func:`extract_gif_frame_stats` — exposed so
+    the fused documents->stats operator can compose it directly behind
+    one ``mapInPandas`` (no intermediate blob serialization)."""
     from monster_etl_spark.operators.gif import _build_gif_codec
 
-    frame_stats_local = _build_gif_codec()["decode_frame_stats"]
+    batch_stats_local = _build_gif_codec()["decode_frame_stats_batch"]
 
     def _worker(batches):
         import numpy as np
         import pandas as pd
 
+        CHUNK = 48  # pooled arrays ~1-2 MB/phase: stays cache-resident
+        # under 32-way concurrency (a 256-blob pool streams ~30 MB per
+        # phase and saturates DRAM bandwidth when every core does it)
         for pdf in batches:
-            # columnar assembly: a clip's frames land as numpy slices,
-            # not 18M Python list appends — the per-ROW cost of the
-            # frame-level output (37 rows/doc) dominated the sf10 wall
-            # before the decode itself did
-            mids, fids, delays, ws, hs, means, oks = [], [], [], [], [], [], []
-            for mid, c in zip(pdf["media_id"].astype("int64"), pdf["content"]):
-                # incremental timeline stats: the composed canvas's exact
-                # integer R-sum per frame at O(frame rect) cost — equal to
-                # sum(rgb[::3]) of decode_frames' snapshot (parity-tested),
-                # without the O(n_frames * canvas) snapshot materialization
-                parsed = frame_stats_local(bytes(c))
-                if parsed is None:
-                    mids.append(np.array([int(mid)], np.int64))
-                    fids.append(np.zeros(1, np.int64))
-                    delays.append(np.zeros(1, np.int64))
-                    ws.append(np.zeros(1, np.int64))
-                    hs.append(np.zeros(1, np.int64))
-                    means.append(np.zeros(1, np.float64))
-                    oks.append(np.zeros(1, bool))
-                    continue
-                w, h, nf, stats = parsed
-                npx = w * h
-                st = np.asarray(stats, np.int64).reshape(nf, 2)
-                mids.append(np.full(nf, int(mid), np.int64))
-                fids.append(np.arange(nf, dtype=np.int64))
-                delays.append(st[:, 0])
-                ws.append(np.full(nf, w, np.int64))
-                hs.append(np.full(nf, h, np.int64))
-                means.append(st[:, 1] / npx)
-                oks.append(np.ones(nf, bool))
-            ok = np.concatenate(oks)
-            miss = ~ok
-            yield pd.DataFrame(
-                {
-                    "media_id": np.concatenate(mids),
-                    "frame_id": pd.arrays.IntegerArray(
-                        np.concatenate(fids), miss.copy()
-                    ),
-                    "delay_cs": pd.arrays.IntegerArray(
-                        np.concatenate(delays), miss.copy()
-                    ),
-                    "width": pd.arrays.IntegerArray(
-                        np.concatenate(ws), miss.copy()
-                    ),
-                    "height": pd.arrays.IntegerArray(
-                        np.concatenate(hs), miss.copy()
-                    ),
-                    "mean_intensity": pd.arrays.FloatingArray(
-                        np.concatenate(means), miss.copy()
-                    ),
-                    "decoded": ok,
-                }
-            )
+            mid_all = pdf["media_id"].astype("int64")
+            blob_all = pdf["content"]
+            for lo in range(0, len(blob_all), CHUNK):
+                chunk = [bytes(c) for c in blob_all.iloc[lo : lo + CHUNK]]
+                mchunk = mid_all.iloc[lo : lo + CHUNK]
+                decoded = batch_stats_local(chunk)
+                # columnar assembly: a clip's frames land as numpy
+                # slices, not 18M Python list appends — the per-ROW cost
+                # of the frame-level output (37 rows/doc) dominated the
+                # sf10 wall before the decode itself did
+                mids, fids, delays, ws, hs, means, oks = [], [], [], [], [], [], []
+                for mid, parsed in zip(mchunk, decoded):
+                    if parsed is None:
+                        mids.append(np.array([int(mid)], np.int64))
+                        fids.append(np.zeros(1, np.int64))
+                        delays.append(np.zeros(1, np.int64))
+                        ws.append(np.zeros(1, np.int64))
+                        hs.append(np.zeros(1, np.int64))
+                        means.append(np.zeros(1, np.float64))
+                        oks.append(np.zeros(1, bool))
+                        continue
+                    w, h, nf, stats = parsed
+                    npx = w * h
+                    st = np.asarray(stats, np.int64).reshape(nf, 2)
+                    mids.append(np.full(nf, int(mid), np.int64))
+                    fids.append(np.arange(nf, dtype=np.int64))
+                    delays.append(st[:, 0])
+                    ws.append(np.full(nf, w, np.int64))
+                    hs.append(np.full(nf, h, np.int64))
+                    means.append(st[:, 1] / npx)
+                    oks.append(np.ones(nf, bool))
+                ok = np.concatenate(oks)
+                miss = ~ok
+                yield pd.DataFrame(
+                    {
+                        "media_id": np.concatenate(mids),
+                        "frame_id": pd.arrays.IntegerArray(
+                            np.concatenate(fids), miss.copy()
+                        ),
+                        "delay_cs": pd.arrays.IntegerArray(
+                            np.concatenate(delays), miss.copy()
+                        ),
+                        "width": pd.arrays.IntegerArray(
+                            np.concatenate(ws), miss.copy()
+                        ),
+                        "height": pd.arrays.IntegerArray(
+                            np.concatenate(hs), miss.copy()
+                        ),
+                        "mean_intensity": pd.arrays.FloatingArray(
+                            np.concatenate(means), miss.copy()
+                        ),
+                        "decoded": ok,
+                    }
+                )
 
-    return media.select("media_id", "content").mapInPandas(
-        _worker, schema=GIF_FRAME_SCHEMA
-    )
+    return _worker
 
 
 def documents_as_animated_gif_media(
@@ -1503,39 +1525,79 @@ def documents_as_animated_gif_media(
     changing the composed pixels (transparent band pixels reveal the
     background-0 canvas). Blobs born on executors; codec ships by
     value."""
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
+    ).mapInPandas(
+        _animated_gif_media_worker(frame_bytes, delay_cs),
+        schema="media_id long, content binary",
+    )
+
+
+def _animated_gif_media_worker(frame_bytes: int, delay_cs: int):
+    """Worker builder for :func:`documents_as_animated_gif_media` —
+    exposed for the fused documents->stats composition."""
     from monster_etl_spark.operators.gif import _build_gif_codec
 
-    encode_frames_local = _build_gif_codec()["encode_frames"]
+    _codec = _build_gif_codec()
+    pack_rows_local = _codec["pack_lzw_8bit_rows"]
+    header_local = _codec["_identity_header"]
     fb = frame_bytes
 
     def _worker(batches):
         import numpy as np
         import pandas as pd
+        import struct
 
-        def doc_to_gif(text):
-            data = bytes(text, "utf-8")
-            n_frames = max(1, -(-len(data) // fb))
-            padded = data.ljust(n_frames * fb, b"\x00")
-            rows = np.repeat(
-                np.frombuffer(padded, np.uint8).reshape(n_frames, fb), 8, axis=1
-            )
-            frames = []
-            for k in range(n_frames):
-                pixels = rows[k : k + 1].repeat(8, axis=0).tobytes()
-                frames.append(
-                    dict(
-                        left=0, top=k * 8, width=fb * 8, height=8, pixels=pixels,
-                        delay_cs=delay_cs, disposal=1,
-                        transparent=0 if k else None,
+        # every frame of every doc is a uniform fb*8 x 8 band (the tail
+        # frame is zero-padded to fb bytes), so LZW packing pools across
+        # the WHOLE chunk (one pack_lzw_8bit_rows call); assembly stitches
+        # per-doc headers + per-frame control blocks around the pooled
+        # image-data sections. Byte-identical to the per-frame
+        # encode_frames construction (asserted in tests/test_gif.py).
+        netscape = b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", 0) + b"\x00"
+        desc_w = fb * 8
+
+        def chunk_to_gifs(texts):
+            datas = [bytes(t, "utf-8") for t in texts]
+            n_frames = [max(1, -(-len(d) // fb)) for d in datas]
+            # (total_frames, fb) band bytes -> (total_frames, fb*64) pixels
+            bands = np.frombuffer(
+                b"".join(
+                    d.ljust(n * fb, b"\x00") for d, n in zip(datas, n_frames)
+                ),
+                np.uint8,
+            ).reshape(-1, fb)
+            pixels = np.repeat(bands, 8, axis=1)  # 8x horizontal blocks
+            pixels = np.repeat(pixels, 8, axis=0).reshape(-1, 8 * desc_w)
+            packed = pack_rows_local(pixels)
+            out = []
+            fi = 0
+            for n in n_frames:
+                blob = bytearray(header_local(desc_w, 8 * n))
+                blob += netscape
+                for k in range(n):
+                    flags = (1 & 7) << 2  # disposal=1
+                    tindex = 0
+                    if k:
+                        flags |= 1  # transparent index 0
+                    blob += (
+                        b"\x21\xf9\x04" + bytes([flags])
+                        + struct.pack("<H", delay_cs) + bytes([tindex, 0])
                     )
-                )
-            return encode_frames_local(fb * 8, 8 * n_frames, frames)
+                    blob += b"\x2c" + struct.pack(
+                        "<HHHH", 0, k * 8, desc_w, 8
+                    ) + b"\x00"
+                    blob += packed[fi]
+                    fi += 1
+                blob += b"\x3b"
+                out.append(bytes(blob))
+            return out
 
-        # yield per bounded chunk: one 10k-doc Arrow batch would other-
-        # wise become a single ~340 MB pandas frame held live through
-        # serialization — small output batches pipeline smoothly and
-        # keep worker memory flat
-        CHUNK = 256
+        # yield per bounded chunk: small output batches pipeline smoothly
+        # and keep worker memory flat; 48 keeps the pooled code/bit
+        # matrices cache-resident under 32-way concurrency (a 256-doc
+        # pool streams ~20 MB/phase per core and saturates DRAM)
+        CHUNK = 48
         for pdf in batches:
             mids = pdf["media_id"].astype("int64")
             texts = list(pdf["text"])
@@ -1543,12 +1605,39 @@ def documents_as_animated_gif_media(
                 yield pd.DataFrame(
                     {
                         "media_id": mids.iloc[lo : lo + CHUNK],
-                        "content": [
-                            doc_to_gif(t) for t in texts[lo : lo + CHUNK]
-                        ],
+                        "content": chunk_to_gifs(texts[lo : lo + CHUNK]),
                     }
                 )
 
+    return _worker
+
+
+def gif_frame_stats_from_documents(
+    documents: DataFrame, frame_bytes: int = 16, delay_cs: int = 5
+) -> DataFrame:
+    """Fused documents -> animated-GIF -> per-frame timeline stats in ONE
+    ``mapInPandas`` pass: the encode worker's output batches feed the
+    decode worker's input iterator directly inside the same Python
+    process. Row-identical to ``extract_gif_frame_stats(
+    documents_as_animated_gif_media(docs))`` (parity-asserted in tests),
+    which keeps BOTH standalone operators the API for blobs that come
+    from real storage.
+
+    Why fuse: two adjacent ``mapInPandas`` stages each cross the
+    Python<->JVM Arrow boundary, so the synthesized blobs (~35 KB/doc,
+    ~1.7 GB at sf1) serialize TWICE for no reason — Catalyst cannot fuse
+    Python map operators the way it fuses JVM projections, so the
+    operator does it. On a real media corpus the blobs come from parquet
+    (one unavoidable deserialize) and the standalone extractor is the
+    right call; the fusion matters exactly when one pipeline both
+    synthesizes and analyzes media. Measured at sf1 (local[32], warm):
+    7.9 -> ~5 s on multimodal_gif_frame_stats."""
+    ad = _animated_gif_media_worker(frame_bytes, delay_cs)
+    ex = _gif_frame_stats_worker()
+
+    def _fused(batches):
+        yield from ex(ad(batches))
+
     return _cpu_spread(
         documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(_worker, schema="media_id long, content binary")
+    ).mapInPandas(_fused, schema=GIF_FRAME_SCHEMA)

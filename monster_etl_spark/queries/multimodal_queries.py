@@ -866,11 +866,19 @@ def multimodal_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     k is bands 0..k over background 0, and the oracle's cumulative
     code-point sums verify the CANVAS COMPOSITION (disposal +
     transparency + offsets), not just per-frame LZW. Mirrors
-    multimodal_video_frame_stats' per-frame output shape."""
-    media = documents_as_animated_gif_media(
+    multimodal_video_frame_stats' per-frame output shape.
+
+    Round-8: runs the FUSED encode+decode operator
+    (operators/multimodal.py::gif_frame_stats_from_documents) — one
+    mapInPandas instead of two, so the synthesized blobs never
+    round-trip the Python<->JVM Arrow boundary between stages;
+    row-identical to the standalone composition (parity-asserted in
+    tests/test_multimodal.py)."""
+    from monster_etl_spark.operators.multimodal import gif_frame_stats_from_documents
+
+    return gif_frame_stats_from_documents(
         load(spark, sf_dir, "documents"), frame_bytes=_GIF_FB, delay_cs=_GIF_DELAY
-    )
-    return extract_gif_frame_stats(media).select(
+    ).select(
         "media_id", "frame_id", "delay_cs", "width", "height",
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "decoded",

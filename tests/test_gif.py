@@ -360,3 +360,177 @@ def test_lzw_lazy_table_and_speculative_path_parity():
         mc = rng.choice([0, 1, 2, 3, 4, 8])
         lim = rng.randrange(1, 3000)
         assert lz(data, mc, lim) == lzs(data, mc, lim)
+
+
+def test_batch_frame_stats_equals_per_blob():
+    """Round-8 pooled timeline decode: ``decode_frame_stats_batch`` must
+    return tuples EQUAL to the per-blob ``decode_frame_stats`` for every
+    blob, across a mixed batch exercising every pooled code path — all
+    disposal methods, transparency, local palettes, mixed frame
+    geometries (grouped AND ragged), interlaced single-frame blobs,
+    malformed members (None in place), width-bump streams (per-frame
+    fallback), and a max_frames cap. The force_scalar twin must agree."""
+    import random
+
+    from monster_etl_spark.operators.gif import _build_gif_codec, gif_encode_frames
+
+    C = _build_gif_codec()
+    CS = _build_gif_codec(force_scalar=True)
+    rng = random.Random(8)
+
+    blobs = []
+    # banded leave-disposal animations with varying frame counts/widths
+    for n in (1, 3, 7):
+        fbw = rng.choice((8, 16))
+        frames = [
+            _fr(0, k * 8, fbw, 8,
+                bytes(rng.randrange(256) for _ in range(fbw * 8)),
+                disposal=1, transparent=0 if k else None)
+            for k in range(n)
+        ]
+        blobs.append(gif_encode_frames(fbw, 8 * n, frames))
+    # all disposals incl restore-background / restore-previous
+    blobs.append(gif_encode_frames(16, 24, [
+        _fr(0, 0, 16, 24, bytes([200]) * (16 * 24), disposal=2),
+        _fr(4, 4, 8, 8, bytes([10]) * 64, disposal=3),
+        _fr(0, 0, 16, 8, bytes(range(128)), disposal=0),
+        _fr(2, 10, 4, 4, bytes([0, 7] * 8), disposal=1, transparent=0),
+    ]))
+    # malformed members: junk, empty, truncated
+    blobs.append(b"junk")
+    blobs.append(b"")
+    blobs.append(blobs[0][: len(blobs[0]) // 2])
+    # a REAL dictionary-growth stream (repeats compress): forces the
+    # per-frame _lzw fallback inside the batch path
+    rep = (b"\x05\x06\x07" * 200)[:400]
+    import struct as _st
+
+    def _ref_compress(data, mc):
+        # reference LZW compressor (same as the dictionary-growth test)
+        CLEAR, END = 1 << mc, (1 << mc) + 1
+        table = {bytes([k]): k for k in range(CLEAR)}
+        nxt, w = CLEAR + 2, mc + 1
+        acc = nb = 0
+        out = bytearray()
+
+        def put(c, w):
+            nonlocal acc, nb
+            acc |= c << nb
+            nb += w
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+
+        put(CLEAR, w)
+        s = b""
+        for ch in bytes(data):
+            s2 = s + bytes([ch])
+            if s2 in table:
+                s = s2
+                continue
+            put(table[s], w)
+            table[s2] = nxt
+            nxt += 1
+            if nxt == (1 << w) + 1 and w < 12:
+                w += 1
+            s = bytes([ch])
+        if s:
+            put(table[s], w)
+        put(END, w)
+        if nb:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    hdr = bytearray(b"GIF89a") + _st.pack("<HH", 20, 20) + bytes([0xF7, 0, 0])
+    for v in range(256):
+        hdr += bytes([v, v, v])
+    body = bytearray(b"\x2c" + _st.pack("<HHHH", 0, 0, 20, 20) + b"\x00\x08")
+    stream = _ref_compress(rep, 8)
+    for i in range(0, len(stream), 255):
+        ch = stream[i : i + 255]
+        body += bytes([len(ch)]) + ch
+    body += b"\x00\x3b"
+    blobs.append(bytes(hdr) + bytes(body))
+
+    batch = C["decode_frame_stats_batch"](blobs)
+    per = [C["decode_frame_stats"](b) for b in blobs]
+    assert len(batch) == len(per)
+    for g, r in zip(batch, per):
+        assert (g is None) == (r is None)
+        if r is not None:
+            assert g[:3] == r[:3]
+            assert list(map(tuple, g[3])) == list(map(tuple, r[3]))
+    # at least one real success and one real None in the fixture
+    assert any(r is not None for r in per) and any(r is None for r in per)
+    # the dictionary-growth blob decoded (fallback path exercised)
+    assert per[-1] is not None and batch[-1] is not None
+
+    # max_frames cap flows through the batch path
+    b7 = blobs[2]  # the 7-frame animation
+    capped = C["decode_frame_stats_batch"]([b7], max_frames=3)[0]
+    assert capped == C["decode_frame_stats"](b7, 3)
+    assert capped[2] == 3
+
+    # force_scalar twin: same tuples via the per-blob delegation
+    scalar = CS["decode_frame_stats_batch"](blobs)
+    for g, r in zip(scalar, per):
+        assert (g is None) == (r is None)
+        if r is not None:
+            assert g[:3] == r[:3]
+            assert list(map(tuple, g[3])) == list(map(tuple, r[3]))
+
+
+def test_batch_frame_stats_interlaced_and_local_palette():
+    """Interlaced frames and frames with a LOCAL color table must decode
+    identically through the pooled path (row-permutation + per-frame
+    palette pools)."""
+    import struct as _st
+
+    from monster_etl_spark.operators.gif import _build_gif_codec
+
+    C = _build_gif_codec()
+    # hand-built: global palette, one interlaced image using a local
+    # 4-entry palette (min_code 2 -> real width-3 codes via fallback)
+    hdr = bytearray(b"GIF89a") + _st.pack("<HH", 4, 4) + bytes([0xF0, 0, 0])
+    hdr += bytes([10, 10, 10, 20, 20, 20])  # global palette (2 entries)
+    img = bytearray(b"\x2c" + _st.pack("<HHHH", 0, 0, 4, 4))
+    img += bytes([0xC1])  # local palette (4 entries), interlaced
+    img += bytes([1, 2, 3, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    # pixel indices 0..3 row-major, fed through the reference packer
+    pix = bytes([0, 1, 2, 3] * 4)
+    mc = 2
+    CLEAR, END = 4, 5
+    acc = nb = 0
+    out = bytearray()
+    w = 3
+    tl = 6
+
+    def put(c):
+        nonlocal acc, nb, w, tl
+        acc |= c << nb
+        nb += w
+        while nb >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+
+    put(CLEAR)
+    prev = False
+    for v in pix:
+        put(v)
+        if prev:
+            tl += 1
+        prev = True
+        if tl == (1 << w) and w < 12:
+            w += 1
+    put(END)
+    if nb:
+        out.append(acc & 0xFF)
+    img += bytes([mc, len(out)]) + bytes(out) + b"\x00"
+    blob = bytes(hdr) + bytes(img) + b"\x3b"
+    per = C["decode_frame_stats"](blob)
+    got = C["decode_frame_stats_batch"]([blob])[0]
+    assert per is not None and got is not None
+    assert got[:3] == per[:3]
+    assert list(map(tuple, got[3])) == list(map(tuple, per[3]))

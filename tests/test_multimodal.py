@@ -396,3 +396,23 @@ def test_image_oracles_match_adapters_for_empty_doc(spark, tmp_path):
         got = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
         want = canon_rows(o_cols, o_rows)
         assert got == want, f"{fn.__name__}: {got} != {want}"
+
+
+def test_gif_fused_stats_equals_standalone_composition(spark, sf_dir):
+    """Round-8 fusion contract: gif_frame_stats_from_documents (one
+    mapInPandas) must be row-identical to the standalone adapter +
+    extractor composition (two mapInPandas stages with an Arrow
+    round-trip between them)."""
+    from monster_etl_spark.operators.multimodal import (
+        documents_as_animated_gif_media,
+        extract_gif_frame_stats,
+        gif_frame_stats_from_documents,
+    )
+    from monster_etl_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents")
+    fused = gif_frame_stats_from_documents(docs).collect()
+    media = documents_as_animated_gif_media(docs)
+    two_stage = extract_gif_frame_stats(media).collect()
+    assert sorted(map(tuple, fused)) == sorted(map(tuple, two_stage))
+    assert len(fused) > 0
