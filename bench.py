@@ -548,6 +548,26 @@ def _bench_bloom_pruning(spark, sf_dir: str, scratch: str, num_files: int = 32) 
     return round(best_p, 3), round(best_f, 3), n_survive, num_files
 
 
+def _warm_python_workers(spark, n: int = 64) -> None:
+    """Spawn + warm every Python worker once: import numpy/pandas and
+    touch a few MB of allocator pages inside each, so the first REAL
+    mapInPandas query measures codec work, not process start-up. ``n``
+    partitions > core count guarantees full coverage under reuse."""
+
+    def _w(batches):
+        import numpy as np
+
+        a = np.zeros(4 << 20, np.uint8)
+        a[::4096] = 1  # touch pages
+        yield from batches
+
+    (
+        spark.range(0, n, 1, n)
+        .mapInPandas(_w, "id long")
+        .write.format("noop").mode("overwrite").save()
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -560,6 +580,21 @@ def main() -> None:
 
     # warm-up: JVM + codegen + parquet footer caches
     registry["t3_extract_fields"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm-up 2: Python workers. The first mapInPandas query in a session
+    # otherwise pays 32 x (worker spawn + numpy/pandas import + allocator
+    # first-touch) inside ITS timing — measured 2.8-5x on the media tier's
+    # cold run (round-7 "What's wrong #3"). Codec builds themselves are
+    # sub-ms (measured; nothing to memoize) — the cold cost is process
+    # warm-up, so one trivial pass through every worker absorbs it.
+    _warm_python_workers(spark)
+    # warm-up 3: one tiny media query (smallest sf available) warms the
+    # Arrow runner + codec-closure first-execution path; what remains on
+    # a query's own first run is its per-plan codegen, which the warm-run
+    # protocol below discards anyway.
+    tiny = "/root/testdata/sf0.001"
+    media_warm_dir = tiny if os.path.isdir(tiny) else sf_dir
+    registry["multimodal_jpeg_pixel_stats"].fn(spark, media_warm_dir)\
+        .write.format("noop").mode("overwrite").save()
 
     # Warm-run protocol (see module docstring): compile run, then
     # best-of-2 for cheap queries / discard + best-of-3 for >2s queries,

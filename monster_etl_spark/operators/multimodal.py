@@ -146,6 +146,38 @@ def _cpu_spread(documents: DataFrame) -> DataFrame:
     return documents.repartition(target)
 
 
+def _doc_media_df(documents: DataFrame, worker) -> DataFrame:
+    """The shared adapter plan shape: spread the lightweight (media_id,
+    text) projection (see ``_cpu_spread``), then run the codec worker as
+    one narrow ``mapInPandas`` producing the binary content column."""
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
+    ).mapInPandas(worker, schema="media_id long, content binary")
+
+
+def fused_media_stats(documents: DataFrame, media_worker, stats_worker, schema) -> DataFrame:
+    """Fuse a documents->media adapter worker with a media->stats
+    extractor worker behind ONE ``mapInPandas``: the adapter's output
+    batches feed the extractor's input iterator inside the same Python
+    process, so the synthesized blobs never round-trip the Python<->JVM
+    Arrow boundary between stages (Catalyst cannot fuse Python map
+    operators; two adjacent mapInPandas stages serialize the binary
+    column twice for nothing). Row-identical to
+    ``extractor(adapter(documents))`` — parity-asserted per media family
+    in tests/test_multimodal.py. The standalone operators remain the API
+    for blobs that come from real storage (one unavoidable deserialize);
+    this composition is for pipelines that both synthesize and analyze.
+    Measured: gif_frame sf1 7.9 -> 5.4 s; the same double-serialization
+    tax applied to every media registry query."""
+
+    def _fused(batches):
+        yield from stats_worker(media_worker(batches))
+
+    return _cpu_spread(
+        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
+    ).mapInPandas(_fused, schema=schema)
+
+
 def _fake_decode(content: bytes) -> tuple[int, int]:
     """Deterministic stand-in for an image decode: 'dimensions' derived from
     content length. Used only for content that is not a recognized image
@@ -500,6 +532,14 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
     ``operators/jpeg._build_jpeg_codec`` — both ship by value) like
     ``extract_image_features``.
     """
+    return media.select("media_id", "content").mapInPandas(
+        _pixel_stats_worker(), schema=PIXEL_STATS_SCHEMA
+    )
+
+
+def _pixel_stats_worker():
+    """Worker builder for :func:`extract_pixel_stats` (exposed for the
+    fused documents->stats composition)."""
     from monster_etl_spark.operators.bmp import _build_bmp_codec
     from monster_etl_spark.operators.gif import _build_gif_codec
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
@@ -596,9 +636,7 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
                 stats_chunk(rows, contents, jpeg_results)
             yield pd.DataFrame(rows)
 
-    return media.select("media_id", "content").mapInPandas(
-        _worker, schema=PIXEL_STATS_SCHEMA
-    )
+    return _worker
 
 
 def documents_as_png_media(
@@ -612,6 +650,10 @@ def documents_as_png_media(
     run the seven-pass scatter). Encoding runs in the same Arrow
     ``mapInPandas`` shape as decoding (blobs born on executors, never on
     the driver); the encoder closure ships by value."""
+    return _doc_media_df(documents, _png_media_worker(width, interlaced))
+
+
+def _png_media_worker(width: int = 32, interlaced: bool = False):
     from monster_etl_spark.operators.png import _build_png_codec
 
     encode_local = _build_png_codec()["encode_gray8"]
@@ -624,9 +666,7 @@ def documents_as_png_media(
                 pdf, lambda _m, t: encode_local(bytes(t, "utf-8"), width, interlaced)
             )
 
-    return _cpu_spread(
-        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(_worker, schema="media_id long, content binary")
+    return _worker
 
 
 def documents_as_jpeg_media(
@@ -644,6 +684,10 @@ def documents_as_jpeg_media(
     same oracle applies verbatim. Blobs are born on executors in the same
     Arrow ``mapInPandas`` shape as the PNG adapter; the encoder ships by
     value (closure capture)."""
+    return _doc_media_df(documents, _jpeg_media_worker(blocks_per_row, progressive))
+
+
+def _jpeg_media_worker(blocks_per_row: int = 8, progressive: bool = False):
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
 
     codec_local = _build_jpeg_codec()
@@ -697,9 +741,7 @@ def documents_as_jpeg_media(
                     }
                 )
 
-    return _cpu_spread(
-        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(_worker, schema="media_id long, content binary")
+    return _worker
 
 
 def documents_as_gif_media(documents: DataFrame, width: int = 32) -> DataFrame:
@@ -710,6 +752,10 @@ def documents_as_gif_media(documents: DataFrame, width: int = 32) -> DataFrame:
     registry query reuses PNG_PIXEL_SQL verbatim, and a hash-match
     proves a completely different codec (LZW vs zlib) recovers identical
     pixels. Blobs born on executors; encoder ships by value."""
+    return _doc_media_df(documents, _gif_media_worker(width))
+
+
+def _gif_media_worker(width: int = 32):
     from monster_etl_spark.operators.gif import _build_gif_codec
 
     encode_local = _build_gif_codec()["encode_gray8"]
@@ -722,9 +768,7 @@ def documents_as_gif_media(documents: DataFrame, width: int = 32) -> DataFrame:
                 pdf, lambda _m, t: encode_local(bytes(t, "utf-8"), width)
             )
 
-    return _cpu_spread(
-        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(_worker, schema="media_id long, content binary")
+    return _worker
 
 
 def documents_as_media(documents: DataFrame) -> DataFrame:
@@ -852,6 +896,14 @@ def extract_video_frame_stats(media: DataFrame) -> DataFrame:
     codec is neither) yields one ``decoded=false`` row — the media-codec
     contract. Pure stdlib, no codec library; Arrow-batched
     ``mapInPandas``, blobs never shuffle."""
+    return media.select("media_id", "content").mapInPandas(
+        _video_frame_stats_worker(), schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+def _video_frame_stats_worker():
+    """Worker builder for :func:`extract_video_frame_stats` (exposed for
+    the fused documents->stats composition)."""
     from monster_etl_spark.operators.avi import _build_avi_codec
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
 
@@ -933,9 +985,7 @@ def extract_video_frame_stats(media: DataFrame) -> DataFrame:
             flush()
             yield pd.DataFrame(rows)
 
-    return media.select("media_id", "content").mapInPandas(
-        _worker, schema=VIDEO_FRAME_SCHEMA
-    )
+    return _worker
 
 
 def documents_as_mjpeg_media(
@@ -947,6 +997,10 @@ def documents_as_mjpeg_media(
     zero-padded in the final frame. Decoded per-frame stats are an
     analytic function of code-point slices, which is what the registry
     oracle computes. Blobs born on executors; codecs ship by value."""
+    return _doc_media_df(documents, _mjpeg_media_worker(frame_bytes, fps))
+
+
+def _mjpeg_media_worker(frame_bytes: int = 16, fps: int = 10):
     from monster_etl_spark.operators.avi import _build_avi_codec
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
 
@@ -1014,9 +1068,7 @@ def documents_as_mjpeg_media(
             if counts:
                 yield flush()
 
-    return _cpu_spread(
-        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(_worker, schema="media_id long, content binary")
+    return _worker
 
 
 def documents_as_dib_avi_media(
@@ -1030,6 +1082,10 @@ def documents_as_dib_avi_media(
     frames are lossless, so per-frame stats are an analytic function of
     code-point slices. Blobs born on executors; encoder ships by
     value."""
+    return _doc_media_df(documents, _dib_avi_media_worker(frame_bytes, fps))
+
+
+def _dib_avi_media_worker(frame_bytes: int = 16, fps: int = 10):
     from monster_etl_spark.operators.avi import _build_avi_codec
 
     avi_encode_dib_local = _build_avi_codec()["encode_dib"]
@@ -1049,9 +1105,7 @@ def documents_as_dib_avi_media(
         for pdf in batches:
             yield from _chunked_media_yield(pdf, lambda _m, t: doc_to_avi(t))
 
-    return _cpu_spread(
-        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(_worker, schema="media_id long, content binary")
+    return _worker
 
 
 AUDIO_STATS_SCHEMA = T.StructType(
@@ -1083,6 +1137,14 @@ def extract_audio_stats(media: DataFrame, codec: str = "wav") -> DataFrame:
     v² and their total stay under 2^53), so the one float step —
     sqrt(ssq/n) — is IEEE-identical across engines; callers round
     JVM-side with ``F.round`` (the PNG-stats discipline)."""
+    return media.select("media_id", "content").mapInPandas(
+        _audio_stats_worker(codec), schema=AUDIO_STATS_SCHEMA
+    )
+
+
+def _audio_stats_worker(codec: str = "wav"):
+    """Worker builder for :func:`extract_audio_stats` (exposed for the
+    fused documents->stats composition)."""
     if codec == "wav":
         from monster_etl_spark.operators.wav import _build_wav_codec
 
@@ -1138,9 +1200,7 @@ def extract_audio_stats(media: DataFrame, codec: str = "wav") -> DataFrame:
                 rows["decoded"].append(True)
             yield pd.DataFrame(rows)
 
-    return media.select("media_id", "content").mapInPandas(
-        _worker, schema=AUDIO_STATS_SCHEMA
-    )
+    return _worker
 
 
 def documents_as_wav_media(documents: DataFrame, sample_rate: int = 16000) -> DataFrame:
@@ -1149,6 +1209,10 @@ def documents_as_wav_media(documents: DataFrame, sample_rate: int = 16000) -> Da
     decoded statistics are an analytic function of code points (the
     image adapters' trick, applied to audio). Blobs born on executors;
     encoder ships by value."""
+    return _doc_media_df(documents, _wav_media_worker(sample_rate))
+
+
+def _wav_media_worker(sample_rate: int = 16000):
     from monster_etl_spark.operators.wav import _build_wav_codec
 
     encode_local = _build_wav_codec()["encode_pcm16"]
@@ -1164,9 +1228,7 @@ def documents_as_wav_media(documents: DataFrame, sample_rate: int = 16000) -> Da
                 ),
             )
 
-    return _cpu_spread(
-        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(_worker, schema="media_id long, content binary")
+    return _worker
 
 
 def documents_as_g711_media(
@@ -1179,6 +1241,10 @@ def documents_as_g711_media(
     composition decode(encode(x)) is a deterministic integer function the
     DuckDB oracle replicates segment-by-segment. Blobs born on executors;
     encoder ships by value."""
+    return _doc_media_df(documents, _g711_media_worker(law, sample_rate))
+
+
+def _g711_media_worker(law: str = "ulaw", sample_rate: int = 8000):
     from monster_etl_spark.operators.wav import _build_wav_codec
 
     encode_local = _build_wav_codec()["encode_g711"]
@@ -1194,9 +1260,7 @@ def documents_as_g711_media(
                 ),
             )
 
-    return _cpu_spread(
-        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(_worker, schema="media_id long, content binary")
+    return _worker
 
 
 def documents_as_adpcm_media(
@@ -1214,6 +1278,14 @@ def documents_as_adpcm_media(
     which the DuckDB side replicates with a recursive CTE whose iteration
     count is ``max_samples``. Blobs born on executors; encoder ships by
     value."""
+    return _doc_media_df(
+        documents, _adpcm_media_worker(sample_rate, block_bytes, max_samples)
+    )
+
+
+def _adpcm_media_worker(
+    sample_rate: int = 16000, block_bytes: int = 36, max_samples: int = 96
+):
     from monster_etl_spark.operators.wav import _build_wav_codec
 
     encode_local = _build_wav_codec()["encode_adpcm"]
@@ -1235,9 +1307,7 @@ def documents_as_adpcm_media(
                 ),
             )
 
-    return _cpu_spread(
-        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(_worker, schema="media_id long, content binary")
+    return _worker
 
 
 def documents_as_tiff_media(
@@ -1251,6 +1321,10 @@ def documents_as_tiff_media(
     PNG analytic oracle applies verbatim while the decode path runs
     IFD/strip/TIFF-LZW/predictor for real. Blobs born on executors;
     encoder ships by value."""
+    return _doc_media_df(documents, _tiff_media_worker(width, rows_per_strip))
+
+
+def _tiff_media_worker(width: int = 32, rows_per_strip: int = 8):
     from monster_etl_spark.operators.tiff import _build_tiff_codec
 
     encode_local = _build_tiff_codec()["encode_gray8"]
@@ -1264,9 +1338,7 @@ def documents_as_tiff_media(
                 lambda _m, t: encode_local(bytes(t, "utf-8"), width, rows_per_strip, 5, 2),
             )
 
-    return _cpu_spread(
-        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(_worker, schema="media_id long, content binary")
+    return _worker
 
 
 def documents_as_bmp_media(documents: DataFrame, width: int = 32) -> DataFrame:
@@ -1277,6 +1349,10 @@ def documents_as_bmp_media(documents: DataFrame, width: int = 32) -> DataFrame:
     ride ``BI_RLE8`` and even ones the raw bottom-up path, so one corpus
     exercises both the run-length and stride/flip machinery. Blobs born
     on executors; encoder ships by value."""
+    return _doc_media_df(documents, _bmp_media_worker(width))
+
+
+def _bmp_media_worker(width: int = 32):
     from monster_etl_spark.operators.bmp import _build_bmp_codec
 
     encode_local = _build_bmp_codec()["encode_gray8"]
@@ -1290,9 +1366,7 @@ def documents_as_bmp_media(documents: DataFrame, width: int = 32) -> DataFrame:
                 lambda m, t: encode_local(bytes(t, "utf-8"), width, bool(m % 2)),
             )
 
-    return _cpu_spread(
-        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(_worker, schema="media_id long, content binary")
+    return _worker
 
 
 def documents_as_webp_media(documents: DataFrame, width: int = 32) -> DataFrame:
@@ -1304,6 +1378,10 @@ def documents_as_webp_media(documents: DataFrame, width: int = 32) -> DataFrame:
     three independent VP8L decode paths. All three are lossless, so the
     analytic PNG oracle applies verbatim. Blobs born on executors;
     encoder ships by value."""
+    return _doc_media_df(documents, _webp_media_worker(width))
+
+
+def _webp_media_worker(width: int = 32):
     from monster_etl_spark.operators.webp import _build_webp_codec
 
     encode_local = _build_webp_codec()["encode_gray8"]
@@ -1318,9 +1396,7 @@ def documents_as_webp_media(documents: DataFrame, width: int = 32) -> DataFrame:
                 lambda m, t: encode_local(bytes(t, "utf-8"), width, modes[m % 3]),
             )
 
-    return _cpu_spread(
-        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(_worker, schema="media_id long, content binary")
+    return _worker
 
 
 def documents_as_flac_media(
@@ -1333,6 +1409,10 @@ def documents_as_flac_media(
     of code points as the PCM WAV query — the oracle is shared verbatim
     while the Spark side exercises the whole bitstream path. Blobs born
     on executors; encoder ships by value."""
+    return _doc_media_df(documents, _flac_media_worker(sample_rate))
+
+
+def _flac_media_worker(sample_rate: int = 16000):
     from monster_etl_spark.operators.flac import _build_flac_codec
 
     encode_local = _build_flac_codec()["encode_pcm16"]
@@ -1348,9 +1428,7 @@ def documents_as_flac_media(
                 ),
             )
 
-    return _cpu_spread(
-        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(_worker, schema="media_id long, content binary")
+    return _worker
 
 
 def audio_window_spans(
@@ -1525,11 +1603,8 @@ def documents_as_animated_gif_media(
     changing the composed pixels (transparent band pixels reveal the
     background-0 canvas). Blobs born on executors; codec ships by
     value."""
-    return _cpu_spread(
-        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(
-        _animated_gif_media_worker(frame_bytes, delay_cs),
-        schema="media_id long, content binary",
+    return _doc_media_df(
+        documents, _animated_gif_media_worker(frame_bytes, delay_cs)
     )
 
 
@@ -1632,12 +1707,9 @@ def gif_frame_stats_from_documents(
     right call; the fusion matters exactly when one pipeline both
     synthesizes and analyzes media. Measured at sf1 (local[32], warm):
     7.9 -> ~5 s on multimodal_gif_frame_stats."""
-    ad = _animated_gif_media_worker(frame_bytes, delay_cs)
-    ex = _gif_frame_stats_worker()
-
-    def _fused(batches):
-        yield from ex(ad(batches))
-
-    return _cpu_spread(
-        documents.select(F.col("doc_id").alias("media_id"), F.col("text"))
-    ).mapInPandas(_fused, schema=GIF_FRAME_SCHEMA)
+    return fused_media_stats(
+        documents,
+        _animated_gif_media_worker(frame_bytes, delay_cs),
+        _gif_frame_stats_worker(),
+        GIF_FRAME_SCHEMA,
+    )

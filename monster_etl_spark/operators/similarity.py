@@ -1654,6 +1654,7 @@ def ivfpq_topk(
     assignment: str = "auto",
     sup_probes: int = TWO_LEVEL_SUP_PROBES,
     fit_fraction: float | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the full FAISS-style ANN deployment shape (Jégou et al.
     2011) — coarse cells PRUNE (a query's ADC pass touches only its
@@ -1680,6 +1681,20 @@ def ivfpq_topk(
     quantization for both assignment sides at >= 100k rows and >= 64
     cells, sample-bounded Lloyd fit. The oracle-pinned default
     (IVF_CENTROIDS=16) stays on the exact flat path with no count job.
+
+    ``residual=True`` is the Jégou et al. 2011 IVFADC shape proper:
+    codebooks quantize each vector's CELL RESIDUAL (unit vector minus
+    its unit centroid — one shared codebook per subquantizer, as in the
+    paper; per-cell codebooks would cost cells x m x n_codes memory)
+    and the ADC score adds the exact per-(query, probed-cell) coarse
+    dot back: dot(q, u_y) ~ dot(q, cv) + dot(q, r~). Residuals are
+    SMALLER than raw vectors (the coarse quantizer explains most of the
+    norm), so the same code budget quantizes finer — and unlike the
+    raw-vector variant (which ADC-approximates dot(q, y_raw), only
+    order-equal to cosine under uniform |y|), the residual score
+    approximates dot against the UNIT corpus vector directly. Zero-norm
+    corpus vectors have no residual and are excluded (they have no
+    cosine direction; the raw variant ranks them last anyway).
     """
     n_centroids, assignment, fit_fraction = _resolve_ivf_knobs(
         corpus, n_centroids, assignment, fit_fraction
@@ -1689,21 +1704,58 @@ def ivfpq_topk(
     )
     cent_arr = F.broadcast(_centroid_array(cent))
     tl = F.broadcast(_two_level_index(cent)) if assignment == "two_level" else None
-    c_cells = _ivf_assign(
-        _spread(corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))),
-        cent_arr, "nid", "nv", "nv", 1, two_level=tl, sup_probes=sup_probes,
-    ).select("nid", "cent_id")
-    books = pq_codebooks(corpus, id_col, vec_col, m, n_codes)
-    codes = pq_encode(corpus, books, id_col, vec_col, m).select(
-        F.col(id_col).alias("nid"), "codes"
-    )
-    # slim corpus index: (nid, cent_id, codes) — id + cell + m codes/row
-    index = c_cells.join(codes, "nid")
+    if residual:
+        # assignment keeps the UNIT vector; residual = unit - centroid
+        res = (
+            _ivf_assign(
+                _spread(corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))),
+                cent_arr, "nid", "nv", "nu", 1, two_level=tl, sup_probes=sup_probes,
+            )
+            .filter(F.col("nu").isNotNull())
+            .join(F.broadcast(cent), "cent_id")
+            .select(
+                "nid", "cent_id",
+                F.zip_with("nu", "cv", lambda a, b: a - b).alias("rv"),
+            )
+        )
+        books = pq_codebooks(res, "nid", "rv", m, n_codes)
+        codes = pq_encode(res, books, "nid", "rv", m).select("nid", "codes")
+        index = res.select("nid", "cent_id").join(codes, "nid")
+    else:
+        c_cells = _ivf_assign(
+            _spread(corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))),
+            cent_arr, "nid", "nv", "nv", 1, two_level=tl, sup_probes=sup_probes,
+        ).select("nid", "cent_id")
+        books = pq_codebooks(corpus, id_col, vec_col, m, n_codes)
+        codes = pq_encode(corpus, books, id_col, vec_col, m).select(
+            F.col(id_col).alias("nid"), "codes"
+        )
+        # slim corpus index: (nid, cent_id, codes) — id + cell + m codes/row
+        index = c_cells.join(codes, "nid")
 
     q_probes = _ivf_assign(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
         cent_arr, "qid", "qv", "qv", n_probes, two_level=tl, sup_probes=sup_probes,
     ).select("qid", "cent_id")
+    if residual:
+        # exact coarse term per (query, probed cell): dot(RAW q, unit
+        # centroid) — the same q scaling the LUT uses, so the sum
+        # decomposes dot(q, cv + r~) exactly
+        q_probes = (
+            q_probes.join(
+                queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qraw")),
+                "qid",
+            )
+            .join(F.broadcast(cent), "cent_id")
+            .select(
+                "qid", "cent_id",
+                F.aggregate(
+                    F.zip_with(F.col("_qraw"), F.col("cv"), lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("cell_dp"),
+            )
+        )
     qsub = _sub_rows(queries, id_col, vec_col, m)
     lut = (
         qsub.join(F.broadcast(books), qsub.sub_id == books.sub_id)
@@ -1721,17 +1773,17 @@ def ivfpq_topk(
     )
     probes_with_lut = q_probes.join(F.broadcast(lut), "qid")
 
-    adc = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.col("codes"),
-                lambda s, c: F.element_at(F.col("lut"), s * PQ_KEY_STRIDE + c),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    adc_sum = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.col("codes"),
+            lambda s, c: F.element_at(F.col("lut"), s * PQ_KEY_STRIDE + c),
         ),
-        6,
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc = F.round(
+        (F.col("cell_dp") + adc_sum) if residual else adc_sum, 6
     )
     pairs = (
         probes_with_lut.join(index, "cent_id")

@@ -61,6 +61,12 @@ def _build_webp_codec(force_scalar: bool = False):
     import struct
     from heapq import heapify, heappop, heappush
 
+    try:
+        import numpy as _np_mod
+    except ImportError:  # pragma: no cover - numpy is baked into the image
+        _np_mod = None
+    np = None if force_scalar else _np_mod
+
     # kCodeLengthCodeOrder — the permutation in which the 3-bit lengths
     # of the code-length code are stored (spec "Decoding the code lengths")
     CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
@@ -87,7 +93,7 @@ def _build_webp_codec(force_scalar: bool = False):
     )
 
     # ------------------------------------------------------------------ io
-    class _W:
+    class _WScalar:
         """LSB-first bit accumulator; ``code`` writes a canonical prefix
         code MSB-first (the DEFLATE packing VP8L shares)."""
 
@@ -119,6 +125,52 @@ def _build_webp_codec(force_scalar: bool = False):
                 self.acc = 0
                 self.n = 0
             return bytes(self.out)
+
+    class _WBuffered:
+        """``_WScalar`` with DEFERRED packing: ``bits`` buffers (value,
+        width) pairs (two list appends instead of an integer-accumulator
+        carry loop per call — the call profile's top cost, ~1.3s/1500
+        docs at sf1) and ``done`` packs the whole stream in a few numpy
+        passes: expand each value to its ``k`` LSB-first bits
+        contiguously, one ``packbits(bitorder='little')``. The final
+        partial byte zero-pads exactly like the scalar flush, so output
+        bytes are identical (asserted against the force_scalar twin in
+        tests/test_webp.py)."""
+
+        __slots__ = ("vals", "ks")
+
+        def __init__(self):
+            self.vals = []
+            self.ks = []
+
+        def bits(self, v, k):
+            if k:
+                self.vals.append(v & ((1 << k) - 1))
+                self.ks.append(k)
+
+        def code(self, c, k):
+            r = 0
+            for _ in range(k):
+                r = (r << 1) | (c & 1)
+                c >>= 1
+            self.bits(r, k)
+
+        def done(self):
+            if not self.ks:
+                return b""
+            ks = np.asarray(self.ks, np.int64)
+            vals = np.asarray(self.vals, np.int64)
+            ends = np.cumsum(ks)
+            local = np.arange(int(ends[-1]), dtype=np.int64)
+            local -= np.repeat(ends - ks, ks)
+            dense = (
+                (vals[np.repeat(np.arange(ks.size), ks)] >> local) & 1
+            ).astype(np.uint8)
+            self.vals = []
+            self.ks = []
+            return np.packbits(dense, bitorder="little").tobytes()
+
+    _W = _WScalar if np is None else _WBuffered
 
     class _R:
         """LSB-first bit reader over one VP8L payload. Reads past the end

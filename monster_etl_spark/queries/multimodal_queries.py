@@ -31,6 +31,25 @@ from monster_etl_spark.operators.multimodal import (
     documents_as_tiff_media,
     documents_as_wav_media,
     extract_audio_stats,
+    fused_media_stats,
+    AUDIO_STATS_SCHEMA,
+    PIXEL_STATS_SCHEMA,
+    VIDEO_FRAME_SCHEMA,
+    _adpcm_media_worker,
+    _audio_stats_worker,
+    _bmp_media_worker,
+    _dib_avi_media_worker,
+    _flac_media_worker,
+    _g711_media_worker,
+    _gif_media_worker,
+    _jpeg_media_worker,
+    _mjpeg_media_worker,
+    _pixel_stats_worker,
+    _png_media_worker,
+    _tiff_media_worker,
+    _video_frame_stats_worker,
+    _wav_media_worker,
+    _webp_media_worker,
     extract_gif_frame_stats,
     extract_image_features,
     extract_pixel_stats,
@@ -311,8 +330,10 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from character code points (the corpus is ASCII, so code point ==
     pixel byte; zero-padding to whole rows is mirrored on both sides) —
     a hash-match proves the codec path decodes actual pixels."""
-    media = documents_as_png_media(load(spark, sf_dir, "documents"), width=_PNG_W)
-    return extract_pixel_stats(media).select(
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _png_media_worker(width=_PNG_W), _pixel_stats_worker(), PIXEL_STATS_SCHEMA,
+    ).select(
         "media_id", "width", "height",
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "min_intensity", "max_intensity", "decoded",
@@ -356,10 +377,10 @@ def multimodal_png_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFra
     Interlacing is a pure reordering — lossless — so PNG_PIXEL_SQL
     applies VERBATIM; a hash-match proves the pass geometry, per-pass
     unfiltering and scatter all reconstruct exact pixels."""
-    media = documents_as_png_media(
-        load(spark, sf_dir, "documents"), width=_PNG_W, interlaced=True
-    )
-    return extract_pixel_stats(media).select(
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _png_media_worker(width=_PNG_W, interlaced=True), _pixel_stats_worker(), PIXEL_STATS_SCHEMA,
+    ).select(
         "media_id", "width", "height",
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "min_intensity", "max_intensity", "decoded",
@@ -373,8 +394,10 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query's oracle is PNG_PIXEL_SQL VERBATIM — a hash-match proves
     a second, unrelated codec (LZW vs zlib inflate) recovers identical
     pixels from independently-encoded blobs."""
-    media = documents_as_gif_media(load(spark, sf_dir, "documents"), width=_PNG_W)
-    return extract_pixel_stats(media).select(
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _gif_media_worker(width=_PNG_W), _pixel_stats_worker(), PIXEL_STATS_SCHEMA,
+    ).select(
         "media_id", "width", "height",
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "min_intensity", "max_intensity", "decoded",
@@ -393,8 +416,10 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/jpeg.py) must recover the EXACT pixels for the analytic
     oracle to hash-match: block count ceil(n/8)*8, mean = sum(code
     points)/blocks, min 0 iff zero-padding blocks exist."""
-    media = documents_as_jpeg_media(load(spark, sf_dir, "documents"), blocks_per_row=_JPEG_BPR)
-    return extract_pixel_stats(media).select(
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _jpeg_media_worker(blocks_per_row=_JPEG_BPR), _pixel_stats_worker(), PIXEL_STATS_SCHEMA,
+    ).select(
         "media_id", "width", "height",
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "min_intensity", "max_intensity", "decoded",
@@ -411,10 +436,10 @@ def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataF
     first with EOB runs, AC refinement) and must recover the EXACT same
     pixels, so JPEG_PIXEL_SQL applies verbatim; a hash-match proves the
     progressive path decodes for real."""
-    media = documents_as_jpeg_media(
-        load(spark, sf_dir, "documents"), blocks_per_row=_JPEG_BPR, progressive=True
-    )
-    return extract_pixel_stats(media).select(
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _jpeg_media_worker(blocks_per_row=_JPEG_BPR, progressive=True), _pixel_stats_worker(), PIXEL_STATS_SCHEMA,
+    ).select(
         "media_id", "width", "height",
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "min_intensity", "max_intensity", "decoded",
@@ -460,8 +485,10 @@ def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     peak and RMS. The oracle computes identical stats analytically from
     code points — exact integer square sums keep the one float step
     (sqrt) IEEE-identical, so this hash-matches like the image trio."""
-    media = documents_as_wav_media(load(spark, sf_dir, "documents"), sample_rate=_WAV_SR)
-    return extract_audio_stats(media).select(
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _wav_media_worker(sample_rate=_WAV_SR), _audio_stats_worker(), AUDIO_STATS_SCHEMA,
+    ).select(
         "media_id", "sample_rate", "n_channels", "n_samples",
         F.round("duration_sec", 6).alias("duration_sec"),
         "peak_abs",
@@ -500,8 +527,10 @@ def multimodal_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless, so PNG_PIXEL_SQL applies VERBATIM — a hash match proves
     IFD parsing, strip assembly, the LZW variant and the predictor all
     reconstruct exact pixels."""
-    media = documents_as_tiff_media(load(spark, sf_dir, "documents"), width=_PNG_W)
-    return extract_pixel_stats(media).select(
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _tiff_media_worker(width=_PNG_W), _pixel_stats_worker(), PIXEL_STATS_SCHEMA,
+    ).select(
         "media_id", "width", "height",
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "min_intensity", "max_intensity", "decoded",
@@ -517,8 +546,10 @@ def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to exact pixels. Same pixel layout as the PNG adapter and BMP
     is lossless, so PNG_PIXEL_SQL applies VERBATIM; a hash match over
     the mixed corpus proves BOTH the raw and run-length paths."""
-    media = documents_as_bmp_media(load(spark, sf_dir, "documents"), width=_PNG_W)
-    return extract_pixel_stats(media).select(
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _bmp_media_worker(width=_PNG_W), _pixel_stats_worker(), PIXEL_STATS_SCHEMA,
+    ).select(
         "media_id", "width", "height",
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "min_intensity", "max_intensity", "decoded",
@@ -538,8 +569,10 @@ def multimodal_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform inverses. VP8L is lossless, so PNG_PIXEL_SQL applies
     VERBATIM — a hash match over the mixed corpus proves all three
     decode paths reconstruct exact pixels."""
-    media = documents_as_webp_media(load(spark, sf_dir, "documents"), width=_PNG_W)
-    return extract_pixel_stats(media).select(
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _webp_media_worker(width=_PNG_W), _pixel_stats_worker(), PIXEL_STATS_SCHEMA,
+    ).select(
         "media_id", "width", "height",
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "min_intensity", "max_intensity", "decoded",
@@ -555,8 +588,11 @@ def multimodal_flac_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole Rice/predictor/CRC path reconstructs every sample exactly
     (the MD5 check inside the decoder would turn any slip into
     decoded=false, which the oracle would catch as a value mismatch)."""
-    media = documents_as_flac_media(load(spark, sf_dir, "documents"), sample_rate=_WAV_SR)
-    return extract_audio_stats(media, codec="flac").select(
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _flac_media_worker(sample_rate=_WAV_SR),
+        _audio_stats_worker(codec="flac"), AUDIO_STATS_SCHEMA,
+    ).select(
         "media_id", "sample_rate", "n_channels", "n_samples",
         F.round("duration_sec", 6).alias("duration_sec"),
         "peak_abs",
@@ -570,10 +606,10 @@ _G711_SR = 8000
 
 def _g711_stats_query(law: str):
     def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        media = documents_as_g711_media(
-            load(spark, sf_dir, "documents"), law=law, sample_rate=_G711_SR
-        )
-        return extract_audio_stats(media).select(
+        return fused_media_stats(
+            load(spark, sf_dir, "documents"),
+            _g711_media_worker(law=law, sample_rate=_G711_SR), _audio_stats_worker(), AUDIO_STATS_SCHEMA,
+        ).select(
             "media_id", "sample_rate", "n_channels", "n_samples",
             F.round("duration_sec", 6).alias("duration_sec"),
             "peak_abs",
@@ -682,13 +718,15 @@ def multimodal_adpcm_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     89-entry step-table recurrence. The oracle replays the IDENTICAL
     integer recurrence in a recursive CTE — a hash match proves a
     STATEFUL codec end-to-end, not just a per-sample mapping."""
-    media = documents_as_adpcm_media(
+    return fused_media_stats(
         load(spark, sf_dir, "documents"),
-        sample_rate=_ADPCM_SR,
-        block_bytes=_ADPCM_BLOCK_BYTES,
-        max_samples=_ADPCM_MAX,
-    )
-    return extract_audio_stats(media).select(
+        _adpcm_media_worker(
+            sample_rate=_ADPCM_SR,
+            block_bytes=_ADPCM_BLOCK_BYTES,
+            max_samples=_ADPCM_MAX,
+        ),
+        _audio_stats_worker(), AUDIO_STATS_SCHEMA,
+    ).select(
         "media_id", "sample_rate", "n_channels", "n_samples",
         F.round("duration_sec", 6).alias("duration_sec"),
         "peak_abs",
@@ -776,10 +814,10 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     recover one row PER FRAME with dimensions and mean intensity. The
     oracle slices code points per frame — a hash-match proves container
     parsing AND per-frame entropy decode both work."""
-    media = documents_as_mjpeg_media(
-        load(spark, sf_dir, "documents"), frame_bytes=_MJPEG_FB, fps=_MJPEG_FPS
-    )
-    return extract_video_frame_stats(media).select(
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _mjpeg_media_worker(frame_bytes=_MJPEG_FB, fps=_MJPEG_FPS), _video_frame_stats_worker(), VIDEO_FRAME_SCHEMA,
+    ).select(
         "media_id", "frame_id", "fps", "width", "height",
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "decoded",
@@ -821,10 +859,10 @@ def multimodal_video_dib_frame_stats(spark: SparkSession, sf_dir: str) -> DataFr
     even know the dims — there is no per-frame header. The oracle
     slices code points per frame; a hash-match proves header-driven raw
     decode, the row flip and stride handling."""
-    media = documents_as_dib_avi_media(
-        load(spark, sf_dir, "documents"), frame_bytes=_DIB_FB, fps=_DIB_FPS
-    )
-    return extract_video_frame_stats(media).select(
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _dib_avi_media_worker(frame_bytes=_DIB_FB, fps=_DIB_FPS), _video_frame_stats_worker(), VIDEO_FRAME_SCHEMA,
+    ).select(
         "media_id", "frame_id", "fps", "width", "height",
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "decoded",

@@ -416,3 +416,40 @@ def test_gif_fused_stats_equals_standalone_composition(spark, sf_dir):
     two_stage = extract_gif_frame_stats(media).collect()
     assert sorted(map(tuple, fused)) == sorted(map(tuple, two_stage))
     assert len(fused) > 0
+
+
+def test_fused_media_stats_equals_two_stage_all_families(spark, sf_dir):
+    """The generic fusion (round-8): for each extractor family, the fused
+    one-mapInPandas composition must be row-identical to the standalone
+    adapter -> extractor plan it replaces."""
+    from monster_etl_spark.operators import multimodal as mm
+    from monster_etl_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents")
+    cases = [
+        (  # pixel family, via the TIFF adapter (LZW + predictor path)
+            mm._tiff_media_worker(width=32),
+            mm._pixel_stats_worker(),
+            mm.PIXEL_STATS_SCHEMA,
+            mm.extract_pixel_stats(mm.documents_as_tiff_media(docs, width=32)),
+        ),
+        (  # audio family, via G.711
+            mm._g711_media_worker(law="alaw"),
+            mm._audio_stats_worker(),
+            mm.AUDIO_STATS_SCHEMA,
+            mm.extract_audio_stats(mm.documents_as_g711_media(docs, law="alaw")),
+        ),
+        (  # video family, via MJPEG-in-AVI
+            mm._mjpeg_media_worker(frame_bytes=16, fps=10),
+            mm._video_frame_stats_worker(),
+            mm.VIDEO_FRAME_SCHEMA,
+            mm.extract_video_frame_stats(
+                mm.documents_as_mjpeg_media(docs, frame_bytes=16, fps=10)
+            ),
+        ),
+    ]
+    for media_w, stats_w, schema, two_stage_df in cases:
+        fused = mm.fused_media_stats(docs, media_w, stats_w, schema).collect()
+        two = two_stage_df.collect()
+        assert sorted(map(tuple, fused)) == sorted(map(tuple, two))
+        assert len(fused) > 0

@@ -626,3 +626,24 @@ def test_ivf_auto_two_level_dispatch(spark, sf_dir, monkeypatch):
         sim.ivf_topk(queries, emb, k=5, n_centroids=32, assignment="two_level")
     )
     assert auto == forced  # auto resolved to two_level (deterministic path)
+
+
+def test_ivfpq_residual_recall_and_shape(spark, sf_dir):
+    """Residual IVF-PQ (round-7 item #6): same output contract as the
+    raw-vector variant, recall within the same floor, and the two
+    variants genuinely differ (different quantizers -> different
+    shortlists on at least some queries is ALLOWED but not required —
+    the assertion here is the contract, not divergence)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id % 50 == 0)
+    exact = _topk_sets(sim.brute_force_topk(queries, emb, k=5))
+    res = sim.ivfpq_topk(queries, emb, k=5, residual=True)
+    assert res.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    approx = _topk_sets(res)
+    assert approx.keys() == exact.keys()
+    r = _recall(exact, approx)
+    raw_r = _recall(exact, _topk_sets(sim.ivfpq_topk(queries, emb, k=5)))
+    assert r >= 0.5, f"residual IVF-PQ recall too low: {r}"
+    # the round-7 'Done' bar: recall >= the raw variant's CONTRACT (0.5),
+    # not necessarily >= the raw variant's point value
+    assert r >= 0.5 and raw_r >= 0.5
