@@ -772,11 +772,66 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_safe_batch(rows, remaining, floor):
+    """The provably-sequential-equivalent merge batch: the longest
+    CONTIGUOUS prefix of the (count DESC, pair ASC)-sorted pair list
+    such that
+
+    - every accepted pair is symbol-disjoint from every earlier one
+      (an overlapping pair's count changes, so the sequential learner
+      would re-rank it — the batch must stop, not skip);
+    - no pair CREATED by an earlier accepted merge can outrank a later
+      accepted pair: a new pair (w1w2, x) occurs at most count(w2, x)
+      times and (x, w1w2) at most count(x, w1) times in the CURRENT
+      counts (each occurrence contains one current occurrence), so the
+      max matching current count — ``floor`` for pairs outside the
+      collected top list — must be STRICTLY below the candidate's count
+      (strictness sidesteps tie-break comparison against unseen merged
+      symbols; ties just end the batch).
+
+    Under these rules the sequential argmax at step i provably equals
+    the i-th accepted pair, so the batched learner emits the IDENTICAL
+    merge table (equality asserted against the one-at-a-time reference
+    in tests/test_text_quality_rules.py). Returns the accepted
+    (w1, w2, count) prefix, never empty when ``rows`` is not."""
+    used: set = set()
+    accepted: list = []
+    for w1, w2, cnt in rows:
+        if len(accepted) >= remaining:
+            break
+        if accepted and ({w1, w2} & used):
+            break
+        ok = True
+        for a1, a2, ac in accepted:
+            bound = floor
+            if a1 == a2:
+                # a SELF-pair merge over a long run creates (w1w1, w1w1)
+                # pairs bounded only by its OWN count — include it, which
+                # (counts sorted desc) ends the batch right after it
+                bound = max(bound, ac)
+            for x1, x2, xc in rows:
+                if (x1, x2) == (a1, a2):
+                    continue
+                if x1 == a2 or x2 == a1:
+                    bound = max(bound, xc)
+            if bound >= cnt:
+                ok = False
+                break
+        if not ok:
+            break
+        accepted.append((w1, w2, cnt))
+        used.update((w1, w2))
+    if not accepted and rows:
+        accepted = [rows[0]]
+    return accepted
+
+
 def bpe_learn_merges(
     docs: DataFrame,
     text_col: str,
     n_merges: int = 6,
     max_word_len: int = BPE_MAX_WORD_LEN,
+    batch_top: int = 64,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merge operations from a corpus.
 
@@ -792,15 +847,20 @@ def bpe_learn_merges(
     Deterministic: integer counts, total-order tiebreak (count DESC,
     pair ASC). Returns (merge_rank, w1, w2, merged, pair_count).
 
-    Job-count caveat: exact BPE is inherently sequential in the merge
-    rank — each round's pair counts depend on the previous merge — so a
-    real 32k-merge vocabulary means 32k short Spark jobs over the cached
-    dictionary (seconds each at vocabulary scale, but hours of scheduler
-    round-trips in total). Production tokenizer training bounds this by
-    learning merges on the dictionary DRIVER-side once it fits in memory
-    (it is vocabulary-sized) or by batching non-overlapping merges per
-    round; this implementation keeps the per-round Spark job because the
-    dictionary is the distributed artifact being demonstrated.
+    Job-count note: exact BPE is inherently sequential in the merge
+    rank — each round's pair counts depend on the previous merge. Each
+    ROUND here collects the top-``batch_top`` pairs (still one
+    vocabulary-sized metadata collect) and applies the longest
+    provably-sequential-equivalent prefix (:func:`_bpe_safe_batch`:
+    symbol-disjoint, contiguous, with new-pair counts strictly bounded
+    below every later accepted pair), so the job count drops from
+    ``n_merges`` to the number of batches while the merge TABLE is
+    bit-identical to one-at-a-time learning (asserted in tests; the
+    unrolled sequential SQL oracle stays the hash gate). ``batch_top=1``
+    recovers the pure sequential learner. A real 32k-merge vocabulary
+    still wants driver-side learning once the dictionary fits in memory
+    (it is vocabulary-sized); the batched rounds are the distributed
+    middle ground.
     """
     spark = docs.sparkSession
     words = (
@@ -819,18 +879,23 @@ def bpe_learn_merges(
     words = base
     try:
         merges: list[tuple[int, str, str, str, int]] = []
-        for k in range(n_merges):
+        while len(merges) < n_merges:
             top = (
                 _bpe_pair_counts(words)
                 .orderBy(F.col("pair_count").desc(), F.col("w1").asc(), F.col("w2").asc())
-                .limit(1)
+                .limit(batch_top)
                 .collect()
             )
             if not top:
                 break
-            w1, w2, cnt = top[0]["w1"], top[0]["w2"], int(top[0]["pair_count"])
-            merges.append((k + 1, w1, w2, w1 + w2, cnt))
-            words = words.withColumn("sym", _bpe_apply_merge(F.col("sym"), w1, w2))
+            rows = [(r["w1"], r["w2"], int(r["pair_count"])) for r in top]
+            floor = rows[-1][2] if len(rows) == batch_top else 0
+            accepted = _bpe_safe_batch(rows, n_merges - len(merges), floor)
+            col = F.col("sym")
+            for w1, w2, cnt in accepted:
+                merges.append((len(merges) + 1, w1, w2, w1 + w2, cnt))
+                col = _bpe_apply_merge(col, w1, w2)
+            words = words.withColumn("sym", col)
         return spark.createDataFrame(
             merges, "merge_rank: long, w1: string, w2: string, merged: string, pair_count: long"
         )

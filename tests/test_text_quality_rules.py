@@ -64,3 +64,24 @@ def test_bm25_hand_computed(spark):
 
     assert got[1] == pytest.approx(score(1, 2), abs=1e-6)
     assert got[2] == pytest.approx(score(2, 4), abs=1e-6)
+
+
+def test_bpe_batched_merges_equal_sequential(spark):
+    """Round-8 stretch: the batched merge learner (_bpe_safe_batch) must
+    emit the EXACT merge table of one-at-a-time learning on corpora that
+    stress its guard rails — ties, overlapping top pairs, self-pairs
+    (long same-char runs), and pairs adjacent to each other."""
+    from monster_etl_spark.operators.text import bpe_learn_merges
+
+    corpora = [
+        ["the cat sat on the mat", "the bat and the rat", "that hat"],
+        ["aaaaaa aaaa aa", "aaa baa aab", "abab abab ab"],  # self-pair runs
+        ["xy xy xy yz yz yz zx zx zx"] * 3,                  # 3-way ties
+        ["lo low lower lowest", "new newer newest", "wide wider widest"],
+        ["ababab bcbcbc cdcdcd", "abc bcd cde", "aabb bbcc ccdd"],
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame([(t,) for t in texts], "text: string")
+        seq = bpe_learn_merges(docs, "text", n_merges=10, batch_top=1).collect()
+        bat = bpe_learn_merges(docs, "text", n_merges=10, batch_top=64).collect()
+        assert [tuple(r) for r in seq] == [tuple(r) for r in bat], texts
