@@ -554,7 +554,9 @@ def _pixel_stats_worker():
     jpeg_decode_local = jpeg_codec_local["decode"]
     jpeg_batch_local = jpeg_codec_local["decode_gray8_batch"]
     gif_decode_local = _build_gif_codec()["decode"]
-    tiff_decode_local = _build_tiff_codec()["decode"]
+    tiff_codec_local = _build_tiff_codec()
+    tiff_decode_local = tiff_codec_local["decode"]
+    tiff_batch_local = tiff_codec_local["decode_batch"]
     bmp_decode_local = _build_bmp_codec()["decode"]
     webp_decode_local = _build_webp_codec()["decode"]
 
@@ -562,7 +564,7 @@ def _pixel_stats_worker():
         import numpy as np
         import pandas as pd
 
-        def stats_chunk(rows, contents, jpeg_results):
+        def stats_chunk(rows, contents, jpeg_results, tiff_results):
             for ci, c in enumerate(contents):
                 d = decode(c)
                 if d is None:
@@ -574,7 +576,11 @@ def _pixel_stats_worker():
                 if d is None:
                     d = gif_decode_local(bytes(c))
                 if d is None:
-                    d = tiff_decode_local(bytes(c))
+                    d = (
+                        tiff_results[ci]
+                        if ci in tiff_results
+                        else tiff_decode_local(bytes(c))
+                    )
                 if d is None:
                     d = bmp_decode_local(bytes(c))
                 if d is None:
@@ -633,7 +639,16 @@ def _pixel_stats_worker():
                 jpeg_results = dict(
                     zip(jpeg_ix, jpeg_batch_local([contents[i] for i in jpeg_ix]))
                 )
-                stats_chunk(rows, contents, jpeg_results)
+                # lockstep-lane TIFF-LZW across the chunk's TIFF-magic
+                # blobs (identical per-blob results; tests/test_tiff.py)
+                tiff_ix = [
+                    i for i, c in enumerate(contents)
+                    if c[:4] in (b"II*\x00", b"MM\x00*")
+                ]
+                tiff_results = dict(
+                    zip(tiff_ix, tiff_batch_local([contents[i] for i in tiff_ix]))
+                )
+                stats_chunk(rows, contents, jpeg_results, tiff_results)
             yield pd.DataFrame(rows)
 
     return _worker

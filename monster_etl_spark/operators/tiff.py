@@ -208,6 +208,185 @@ def _build_tiff_codec(force_scalar=False):
 
     lzw_decode = lzw_decode_scalar if np is None else lzw_decode_np
 
+    def lzw_decode_lanes(chunks):
+        """Lockstep-lane TIFF-LZW decode over MANY strips at once (the
+        round-7 JPEG discipline applied to the 0.28 MB/s/core scalar
+        floor): every lane advances ONE code per round — bit-window
+        gather, classify, table append, width bump — as ~20 vector ops
+        over (n_lanes,) arrays instead of a Python loop per code, and
+        output bytes materialize afterwards in one vectorized backward
+        chain walk over the (prefix, suffix) linked tables (total work =
+        output bytes). Per-lane failures mirror ``lzw_decode_scalar``'s
+        raises exactly (truncated read, first-code-not-literal /
+        uninitialized table, code out of range) as ``None`` entries;
+        byte parity with the scalar decoder is asserted per lane in
+        tests/test_codec_parity.py. Mid-stream CLEAR (table overflow at
+        4094 entries — rare at strip sizes) flushes pending emissions
+        before the reset reuses table slots."""
+        if np is None:
+            out = []
+            for c in chunks:
+                try:
+                    out.append(lzw_decode_scalar(c))
+                except Exception:
+                    out.append(None)
+            return out
+        nl = len(chunks)
+        if nl == 0:
+            return []
+        sizes = np.fromiter(map(len, chunks), np.int64, nl)
+        offs = np.concatenate(([0], np.cumsum(sizes)))
+        pool = bytearray(int(offs[-1]) + 3)
+        for c, o, s in zip(chunks, offs[:-1], sizes):
+            pool[int(o) : int(o) + int(s)] = c
+        pb = np.frombuffer(bytes(pool), np.uint8).astype(np.int32)
+        pos = offs[:-1] * 8
+        end = pos + sizes * 8
+        width = np.full(nl, 9, np.int32)
+        tsize = np.zeros(nl, np.int32)  # 0 = table not initialized
+        prev = np.full(nl, -1, np.int32)
+        done = np.zeros(nl, bool)
+        fail = np.zeros(nl, bool)
+        # per-lane linked tables; base entries shared by construction
+        prefix = np.full((nl, 4096), -1, np.int16)
+        suffix = np.zeros((nl, 4096), np.uint8)
+        first = np.zeros((nl, 4096), np.uint8)
+        length = np.zeros((nl, 4096), np.int32)
+        base = np.arange(256, dtype=np.uint8)
+        suffix[:, :256] = base
+        first[:, :256] = base
+        length[:, :256] = 1
+        out_chunks: list = [[] for _ in range(nl)]
+        emi_lanes: list = []
+        emi_codes: list = []
+
+        def flush():
+            if not emi_lanes:
+                return
+            lanes = np.concatenate(emi_lanes)
+            codes = np.concatenate(emi_codes).astype(np.int64)
+            emi_lanes.clear()
+            emi_codes.clear()
+            order = np.argsort(lanes, kind="stable")
+            lanes = lanes[order]
+            codes = codes[order]
+            lens = length[lanes, codes].astype(np.int64)
+            ends = np.cumsum(lens)
+            total = int(ends[-1]) if ends.size else 0
+            if total == 0:
+                return
+            buf = np.zeros(total, np.uint8)
+            ppos = ends - 1  # last byte of each emission
+            cur = codes.astype(np.int32).copy()
+            alive = cur >= 0
+            while alive.any():
+                li = lanes[alive]
+                cc = cur[alive]
+                buf[ppos[alive]] = suffix[li, cc]
+                ppos[alive] -= 1
+                cur[alive] = prefix[li, cc]
+                alive = cur >= 0
+            first_of = np.concatenate(([True], lanes[1:] != lanes[:-1]))
+            gidx = np.nonzero(first_of)[0]
+            starts = ends[gidx] - lens[gidx]
+            bounds = np.concatenate((starts, [total]))
+            for j, lid in enumerate(lanes[gidx]):
+                out_chunks[int(lid)].append(
+                    buf[int(bounds[j]) : int(bounds[j + 1])].tobytes()
+                )
+
+        while True:
+            act = np.nonzero(~(done | fail))[0]
+            if act.size == 0:
+                break
+            w = width[act]
+            trunc = pos[act] + w > end[act]
+            if trunc.any():
+                fail[act[trunc]] = True
+                act = act[~trunc]
+                if act.size == 0:
+                    continue
+                w = width[act]
+            p = pos[act]
+            bp = p >> 3
+            window = (pb[bp] << 16) | (pb[bp + 1] << 8) | pb[bp + 2]
+            code = (window >> (24 - (p & 7) - w).astype(np.int32)) & ((1 << w) - 1)
+            pos[act] = p + w
+            eoi = code == EOI
+            if eoi.any():
+                done[act[eoi]] = True
+            clr = code == CLEAR
+            if clr.any():
+                # table slots get reused after a reset: materialize every
+                # pending emission first (their entries are still live)
+                flush()
+                lanes_c = act[clr]
+                width[lanes_c] = 9
+                tsize[lanes_c] = FIRST
+                prev[lanes_c] = -1
+            rest = act[~(eoi | clr)]
+            if rest.size:
+                c = code[~(eoi | clr)]
+                uninit = tsize[rest] == 0
+                if uninit.any():
+                    fail[rest[uninit]] = True
+                    rest = rest[~uninit]
+                    c = c[~uninit]
+            if rest.size:
+                pv = prev[rest]
+                fresh = pv < 0
+                if fresh.any():
+                    bad = fresh & (c >= 256)
+                    if bad.any():
+                        fail[rest[bad]] = True
+                        keep = ~bad
+                        rest, c, pv, fresh = rest[keep], c[keep], pv[keep], fresh[keep]
+                if rest.size:
+                    ts = tsize[rest]
+                    over = (~fresh) & (c > ts)
+                    if over.any():
+                        fail[rest[over]] = True
+                        keep = ~over
+                        rest, c, pv, fresh, ts = (
+                            rest[keep], c[keep], pv[keep], fresh[keep], ts[keep]
+                        )
+                if rest.size:
+                    app = ~fresh
+                    if app.any():
+                        la = rest[app]
+                        slot = tsize[la].astype(np.int64)
+                        pva = pv[app].astype(np.int64)
+                        ca = c[app].astype(np.int64)
+                        pf = first[la, pva]
+                        pl = length[la, pva]
+                        normal = ca < tsize[la]
+                        nsfx = np.where(
+                            normal, first[la, np.minimum(ca, 4095)], pf
+                        )
+                        prefix[la, slot] = pv[app].astype(np.int16)
+                        suffix[la, slot] = nsfx
+                        first[la, slot] = pf
+                        length[la, slot] = pl + 1
+                        tsize[la] += 1
+                    emit = np.where(
+                        fresh, c,
+                        np.where(c < ts, c, tsize[rest] - 1),
+                    )
+                    prev[rest] = emit
+                    emi_lanes.append(rest.copy())
+                    emi_codes.append(emit.astype(np.int32))
+                    bump = (tsize[rest] == (1 << width[rest]) - 2) & (width[rest] < 12)
+                    if bump.any():
+                        width[rest[bump]] += 1
+        flush()
+        results: list = []
+        for i in range(nl):
+            if fail[i]:
+                results.append(None)
+            else:
+                results.append(b"".join(out_chunks[i]))
+        return results
+
     # ---- PackBits --------------------------------------------------------
     def packbits_encode(data):
         out = bytearray()
@@ -332,7 +511,11 @@ def _build_tiff_codec(force_scalar=False):
         except Exception:
             return None
 
-    def _decode(b):
+    def _parse(b):
+        """Header + IFD walk -> strip/layout metadata dict, or ``None``
+        on every structural rejection ``_decode`` applies (shared by the
+        per-blob and batch decoders — same accept/reject rules by
+        construction)."""
         if len(b) < 8:
             return None
         if b[:2] == b"II":
@@ -384,55 +567,130 @@ def _build_tiff_codec(force_scalar=False):
         counts = tags.get(279)
         if counts is None or len(counts) != len(offsets):
             return None
+        return {
+            "width": width, "height": height, "spp": spp, "comp": comp,
+            "pred": pred, "offsets": offsets, "counts": counts, "rps": rps,
+        }
+
+    def _undo_predictor(raw, row_bytes, spp):
+        """Horizontal-differencing undo for one strip (pred == 2)."""
+        if np is not None:
+            nr = len(raw) // row_bytes
+            a = np.frombuffer(raw[: nr * row_bytes], np.uint8).reshape(
+                nr, row_bytes
+            ).copy()
+            for lane in range(min(spp, row_bytes)):
+                np.add.accumulate(a[:, lane::spp], axis=1, out=a[:, lane::spp])
+            und = bytearray(a.tobytes()) + bytearray(raw[nr * row_bytes :])
+            r0 = nr * row_bytes
+            for x in range(spp, min(row_bytes, len(und) - r0)):
+                und[r0 + x] = (und[r0 + x] + und[r0 + x - spp]) & 0xFF
+        else:
+            und = bytearray(raw)
+            for r0 in range(0, len(und), row_bytes):
+                for x in range(spp, min(row_bytes, len(und) - r0)):
+                    und[r0 + x] = (und[r0 + x] + und[r0 + x - spp]) & 0xFF
+        return bytes(und)
+
+    def _assemble(meta, strip_raws):
+        """Truncate / predictor-undo / concat decoded strips; raises on
+        short pixel data exactly like the inline ``_decode`` loop did."""
+        width, height, spp = meta["width"], meta["height"], meta["spp"]
+        rps, pred = meta["rps"], meta["pred"]
         row_bytes = width * spp
         out = bytearray()
-        for si, (off, cnt) in enumerate(zip(offsets, counts)):
-            chunk = b[off : off + cnt]
-            if len(chunk) < cnt:
-                raise ValueError("strip truncated")
-            if comp == 1:
-                raw = chunk
-            elif comp == 5:
-                raw = lzw_decode(chunk)
-            elif comp == 32773:
-                raw = packbits_decode(chunk)
-            else:
-                return None
+        for si, raw in enumerate(strip_raws):
             rows_here = min(rps, height - si * rps)
             raw = raw[: rows_here * row_bytes]
             if pred == 2:
-                if np is not None:
-                    # per-lane modular prefix sum over full rows (uint8
-                    # accumulate wraps == the scalar & 0xFF); a ragged
-                    # tail row keeps the scalar loop
-                    nr = len(raw) // row_bytes
-                    a = np.frombuffer(raw[: nr * row_bytes], np.uint8).reshape(
-                        nr, row_bytes
-                    ).copy()
-                    for lane in range(min(spp, row_bytes)):
-                        np.add.accumulate(
-                            a[:, lane::spp], axis=1, out=a[:, lane::spp]
-                        )
-                    und = bytearray(a.tobytes()) + bytearray(raw[nr * row_bytes :])
-                    r0 = nr * row_bytes
-                    for x in range(spp, min(row_bytes, len(und) - r0)):
-                        und[r0 + x] = (und[r0 + x] + und[r0 + x - spp]) & 0xFF
-                else:
-                    und = bytearray(raw)
-                    for r0 in range(0, len(und), row_bytes):
-                        for x in range(spp, min(row_bytes, len(und) - r0)):
-                            und[r0 + x] = (und[r0 + x] + und[r0 + x - spp]) & 0xFF
-                raw = bytes(und)
+                raw = _undo_predictor(raw, row_bytes, spp)
             out += raw
         if len(out) < width * height * spp:
             raise ValueError("pixel data short")
         return width, height, spp, bytes(out[: width * height * spp])
 
+    def decode_batch(blobs):
+        """``decode`` over a batch with the LZW strips of EVERY blob
+        decoded in one lockstep-lane pass (``lzw_decode_lanes``) —
+        per-blob results identical to ``decode`` (asserted in
+        tests/test_codec_parity.py); non-LZW compressions and the
+        scalar twin delegate per blob."""
+        if np is None:
+            return [decode(b) for b in blobs]
+        metas: list = []
+        datas: list = []
+        lane_chunks: list = []
+        lane_home: list = []  # parallel: (blob_idx, strip_idx)
+        for bi, b in enumerate(blobs):
+            b = bytes(b)
+            datas.append(b)
+            try:
+                meta = _parse(b)
+            except Exception:
+                meta = None
+            if meta is not None and meta["comp"] == 5:
+                try:
+                    for si, (off, cnt) in enumerate(
+                        zip(meta["offsets"], meta["counts"])
+                    ):
+                        chunk = b[off : off + cnt]
+                        if len(chunk) < cnt:
+                            raise ValueError("strip truncated")
+                        lane_chunks.append(chunk)
+                        lane_home.append((bi, si))
+                except Exception:
+                    meta = None
+            metas.append(meta)
+        lane_out = lzw_decode_lanes(lane_chunks)
+        per_blob: dict = {}
+        for (bi, si), r in zip(lane_home, lane_out):
+            per_blob.setdefault(bi, {})[si] = r
+        results: list = []
+        for bi, (meta, b) in enumerate(zip(metas, datas)):
+            if meta is None:
+                results.append(None)
+                continue
+            if meta["comp"] != 5:
+                results.append(decode(b))
+                continue
+            strips = per_blob.get(bi, {})
+            raws = [strips.get(si) for si in range(len(meta["offsets"]))]
+            if any(r is None for r in raws):
+                results.append(None)  # a failed lane == the scalar raise
+                continue
+            try:
+                results.append(_assemble(meta, raws))
+            except Exception:
+                results.append(None)
+        return results
+
+    def _decode(b):
+        meta = _parse(b)
+        if meta is None:
+            return None
+        comp = meta["comp"]
+        raws = []
+        for off, cnt in zip(meta["offsets"], meta["counts"]):
+            chunk = b[off : off + cnt]
+            if len(chunk) < cnt:
+                raise ValueError("strip truncated")
+            if comp == 1:
+                raws.append(chunk)
+            elif comp == 5:
+                raws.append(lzw_decode(chunk))
+            elif comp == 32773:
+                raws.append(packbits_decode(chunk))
+            else:
+                return None
+        return _assemble(meta, raws)
+
     return {
         "encode_gray8": encode_gray8,
         "decode": decode,
+        "decode_batch": decode_batch,
         "_lzw_encode": lzw_encode,
         "_lzw_decode": lzw_decode,
+        "_lzw_decode_lanes": lzw_decode_lanes,
         "_packbits_encode": packbits_encode,
         "_packbits_decode": packbits_decode,
     }

@@ -129,3 +129,49 @@ def test_extract_pixel_stats_tiff(spark):
     assert rows[1]["max_intensity"] == max(b)
     assert abs(rows[1]["mean_intensity"] - sum(b) / total) < 1e-9
     assert rows[2]["height"] == 1 and rows[2]["mean_intensity"] == 0.0
+
+
+def test_decode_batch_equals_per_blob():
+    """Round-8 lockstep-lane TIFF-LZW: decode_batch must return exactly
+    [decode(b) for b in blobs] across multi-strip LZW blobs, adversarial
+    members (junk/empty/truncated), long same-byte runs (KwKwK + width
+    bumps), random bytes, and degenerate sizes; the force_scalar twin
+    delegates per blob."""
+    import random
+
+    from monster_etl_spark.operators.tiff import _build_tiff_codec
+
+    C = _build_tiff_codec()
+    CS = _build_tiff_codec(force_scalar=True)
+    enc, dec, decb = C["encode_gray8"], C["decode"], C["decode_batch"]
+    rng = random.Random(5)
+    blobs = [
+        enc(bytes("the quick brown fox " * rng.randrange(1, 30), "utf-8"), 32)
+        for _ in range(40)
+    ]
+    blobs += [
+        b"junk", b"", blobs[0][:40],
+        enc(b"a" * 4000, 16),                     # long runs -> width bumps
+        enc(bytes(rng.randrange(256) for _ in range(3000)), 32),  # incompressible
+        enc(b"", 8), enc(b"x", 1),
+        enc(b"hello world", 32, compression=1),   # uncompressed passthrough
+        enc(b"hello world" * 30, 32, compression=32773),  # packbits
+    ]
+    ref = [dec(b) for b in blobs]
+    got = decb(blobs)
+    assert got == ref
+    assert any(r is None for r in ref) and any(r is not None for r in ref)
+    # the scalar twin's batch is the per-blob loop
+    got_s = CS["decode_batch"](blobs)
+    assert got_s == ref
+    # raw lane decoder parity against the scalar LZW on its own chunks
+    lz_enc, lz_dec = C["_lzw_encode"], CS["_lzw_decode"]
+    chunks = [lz_enc(bytes("abcabcabc" * i, "utf-8")) for i in range(1, 8)]
+    chunks.append(b"\x00")  # truncated stream -> None lane
+    lanes = C["_lzw_decode_lanes"](chunks)
+    for ch, got_l in zip(chunks, lanes):
+        try:
+            want = lz_dec(ch)
+        except Exception:
+            want = None
+        assert got_l == want
