@@ -85,3 +85,84 @@ def test_bpe_batched_merges_equal_sequential(spark):
         seq = bpe_learn_merges(docs, "text", n_merges=10, batch_top=1).collect()
         bat = bpe_learn_merges(docs, "text", n_merges=10, batch_top=64).collect()
         assert [tuple(r) for r in seq] == [tuple(r) for r in bat], texts
+
+
+def test_bpe_safe_batch_fuzz_pure_python():
+    """Fuzz the batch-prefix safety rule itself: a pure-Python replica of
+    the engine's merge semantics (same '|'-delimited symbol strings, same
+    doubled two-pass replace, same (count DESC, pair ASC) tie-break)
+    runs sequential vs batched learning over hundreds of random corpora
+    with tiny alphabets (maximal ties / overlaps / self-pair runs). The
+    merge tables must be identical for every batch_top — this is the
+    equivalence proof's empirical adversary, far denser than the Spark
+    end-to-end cases above."""
+    import random
+
+    from monster_etl_spark.operators.text import _bpe_safe_batch
+
+    def init_words(word_freqs):
+        out = {}
+        for w, f in word_freqs.items():
+            sym = "|" + "|".join(w) + "|"
+            out[sym] = out.get(sym, 0) + f
+        return out
+
+    def pair_counts(words):
+        c: dict = {}
+        for sym, freq in words.items():
+            parts = [p for p in sym.split("|") if p]
+            for i in range(len(parts) - 1):
+                k = (parts[i], parts[i + 1])
+                c[k] = c.get(k, 0) + freq
+        return c
+
+    def apply(words, w1, w2):
+        pat, rep = f"|{w1}|{w2}|", f"|{w1}{w2}|"
+        out: dict = {}
+        for sym, freq in words.items():
+            s = sym.replace(pat, rep).replace(pat, rep)
+            out[s] = out.get(s, 0) + freq
+        return out
+
+    def ranked(words):
+        c = pair_counts(words)
+        return sorted(
+            ((w1, w2, cnt) for (w1, w2), cnt in c.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+
+    def sequential(words, n):
+        merges = []
+        for _ in range(n):
+            rows = ranked(words)
+            if not rows:
+                break
+            w1, w2, cnt = rows[0]
+            merges.append((w1, w2, cnt))
+            words = apply(words, w1, w2)
+        return merges
+
+    def batched(words, n, batch_top):
+        merges: list = []
+        while len(merges) < n:
+            rows = ranked(words)[:batch_top]
+            if not rows:
+                break
+            floor = rows[-1][2] if len(rows) == batch_top else 0
+            for w1, w2, cnt in _bpe_safe_batch(rows, n - len(merges), floor):
+                merges.append((w1, w2, cnt))
+                words = apply(words, w1, w2)
+        return merges
+
+    rng = random.Random(20260816)
+    for trial in range(400):
+        alpha = "ab" if trial % 3 == 0 else "abc" if trial % 3 == 1 else "abcd"
+        wf = {}
+        for _ in range(rng.randrange(2, 9)):
+            w = "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 9)))
+            wf[w] = wf.get(w, 0) + rng.randrange(1, 6)
+        words = init_words(wf)
+        want = sequential(dict(words), 12)
+        for bt in (2, 5, 64):
+            got = batched(dict(words), 12, bt)
+            assert got == want, (trial, bt, wf, want, got)
