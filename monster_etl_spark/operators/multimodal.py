@@ -1408,7 +1408,13 @@ def _webp_media_worker(width: int = 32):
         for pdf in batches:
             yield from _chunked_media_yield(
                 pdf,
-                lambda m, t: encode_local(bytes(t, "utf-8"), width, modes[m % 3]),
+                # static_codes: the fixed build-time prefix plans — the
+                # per-image Huffman+description floor collapses to an
+                # array replay, and every blob shares the decoder's
+                # memoized description parse (same pixels either way)
+                lambda m, t: encode_local(
+                    bytes(t, "utf-8"), width, modes[m % 3], True
+                ),
             )
 
     return _worker

@@ -135,11 +135,16 @@ def _build_webp_codec(force_scalar: bool = False):
         contiguously, one ``packbits(bitorder='little')``. The final
         partial byte zero-pads exactly like the scalar flush, so output
         bytes are identical (asserted against the force_scalar twin in
-        tests/test_webp.py)."""
+        tests/test_webp.py).
 
-        __slots__ = ("vals", "ks")
+        ``bits_arrays`` is the bulk entry the vectorized token emitters
+        use: whole (values, widths) numpy arrays append as ONE ordered
+        segment, interleaving correctly with scalar ``bits`` calls."""
+
+        __slots__ = ("segs", "vals", "ks")
 
         def __init__(self):
+            self.segs = []
             self.vals = []
             self.ks = []
 
@@ -148,6 +153,13 @@ def _build_webp_codec(force_scalar: bool = False):
                 self.vals.append(v & ((1 << k) - 1))
                 self.ks.append(k)
 
+        def bits_arrays(self, va, ka):
+            """Append int64 arrays of (values, widths); zero-width
+            entries must already be filtered out by the caller."""
+            if len(ka):
+                self._flush()
+                self.segs.append((va & ((np.int64(1) << ka) - 1), ka))
+
         def code(self, c, k):
             r = 0
             for _ in range(k):
@@ -155,19 +167,30 @@ def _build_webp_codec(force_scalar: bool = False):
                 c >>= 1
             self.bits(r, k)
 
+        def _flush(self):
+            if self.ks:
+                self.segs.append(
+                    (np.asarray(self.vals, np.int64), np.asarray(self.ks, np.int64))
+                )
+                self.vals = []
+                self.ks = []
+
         def done(self):
-            if not self.ks:
+            self._flush()
+            if not self.segs:
                 return b""
-            ks = np.asarray(self.ks, np.int64)
-            vals = np.asarray(self.vals, np.int64)
+            if len(self.segs) == 1:
+                vals, ks = self.segs[0]
+            else:
+                vals = np.concatenate([v for v, _ in self.segs])
+                ks = np.concatenate([k for _, k in self.segs])
+            self.segs = []
             ends = np.cumsum(ks)
             local = np.arange(int(ends[-1]), dtype=np.int64)
             local -= np.repeat(ends - ks, ks)
             dense = (
                 (vals[np.repeat(np.arange(ks.size), ks)] >> local) & 1
             ).astype(np.uint8)
-            self.vals = []
-            self.ks = []
             return np.packbits(dense, bitorder="little").tobytes()
 
     _W = _WScalar if np is None else _WBuffered
@@ -285,14 +308,73 @@ def _build_webp_codec(force_scalar: bool = False):
             cnts = {s: max(1, (c + 1) >> 1) for s, c in cnts.items()}
 
     # ------------------------------------------------- code (de)scription
+    # Description-parse memo: a parsed description is a pure function of
+    # its bit span, so identical spans (every static_codes adapter blob
+    # shares its 5 descriptions) skip the per-symbol parse AND the flat
+    # table build. Keyed by (alphabet, start-bit phase); candidates
+    # compare the masked byte span. Bounded against foreign-corpus
+    # pollution.
+    _desc_cache = {}
+
+    def _desc_lookup(r, alphabet):
+        start = r.pos * 8 - r.n
+        cands = _desc_cache.get((alphabet, start & 7))
+        if not cands:
+            return start, None
+        b = r.b
+        sb = start >> 3
+        for span, first_mask, last_mask, nbits, tbl in cands:
+            eb = sb + len(span)
+            if eb > r.ln:
+                continue
+            probe = bytearray(b[sb:eb])
+            probe[0] &= first_mask
+            probe[-1] &= last_mask
+            if bytes(probe) == span:
+                end = start + nbits
+                r.pos = end >> 3
+                r.acc = 0
+                r.n = 0
+                if end & 7:
+                    r.read(end & 7)  # re-consume the partial byte
+                return start, tbl
+        return start, None
+
+    def _desc_store(r, alphabet, start, tbl):
+        end = r.pos * 8 - r.n
+        nbits = end - start
+        sb = start >> 3
+        eb = (end + 7) >> 3
+        if eb > r.ln:  # span ran into zero-fed padding: not cacheable
+            return
+        first_mask = 0xFF & ~((1 << (start & 7)) - 1)
+        last_mask = (1 << (end & 7)) - 1 if end & 7 else 0xFF
+        span = bytearray(r.b[sb:eb])
+        span[0] &= first_mask
+        span[-1] &= last_mask
+        key = (alphabet, start & 7)
+        lst = _desc_cache.setdefault(key, [])
+        if len(lst) >= 8 or len(_desc_cache) > 64:
+            if len(_desc_cache) > 64:
+                _desc_cache.clear()
+                lst = _desc_cache.setdefault(key, [])
+            else:
+                return
+        lst.append((bytes(span), first_mask, last_mask, nbits, tbl))
+
     def _read_code(r, alphabet):
         """Read one prefix-code description; returns a decode table."""
+        start, hit = _desc_lookup(r, alphabet)
+        if hit is not None:
+            return hit
         if r.read(1):  # simple
             n = r.read(1) + 1
             s0 = r.read(8 if r.read(1) else 1)
-            if n == 2:
-                return _simple_table([s0, r.read(8)])
-            return _simple_table([s0])
+            tbl = (
+                _simple_table([s0, r.read(8)]) if n == 2 else _simple_table([s0])
+            )
+            _desc_store(r, alphabet, start, tbl)
+            return tbl
         num_cl = 4 + r.read(4)
         cl_lengths = [0] * 19
         for i in range(num_cl):
@@ -327,7 +409,9 @@ def _build_webp_codec(force_scalar: bool = False):
                 sym += 3 + r.read(3)
             else:
                 sym += 11 + r.read(7)
-        return _table(lengths)
+        tbl = _table(lengths)
+        _desc_store(r, alphabet, start, tbl)
+        return tbl
 
     def _write_code(w, lengths, alphabet):
         """Write a prefix-code description for ``lengths`` (dict sym->len
@@ -792,8 +876,56 @@ def _build_webp_codec(force_scalar: bool = False):
             return {s: 1, (0 if s else 1): 1}
         return _hlengths(hist, 15)
 
-    def _emit_tokens(w, tokens, cache_bits, dist_hist):
-        """Write the 5 prefix codes + token stream for one image."""
+    # ------------------------------------------------- static code plans
+    # The adapter's ``static_codes`` fast path: fixed COMPLETE prefix
+    # codes over the full alphabet, chosen once per build from
+    # deterministic generic frequency constants (ASCII-favoring literals,
+    # peaked-at-zero residuals, flat palette bytes). Compression is a
+    # little worse than per-image Huffman, but the per-image
+    # histogram + Huffman + description cost — the measured per-blob
+    # floor on ~300-px doc images — collapses to one array replay, and
+    # every adapter blob shares the same decode tables (the decoder
+    # memoizes table construction on the lengths key).
+    def _mkplan(lens, alphabet):
+        if np is None:
+            return (lens, None, None)
+        wtmp = _W()
+        _write_code(wtmp, lens, alphabet)
+        wtmp._flush()
+        dv = np.concatenate([v for v, _ in wtmp.segs])
+        dk = np.concatenate([k for _, k in wtmp.segs])
+        return (lens, (dv, dk), _codes_np(lens, alphabet))
+
+    def _build_plans():
+        lzg = {}
+        for s in range(256):
+            lzg[s] = 40 if 32 <= s <= 126 else 2  # ASCII-heavy literals
+        for s in range(256, 280):
+            lzg[s] = 8  # LZ77 length prefixes
+        for s in range(280, 344):
+            lzg[s] = 30  # color-cache hits (frequent in text)
+        res = {}
+        for s in range(256):
+            d = min(s, 256 - s)
+            res[s] = max(1, 2048 >> min(d, 11))  # peaked at 0 mod 256
+        res_lens = _hlengths(res, 11)
+        pal_lens = {s: 8 for s in range(256)}
+        # a plan's description is alphabet-specific (the green code's
+        # alphabet is 280/344, the channel codes' is 256 — the trailing
+        # zero-run tokens differ), so green-channel uses get their own
+        # capture over the same lens dict
+        return {
+            "lzg": _mkplan(_hlengths(lzg, 11), 344),
+            "res": _mkplan(res_lens, 256),
+            "res_g": _mkplan(res_lens, 280),
+            "pal_g": _mkplan(pal_lens, 280),
+        }
+
+    def _emit_tokens(w, tokens, cache_bits, dist_hist, plans=None):
+        """Write the 5 prefix codes + token stream for one image.
+        ``plans`` maps channel ('g'/'r'/'b'/'a') to a static-plan lens
+        dict replacing that channel's adaptive code — the
+        ``static_codes`` adapter path."""
         galpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
         ghist = {}
         rhist = {}
@@ -817,10 +949,11 @@ def _build_webp_codec(force_scalar: bool = False):
             # always a literal) — keep the codes well-formed anyway
             rhist = bhist = ahist = {0: 1}
 
-        glen = _choose_lengths(ghist)
-        rlen = _choose_lengths(rhist)
-        blen = _choose_lengths(bhist)
-        alen = _choose_lengths(ahist)
+        plans = plans or {}
+        glen = plans["g"][0] if "g" in plans else _choose_lengths(ghist)
+        rlen = plans["r"][0] if "r" in plans else _choose_lengths(rhist)
+        blen = plans["b"][0] if "b" in plans else _choose_lengths(bhist)
+        alen = plans["a"][0] if "a" in plans else _choose_lengths(ahist)
         dlen = _choose_lengths(dist_hist or {0: 1})
         _write_code(w, glen, galpha)
         _write_code(w, rlen, 256)
@@ -857,6 +990,257 @@ def _build_webp_codec(force_scalar: bool = False):
                     w.bits(dev, deb)
             else:
                 _put(gcodes, 280 + t[1])
+
+    # ------------------------------------------ vectorized emission (np)
+    # Array-token twins of the scalar emitters above. Tokens live as
+    # struct-of-arrays; histograms are bincounts; the (value, width)
+    # stream builds as one (n_tokens, 4) field matrix raveled in token
+    # order into ``_WBuffered.bits_arrays``. Byte-identical output to the
+    # scalar path (the force_scalar twin) is asserted in tests/test_webp.
+    if np is not None:
+        _POW2 = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
+
+        def _lz_syms_np(v):
+            """Vectorized ``_lz_sym`` over an int64 array of values >= 1:
+            returns (prefix_sym, extra_bits, extra_val) arrays."""
+            u = v - 1
+            big = v > 4
+            # bit_length(u) = #powers-of-two <= u
+            b = np.searchsorted(_POW2, u, side="right")
+            extra = np.maximum(b - 2, 0)
+            cbig = 2 * b - 2 + ((u >> extra) & 1)
+            off = (2 + (cbig & 1)) << extra
+            s = np.where(big, cbig, u)
+            eb = np.where(big, extra, 0)
+            ev = np.where(big, u - off, 0)
+            return s, eb, ev
+
+        def _codes_np(lengths, alphabet):
+            """dict sym->len -> (reversed_code, len) int64 arrays. A
+            1-entry code (single symbol <= 255, written as a 1-symbol
+            simple description) emits ZERO bits per symbol — the scalar
+            ``_put``'s ``len(codes) > 1`` guard."""
+            crev = np.zeros(alphabet, np.int64)
+            clen = np.zeros(alphabet, np.int64)
+            if len(lengths) == 1:
+                return crev, clen
+            for s, (rv, l) in _canon_rev(lengths).items():
+                crev[s] = rv
+                clen[s] = l
+            return crev, clen
+
+        def _write_code_np(w, lengths, alphabet):
+            """``_write_code`` with the per-SYMBOL walk replaced by a
+            per-RUN walk (zero runs found via diff) and bulk emission."""
+            syms = sorted(lengths)
+            if len(syms) <= 2 and all(s <= 255 for s in syms):
+                _write_code(w, lengths, alphabet)  # simple-code header path
+                return
+            arr = np.zeros(alphabet, np.int64)
+            arr[np.fromiter(lengths.keys(), np.int64, len(lengths))] = (
+                np.fromiter(lengths.values(), np.int64, len(lengths))
+            )
+            nz = arr != 0
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(nz[1:] != nz[:-1]) + 1, [alphabet])
+            )
+            cl_chunks, ev_chunks, eb_chunks = [], [], []
+            zeros_cache = np.zeros(alphabet, np.int64)
+            for ri in range(bounds.size - 1):
+                lo, hi = int(bounds[ri]), int(bounds[ri + 1])
+                if nz[lo]:
+                    seg = arr[lo:hi]
+                    cl_chunks.append(seg)
+                    ev_chunks.append(zeros_cache[: hi - lo])
+                    eb_chunks.append(zeros_cache[: hi - lo])
+                else:
+                    run = hi - lo
+                    cl, ev, eb = [], [], []
+                    while run >= 11:
+                        chunk = min(run, 138)
+                        cl.append(18)
+                        ev.append(chunk - 11)
+                        eb.append(7)
+                        run -= chunk
+                    while run >= 3:
+                        chunk = min(run, 10)
+                        cl.append(17)
+                        ev.append(chunk - 3)
+                        eb.append(3)
+                        run -= chunk
+                    cl.extend([0] * run)
+                    ev.extend([0] * run)
+                    eb.extend([0] * run)
+                    cl_chunks.append(np.asarray(cl, np.int64))
+                    ev_chunks.append(np.asarray(ev, np.int64))
+                    eb_chunks.append(np.asarray(eb, np.int64))
+            cl = np.concatenate(cl_chunks)
+            ev = np.concatenate(ev_chunks)
+            eb = np.concatenate(eb_chunks)
+            h19 = np.bincount(cl, minlength=19)
+            nzs = np.flatnonzero(h19)
+            hist = dict(zip(nzs.tolist(), h19[nzs].tolist()))
+            if len(hist) == 1:
+                dummy = 0 if 0 not in hist else 1
+                hist[dummy] = 1
+            cl_len = _hlengths(hist, 7)
+            crev, clen = _codes_np(cl_len, 19)
+            num_cl = max(i for i, s in enumerate(CL_ORDER) if s in cl_len) + 1
+            num_cl = max(num_cl, 4)
+            w.bits(0, 1)  # not simple
+            w.bits(num_cl - 4, 4)
+            for i in range(num_cl):
+                w.bits(cl_len.get(CL_ORDER[i], 0), 3)
+            w.bits(0, 1)  # no max-symbol early stop
+            V = np.column_stack((crev[cl], ev))
+            K = np.column_stack((clen[cl], eb))
+            kf = K.ravel()
+            m = kf > 0
+            w.bits_arrays(V.ravel()[m], kf[m])
+
+        def _emit_tokens_np(
+            w, g, cache_bits, dist_hist,
+            kind=None, r=None, b=None, a=None,
+            lev=None, leb=None, ds=None, dev=None, deb=None,
+            plans=None,
+        ):
+            """``_emit_tokens`` over struct-of-array tokens. ``kind`` is
+            None for all-literal streams (r/b/a full arrays), else uint8
+            0=lit 1=copy 2=cache with per-kind columns; ``g`` is the
+            UNIFIED green-code symbol for every token (lit: green value,
+            copy: 256+len_sym, cache: 280+slot). ``plans`` maps channel
+            to a static plan (lens, (desc_v, desc_k), (crev, clen)):
+            planned channels skip the histogram + Huffman + description
+            construction entirely — the description bits replay as one
+            array append and the code arrays are prebuilt."""
+            plans = plans or {}
+            galpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+            if kind is None:
+                rv, bv, av = r, b, a
+            else:
+                li = np.flatnonzero(kind == 0)
+                rv, bv, av = r[li], b[li], a[li]
+
+            def _adaptive(sym_arr, alphabet):
+                hh = np.bincount(sym_arr, minlength=alphabet)
+                nzs = np.flatnonzero(hh)
+                return dict(zip(nzs.tolist(), hh[nzs].tolist()))
+
+            def _channel(ch, sym_arr, alphabet, empty_ok):
+                """Write this channel's description; return code arrays."""
+                if ch in plans:
+                    lens, (dv, dk), arrays = plans[ch]
+                    w.bits_arrays(dv, dk)
+                    return arrays
+                if empty_ok and not sym_arr.size:
+                    lens = {0: 1}
+                else:
+                    lens = _choose_lengths(_adaptive(sym_arr, alphabet))
+                _write_code_np(w, lens, alphabet)
+                return _codes_np(lens, alphabet)
+
+            gcl = _channel("g", g, galpha, False)
+            rcl = _channel("r", rv, 256, True)
+            bcl = _channel("b", bv, 256, True)
+            acl = _channel("a", av, 256, True)
+            dlen = _choose_lengths(dist_hist or {0: 1})
+            _write_code_np(w, dlen, 40)
+            gc, gl = gcl
+            n = g.size
+            V = np.zeros((n, 4), np.int64)
+            K = np.zeros((n, 4), np.int64)
+            V[:, 0] = gc[g]
+            K[:, 0] = gl[g]
+            if kind is None:
+                (rc, rl), (bc, bl), (ac, al) = rcl, bcl, acl
+                V[:, 1] = rc[r]
+                K[:, 1] = rl[r]
+                V[:, 2] = bc[b]
+                K[:, 2] = bl[b]
+                V[:, 3] = ac[a]
+                K[:, 3] = al[a]
+            else:
+                if li.size:
+                    (rc, rl), (bc, bl), (ac, al) = rcl, bcl, acl
+                    V[li, 1] = rc[r[li]]
+                    K[li, 1] = rl[r[li]]
+                    V[li, 2] = bc[b[li]]
+                    K[li, 2] = bl[b[li]]
+                    V[li, 3] = ac[a[li]]
+                    K[li, 3] = al[a[li]]
+                ci = np.flatnonzero(kind == 1)
+                if ci.size:
+                    dc, dl = _codes_np(dlen, 40)
+                    V[ci, 1] = lev[ci]
+                    K[ci, 1] = leb[ci]
+                    V[ci, 2] = dc[ds[ci]]
+                    K[ci, 2] = dl[ds[ci]]
+                    V[ci, 3] = dev[ci]
+                    K[ci, 3] = deb[ci]
+            kf = K.ravel()
+            m = kf > 0
+            w.bits_arrays(V.ravel()[m], kf[m])
+
+        def _encode_lz77_np(w, vals, cache_bits, plans=None):
+            """Vectorized lz77-mode token stream: maximal equal-value
+            runs via diff (head pixel + 4096-capped copies + <3 tail
+            singles — the scalar walk's exact decomposition), cache hits
+            resolved in one stable argsort pass (every event writes its
+            value to its slot; hit-writes are idempotent, so a hit is a
+            latest-same-slot predecessor with the same value)."""
+            va = np.frombuffer(bytes(vals), np.uint8).astype(np.int64)
+            npx = va.size
+            change = np.flatnonzero(va[1:] != va[:-1]) + 1
+            starts = np.concatenate((np.zeros(1, np.int64), change))
+            lens = np.diff(np.concatenate((starts, np.asarray([npx], np.int64))))
+            vblk = va[starts]
+            rem = lens - 1
+            q = rem // 4096
+            rr = rem - q * 4096
+            ncopy = q + (rr >= 3)
+            tail = np.where(rr < 3, rr, 0)
+            evb = 1 + ncopy + tail
+            total = int(evb.sum())
+            nb = starts.size
+            blk = np.repeat(np.arange(nb, dtype=np.int64), evb)
+            offs = np.zeros(nb, np.int64)
+            np.cumsum(evb[:-1], out=offs[1:])
+            pos_in = np.arange(total, dtype=np.int64) - offs[blk]
+            is_copy = (pos_in >= 1) & (pos_in <= ncopy[blk])
+            ev_val = vblk[blk]
+            copy_len = np.where(pos_in <= q[blk], 4096, rr[blk])
+            pixv = np.uint32(0xFF000000) | (
+                ev_val.astype(np.uint32) << np.uint32(8)
+            )
+            slot = (
+                (np.uint32(HASH_MUL) * pixv) >> np.uint32(32 - cache_bits)
+            ).astype(np.int64)
+            order = np.argsort(slot, kind="stable")
+            so = slot[order]
+            vo = ev_val[order]
+            hs = np.zeros(total, bool)
+            hs[1:] = (so[1:] == so[:-1]) & (vo[1:] == vo[:-1])
+            hit = np.zeros(total, bool)
+            hit[order] = hs
+            hit &= ~is_copy
+            kind = np.where(
+                is_copy, np.uint8(1), np.where(hit, np.uint8(2), np.uint8(0))
+            )
+            ls, leb, lev = _lz_syms_np(np.maximum(copy_len, 1))
+            g = np.where(is_copy, 256 + ls, np.where(hit, 280 + slot, ev_val))
+            ds0, deb0, dev0 = _lz_sym(121)  # distance 1, unmapped
+            ncopies = int(is_copy.sum())
+            dist_hist = {ds0: ncopies} if ncopies else {}
+            z = np.zeros(total, np.int64)
+            _emit_tokens_np(
+                w, g, cache_bits, dist_hist, kind=kind,
+                r=z, b=z, a=z + 255,
+                lev=lev, leb=leb,
+                ds=np.full(total, ds0, np.int64),
+                dev=np.full(total, dev0, np.int64),
+                deb=np.full(total, deb0, np.int64),
+                plans=plans,
+            )
 
     def _emit_grouped(w, tagged, dist_hists, n_groups):
         """Token stream under META prefix codes: ``tagged`` holds
@@ -986,16 +1370,28 @@ def _build_webp_codec(force_scalar: bool = False):
         """Literal-only subimage (palette / predictor tiles): cache off,
         one code group, every pixel a literal."""
         w.bits(0, 1)  # no color cache
+        if np is not None:
+            p = np.asarray(pixels, np.int64)
+            _emit_tokens_np(
+                w, (p >> 8) & 0xFF, 0, None,
+                r=(p >> 16) & 0xFF, b=p & 0xFF, a=(p >> 24) & 0xFF,
+            )
+            return
         tokens = [
             ("lit", (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, (p >> 24) & 0xFF)
             for p in pixels
         ]
         _emit_tokens(w, tokens, 0, None)
 
-    def encode_gray8(data, width=32, mode="lz77"):
+    PLANS = _build_plans()
+
+    def encode_gray8(data, width=32, mode="lz77", static_codes=False):
         """Encode gray bytes (one byte per pixel, zero-padded to whole
         ``width``-wide rows, min one row) as a lossless VP8L WebP. Modes
-        pick independent bitstream layouts over identical pixels."""
+        pick independent bitstream layouts over identical pixels.
+        ``static_codes=True`` swaps the per-image Huffman codes for the
+        fixed build-time plans (the adapter fast path; slightly larger
+        blobs, same pixels)."""
         data = bytes(data)
         n = len(data)
         h = max(1, -(-n // width))
@@ -1009,11 +1405,11 @@ def _build_webp_codec(force_scalar: bool = False):
         w.bits(0, 1)  # fully opaque
         w.bits(0, 3)  # version 0
         if mode == "lz77":
-            _encode_lz77(w, vals, width, h)
+            _encode_lz77(w, vals, width, h, static_codes)
         elif mode == "predictor":
-            _encode_predictor(w, vals, width, h)
+            _encode_predictor(w, vals, width, h, static_codes)
         elif mode == "palette":
-            _encode_palette(w, vals, width, h)
+            _encode_palette(w, vals, width, h, static_codes)
         elif mode == "meta":
             _encode_meta(w, vals, width, h)
         elif mode == "cross":
@@ -1026,7 +1422,7 @@ def _build_webp_codec(force_scalar: bool = False):
             chunk += b"\x00"
         return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
-    def _encode_lz77(w, vals, width, h):
+    def _encode_lz77(w, vals, width, h, static=False):
         """Subtract-green + color cache + distance-1 run backrefs."""
         w.bits(1, 1)
         w.bits(2, 2)  # SUBTRACT_GREEN
@@ -1035,6 +1431,10 @@ def _build_webp_codec(force_scalar: bool = False):
         w.bits(1, 1)
         w.bits(cache_bits, 4)
         w.bits(0, 1)  # no meta prefix codes
+        plans = {"g": PLANS["lzg"]} if static else None
+        if np is not None:
+            _encode_lz77_np(w, vals, cache_bits, plans)
+            return
         # post-subtract-green pixels: a=255, r=b=0, g=v
         pix = [0xFF000000 | (v << 8) for v in vals]
         npx = len(pix)
@@ -1065,9 +1465,9 @@ def _build_webp_codec(force_scalar: bool = False):
                 tokens.append(("lit", 0, (p >> 8) & 0xFF, 0, 255))
                 cache[k] = p
             i += 1
-        _emit_tokens(w, tokens, cache_bits, dist_hist)
+        _emit_tokens(w, tokens, cache_bits, dist_hist, plans)
 
-    def _encode_predictor(w, vals, width, h):
+    def _encode_predictor(w, vals, width, h, static=False):
         """Predictor transform, every tile mode 2 (T), literal residuals."""
         sb = 9  # 512-pixel tiles: 1 tile across for any doc-shaped width
         w.bits(1, 1)
@@ -1079,20 +1479,29 @@ def _build_webp_codec(force_scalar: bool = False):
         w.bits(0, 1)  # end of transforms
         w.bits(0, 1)  # no color cache
         w.bits(0, 1)  # no meta prefix codes
-        import numpy as np
+        import numpy as _np
 
-        g = np.frombuffer(vals, np.uint8).reshape(h, width).astype(np.int16)
-        res = np.empty_like(g)
+        g = _np.frombuffer(vals, _np.uint8).reshape(h, width).astype(_np.int16)
+        res = _np.empty_like(g)
         res[0, 0] = g[0, 0]
         res[0, 1:] = g[0, 1:] - g[0, :-1]  # row 0: L
         res[1:, :] = g[1:, :] - g[:-1, :]  # rest: T
         res &= 0xFF
-        rb = res.astype(np.uint8).reshape(-1)
+        rb = res.astype(_np.uint8).reshape(-1)
         # alpha residual is 0 everywhere: (0,0) predicts BLACK (a=255)
+        p = PLANS["res"]
+        plans = {"g": PLANS["res_g"], "r": p, "b": p} if static else None
+        if np is not None:
+            gs = rb.astype(np.int64)
+            _emit_tokens_np(
+                w, gs, 0, None, r=gs, b=gs, a=np.zeros(gs.size, np.int64),
+                plans=plans,
+            )
+            return
         tokens = [("lit", int(v), int(v), int(v), 0) for v in rb]
-        _emit_tokens(w, tokens, 0, None)
+        _emit_tokens(w, tokens, 0, None, plans)
 
-    def _encode_palette(w, vals, width, h):
+    def _encode_palette(w, vals, width, h, static=False):
         """Color-indexing transform; indices bundle to sub-byte pixels
         when the palette is small."""
         distinct = sorted(set(vals))
@@ -1114,6 +1523,24 @@ def _build_webp_codec(force_scalar: bool = False):
         xb = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
         bpp = 8 >> xb
         pw = (width + (1 << xb) - 1) >> xb
+        if np is not None:
+            du = np.asarray(distinct, np.uint8)
+            va = np.frombuffer(vals, np.uint8)
+            idx = np.searchsorted(du, va).astype(np.int64).reshape(h, width)
+            full = pw << xb
+            if full > width:  # out-of-row sub-positions pack index 0
+                idx = np.concatenate(
+                    (idx, np.zeros((h, full - width), np.int64)), axis=1
+                )
+            grp = idx.reshape(h, pw, 1 << xb)
+            shifts = np.arange(1 << xb, dtype=np.int64) * bpp
+            packed = (grp << shifts).sum(axis=2).ravel()
+            z = np.zeros(packed.size, np.int64)
+            _emit_tokens_np(
+                w, packed, 0, None, r=z, b=z, a=z + 255,
+                plans={"g": PLANS["pal_g"]} if static else None,
+            )
+            return
         lut = {v: i for i, v in enumerate(distinct)}
         tokens = []
         for y in range(h):
@@ -1125,7 +1552,7 @@ def _build_webp_codec(force_scalar: bool = False):
                     if x < width:
                         packed |= lut[row[x]] << (sub * bpp)
                 tokens.append(("lit", 0, packed, 0, 255))
-        _emit_tokens(w, tokens, 0, None)
+        _emit_tokens(w, tokens, 0, None, {"g": PLANS["pal_g"]} if static else None)
 
     return {
         "decode": decode,
@@ -1134,6 +1561,13 @@ def _build_webp_codec(force_scalar: bool = False):
         "_inv_color": _inv_color,
         "_inv_predictor": _inv_predictor,
         "_predict": _predict,
+        # exposed for parity unit tests of the vectorized emitters
+        "_W": _W,
+        "_emit_tokens": _emit_tokens,
+        "_write_code": _write_code,
+        "_PLANS": PLANS,
+        "_emit_tokens_np": None if np is None else _emit_tokens_np,
+        "_write_code_np": None if np is None else _write_code_np,
     }
 
 

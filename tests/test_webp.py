@@ -373,3 +373,71 @@ def test_palette_before_predictor_stream_decodes():
     expect = (4, 2, 3, bytes(v for i in order for v in pal[i]))
     assert webp_decode(blob) == expect
     assert CS["decode"](blob) == expect
+
+
+# ------------------------- round-8: static_codes path + vectorized emit
+
+
+def test_static_codes_parity_and_roundtrip():
+    """static_codes blobs: np/scalar builds byte-identical, pixels
+    identical to the adaptive blobs' (lossless either way)."""
+    for data in CASES:
+        for mode in MODES:
+            blob = C["encode_gray8"](data, 32, mode, True)
+            assert CS["encode_gray8"](data, 32, mode, True) == blob
+            assert C["decode"](blob) == _gray_rgb(data, 32)
+            assert CS["decode"](blob) == _gray_rgb(data, 32)
+
+
+def test_static_codes_default_off_and_blob_differs():
+    """Default stays adaptive (existing corpora/tests unchanged); the
+    static blob is a different bitstream over the same pixels."""
+    data = CASES[2]
+    adaptive = C["encode_gray8"](data, 32, "lz77")
+    static = C["encode_gray8"](data, 32, "lz77", True)
+    assert adaptive == webp_encode_gray8(data, 32, "lz77")
+    assert adaptive != static
+    assert C["decode"](adaptive) == C["decode"](static)
+
+
+def test_desc_cache_interleaved_corpora():
+    """The description-parse memo must never cross-contaminate: decode
+    static, adaptive, and per-doc-unique blobs interleaved, repeatedly,
+    against fresh-build reference decodes."""
+    fresh = _build_webp_codec()  # cold cache for reference decodes
+    rng = random.Random(8)
+    blobs = []
+    for i in range(30):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 700)))
+        mode = MODES[i % 3]
+        blobs.append(C["encode_gray8"](data, 32, mode, i % 2 == 0))
+    expect = [fresh["decode"](b) for b in blobs]
+    for _ in range(3):  # repeated passes hit the warm cache
+        assert [C["decode"](b) for b in blobs] == expect
+
+
+def test_emit_tokens_np_matches_scalar_mixed_kinds():
+    """Direct emitter parity on a hand-built mixed token stream
+    (lit/copy/cache) through the SAME buffered writer."""
+    import numpy as np
+
+    toks = (
+        [("lit", 0, v, 0, 255) for v in (9, 9, 4, 200)]
+        + [("copy", 7, 121), ("cache", 3), ("lit", 0, 9, 0, 255)]
+    )
+    dist_hist = {13: 1}
+    w1 = C["_W"]()
+    C["_emit_tokens"](w1, toks, 6, dist_hist)
+    ref = w1.done()
+    kind = np.array([0, 0, 0, 0, 1, 2, 0], np.uint8)
+    g = np.array([9, 9, 4, 200, 256 + 5, 280 + 3, 9], np.int64)
+    z = np.zeros(7, np.int64)
+    w2 = C["_W"]()
+    C["_emit_tokens_np"](
+        w2, g, 6, dist_hist, kind=kind, r=z, b=z, a=z + 255,
+        lev=np.array([0, 0, 0, 0, 0, 0, 0], np.int64),
+        leb=np.array([0, 0, 0, 0, 1, 0, 0], np.int64),
+        ds=np.full(7, 13, np.int64), dev=np.full(7, 24, np.int64),
+        deb=np.full(7, 5, np.int64),
+    )
+    assert w2.done() == ref
