@@ -558,13 +558,16 @@ def _pixel_stats_worker():
     tiff_decode_local = tiff_codec_local["decode"]
     tiff_batch_local = tiff_codec_local["decode_batch"]
     bmp_decode_local = _build_bmp_codec()["decode"]
-    webp_decode_local = _build_webp_codec()["decode"]
+    webp_codec_local = _build_webp_codec()
+    webp_decode_local = webp_codec_local["decode"]
+    webp_batch_local = webp_codec_local["decode_batch"]
 
     def _worker(batches):
         import numpy as np
         import pandas as pd
 
-        def stats_chunk(rows, contents, jpeg_results, tiff_results):
+        def stats_chunk(rows, contents, jpeg_results, tiff_results,
+                        webp_results):
             for ci, c in enumerate(contents):
                 d = decode(c)
                 if d is None:
@@ -584,7 +587,11 @@ def _pixel_stats_worker():
                 if d is None:
                     d = bmp_decode_local(bytes(c))
                 if d is None:
-                    d = webp_decode_local(bytes(c))
+                    d = (
+                        webp_results[ci]
+                        if ci in webp_results
+                        else webp_decode_local(bytes(c))
+                    )
                 if d is None:
                     for k in ("width", "height", "channels", "mean_intensity",
                               "min_intensity", "max_intensity"):
@@ -615,6 +622,12 @@ def _pixel_stats_worker():
         # throughput — chunking keeps the pooled-lane win with constant
         # memory
         CHUNK = 512
+        # WebP wave-lanes want wider pools than the 512-blob memory
+        # chunk (lane/scalar crossover ~200 lanes per table group x 3
+        # modes): decode WebP over 4096-blob outer slices, feed the
+        # 512-chunk stats loop from the slice's result dict. Decoded
+        # pixel buffers stay bounded by the slice.
+        WSLICE = 4096
         for pdf in batches:
             rows = {
                 "media_id": pdf["media_id"].astype("int64"),
@@ -627,28 +640,51 @@ def _pixel_stats_worker():
                 "decoded": [],
             }
             all_contents = list(pdf["content"])
-            for clo in range(0, len(all_contents), CHUNK):
-                # pooled lane decode for every JPEG-magic blob in the
-                # chunk: identical per-blob results to jpeg_decode_local
-                # (pinned by tests), one lockstep entropy pass instead of
-                # len(chunk)
-                contents = [bytes(c) for c in all_contents[clo : clo + CHUNK]]
-                jpeg_ix = [
-                    i for i, c in enumerate(contents) if c[:2] == b"\xff\xd8"
+            for slo in range(0, len(all_contents), WSLICE):
+                slice_bytes = [
+                    bytes(c) for c in all_contents[slo : slo + WSLICE]
                 ]
-                jpeg_results = dict(
-                    zip(jpeg_ix, jpeg_batch_local([contents[i] for i in jpeg_ix]))
-                )
-                # lockstep-lane TIFF-LZW across the chunk's TIFF-magic
-                # blobs (identical per-blob results; tests/test_tiff.py)
-                tiff_ix = [
-                    i for i, c in enumerate(contents)
-                    if c[:4] in (b"II*\x00", b"MM\x00*")
+                webp_ix = [
+                    i for i, c in enumerate(slice_bytes)
+                    if c[:4] == b"RIFF" and c[8:12] == b"WEBP"
                 ]
-                tiff_results = dict(
-                    zip(tiff_ix, tiff_batch_local([contents[i] for i in tiff_ix]))
+                webp_all = dict(
+                    zip(
+                        webp_ix,
+                        webp_batch_local([slice_bytes[i] for i in webp_ix]),
+                    )
                 )
-                stats_chunk(rows, contents, jpeg_results, tiff_results)
+                for clo in range(0, len(slice_bytes), CHUNK):
+                    # pooled lane decode for every JPEG-magic blob in the
+                    # chunk: identical per-blob results to
+                    # jpeg_decode_local (pinned by tests), one lockstep
+                    # entropy pass instead of len(chunk)
+                    contents = slice_bytes[clo : clo + CHUNK]
+                    jpeg_ix = [
+                        i for i, c in enumerate(contents)
+                        if c[:2] == b"\xff\xd8"
+                    ]
+                    jpeg_results = dict(
+                        zip(jpeg_ix,
+                            jpeg_batch_local([contents[i] for i in jpeg_ix]))
+                    )
+                    # lockstep-lane TIFF-LZW across the chunk's TIFF-magic
+                    # blobs (identical per-blob results; tests/test_tiff.py)
+                    tiff_ix = [
+                        i for i, c in enumerate(contents)
+                        if c[:4] in (b"II*\x00", b"MM\x00*")
+                    ]
+                    tiff_results = dict(
+                        zip(tiff_ix,
+                            tiff_batch_local([contents[i] for i in tiff_ix]))
+                    )
+                    webp_results = {
+                        i - clo: webp_all[i]
+                        for i in range(clo, min(clo + CHUNK, len(slice_bytes)))
+                        if i in webp_all
+                    }
+                    stats_chunk(rows, contents, jpeg_results, tiff_results,
+                                webp_results)
             yield pd.DataFrame(rows)
 
     return _worker

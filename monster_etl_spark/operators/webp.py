@@ -607,7 +607,7 @@ def _build_webp_codec(force_scalar: bool = False):
             g = (a >> 8) & 0xFF
             r = (((a >> 16) & 0xFF) + g) & 0xFF
             b = ((a & 0xFF) + g) & 0xFF
-            return [int(v) for v in (a & 0xFF00FF00) | (r << 16) | b]
+            return (a & 0xFF00FF00) | (r << 16) | b
         for i, p in enumerate(px):
             g = (p >> 8) & 0xFF
             r = (((p >> 16) & 0xFF) + g) & 0xFF
@@ -617,7 +617,11 @@ def _build_webp_codec(force_scalar: bool = False):
 
     def _inv_predictor(px, w, h, sb, timg, tw):
         modes = [(p >> 8) & 0xFF for p in timg]
-        if not force_scalar and all(m == 2 for m in modes):
+        all2 = all(m == 2 for m in modes)
+        if not isinstance(px, list) and (force_scalar or not all2):
+            # the generic per-pixel walk below needs Python-int SWAR
+            px = [int(v) for v in px]
+        if not force_scalar and all2:
             # the in-repo encoder's layout: every tile mode 2 (T). Edge
             # rules still apply: (0,0) += BLACK, row 0 takes L, column
             # rule is subsumed by T. Vectorized as cumsums mod 256.
@@ -629,7 +633,7 @@ def _build_webp_codec(force_scalar: bool = False):
             ch[:, 0, :] = ch[:, 0, :].cumsum(axis=1) & 0xFF  # row 0: L chain
             ch = ch.cumsum(axis=1) & 0xFF  # rows: T chain seeded by row 0
             out = (ch[0] << 24) | (ch[1] << 16) | (ch[2] << 8) | ch[3]
-            return [int(v) for v in out.reshape(-1)]
+            return out.reshape(-1).astype(np.uint32)
         for y in range(h):
             trow = (y >> sb) * tw
             for x in range(w):
@@ -659,6 +663,8 @@ def _build_webp_codec(force_scalar: bool = False):
         return (t * c) >> 5
 
     def _inv_color(px, w, h, sb, timg, tw):
+        if not isinstance(px, list):
+            px = [int(v) for v in px]  # per-pixel walk needs Python ints
         for y in range(h):
             trow = (y >> sb) * tw
             for x in range(w):
@@ -681,6 +687,13 @@ def _build_webp_codec(force_scalar: bool = False):
         for i in range(1, n):
             pal[i] = _addpx(pal[i], pal[i - 1])
         if xb == 0:
+            if not force_scalar:
+                import numpy as np
+
+                g = (np.asarray(px, dtype=np.uint32) >> 8) & 0xFF
+                lut = np.zeros(256, dtype=np.uint32)
+                lut[:n] = pal
+                return lut[g]
             return [pal[(p >> 8) & 0xFF] if ((p >> 8) & 0xFF) < n else 0
                     for p in px]
         bpp = 8 >> xb
@@ -694,7 +707,7 @@ def _build_webp_codec(force_scalar: bool = False):
             idx = (g[:, np.arange(w_orig) >> xb] >> shifts[None, :]) & mask
             lut = np.zeros(256, dtype=np.uint32)
             lut[: len(pal)] = pal
-            return [int(v) for v in lut[idx].reshape(-1)]
+            return lut[idx].reshape(-1)
         out = []
         for y in range(h):
             for x in range(w_orig):
@@ -797,15 +810,19 @@ def _build_webp_codec(force_scalar: bool = False):
                 out[pos] = cache[s - 280]
                 pos += 1
         if level0:
-            for t in reversed(transforms):
-                if t[0] == "sg":
-                    out = _inv_subtract_green(out)
-                elif t[0] == "pred":
-                    out = _inv_predictor(out, t[4], h, t[1], t[2], t[3])
-                elif t[0] == "color":
-                    out = _inv_color(out, t[4], h, t[1], t[2], t[3])
-                else:
-                    out = _inv_palette(out, t[4], h, t[1], t[2], t[3])
+            out = _apply_inv_transforms(out, transforms, h)
+        return out
+
+    def _apply_inv_transforms(out, transforms, h):
+        for t in reversed(transforms):
+            if t[0] == "sg":
+                out = _inv_subtract_green(out)
+            elif t[0] == "pred":
+                out = _inv_predictor(out, t[4], h, t[1], t[2], t[3])
+            elif t[0] == "color":
+                out = _inv_color(out, t[4], h, t[1], t[2], t[3])
+            else:
+                out = _inv_palette(out, t[4], h, t[1], t[2], t[3])
         return out
 
     # -------------------------------------------------------------- decode
@@ -838,6 +855,9 @@ def _build_webp_codec(force_scalar: bool = False):
         if r.read(3) != 0:  # version
             return None
         px = _decode_stream(r, w, h, True)
+        return _px_to_result(px, w, h)
+
+    def _px_to_result(px, w, h):
         if not force_scalar:
             import numpy as np
 
@@ -862,6 +882,570 @@ def _build_webp_codec(force_scalar: bool = False):
             if not opaque:
                 out.append((p >> 24) & 0xFF)
         return (w, h, 3 if opaque else 4, bytes(out))
+
+    # --------------------------------------- pooled lockstep lane decode
+    # The JPEG lane discipline (jpeg.py:_lane_entropy_decode) applied to
+    # the VP8L main token stream: blobs parse scalar through container /
+    # header / transforms / code descriptions (the description memo makes
+    # that near-free on static_codes corpora), then every blob becomes a
+    # LANE and the per-symbol loop runs in lockstep — one peeked 32-bit
+    # LSB-first window per lane per round, all lanes' prefix tables
+    # stacked into one (T, 2^MB) matrix so symbol resolution is a single
+    # gather. Lanes that would make the scalar reader feed zero bits
+    # (truncated streams), hit an invalid code, or carry meta prefix
+    # codes re-decode through the scalar walk, so per-blob results stay
+    # byte-identical to ``decode`` (asserted in tests/test_webp.py).
+    if np is not None:
+
+        _np_tbl_cache = {}
+
+        def _np_table(tbl):
+            """Scalar flat table -> (sym int32[2^mb], len int32[2^mb],
+            mb). Keyed by object identity; the entry keeps the table
+            alive so ids cannot be reused while cached."""
+            hit = _np_tbl_cache.get(id(tbl))
+            if hit is not None:
+                return hit[1]
+            lookup, mb, only = tbl
+            if mb == 0:
+                out = (np.array([only], np.int32), np.zeros(1, np.int32), 0)
+            else:
+                sym = np.fromiter((e[0] for e in lookup), np.int32, len(lookup))
+                ln = np.fromiter((e[1] for e in lookup), np.int32, len(lookup))
+                out = (sym, ln, mb)
+            if len(_np_tbl_cache) > 1024:
+                _np_tbl_cache.clear()
+            _np_tbl_cache[id(tbl)] = (tbl, out)
+            return out
+
+        def _init_state(bb):
+            """Container + VP8L header -> resumable parse state, or
+            None -> this blob takes the scalar walk."""
+            if len(bb) < 20 or bb[:4] != b"RIFF" or bb[8:12] != b"WEBP":
+                return None
+            off = 12
+            payload = None
+            while off + 8 <= len(bb):
+                tag = bb[off: off + 4]
+                sz = struct.unpack_from("<I", bb, off + 4)[0]
+                if tag == b"VP8L":
+                    payload = bb[off + 8: off + 8 + sz]
+                    break
+                off += 8 + sz + (sz & 1)
+            if payload is None or not payload:
+                return None
+            r = _R(payload)
+            if r.read(8) != 0x2F:
+                return None
+            w = r.read(14) + 1
+            h = r.read(14) + 1
+            r.read(1)  # alpha-is-used hint
+            if r.read(3) != 0:
+                return None
+            return {
+                "payload": payload, "r": r, "w": w, "h": h, "xsize": w,
+                "transforms": [], "stage": "transforms", "pend_t": None,
+                "px": None,
+            }
+
+        def _read_stream_header(r):
+            """cache bit(s) + the 5 prefix-code descriptions of one
+            (sub)stream (``_decode_stream``'s shared front)."""
+            cache_bits = r.read(4) if r.read(1) else 0
+            galpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+            tables = tuple(
+                _read_code(r, al) for al in (galpha, 256, 256, 256, 40)
+            )
+            return cache_bits, tables
+
+        def _advance(st):
+            """Parse forward to the next entropy-coded stream. Returns
+            ("stream", spec) to pool-decode it, or ("scalar",). Specs
+            share _lane_stream's chunk-item shape: (payload, w, h,
+            xsize, cache_bits, tables, _, start_bit, npx)."""
+            r = st["r"]
+            try:
+                while True:
+                    if st["stage"] == "main":
+                        cache_bits = r.read(4) if r.read(1) else 0
+                        if r.read(1):  # meta prefix codes: scalar walk
+                            return ("scalar",)
+                        galpha = 256 + 24 + (
+                            (1 << cache_bits) if cache_bits else 0
+                        )
+                        tables = tuple(
+                            _read_code(r, al)
+                            for al in (galpha, 256, 256, 256, 40)
+                        )
+                        npx = st["xsize"] * st["h"]
+                        if npx <= 0 or npx > (1 << 20):
+                            return ("scalar",)
+                        start = r.pos * 8 - r.n
+                        st["stage"] = "done"
+                        return ("stream", (
+                            st["payload"], st["w"], st["h"], st["xsize"],
+                            cache_bits, tables, None, start, npx,
+                        ))
+                    if not r.read(1):
+                        st["stage"] = "main"
+                        continue
+                    t = r.read(2)
+                    if t == 2:
+                        st["transforms"].append(("sg",))
+                        continue
+                    if t in (0, 1):
+                        sb = r.read(3) + 2
+                        tw = (st["xsize"] + (1 << sb) - 1) >> sb
+                        th = (st["h"] + (1 << sb) - 1) >> sb
+                        cb, tbls = _read_stream_header(r)
+                        if tw * th > (1 << 20):
+                            return ("scalar",)
+                        st["pend_t"] = ("pc", t, sb, tw)
+                        start = r.pos * 8 - r.n
+                        return ("stream", (
+                            st["payload"], tw, th, tw, cb, tbls, None,
+                            start, tw * th,
+                        ))
+                    n = r.read(8) + 1
+                    cb, tbls = _read_stream_header(r)
+                    st["pend_t"] = ("pal", n)
+                    start = r.pos * 8 - r.n
+                    return ("stream", (
+                        st["payload"], n, 1, n, cb, tbls, None, start, n,
+                    ))
+            except Exception:
+                return ("scalar",)
+
+        def _resume(st, px, end_cur):
+            """Re-seat the scalar reader just past a pool-decoded stream
+            and attach its pixels (a finished sub-image transform, or
+            the main image)."""
+            r = st["r"]
+            r.pos = end_cur >> 3
+            r.acc = 0
+            r.n = 0
+            if end_cur & 7:
+                r.read(end_cur & 7)  # re-consume the partial byte
+            pend = st["pend_t"]
+            st["pend_t"] = None
+            if pend is None:
+                st["px"] = px  # the main stream
+                return
+            if pend[0] == "pc":
+                _, t, sb, tw = pend
+                timg = px.tolist()
+                st["transforms"].append(
+                    ("pred" if t == 0 else "color", sb, timg, tw,
+                     st["xsize"])
+                )
+            else:
+                n = pend[1]
+                pal = px.tolist()
+                xb = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+                st["transforms"].append(("pal", n, pal, xb, st["xsize"]))
+                st["xsize"] = (st["xsize"] + (1 << xb) - 1) >> xb
+
+        def _lane_stream(chunk):
+            """Run one lockstep chunk; returns a list of pixel LISTS
+            (pre-transform) or None per lane (None = scalar redo).
+
+            Each round peeks a 7-byte little-endian window per lane
+            (>= 49 usable bits at any phase) and chains up to five
+            sub-steps through it, so a literal pixel (green, red, blue,
+            alpha back-to-back) usually costs ONE round. Literal
+            channels fold into a pixel accumulator via per-state shifts
+            (green<<8 at classify, red<<16, blue<<0, alpha<<24 +
+            write); only the green state branches."""
+            L = len(chunk)
+            lens_b = np.array([len(c[0]) for c in chunk], np.int64)
+            row_w = int(lens_b.max()) + 8
+            seg = np.zeros((L, row_w), np.uint8)
+            for i, c in enumerate(chunk):
+                seg[i, : lens_b[i]] = np.frombuffer(c[0], np.uint8)
+            flat = seg.ravel().astype(np.int64)
+            row_base = np.arange(L, dtype=np.int64) * row_w
+            cur = np.array([c[7] for c in chunk], np.int64)
+            lim = lens_b * 8
+            xsz = np.array([c[3] for c in chunk], np.int64)
+            npx = np.array([c[8] for c in chunk], np.int64)
+            cbs = np.array([c[4] for c in chunk], np.int64)
+            u32 = np.uint32
+            cshift = np.where(cbs > 0, 32 - cbs, 32).astype(np.uint32)
+            has_cache = cbs > 0
+            maxpx = int(npx.max())
+            out = np.zeros((L, maxpx), np.uint32)
+            maxcb = int(cbs.max())
+            cache = np.zeros((L, 1 << maxcb if maxcb else 1), np.uint32)
+
+            # stack every distinct prefix table into one (T, 2^MB) pair
+            tid = np.zeros((L, 5), np.int64)
+            rows = []
+            idmap = {}
+            MB = 1
+            for i, c in enumerate(chunk):
+                for s_, tbl in enumerate(c[5]):
+                    k = id(tbl)
+                    e = idmap.get(k)
+                    if e is None:
+                        t3 = _np_table(tbl)
+                        e = (len(rows), tbl)  # tbl ref keeps the id live
+                        rows.append(t3)
+                        idmap[k] = e
+                        if t3[2] > MB:
+                            MB = t3[2]
+                    tid[i, s_] = e[0]
+            size = 1 << MB
+            if len(rows) * size > (1 << 22):
+                if L > 8:  # table matrix too large: bisect the chunk
+                    half = L // 2
+                    return _lane_stream(chunk[:half]) + _lane_stream(chunk[half:])
+                return [None] * L
+            T = len(rows)
+            big_sym = np.empty((T, size), np.int64)
+            big_len = np.empty((T, size), np.int64)
+            for t_i, (sym_a, len_a, mb) in enumerate(rows):
+                big_sym[t_i] = np.tile(sym_a.astype(np.int64), size // sym_a.size)
+                big_len[t_i] = np.tile(len_a.astype(np.int64), size // len_a.size)
+
+            # literal-only fast kernel: when every lane's GREEN table
+            # contains no symbol >= 256, the stream cannot emit copies
+            # or cache hits — every pixel is exactly (green, red, blue,
+            # alpha), all lanes advance one pixel per round in perfect
+            # sync, and the color cache is never read (inserts are
+            # semantically dead, so they are skipped). Covers the
+            # predictor/palette modes end-to-end.
+            lit_only = MB <= 12 and all(
+                int(t3[0].max()) < 256
+                for t3 in (rows[int(t)] for t in np.unique(tid[:, 0]))
+            )
+            if lit_only:
+                err = np.zeros(L, bool)
+                g_row = tid[:, 0]
+                r_row = tid[:, 1]
+                b_row = tid[:, 2]
+                a_row = tid[:, 3]
+                mask_i = np.int64(size - 1)
+                k = 0
+                while k < maxpx:
+                    act = (npx > k) & ~err
+                    if not act.any():
+                        break
+                    bi = np.minimum(cur >> 3, row_w - 7)
+                    ix = row_base + bi
+                    w56 = flat[ix]
+                    for byi in range(1, 7):
+                        w56 = w56 | (flat[ix + byi] << (8 * byi))
+                    nxt = w56 >> (cur & 7)
+                    g = big_sym[g_row, nxt & mask_i]
+                    u = np.maximum(big_len[g_row, nxt & mask_i], 0)
+                    sh = nxt >> u
+                    r = big_sym[r_row, sh & mask_i]
+                    lr = big_len[r_row, sh & mask_i]
+                    u = u + np.maximum(lr, 0)
+                    sh = nxt >> u
+                    b = big_sym[b_row, sh & mask_i]
+                    lb = big_len[b_row, sh & mask_i]
+                    u = u + np.maximum(lb, 0)
+                    sh = nxt >> u
+                    a_ = big_sym[a_row, sh & mask_i]
+                    la = big_len[a_row, sh & mask_i]
+                    u = u + np.maximum(la, 0)
+                    bad = act & (
+                        (big_len[g_row, nxt & mask_i] < 0)
+                        | (lr < 0) | (lb < 0) | (la < 0)
+                    )
+                    if bad.any():
+                        err |= bad
+                        act &= ~bad
+                    ai = np.flatnonzero(act)
+                    p = (
+                        (a_[ai].astype(np.uint32) << np.uint32(24))
+                        | (r[ai].astype(np.uint32) << np.uint32(16))
+                        | (g[ai].astype(np.uint32) << np.uint32(8))
+                        | b[ai].astype(np.uint32)
+                    )
+                    out[ai, k] = p
+                    cur = np.where(act, cur + u, cur)
+                    k += 1
+                redo = err | (cur > lim)
+                return [
+                    (None if redo[i] else out[i, : npx[i]], int(cur[i]))
+                    for i in range(L)
+                ]
+
+            # lane state machine: 0 green-sym, 1 red, 2 blue, 3 alpha,
+            # 4 length-extra-bits, 5 dist-sym, 6 dist-extra-bits
+            state = np.zeros(L, np.int64)
+            active = np.ones(L, bool)
+            err = np.zeros(L, bool)
+            pos = np.zeros(L, np.int64)
+            pixacc = np.zeros(L, np.int64)
+            plen = np.zeros(L, np.int64)
+            pbase = np.zeros(L, np.int64)
+            pk = np.zeros(L, np.int64)
+            SLOT = np.array([0, 1, 2, 3, 0, 4, 0], np.int64)
+            SH = np.array([8, 16, 0, 24, 0, 0, 0], np.int64)
+            uniform = bool((tid == tid[0]).all())
+            tid0 = tid[0]
+            mask_mb = np.int64(size - 1)
+            lane_ids = np.arange(L)
+            BUDGET = 49  # 7-byte window minus the worst 7-bit phase
+            steps = 0
+            max_steps = 3 * maxpx + 64  # >=1 px per round on live lanes
+
+            def _copy(l, dval):
+                length = int(plen[l])
+                if dval > 120:
+                    d = dval - 120
+                else:
+                    dx, dy = DIST_MAP[dval - 1]
+                    d = dy * int(xsz[l]) + dx
+                    if d < 1:
+                        d = 1
+                p0 = int(pos[l])
+                if d > p0 or p0 + length > int(npx[l]):
+                    err[l] = True
+                    active[l] = False
+                    return
+                row = out[l]
+                if d == 1:
+                    row[p0: p0 + length] = row[p0 - 1]
+                else:
+                    done_ = 0
+                    while done_ < length:  # chunk-of-d: overlap-safe
+                        nn = min(d, length - done_)
+                        row[p0 + done_: p0 + done_ + nn] = (
+                            row[p0 + done_ - d: p0 + done_ - d + nn]
+                        )
+                        done_ += nn
+                if has_cache[l]:
+                    vals = row[p0: p0 + length]
+                    slots = (
+                        (u32(HASH_MUL) * vals) >> cshift[l]
+                    ).astype(np.int64)
+                    # deterministic last-write-wins (scalar insert order)
+                    uq, first = np.unique(slots[::-1], return_index=True)
+                    cache[l][uq] = vals[::-1][first]
+                pos[l] = p0 + length
+                state[l] = 0
+                pk[l] = 0
+
+            while active.any():
+                steps += 1
+                if steps > max_steps:  # structural bound: scalar redo
+                    err |= active
+                    break
+                bi = np.minimum(cur >> 3, row_w - 7)
+                ix = row_base + bi
+                w56 = flat[ix]
+                for byi in range(1, 7):
+                    w56 = w56 | (flat[ix + byi] << (8 * byi))
+                nxt = w56 >> (cur & 7)
+                used = np.zeros(L, np.int64)
+                for _sub in range(5):
+                    st = state
+                    is_symst = (st <= 3) | (st == 5)
+                    need = np.where(is_symst, MB, pk)
+                    can = active & (used + need <= BUDGET)
+                    if not can.any():
+                        break
+                    shifted = nxt >> used
+                    idx = shifted & mask_mb
+                    if uniform:
+                        trow = tid0[SLOT[st]]
+                    else:
+                        trow = tid[lane_ids, SLOT[st]]
+                    sym = big_sym[trow, idx]
+                    ln = big_len[trow, idx]
+                    any_extra = bool((~is_symst & can).any())
+                    ext = (
+                        shifted & ((np.int64(1) << pk) - 1)
+                        if any_extra else None
+                    )
+                    bad = can & is_symst & (ln < 0)
+                    if bad.any():
+                        err |= bad
+                        active = active & ~bad
+                        can &= ~bad
+                    ok = can
+                    if not ok.any():
+                        break
+                    used = used + np.where(
+                        ok, np.where(is_symst, ln, pk), 0
+                    )
+                    # literal channels (red/blue/alpha): fold into the
+                    # accumulator; alpha completes the pixel
+                    ch = ok & (st >= 1) & (st <= 3)
+                    if ch.any():
+                        pixacc = np.where(ch, pixacc | (sym << SH[st]), pixacc)
+                        state = np.where(ch, st + 1, state)
+                        am = ch & (st == 3)
+                        if am.any():
+                            ai = np.flatnonzero(am)
+                            p = pixacc[ai].astype(u32)
+                            out[ai, pos[ai]] = p
+                            hc = has_cache[ai]
+                            if hc.any():
+                                aj = ai[hc]
+                                slots = (
+                                    (u32(HASH_MUL) * p[hc]) >> cshift[aj]
+                                ).astype(np.int64)
+                                cache[aj, slots] = p[hc]
+                            pos[ai] += 1
+                            state[ai] = 0
+                            pixacc[ai] = 0
+                    # green symbol: classify lit / cache / copy-length
+                    gm = ok & (st == 0)
+                    if gm.any():
+                        lit = gm & (sym < 256)
+                        if lit.any():
+                            pixacc = np.where(lit, sym << 8, pixacc)
+                            state = np.where(lit, np.int64(1), state)
+                        cach = gm & (sym >= 280)
+                        if cach.any():
+                            ci = np.flatnonzero(cach)
+                            out[ci, pos[ci]] = cache[ci, sym[ci] - 280]
+                            pos[ci] += 1
+                        cpy = gm & (sym >= 256) & (sym < 280)
+                        if cpy.any():
+                            code = sym - 256
+                            small = cpy & (code < 4)
+                            if small.any():
+                                plen = np.where(small, code + 1, plen)
+                                state = np.where(small, np.int64(5), state)
+                            bigc = cpy & (code >= 4)
+                            if bigc.any():
+                                eb = np.maximum((code - 2) >> 1, 0)
+                                pbase = np.where(
+                                    bigc, (2 + (code & 1)) << eb, pbase
+                                )
+                                pk = np.where(bigc, eb, pk)
+                                state = np.where(bigc, np.int64(4), state)
+                    # length extra bits
+                    lm = ok & (st == 4) if any_extra else np.zeros(L, bool)
+                    if any_extra and lm.any():
+                        plen = np.where(lm, pbase + ext + 1, plen)
+                        state = np.where(lm, np.int64(5), state)
+                        pk = np.where(lm, 0, pk)
+                    # distance symbol / extra bits -> per-lane copy
+                    dm = ok & (st == 5)
+                    if dm.any():
+                        bigd = dm & (sym >= 4)
+                        if bigd.any():
+                            eb = np.maximum((sym - 2) >> 1, 0)
+                            pbase = np.where(
+                                bigd, (2 + (sym & 1)) << eb, pbase
+                            )
+                            pk = np.where(bigd, eb, pk)
+                            state = np.where(bigd, np.int64(6), state)
+                        for l in np.flatnonzero(dm & (sym < 4)):
+                            _copy(int(l), int(sym[l]) + 1)
+                    em = ok & (st == 6) if any_extra else np.zeros(L, bool)
+                    if any_extra and em.any():
+                        for l in np.flatnonzero(em):
+                            _copy(int(l), int(pbase[l] + ext[l] + 1))
+                    fin = active & (pos >= npx)
+                    if fin.any():
+                        active = active & ~fin
+                cur = cur + used
+
+            redo = err | (cur > lim)  # zero-fed reads: scalar semantics
+            return [
+                (None if redo[i] else out[i, : npx[i]], int(cur[i]))
+                for i in range(L)
+            ]
+
+        def decode_batch(blobs):
+            """Batch decode; per-blob results identical to ``decode``.
+
+            Wave-based: each wave gathers every blob's NEXT pending
+            entropy-coded stream (transform sub-images first, then the
+            main image) and pool-decodes them in lockstep lanes, so no
+            per-symbol Python loop runs per blob on the happy path."""
+            results = [None] * len(blobs)
+            live = []
+            for i, b in enumerate(blobs):
+                bb = bytes(b)
+                try:
+                    st = _init_state(bb)
+                except Exception:
+                    st = None
+                if st is None:
+                    results[i] = decode(bb)
+                else:
+                    live.append((i, bb, st))
+            while live:
+                waiting = []
+                for e in live:
+                    act = _advance(e[2])
+                    if act[0] == "stream":
+                        waiting.append((e, act[1]))
+                    else:
+                        results[e[0]] = decode(e[1])
+                if not waiting:
+                    break
+                # group lanes whose 5 tables are the SAME OBJECTS (the
+                # description memo dedups them): same-shape streams
+                # advance in step, so rounds aren't held hostage by one
+                # slow mode. Groups below the measured lane/scalar
+                # crossover (~200 lanes) take the scalar walk — lane
+                # round overhead loses on small groups, and per-blob
+                # adaptive corpora (unique tables -> singleton groups)
+                # skip the lane machinery entirely.
+                waiting.sort(
+                    key=lambda q: (tuple(map(id, q[1][5])), q[1][8])
+                )
+                MIN_LANES = 192
+                grouped = []
+                glo = 0
+                for j in range(1, len(waiting) + 1):
+                    if j == len(waiting) or (
+                        tuple(map(id, waiting[j][1][5]))
+                        != tuple(map(id, waiting[glo][1][5]))
+                    ):
+                        grouped.append(waiting[glo:j])
+                        glo = j
+                live = []
+                runnable = []
+                for grp in grouped:
+                    if len(grp) < MIN_LANES:
+                        for e, _spec in grp:
+                            results[e[0]] = decode(e[1])
+                    else:
+                        runnable.extend(grp)
+                waiting = runnable
+                CH = 4096
+                for lo in range(0, len(waiting), CH):
+                    subw = waiting[lo: lo + CH]
+                    outs = _lane_stream([q[1] for q in subw])
+                    for (e, _spec), (px, endc) in zip(subw, outs):
+                        i, bb, st = e
+                        if px is None:
+                            results[i] = decode(bb)
+                            continue
+                        try:
+                            _resume(st, px, endc)
+                        except Exception:
+                            results[i] = decode(bb)
+                            continue
+                        if st["stage"] == "done":
+                            try:
+                                fx = _apply_inv_transforms(
+                                    st["px"], st["transforms"], st["h"]
+                                )
+                                results[i] = _px_to_result(
+                                    fx, st["w"], st["h"]
+                                )
+                            except Exception:
+                                results[i] = decode(bb)
+                        else:
+                            live.append(e)
+            return results
+
+    else:
+
+        def decode_batch(blobs):
+            return [decode(bytes(b)) for b in blobs]
 
     # -------------------------------------------------------------- encode
     def _choose_lengths(hist):
@@ -1366,7 +1950,7 @@ def _build_webp_codec(force_scalar: bool = False):
         w.bits(0, 1)  # no meta prefix codes
         _emit_tokens(w, [("lit", 0, v, 0, 255) for v in vals], 0, None)
 
-    def _emit_subimage(w, pixels):
+    def _emit_subimage(w, pixels, plans=None):
         """Literal-only subimage (palette / predictor tiles): cache off,
         one code group, every pixel a literal."""
         w.bits(0, 1)  # no color cache
@@ -1375,13 +1959,14 @@ def _build_webp_codec(force_scalar: bool = False):
             _emit_tokens_np(
                 w, (p >> 8) & 0xFF, 0, None,
                 r=(p >> 16) & 0xFF, b=p & 0xFF, a=(p >> 24) & 0xFF,
+                plans=plans,
             )
             return
         tokens = [
             ("lit", (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, (p >> 24) & 0xFF)
             for p in pixels
         ]
-        _emit_tokens(w, tokens, 0, None)
+        _emit_tokens(w, tokens, 0, None, plans)
 
     PLANS = _build_plans()
 
@@ -1516,7 +2101,11 @@ def _build_webp_codec(force_scalar: bool = False):
             for sh in (24, 16, 8, 0):
                 d |= (((pal[i] >> sh) - (pal[i - 1] >> sh)) & 0xFF) << sh
             diffs.append(d)
-        _emit_subimage(w, diffs)
+        _emit_subimage(
+            w, diffs,
+            {"g": PLANS["res_g"], "r": PLANS["res"], "b": PLANS["res"]}
+            if static else None,
+        )
         w.bits(0, 1)  # end of transforms
         w.bits(0, 1)  # no color cache
         w.bits(0, 1)  # no meta prefix codes
@@ -1556,6 +2145,7 @@ def _build_webp_codec(force_scalar: bool = False):
 
     return {
         "decode": decode,
+        "decode_batch": decode_batch,
         "encode_gray8": encode_gray8,
         # exposed for unit tests of the transform inverses
         "_inv_color": _inv_color,

@@ -441,3 +441,22 @@ def test_emit_tokens_np_matches_scalar_mixed_kinds():
         deb=np.full(7, 5, np.int64),
     )
     assert w2.done() == ref
+
+
+def test_decode_batch_matches_scalar():
+    """Wave-pooled lane decode must be byte-identical to per-blob
+    ``decode`` across modes, static/adaptive codes, junk, truncation,
+    and bit flips (corrupt streams re-walk through the scalar path)."""
+    rng = random.Random(11)
+    blobs = []
+    for i, data in enumerate(CASES):
+        for m in MODES + ("meta", "cross"):
+            st = m in MODES and i % 2 == 0
+            blobs.append(C["encode_gray8"](data, 32, m, st))
+    blobs += [b"junk", b"", blobs[0][:15], blobs[1][:40]]
+    for k in range(40):
+        bb = bytearray(blobs[k % 10])
+        if len(bb) > 13:
+            bb[rng.randrange(12, len(bb))] ^= 0xFF
+            blobs.append(bytes(bb))
+    assert C["decode_batch"](blobs) == [C["decode"](b) for b in blobs]
