@@ -55,44 +55,78 @@ def _build_tiff_codec(force_scalar=False):
 
     # ---- TIFF-variant LZW ------------------------------------------------
     def lzw_encode(data):
+        """Greedy longest-match TIFF LZW. The match dictionary is keyed
+        by ``(prefix_code << 8) | byte`` ints — the classic trick that
+        replaces the per-byte byte-string concatenation (whose hash cost
+        grows with the match length) with O(1) int lookups; the greedy
+        parse, and therefore the emitted stream, is identical. Packing
+        is deferred: (code, width) pairs collect in a list and pack in
+        one numpy MSB-first pass (scalar carry loop on force_scalar
+        builds; byte parity asserted in tests/test_codec_parity.py)."""
+        codes = []
+        put = codes.append
+        table = {}
+        get = table.get
+        nxt, width = FIRST, 9
+        # the width schedule must follow the DECODER's table growth, not
+        # the encoder's: the decoder adds one entry per data code after
+        # the first (the KwKwK lag), INCLUDING the final flushed code,
+        # which grows no encoder entry. Mid-stream the rules coincide
+        # (dec_len == nxt - 1), but when the 9->10 boundary lands exactly
+        # on a strip's final data code the encoder-count rule wrote EOI
+        # one bit narrow and the stream died with "code out of range".
+        seg_codes = 0  # data codes since the last CLEAR
+        put((CLEAR, 9))
+        w = -1
+        for byte in data:
+            if w < 0:
+                w = byte
+                continue
+            key = (w << 8) | byte
+            hit = get(key)
+            if hit is not None:
+                w = hit
+                continue
+            put((w, width))
+            seg_codes += 1
+            if seg_codes > 1 and 258 + seg_codes - 1 == (1 << width) - 2 \
+                    and width < 12:
+                width += 1
+            table[key] = nxt
+            nxt += 1
+            if nxt >= 4094:
+                put((CLEAR, width))
+                table.clear()
+                nxt, width = FIRST, 9
+                seg_codes = 0
+            w = byte
+        if w >= 0:
+            put((w, width))
+            seg_codes += 1
+            if seg_codes > 1 and 258 + seg_codes - 1 == (1 << width) - 2 \
+                    and width < 12:
+                width += 1
+        put((EOI, width))
+        if np is not None:
+            cs = np.array([c for c, _ in codes], np.int64)
+            ws = np.array([wd for _, wd in codes], np.int64)
+            ends = np.cumsum(ws)
+            local = np.arange(int(ends[-1]), dtype=np.int64)
+            local -= np.repeat(ends - ws, ws)
+            rep = np.repeat(np.arange(ws.size), ws)
+            bits = ((cs[rep] >> (ws[rep] - 1 - local)) & 1).astype(np.uint8)
+            return np.packbits(bits).tobytes()  # MSB-first, zero-padded
         out = bytearray()
         acc = nbits = 0
-
-        def emit(code, width):
-            nonlocal acc, nbits
-            acc = (acc << width) | code
-            nbits += width
+        for code, wd in codes:
+            acc = (acc << wd) | code
+            nbits += wd
             while nbits >= 8:
                 nbits -= 8
                 out.append((acc >> nbits) & 0xFF)
             acc &= (1 << nbits) - 1
-
-        table = {bytes([i]): i for i in range(256)}
-        nxt, width = FIRST, 9
-        emit(CLEAR, width)
-        w = b""
-        for byte in data:
-            wc = w + bytes([byte])
-            if wc in table:
-                w = wc
-                continue
-            emit(table[w], width)
-            table[wc] = nxt
-            nxt += 1
-            # early change: bump when the next code to be WRITTEN would
-            # not fit, i.e. one entry before the GIF rule
-            if nxt == (1 << width) - 1 and width < 12:
-                width += 1
-            if nxt >= 4094:
-                emit(CLEAR, width)
-                table = {bytes([i]): i for i in range(256)}
-                nxt, width = FIRST, 9
-            w = bytes([byte])
-        if w:
-            emit(table[w], width)
-        emit(EOI, width)
         if nbits:
-            emit(0, 8 - nbits)  # flush
+            out.append((acc << (8 - nbits)) & 0xFF)
         return bytes(out)
 
     def lzw_decode_scalar(data):

@@ -175,3 +175,33 @@ def test_decode_batch_equals_per_blob():
         except Exception:
             want = None
         assert got_l == want
+
+
+def test_lzw_width_bump_on_final_code():
+    """The 9->10-bit early-change boundary landing exactly on a strip's
+    FINAL data code: the width schedule must follow the DECODER's table
+    growth (which the final code feeds even though the encoder adds no
+    entry for it), else EOI is written one bit narrow and the stream
+    dies with "code out of range". Regression for a latent bug text
+    corpora never hit; found by random-strip fuzz."""
+    import random
+
+    rng = random.Random(5)
+    data = bytes(rng.randrange(256) for _ in range(9000))
+    n = len(data)
+    h = -(-n // 32)
+    vals = data + b"\x00" * (32 * h - n)
+    for pred in (1, 2):
+        blob = C["encode_gray8"](data, 32, compression=5, predictor=pred)
+        assert C["decode"](blob) == (32, h, 1, vals)
+        assert _build_tiff_codec(force_scalar=True)["decode"](blob) == (
+            32, h, 1, vals
+        )
+    # dense sweep across strip sizes that land the bump on the tail
+    rng2 = random.Random(99)
+    for L in range(240, 280):
+        d2 = bytes(rng2.randrange(256) for _ in range(L))
+        blob = C["encode_gray8"](d2, 32, compression=5, predictor=2)
+        h2 = -(-L // 32)
+        v2 = d2 + b"\x00" * (32 * h2 - L)
+        assert C["decode"](blob) == (32, h2, 1, v2), L
