@@ -327,10 +327,15 @@ def _build_webp_codec(force_scalar: bool = False):
             eb = sb + len(span)
             if eb > r.ln:
                 continue
-            probe = bytearray(b[sb:eb])
-            probe[0] &= first_mask
-            probe[-1] &= last_mask
-            if bytes(probe) == span:
+            if len(span) == 1:  # both masks land on the same byte
+                hit = (b[sb] & first_mask & last_mask) == span[0]
+            else:
+                hit = (
+                    (b[sb] & first_mask) == span[0]
+                    and (b[eb - 1] & last_mask) == span[-1]
+                    and b[sb + 1: eb - 1] == span[1:-1]
+                )
+            if hit:
                 end = start + nbits
                 r.pos = end >> 3
                 r.acc = 0
@@ -1125,6 +1130,21 @@ def _build_webp_codec(force_scalar: bool = False):
                 b_row = tid[:, 2]
                 a_row = tid[:, 3]
                 mask_i = np.int64(size - 1)
+                # 0-bit channel codes (single-symbol r/b/a tables, the
+                # lz77/palette layouts): the three channel gathers
+                # collapse into one per-lane constant
+                rba_zero = all(
+                    rows[int(t)][2] == 0 for t in np.unique(tid[:, 1:4])
+                )
+                if rba_zero:
+                    only = np.array(
+                        [int(t3[0][0]) if t3[2] == 0 else 0 for t3 in rows],
+                        np.int64,
+                    )
+                    cst = (
+                        (only[a_row] << 24) | (only[r_row] << 16)
+                        | only[b_row]
+                    )
                 k = 0
                 while k < maxpx:
                     act = (npx > k) & ~err
@@ -1136,8 +1156,22 @@ def _build_webp_codec(force_scalar: bool = False):
                     for byi in range(1, 7):
                         w56 = w56 | (flat[ix + byi] << (8 * byi))
                     nxt = w56 >> (cur & 7)
-                    g = big_sym[g_row, nxt & mask_i]
-                    u = np.maximum(big_len[g_row, nxt & mask_i], 0)
+                    idx0 = nxt & mask_i
+                    g = big_sym[g_row, idx0]
+                    lg = big_len[g_row, idx0]
+                    if rba_zero:
+                        bad = act & (lg < 0)
+                        if bad.any():
+                            err |= bad
+                            act &= ~bad
+                        ai = np.flatnonzero(act)
+                        out[ai, k] = (cst[ai] | (g[ai] << 8)).astype(
+                            np.uint32
+                        )
+                        cur = np.where(act, cur + lg, cur)
+                        k += 1
+                        continue
+                    u = np.maximum(lg, 0)
                     sh = nxt >> u
                     r = big_sym[r_row, sh & mask_i]
                     lr = big_len[r_row, sh & mask_i]
@@ -1150,10 +1184,7 @@ def _build_webp_codec(force_scalar: bool = False):
                     a_ = big_sym[a_row, sh & mask_i]
                     la = big_len[a_row, sh & mask_i]
                     u = u + np.maximum(la, 0)
-                    bad = act & (
-                        (big_len[g_row, nxt & mask_i] < 0)
-                        | (lr < 0) | (lb < 0) | (la < 0)
-                    )
+                    bad = act & ((lg < 0) | (lr < 0) | (lb < 0) | (la < 0))
                     if bad.any():
                         err |= bad
                         act &= ~bad
