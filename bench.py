@@ -231,12 +231,24 @@ def _prev_summary(here: str, sf: float) -> dict | None:
     except Exception:
         pass
     try:
-        blob = subprocess.run(
-            ["git", "show", "HEAD:BENCH_SUMMARY.json"],
+        # walk commit history for the newest sidecar at the SAME sf —
+        # a committed off-sf iteration run must not break the
+        # round-over-round baseline
+        revs = subprocess.run(
+            ["git", "rev-list", "--max-count=50", "HEAD", "--",
+             "BENCH_SUMMARY.json"],
             cwd=here, capture_output=True, text=True, timeout=30,
         )
-        if blob.returncode == 0:
-            cands.append(json.loads(blob.stdout))
+        for rev in revs.stdout.split():
+            blob = subprocess.run(
+                ["git", "show", f"{rev}:BENCH_SUMMARY.json"],
+                cwd=here, capture_output=True, text=True, timeout=30,
+            )
+            if blob.returncode == 0:
+                c = json.loads(blob.stdout)
+                cands.append(c)
+                if c.get("sf") == sf:
+                    break
     except Exception:
         pass
     for c in cands:

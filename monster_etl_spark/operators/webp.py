@@ -1204,6 +1204,22 @@ def _build_webp_codec(force_scalar: bool = False):
                     for i in range(L)
                 ]
 
+            # 0-bit r/b/a channel codes (the lz77 layout): a literal
+            # completes inside the green state — channels are per-lane
+            # constants — collapsing 4 sub-steps to 1
+            rba0 = all(
+                rows[int(t)][2] == 0 for t in np.unique(tid[:, 1:4])
+            )
+            if rba0:
+                only0 = np.array(
+                    [int(t3[0][0]) if t3[2] == 0 else 0 for t3 in rows],
+                    np.int64,
+                )
+                cst0 = (
+                    (only0[tid[:, 3]] << 24) | (only0[tid[:, 1]] << 16)
+                    | only0[tid[:, 2]]
+                )
+
             # lane state machine: 0 green-sym, 1 red, 2 blue, 3 alpha,
             # 4 length-extra-bits, 5 dist-sym, 6 dist-extra-bits
             state = np.zeros(L, np.int64)
@@ -1329,7 +1345,19 @@ def _build_webp_codec(force_scalar: bool = False):
                     gm = ok & (st == 0)
                     if gm.any():
                         lit = gm & (sym < 256)
-                        if lit.any():
+                        if lit.any() and rba0:
+                            li_ = np.flatnonzero(lit)
+                            p = (cst0[li_] | (sym[li_] << 8)).astype(u32)
+                            out[li_, pos[li_]] = p
+                            hc = has_cache[li_]
+                            if hc.any():
+                                lj = li_[hc]
+                                slots = (
+                                    (u32(HASH_MUL) * p[hc]) >> cshift[lj]
+                                ).astype(np.int64)
+                                cache[lj, slots] = p[hc]
+                            pos[li_] += 1
+                        elif lit.any():
                             pixacc = np.where(lit, sym << 8, pixacc)
                             state = np.where(lit, np.int64(1), state)
                         cach = gm & (sym >= 280)
