@@ -156,6 +156,18 @@ def _build_gif_codec(force_scalar=False):
         slen = streams.shape[1]
         # 255-byte sub-block chunking — uniform, so the block layout is a
         # template too; assemble per frame from raw-byte views
+        if slen <= 255:
+            # one sub-block per frame: the whole block layout is a
+            # template — build every frame's block in one (F, slen+3)
+            # matrix and slice bytes views out of a single buffer
+            w = slen + 3
+            blkmat = np.empty((F, w), np.uint8)
+            blkmat[:, 0] = 8
+            blkmat[:, 1] = slen
+            blkmat[:, 2:-1] = streams
+            blkmat[:, -1] = 0
+            big = blkmat.tobytes()
+            return [big[f * w: (f + 1) * w] for f in range(F)]
         out = []
         sview = streams.tobytes()
         for f in range(F):
@@ -168,13 +180,24 @@ def _build_gif_codec(force_scalar=False):
             out.append(bytes(blk))
         return out
 
+    _PAL_GRAY = bytes(v for t in ((x, x, x) for x in range(256)) for v in t)
+    _hdr_memo = {}
+
     def _identity_header(sw, sh, bg=0):
-        """GIF89a header + logical screen + identity 256-gray palette."""
-        out = bytearray(b"GIF89a")
-        out += struct.pack("<HH", sw, sh) + bytes([0xF7, bg, 0])
-        for v in range(256):
-            out += bytes([v, v, v])
-        return out
+        """GIF89a header + logical screen + identity 256-gray palette.
+        Constant per geometry — memoized (the animated adapter calls it
+        once per DOC; the palette loop alone was ~80us x corpus)."""
+        key = (sw, sh, bg)
+        hit = _hdr_memo.get(key)
+        if hit is None:
+            hit = (
+                b"GIF89a" + struct.pack("<HH", sw, sh)
+                + bytes([0xF7, bg, 0]) + _PAL_GRAY
+            )
+            if len(_hdr_memo) > 64:
+                _hdr_memo.clear()
+            _hdr_memo[key] = hit
+        return bytearray(hit)
 
     def encode_gray8(pixels, width):
         """Single-frame GIF89a over the identity 256-gray palette; pads
