@@ -80,6 +80,33 @@ def _build_flac_codec(force_scalar=False):
             c = CRC16_TAB[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
         return c
 
+    if np is not None:
+        # two-bytes-per-step CRC-16: CRC is GF(2)-affine, so the state
+        # after two bytes splits as M2[state] ^ T2[pair] with both 64K
+        # tables built in a few vectorized passes. Same polynomial,
+        # identical values (asserted against the byte loop in tests).
+        _t16 = np.array(CRC16_TAB, np.uint32)
+        _a16 = np.arange(65536, dtype=np.uint32)
+        _c1 = _t16[_a16 >> 8]
+        _T2 = (
+            _t16[((_c1 >> 8) ^ (_a16 & 0xFF)) & 0xFF] ^ ((_c1 << 8) & 0xFFFF)
+        ).tolist()
+        _m1 = _t16[_a16 >> 8] ^ ((_a16 << 8) & 0xFFFF)
+        _M2 = (
+            _t16[(_m1 >> 8) & 0xFF] ^ ((_m1 << 8) & 0xFFFF)
+        ).astype(np.uint32).tolist()
+
+        def crc16(data):  # noqa: F811 — vectorized-table twin
+            c = 0
+            n2 = len(data) >> 1
+            M2, T2 = _M2, _T2
+            for p in np.frombuffer(data, ">u2", n2).tolist():
+                c = M2[c] ^ T2[p]
+            if len(data) & 1:
+                b = data[-1]
+                c = CRC16_TAB[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+            return c
+
     # ---- bit I/O ---------------------------------------------------------
     class W:
         def __init__(self):
@@ -177,6 +204,63 @@ def _build_flac_codec(force_scalar=False):
         ]
 
     def _write_subframe(w, blk, bps):
+        if np is not None:
+            # array twin of the scalar selection below: identical costs
+            # (exact int64 sums), identical order choice and Rice param
+            arr = np.asarray(blk, np.int64)
+            if arr.size and (arr == arr[0]).all():
+                w.w(0, 1)
+                w.w(0b000000, 6)  # CONSTANT
+                w.w(0, 1)
+                w.w(int(arr[0]), bps)
+                return
+            best = 0
+            best_res = arr
+            best_cost = int(np.abs(arr).sum())
+            for order in (1, 2):
+                if arr.size <= order:
+                    break
+                res = np.diff(arr, n=order)
+                cost = int(np.abs(res).sum())
+                if cost < best_cost:
+                    best, best_res, best_cost = order, res, cost
+            w.w(0, 1)
+            w.w(0b001000 | best, 6)  # FIXED order
+            w.w(0, 1)  # no wasted bits
+            for v in blk[:best]:  # warm-up
+                w.w(int(v), bps)
+            w.w(0b00, 2)
+            w.w(0, 4)
+            n = int(best_res.size)
+            mean = int(np.abs(best_res).sum()) // max(1, n)
+            param = 0
+            while param < 14 and (1 << param) < mean + 1:
+                param += 1
+            w.w(param, 4)
+            if n:
+                rr = best_res
+                u = (rr << 1) ^ (rr >> 63)
+                q = u >> param
+                if int(q.max(initial=0)) > 1 << 16:
+                    raise OverflowError
+                lens = q + 1 + param
+                offs = np.zeros(n, np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                bits = np.zeros(int(lens.sum()), np.uint8)
+                term = offs + q
+                bits[term] = 1
+                if param:
+                    idx = (
+                        term[:, None] + 1
+                        + np.arange(param, dtype=np.int64)[None, :]
+                    )
+                    vals = (
+                        u[:, None]
+                        >> np.arange(param - 1, -1, -1, dtype=np.int64)[None, :]
+                    ) & 1
+                    bits[idx] = vals.astype(np.uint8)
+                w.w_bits_np(bits)
+            return
         if len(set(blk)) == 1:
             w.w(0, 1)
             w.w(0b000000, 6)  # CONSTANT
@@ -239,7 +323,16 @@ def _build_flac_codec(force_scalar=False):
             w.w(u, param)
 
     def _splice(dst, src):
-        """Append a (possibly unaligned) bit-writer's content to another."""
+        """Append a (possibly unaligned) bit-writer's content to another.
+        When the destination is byte-aligned (always true for the mono
+        frame layout: header + one subframe) the buffers concatenate
+        directly instead of re-feeding every byte through the carry
+        loop."""
+        if dst.n == 0:
+            dst.buf += src.buf
+            dst.acc = src.acc
+            dst.n = src.n
+            return
         for byte in src.buf:
             dst.w(byte, 8)
         if src.n:
