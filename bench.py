@@ -197,7 +197,13 @@ _WARM_THRESHOLD_S = 2.0
 # --- round-over-round self-attribution knobs ---
 _DRIFT = 0.15  # relative steady-state delta that demands an attribution
 _PROBE_RUNS = 4  # extra warm runs per flagged regression (probe protocol)
-_PROBE_BUDGET = 8  # worst regressions probed per bench run (cost bound)
+# worst regressions probed per bench run. The cost bound is wall-clock,
+# not count: sub-2s queries probe in a few seconds each, so a noisy-box
+# session that upticks EVERY small query (the round-7/8 drift class)
+# still gets a recorded steady-state verdict for each flagged row
+# instead of "unprobed".
+_PROBE_BUDGET = 8
+_PROBE_WALL_S = 240.0  # keep probing past the count while under this
 _MIN_ABS_S = 0.2  # both-rounds-under-this deltas are timer noise, skipped
 _METRIC_SHIFT = 0.2  # stage-metric relative change that names a cause
 
@@ -315,9 +321,10 @@ def _attribute_deltas(
         if prev_fp and prev_fp.get(k) != v
     }
     regressions.sort(reverse=True)
+    probe_wall = 0.0
     for i, (_, name) in enumerate(regressions):
         rec = deltas[name]
-        if i >= _PROBE_BUDGET:
+        if i >= _PROBE_BUDGET and probe_wall > _PROBE_WALL_S:
             rec["cause"] = "unprobed (probe budget exhausted; worst offenders probed first)"
             continue
         if name not in registry:
@@ -330,6 +337,7 @@ def _attribute_deltas(
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
+            probe_wall += runs[-1]
         steady = min(runs)
         rec["probe_runs"] = runs
         rec["steady"] = steady
