@@ -1432,7 +1432,7 @@ def documents_as_webp_media(documents: DataFrame, width: int = 32) -> DataFrame:
     return _doc_media_df(documents, _webp_media_worker(width))
 
 
-def _webp_media_worker(width: int = 32):
+def _webp_media_worker(width: int = 32, static_codes: bool = True):
     from monster_etl_spark.operators.webp import _build_webp_codec
 
     encode_local = _build_webp_codec()["encode_gray8"]
@@ -1447,9 +1447,11 @@ def _webp_media_worker(width: int = 32):
                 # static_codes: the fixed build-time prefix plans — the
                 # per-image Huffman+description floor collapses to an
                 # array replay, and every blob shares the decoder's
-                # memoized description parse (same pixels either way)
+                # memoized description parse (same pixels either way).
+                # Adaptive per-image codes stay first-class via their own
+                # registry row (multimodal_webp_adaptive_stats).
                 lambda m, t: encode_local(
-                    bytes(t, "utf-8"), width, modes[m % 3], True
+                    bytes(t, "utf-8"), width, modes[m % 3], static_codes
                 ),
             )
 

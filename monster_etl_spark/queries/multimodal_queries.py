@@ -579,6 +579,32 @@ def multimodal_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_webp_adaptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VP8L decode over per-image ADAPTIVE prefix codes: a 1-in-16
+    document sample (doc_id % 16 = 0) encoded with per-image Huffman
+    codes instead of the static build-time plans, so the registry keeps
+    a hash-gated query whose every blob exercises the adaptive path —
+    fresh description parses, fresh flat-table builds, and the lane
+    decoder's small-group scalar fallback (per-blob-unique tables form
+    singleton groups below the lane crossover). The throughput-facing
+    static query (multimodal_webp_pixel_stats) stays unmixed; lossless
+    either way, so the PNG oracle applies with the same sample filter."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 16 == 0)
+    return fused_media_stats(
+        docs, _webp_media_worker(width=_PNG_W, static_codes=False),
+        _pixel_stats_worker(), PIXEL_STATS_SCHEMA,
+    ).select(
+        "media_id", "width", "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "min_intensity", "max_intensity", "decoded",
+    )
+
+
+WEBP_ADAPTIVE_SQL = PNG_PIXEL_SQL.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 16 = 0"
+)
+
+
 def multimodal_flac_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL FLAC encode -> decode round-trip, fully distributed: each
     document byte becomes one mono 16-bit sample ((cp-128)*256), FLAC-
@@ -995,6 +1021,11 @@ QUERIES = {
         multimodal_webp_pixel_stats,
         PNG_PIXEL_SQL,
         "real WebP-lossless (VP8L: transforms/cache/LZ77) round-trip, PNG oracle verbatim",
+    ),
+    "multimodal_webp_adaptive_stats": QuerySpec(
+        multimodal_webp_adaptive_stats,
+        WEBP_ADAPTIVE_SQL,
+        "VP8L adaptive per-image codes on a 1/16 doc sample, PNG oracle + same filter",
     ),
     "multimodal_flac_sample_stats": QuerySpec(
         multimodal_flac_sample_stats,
