@@ -1466,16 +1466,18 @@ def _build_webp_codec(force_scalar: bool = False):
                         glo = j
                 live = []
                 runnable = []
+                CH = 4096
                 for grp in grouped:
                     if len(grp) < MIN_LANES:
                         for e, _spec in grp:
                             results[e[0]] = decode(e[1])
                     else:
-                        runnable.extend(grp)
-                waiting = runnable
-                CH = 4096
-                for lo in range(0, len(waiting), CH):
-                    subw = waiting[lo: lo + CH]
+                        # chunk WITHIN the group: a lane chunk spanning
+                        # two table groups pays both groups' round
+                        # counts on every lane
+                        for lo in range(0, len(grp), CH):
+                            runnable.append(grp[lo: lo + CH])
+                for subw in runnable:
                     outs = _lane_stream([q[1] for q in subw])
                     for (e, _spec), (px, endc) in zip(subw, outs):
                         i, bb, st = e
