@@ -93,3 +93,69 @@ def test_audio_codecs_roundtrip_boundary_inputs():
             assert Wv["decode"](Wv["encode_adpcm"](s, 16000)) is not None
             assert Wv["decode"](Wv["encode_g711"](s, "ulaw")) is not None
             assert Wv["decode"](Wv["encode_g711"](s, "alaw")) is not None
+
+
+def test_decoders_never_raise_on_corruption():
+    """Every decoder's contract is None-or-result on malformed input —
+    never an exception (the mapInPandas workers rely on it: one raise
+    kills the whole Arrow batch). Bit flips + truncations over every
+    codec's own blobs, plus cross-format feeding."""
+    from monster_etl_spark.operators.avi import _build_avi_codec
+
+    codecs = {
+        "png": _build_png_codec(),
+        "gif": _build_gif_codec(),
+        "bmp": _build_bmp_codec(),
+        "webp": _build_webp_codec(),
+        "tiff": _build_tiff_codec(),
+        "jpeg": _build_jpeg_codec(),
+        "wav": _build_wav_codec(),
+        "flac": _build_flac_codec(),
+    }
+    data = b"hello fuzz world" * 20
+    base = {
+        "png": codecs["png"]["encode_gray8"](data, 32),
+        "gif": codecs["gif"]["encode_gray8"](data, 32),
+        "bmp": codecs["bmp"]["encode_gray8"](data, 32),
+        "webp": codecs["webp"]["encode_gray8"](data, 32, "lz77", True),
+        "tiff": codecs["tiff"]["encode_gray8"](data, 32),
+        "jpeg": codecs["jpeg"]["encode_gray8"](data, 32),
+        "wav": codecs["wav"]["encode_pcm16"]([100, -100] * 300, 16000),
+        "flac": codecs["flac"]["encode_pcm16"]([100, -100] * 300, 16000, 1),
+    }
+    rng = random.Random(424242)
+    for name, blob in base.items():
+        dec = codecs[name]["decode"]
+        for _trial in range(60):
+            bb = bytearray(blob)
+            for _ in range(rng.randrange(1, 6)):
+                bb[rng.randrange(len(bb))] ^= 1 << rng.randrange(8)
+            if rng.random() < 0.3:
+                bb = bb[: rng.randrange(len(bb))]
+            dec(bytes(bb))  # must not raise
+        for ob in base.values():
+            dec(bytes(ob))  # cross-format: None or a valid result
+
+
+def test_webp_batch_matches_scalar_on_corruption():
+    """Lane decode must agree with the scalar walk byte-for-byte on
+    CORRUPT streams too (truncations + flips re-walk scalar; valid-but-
+    mutated streams must produce the same pixels either way)."""
+    W = _build_webp_codec()
+    rng = random.Random(99)
+    base = [
+        W["encode_gray8"](f"doc {i} runs aaaaaa {'xyz' * i}".encode(),
+                          32, m, s)
+        for i in range(6)
+        for m in ("lz77", "predictor", "palette")
+        for s in (True, False)
+    ]
+    blobs = []
+    for trial in range(300):
+        bb = bytearray(base[trial % len(base)])
+        for _ in range(rng.randrange(1, 5)):
+            bb[rng.randrange(len(bb))] ^= 1 << rng.randrange(8)
+        if rng.random() < 0.2:
+            bb = bb[: rng.randrange(len(bb))]
+        blobs.append(bytes(bb))
+    assert W["decode_batch"](blobs) == [W["decode"](b) for b in blobs]
