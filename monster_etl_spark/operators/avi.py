@@ -66,18 +66,38 @@ def _build_avi_codec():
         stored as bottom-up 24-bit BGR DIB rows (4-byte stride padding)
         in ``00db`` chunks — the ``BI_RGB`` raw-video layout."""
         stride = (3 * width + 3) & ~3
+        try:
+            import numpy as np
+        except ImportError:  # pragma: no cover - numpy is baked in
+            np = None
+        if np is not None and frames:
+            # pooled DIB build: flip + gray->BGR expand + stride pad for
+            # ALL frames in four numpy ops (byte-identical to the
+            # per-pixel walk below; asserted in tests/test_avi.py)
+            fa = np.stack(
+                [np.frombuffer(bytes(f), np.uint8) for f in frames]
+            ).reshape(len(frames), height, width)
+            flip = fa[:, ::-1, :]
+            padded = np.zeros((len(frames), height, stride), np.uint8)
+            padded[:, :, : 3 * width] = np.repeat(
+                flip[..., None], 3, axis=3
+            ).reshape(len(frames), height, 3 * width)
+            datas = [padded[i].tobytes() for i in range(len(frames))]
+        else:
+            datas = []
+            for f in frames:
+                rows = []
+                for y in range(height - 1, -1, -1):  # bottom-up
+                    row = bytearray()
+                    for x in range(width):
+                        v = f[y * width + x]
+                        row += bytes((v, v, v))
+                    rows.append(bytes(row).ljust(stride, b"\x00"))
+                datas.append(b"".join(rows))
         movi_items = b""
         idx = b""
         offset = 4
-        for f in frames:
-            rows = []
-            for y in range(height - 1, -1, -1):  # bottom-up
-                row = bytearray()
-                for x in range(width):
-                    v = f[y * width + x]
-                    row += bytes((v, v, v))
-                rows.append(bytes(row).ljust(stride, b"\x00"))
-            data = b"".join(rows)
+        for data in datas:
             movi_items += b"00db" + struct.pack("<I", len(data)) + data
             idx += b"00db" + struct.pack("<III", 0x10, offset, len(data))
             offset += 8 + len(data)
