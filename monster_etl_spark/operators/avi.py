@@ -73,9 +73,15 @@ def _build_avi_codec():
         if np is not None and frames:
             # pooled DIB build: flip + gray->BGR expand + stride pad for
             # ALL frames in four numpy ops (byte-identical to the
-            # per-pixel walk below; asserted in tests/test_avi.py)
+            # per-pixel walk below; asserted in tests/test_avi.py).
+            # Over-length frames are truncated to width*height — the
+            # tolerance the scalar walk always had (it indexes only
+            # y*width+x); np.frombuffer(count=...) restores it.
             fa = np.stack(
-                [np.frombuffer(bytes(f), np.uint8) for f in frames]
+                [
+                    np.frombuffer(bytes(f), np.uint8, count=height * width)
+                    for f in frames
+                ]
             ).reshape(len(frames), height, width)
             flip = fa[:, ::-1, :]
             padded = np.zeros((len(frames), height, stride), np.uint8)

@@ -1083,6 +1083,47 @@ def brute_force_topk_arrow(
     )
 
 
+def _np_super_index(cm, n_super: int | None = None):
+    """Driver-side numpy twin of :func:`_two_level_index` over an
+    already-collected (n_cent, dims) unit-centroid matrix: a
+    metadata-scale spherical mini-Lloyd (same shape as the JVM fit —
+    lowest-id seeds, 2 rounds, 9dp-rounded unit means, empty supers
+    drop out) returning ``(sm, sup_members)`` where ``sm`` is the
+    (n_super, dims) super-centroid matrix and ``sup_members[s]`` is the
+    int64 index array of the centroids assigned to super ``s``. Cost is
+    cells x supers — centroid-table-scale, never touches the corpus.
+    ``np.argmax`` ties go to the lowest index = the lowest cent_id
+    (centroids arrive sorted by id), the JVM tie rule."""
+    import math
+
+    import numpy as np
+
+    n_cent = cm.shape[0]
+    if n_super is None:
+        n_super = max(2, int(math.sqrt(n_cent)))
+    n_super = min(n_super, n_cent)
+    sm = cm[:n_super].copy()
+    for _ in range(2):
+        assign = (cm @ sm.T).argmax(axis=1)
+        rows = []
+        for s in range(sm.shape[0]):
+            mem = cm[assign == s]
+            if not len(mem):
+                continue  # empty super drops, like the JVM Lloyd loop
+            m = mem.mean(axis=0)
+            nrm = float(np.sqrt((m * m).sum()))
+            if nrm > 0:
+                rows.append(np.round(m / nrm, 9))
+        if not rows:
+            break
+        sm = np.stack(rows)
+    assign = (cm @ sm.T).argmax(axis=1)
+    sup_members = [
+        np.nonzero(assign == s)[0].astype(np.int64) for s in range(sm.shape[0])
+    ]
+    return sm, sup_members
+
+
 def ivf_topk_arrow(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1093,6 +1134,8 @@ def ivf_topk_arrow(
     n_probes: int = IVF_PROBES,
     kmeans_iters: int = IVF_KMEANS_ITERS,
     fit_fraction: float | None = None,
+    assignment: str = "auto",
+    sup_probes: int = TWO_LEVEL_SUP_PROBES,
 ) -> DataFrame:
     """``ivf_topk`` with the cell assignment + in-cell scoring fused into
     one Arrow-vectorized numpy kernel — same centroids (the JVM
@@ -1102,17 +1145,26 @@ def ivf_topk_arrow(
     narrow ``mapInPandas`` pass, so only <= q x (k+ties) candidate rows
     ever shuffle, for the final rank on query_id).
 
-    ``n_centroids=None`` / ``fit_fraction=None`` resolve exactly as in
-    :func:`ivf_topk` (auto ~sqrt(N) cells, sample-bounded Lloyd fit).
-    Assignment stays the EXACT flat GEMM regardless of corpus size: BLAS
-    moves the N x cells constant ~100x below the interpreted-HOF flat
-    path the two-level quantizer exists to cure, so at auto cells ~
-    sqrt(N) the kernel's assignment FLOPs stay a small fraction of the
-    decode+score pass until corpora far beyond this engine's measured
-    decades; bit-parity with the JVM path is therefore asserted only on
-    the flat (< 100k rows or < 64 cells) configurations both sides
-    share — above that the kernel is the EXACT variant of an
-    approximate JVM plan.
+    ``n_centroids=None`` / ``fit_fraction=None`` / ``assignment="auto"``
+    resolve exactly as in :func:`ivf_topk` (auto ~sqrt(N) cells,
+    sample-bounded Lloyd fit, two-level coarse quantization at >= 100k
+    rows AND >= 64 cells — registry defaults with IVF_CENTROIDS=16 stay
+    on the exact flat GEMM with NO count job, so oracle-pinned plans are
+    unchanged). The two-level form is TWO CHAINED GEMMs inside the same
+    ``mapInPandas`` pass: corpus batch x ~sqrt(cells) supers (coarse,
+    stable top-``sup_probes``), then batch x probed-super members (fine,
+    one GEMM per probed super group) — O(N^1.25 d) assignment FLOPs
+    instead of the flat GEMM's O(N^1.5 d) at auto cells ~ sqrt(N), the
+    same asymptotic cure :func:`two_level_assign` gives the JVM paths.
+    The super index is the driver-side numpy twin of
+    :func:`_two_level_index` (:func:`_np_super_index`, centroid-table
+    scale). Same contracts as the JVM two-level: approximate (a vector
+    whose true cell lives outside every probed super misassigns; with
+    ``sup_probes`` >= supers the pool is ALL cells and the result is
+    bit-identical to the flat kernel — asserted in tests), empty-pool
+    rows fall back to the flat argmax. QUERY probes stay exact flat
+    (queries are the bounded side; q x cells dots driver-side is never
+    a scale term, and exact probes strictly improve recall).
 
     Bit-parity uses the same select-then-rescore discipline as
     ``brute_force_topk_arrow``: BLAS GEMMs pick candidate cells/pairs
@@ -1140,9 +1192,9 @@ def ivf_topk_arrow(
     """
     import numpy as np
 
-    # "flat" pins assignment (the kernel's GEMM IS the flat path); only
-    # the auto-cells / sampled-fit rules apply here
-    n_centroids, _, fit_fraction = _resolve_ivf_knobs(corpus, n_centroids, "flat", fit_fraction)
+    n_centroids, assignment, fit_fraction = _resolve_ivf_knobs(
+        corpus, n_centroids, assignment, fit_fraction
+    )
     cent_rows = kmeans_centroids(
         corpus, id_col, vec_col, n_centroids, kmeans_iters, fit_fraction=fit_fraction
     ).collect()
@@ -1191,6 +1243,15 @@ def ivf_topk_arrow(
     )
     slack = 2e-6  # cosine selection: 6dp tie + GEMM reassociation error
 
+    # two-level coarse quantizer (resolved above): centroid-table-scale
+    # super index, built once driver-side and captured by the kernel
+    if assignment == "two_level":
+        sm, sup_members = _np_super_index(cm)
+        n_sup = min(sup_probes, sm.shape[0])
+    else:
+        sm = sup_members = None
+        n_sup = 0
+
     def kernel(batches):
         import pandas as pd
 
@@ -1208,9 +1269,52 @@ def ivf_topk_arrow(
             # cell assignment: GEMM selection (slack ~ row norm, since
             # |dot(raw, unit cent)| <= |row|), fold-order rescore,
             # argmax with ties to the lowest cent_id
-            g = nm @ cm.T
             a_slack = 1e-9 * (1.0 + n_norm)
-            ri, ci = np.nonzero(g >= (g.max(axis=1) - a_slack)[:, None])
+            if sm is not None:
+                # coarse GEMM over ~sqrt(cells) supers; stable argsort
+                # breaks score ties to the lowest super index (= lowest
+                # sup_id, the JVM rule)
+                gs = nm @ sm.T
+                top_s = np.argsort(-gs, axis=1, kind="stable")[:, :n_sup]
+                probe_sup = np.zeros((n_b, sm.shape[0]), bool)
+                probe_sup[np.arange(n_b)[:, None], top_s] = True
+                # fine GEMMs: one per probed super group, batch rows x
+                # member cells — the chained-GEMM form of the pooled
+                # argmax; select-then-rescore discipline is shared with
+                # the flat branch below
+                rowmax = np.full(n_b, -np.inf)
+                fine = []
+                for s_i, mem in enumerate(sup_members):
+                    rows_s = np.nonzero(probe_sup[:, s_i])[0]
+                    if not rows_s.size or not mem.size:
+                        continue
+                    sub = nm[rows_s] @ cm[mem].T
+                    np.maximum.at(rowmax, rows_s, sub.max(axis=1))
+                    fine.append((rows_s, mem, sub))
+                ri_l, ci_l = [], []
+                for rows_s, mem, sub in fine:
+                    rr, cc = np.nonzero(
+                        sub >= (rowmax[rows_s] - a_slack[rows_s])[:, None]
+                    )
+                    ri_l.append(rows_s[rr])
+                    ci_l.append(mem[cc])
+                # rows whose probed supers ALL lost their members: flat
+                # fallback over every cell (same contract as
+                # _two_level_cells — dropping the row would lose its
+                # neighbors, worse than the full scan for a rare orphan)
+                orphan = np.nonzero(~np.isfinite(rowmax))[0]
+                if orphan.size:
+                    sub = nm[orphan] @ cm.T
+                    rr, cc = np.nonzero(
+                        sub >= (sub.max(axis=1) - a_slack[orphan])[:, None]
+                    )
+                    ri_l.append(orphan[rr])
+                    ci_l.append(cc.astype(np.int64))
+                ri = np.concatenate(ri_l) if ri_l else np.zeros(0, np.int64)
+                ci = np.concatenate(ci_l) if ci_l else np.zeros(0, np.int64)
+            else:
+                g = nm @ cm.T
+                ri, ci = np.nonzero(g >= (g.max(axis=1) - a_slack)[:, None])
             acc = np.zeros(len(ri))
             for j in range(dims):
                 acc = acc + nm[ri, j] * cm[ci, j]

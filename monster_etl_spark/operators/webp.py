@@ -1064,6 +1064,15 @@ def _build_webp_codec(force_scalar: bool = False):
             L = len(chunk)
             lens_b = np.array([len(c[0]) for c in chunk], np.int64)
             row_w = int(lens_b.max()) + 8
+            # dense-matrix budget BEFORE any allocation: `out` is
+            # (L, maxpx) uint32 and `seg` is (L, row_w) uint8, both sized
+            # by the LARGEST lane — one oversized blob (npx guard allows
+            # up to 2^20 px) in a 4096-lane chunk would otherwise drive a
+            # multi-GiB transient. Same bisect rule as the table matrix.
+            peak = L * (4 * max(int(c[8]) for c in chunk) + row_w)
+            if L > 1 and peak > (64 << 20):
+                half = L // 2
+                return _lane_stream(chunk[:half]) + _lane_stream(chunk[half:])
             seg = np.zeros((L, row_w), np.uint8)
             for i, c in enumerate(chunk):
                 seg[i, : lens_b[i]] = np.frombuffer(c[0], np.uint8)
@@ -1099,18 +1108,26 @@ def _build_webp_codec(force_scalar: bool = False):
                         if t3[2] > MB:
                             MB = t3[2]
                     tid[i, s_] = e[0]
-            size = 1 << MB
-            if len(rows) * size > (1 << 22):
-                if L > 8:  # table matrix too large: bisect the chunk
+
+            # Ragged concatenated tables (round-9): the old (T, 2^MB)
+            # tiled matrix repeated every table up to the WIDEST code's
+            # size — on per-blob-adaptive corpora (hundreds of distinct
+            # tables per pooled chunk) the tile/astype construction cost
+            # exceeded the decode itself. Store each table at its native
+            # 2^mb size in one flat pair; a gather is
+            # flat_sym[t_off[t] + (bits & t_msk[t])] — table-local
+            # masking is exactly what the tile replicated.
+            t_sizes = np.array([r_[0].size for r_ in rows], np.int64)
+            if int(t_sizes.sum()) > (1 << 22):
+                if L > 8:  # table pool too large: bisect the chunk
                     half = L // 2
                     return _lane_stream(chunk[:half]) + _lane_stream(chunk[half:])
                 return [None] * L
-            T = len(rows)
-            big_sym = np.empty((T, size), np.int64)
-            big_len = np.empty((T, size), np.int64)
-            for t_i, (sym_a, len_a, mb) in enumerate(rows):
-                big_sym[t_i] = np.tile(sym_a.astype(np.int64), size // sym_a.size)
-                big_len[t_i] = np.tile(len_a.astype(np.int64), size // len_a.size)
+            t_off = np.zeros(len(rows) + 1, np.int64)
+            np.cumsum(t_sizes, out=t_off[1:])
+            flat_sym = np.concatenate([r_[0] for r_ in rows]).astype(np.int64)
+            flat_len = np.concatenate([r_[1] for r_ in rows]).astype(np.int64)
+            t_msk = t_sizes - 1
 
             # literal-only fast kernel: when every lane's GREEN table
             # contains no symbol >= 256, the stream cannot emit copies
@@ -1119,7 +1136,15 @@ def _build_webp_codec(force_scalar: bool = False):
             # sync, and the color cache is never read (inserts are
             # semantically dead, so they are skipped). Covers the
             # predictor/palette modes end-to-end.
-            lit_only = MB <= 12 and all(
+            # The fast kernel chains FOUR prefix-code reads (g, r, b, a)
+            # through ONE 7-byte window refill: 56 bits peeked, up to 7
+            # consumed by alignment, so 49 usable — the 4*MB bits the
+            # four gathers may consume must fit or the 4th gather reads
+            # shifted-out zeros and decodes garbage WITHOUT tripping err.
+            # Derive the MB cap from the window budget instead of
+            # hard-coding it so the invariant survives edits to either.
+            _WIN_BUDGET_BITS = 8 * 7 - 7  # 7-byte peek minus alignment
+            lit_only = 4 * MB <= _WIN_BUDGET_BITS and all(
                 int(t3[0].max()) < 256
                 for t3 in (rows[int(t)] for t in np.unique(tid[:, 0]))
             )
@@ -1129,7 +1154,13 @@ def _build_webp_codec(force_scalar: bool = False):
                 r_row = tid[:, 1]
                 b_row = tid[:, 2]
                 a_row = tid[:, 3]
-                mask_i = np.int64(size - 1)
+                # per-lane table offset + native mask, hoisted out of
+                # the round loop (the ragged form of the old global
+                # mask_i gather)
+                g_off, g_msk = t_off[g_row], t_msk[g_row]
+                r_off, r_msk = t_off[r_row], t_msk[r_row]
+                b_off, b_msk = t_off[b_row], t_msk[b_row]
+                a_off, a_msk = t_off[a_row], t_msk[a_row]
                 # 0-bit channel codes (single-symbol r/b/a tables, the
                 # lz77/palette layouts): the three channel gathers
                 # collapse into one per-lane constant
@@ -1156,9 +1187,9 @@ def _build_webp_codec(force_scalar: bool = False):
                     for byi in range(1, 7):
                         w56 = w56 | (flat[ix + byi] << (8 * byi))
                     nxt = w56 >> (cur & 7)
-                    idx0 = nxt & mask_i
-                    g = big_sym[g_row, idx0]
-                    lg = big_len[g_row, idx0]
+                    idx0 = g_off + (nxt & g_msk)
+                    g = flat_sym[idx0]
+                    lg = flat_len[idx0]
                     if rba_zero:
                         bad = act & (lg < 0)
                         if bad.any():
@@ -1173,16 +1204,19 @@ def _build_webp_codec(force_scalar: bool = False):
                         continue
                     u = np.maximum(lg, 0)
                     sh = nxt >> u
-                    r = big_sym[r_row, sh & mask_i]
-                    lr = big_len[r_row, sh & mask_i]
+                    ixr = r_off + (sh & r_msk)
+                    r = flat_sym[ixr]
+                    lr = flat_len[ixr]
                     u = u + np.maximum(lr, 0)
                     sh = nxt >> u
-                    b = big_sym[b_row, sh & mask_i]
-                    lb = big_len[b_row, sh & mask_i]
+                    ixb = b_off + (sh & b_msk)
+                    b = flat_sym[ixb]
+                    lb = flat_len[ixb]
                     u = u + np.maximum(lb, 0)
                     sh = nxt >> u
-                    a_ = big_sym[a_row, sh & mask_i]
-                    la = big_len[a_row, sh & mask_i]
+                    ixa = a_off + (sh & a_msk)
+                    a_ = flat_sym[ixa]
+                    la = flat_len[ixa]
                     u = u + np.maximum(la, 0)
                     bad = act & ((lg < 0) | (lr < 0) | (lb < 0) | (la < 0))
                     if bad.any():
@@ -1234,7 +1268,6 @@ def _build_webp_codec(force_scalar: bool = False):
             SH = np.array([8, 16, 0, 24, 0, 0, 0], np.int64)
             uniform = bool((tid == tid[0]).all())
             tid0 = tid[0]
-            mask_mb = np.int64(size - 1)
             lane_ids = np.arange(L)
             BUDGET = 49  # 7-byte window minus the worst 7-bit phase
             steps = 0
@@ -1297,13 +1330,13 @@ def _build_webp_codec(force_scalar: bool = False):
                     if not can.any():
                         break
                     shifted = nxt >> used
-                    idx = shifted & mask_mb
                     if uniform:
                         trow = tid0[SLOT[st]]
                     else:
                         trow = tid[lane_ids, SLOT[st]]
-                    sym = big_sym[trow, idx]
-                    ln = big_len[trow, idx]
+                    gix = t_off[trow] + (shifted & t_msk[trow])
+                    sym = flat_sym[gix]
+                    ln = flat_len[gix]
                     any_extra = bool((~is_symst & can).any())
                     ext = (
                         shifted & ((np.int64(1) << pk) - 1)
@@ -1469,6 +1502,16 @@ def _build_webp_codec(force_scalar: bool = False):
                 CH = 4096
                 for grp in grouped:
                     if len(grp) < MIN_LANES:
+                        # Round-9 measured (idle-box min-of-5 A/B, 512
+                        # blobs): POOLING sub-crossover groups into
+                        # mixed-table lane chunks — which the ragged
+                        # table pool below fully supports — runs 1.6x
+                        # SLOWER than this scalar walk on both per-blob
+                        # adaptive corpora (unique tables) and mixed
+                        # 3-mode static ones: a lockstep chunk spanning
+                        # table groups pays every group's round count
+                        # on every lane. The scalar fallback IS the
+                        # fast path below MIN_LANES.
                         for e, _spec in grp:
                             results[e[0]] = decode(e[1])
                     else:

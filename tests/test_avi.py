@@ -80,6 +80,19 @@ def test_dib_roundtrip_flip_and_stride():
     assert fr[15] == 0  # stride pad byte
 
 
+def test_dib_tolerates_overlength_frames():
+    """The per-pixel scalar walk always truncated padded/oversized frames
+    to width*height; the vectorized stack path must keep that tolerance
+    (np.frombuffer(count=...)) instead of raising on non-uniform lengths."""
+    from monster_etl_spark.operators.avi import avi_encode_dib, avi_frames_ex
+
+    exact = bytes(range(10))
+    padded = exact + b"\xff" * 7  # over-length: trailing junk ignored
+    b_exact = avi_encode_dib([exact, exact], 5, 2, 10)
+    b_mixed = avi_encode_dib([exact, padded], 5, 2, 10)
+    assert avi_frames_ex(b_exact) == avi_frames_ex(b_mixed)
+
+
 def test_frames_ex_reports_mjpeg_fourcc():
     from monster_etl_spark.operators.avi import avi_encode_mjpeg, avi_frames_ex
     from monster_etl_spark.operators.jpeg import jpeg_encode_gray8

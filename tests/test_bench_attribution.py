@@ -113,17 +113,62 @@ def test_metric_shift_detection():
     assert got and got.startswith("shuffle_write")
 
 
-def test_prev_summary_sf_gating(tmp_path):
+def test_prev_summary_never_uses_interim_sidecar(tmp_path):
+    """Round-8 verdict #1: the baseline must be the previous ROUND's
+    end-state. A working-tree BENCH_SUMMARY.json alone (the builder's own
+    interim run) is NOT a baseline — without a driver-committed
+    BENCH_r{N}.json there is no anchor at all."""
     p = tmp_path / "BENCH_SUMMARY.json"
-    p.write_text(json.dumps({"sf": 0.01, "queries": {"q": 1.0}}))
-    assert bench._prev_summary(str(tmp_path), 0.1) is None  # sf mismatch
-    got = bench._prev_summary(str(tmp_path), 0.01)
-    assert got and got["queries"] == {"q": 1.0}
-    # committed fallback: the REPO's sidecar (or HEAD copy) must load for
-    # its own sf — exercised against the real repo dir
+    p.write_text(json.dumps({"sf": 0.1, "queries": {"q": 1.0}}))
+    assert bench._prev_summary(str(tmp_path), 0.1) is None
+
+
+def test_prev_summary_round_file_fallback_and_sf_gating(tmp_path):
+    """Outside a git checkout the anchor degrades to the round file's own
+    parsed block (driver-truncated but immutable round-end numbers);
+    sf mismatches and newest-round precedence are enforced."""
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(
+        {"parsed": {"sf": 0.1, "queries": {"q": 1.0}}}))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(
+        {"parsed": {"sf": 0.1, "queries": {"q": 2.0}}}))
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(
+        {"parsed": {"sf": 0.01, "queries": {"q": 9.0}}}))
+    # an interim sidecar sitting next to the round files must be ignored
+    (tmp_path / "BENCH_SUMMARY.json").write_text(json.dumps(
+        {"sf": 0.1, "queries": {"q": 99.0}}))
+    got = bench._prev_summary(str(tmp_path), 0.1)
+    assert got is not None
+    assert got["queries"] == {"q": 2.0}  # newest round AT THIS sf wins
+    assert "BENCH_r02.json" in got["baseline_anchor"]
+    assert bench._prev_summary(str(tmp_path), 1.0) is None  # sf never recorded
+
+
+def test_prev_summary_anchors_to_round_boundary_commit():
+    """Against the real repo: the baseline for the driver sf must be the
+    sidecar committed ALONGSIDE the newest BENCH_r{N}.json — the full
+    record of the driver's round-end run — not whatever interim sidecar
+    is in the working tree. Pinned to round-8's known end-state totals so
+    a regression to ratcheting behavior fails loudly."""
+    import glob
+    import re
+
     here = os.path.dirname(os.path.abspath(bench.__file__))
-    with open(os.path.join(here, "BENCH_SUMMARY.json")) as f:
-        repo_sf = json.load(f).get("sf")
-    if repo_sf is not None:
-        got = bench._prev_summary(here, repo_sf)
-        assert got is not None and got.get("sf") == repo_sf
+    rounds = sorted(
+        int(re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+    )
+    if not rounds:  # fresh checkout without driver artifacts
+        return
+    newest = rounds[-1]
+    with open(os.path.join(here, f"BENCH_r{newest:02d}.json")) as f:
+        parsed = json.load(f).get("parsed") or {}
+    if parsed.get("sf") is None:
+        return
+    got = bench._prev_summary(here, parsed["sf"])
+    assert got is not None and got.get("sf") == parsed["sf"]
+    assert f"BENCH_r{newest:02d}.json" in got.get("baseline_anchor", "")
+    # the anchor is the SAME run the driver recorded: totals must agree
+    if parsed.get("value") is not None and "value" in got:
+        assert abs(got["value"] - parsed["value"]) < 1e-6
+    # full sidecar (when git is available) carries >= the truncated set
+    assert set(parsed.get("queries", {})) <= set(got["queries"])
