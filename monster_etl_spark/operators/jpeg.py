@@ -3279,3 +3279,114 @@ def jpeg_encode_rgb8_progressive(
     rgb: bytes, width: int, subsample: tuple[int, int] = (2, 2), quant: int = 1
 ) -> bytes:
     return _codec()["encode_rgb8_progressive"](rgb, width, subsample, quant)
+
+
+def jpeg_header_profile_fn():
+    """Factory for the JPEG quantization/quality profiler — a NESTED,
+    self-contained closure (cloudpickle ships it by value inside
+    ``mapInPandas`` workers, like ``_header_dims_fn``). Pure marker
+    walk, no entropy decode: the real-corpus curation primitive that
+    estimates encode quality from the quantization tables alone (filter
+    a crawl by recompression quality without paying a single IDCT).
+
+    Returns ``profile(b) -> dict | None`` with:
+
+    - ``sof_marker``: the first frame-header marker (0xC0 baseline,
+      0xC2 progressive, ... 0xCF), as in ITU T.81 Table B.1;
+    - ``precision`` / ``width`` / ``height`` / ``n_components``: SOF
+      fields;
+    - ``n_quant_tables``: DQT tables across all DQT segments;
+    - ``table_sum``: sum of the 64 entries of quant table id 0 (the
+      luminance table — the one quality estimators use);
+    - ``restart_interval``: last DRI value (0 = none);
+    - ``scaled_percent`` / ``quality_estimate``: the libjpeg-style
+      inverse quality map. jpeg_quality_scaling(Q) scales the Annex K
+      base tables by S = 5000/Q (Q < 50) or 200 - 2Q (Q >= 50); the
+      inverse estimates S from the ratio of the stored luminance table
+      sum to the Annex K luminance sum (3688), then maps back:
+      ``S_est = max(1, 100 * table_sum // 3688)``; ``Q_est = 5000 //
+      S_est`` when S_est > 100 else ``(200 - S_est) // 2``. All-integer
+      floor arithmetic so any engine reproduces it bit-exactly.
+
+    ``None`` for anything that is not a JPEG or whose header is
+    truncated — a malformed blob must never raise mid-batch."""
+
+    K1_SUM = 3688  # ITU T.81 Annex K, Table K.1 (luminance), sum of 64
+
+    def profile(b):
+        b = bytes(b)
+        if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+            return None
+        i = 2
+        n_tables = 0
+        lum_sum = None
+        dri = 0
+        sof = None
+        out = None
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            m = b[i + 1]
+            if m == 0xD9:  # EOI before any frame header
+                break
+            seg_len = (b[i + 2] << 8) | b[i + 3]
+            seg = b[i + 4 : i + 2 + seg_len]
+            if len(seg) != seg_len - 2:
+                return None  # truncated segment
+            if m == 0xDB:  # DQT: one or more (PqTq, 64 or 128 bytes)
+                j = 0
+                while j < len(seg):
+                    pq = seg[j] >> 4
+                    tq = seg[j] & 0x0F
+                    width_b = 2 if pq else 1
+                    vals = seg[j + 1 : j + 1 + 64 * width_b]
+                    if len(vals) < 64 * width_b:
+                        return None
+                    if tq == 0:
+                        if pq:
+                            lum_sum = sum(
+                                (vals[2 * t] << 8) | vals[2 * t + 1]
+                                for t in range(64)
+                            )
+                        else:
+                            lum_sum = sum(vals)
+                    n_tables += 1
+                    j += 1 + 64 * width_b
+            elif m == 0xDD and seg_len >= 4:
+                dri = (seg[0] << 8) | seg[1]
+            elif 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                sof = m
+                if len(seg) < 6:
+                    return None
+                out = {
+                    "sof_marker": m,
+                    "precision": seg[0],
+                    "height": (seg[1] << 8) | seg[2],
+                    "width": (seg[3] << 8) | seg[4],
+                    "n_components": seg[5],
+                }
+            elif m == 0xDA:  # SOS: header walk complete
+                break
+            i += 2 + seg_len
+        if out is None or sof is None:
+            return None
+        out["n_quant_tables"] = n_tables
+        out["table_sum"] = lum_sum
+        out["restart_interval"] = dri
+        if lum_sum is None:
+            out["scaled_percent"] = None
+            out["quality_estimate"] = None
+        else:
+            s_est = max(1, (100 * lum_sum) // K1_SUM)
+            out["scaled_percent"] = s_est
+            out["quality_estimate"] = (
+                5000 // s_est if s_est > 100 else (200 - s_est) // 2
+            )
+        return out
+
+    return profile
+
+
+def jpeg_header_profile(b: bytes):
+    """Driver-side convenience wrapper of :func:`jpeg_header_profile_fn`."""
+    return jpeg_header_profile_fn()(b)

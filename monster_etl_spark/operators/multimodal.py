@@ -738,6 +738,89 @@ def documents_as_jpeg_media(
     return _doc_media_df(documents, _jpeg_media_worker(blocks_per_row, progressive))
 
 
+def _jpeg_quality_media_worker(blocks_per_row: int = 8, n_qualities: int = 8):
+    """Adapter worker: each document encodes as a baseline JPEG whose
+    FLAT quantization value is ``1 + (media_id % n_qualities)`` — a
+    corpus with a known per-document quality mix, the fixture for the
+    quantization-table/quality profiler (the real-corpus curation op
+    that filters a crawl by estimated encode quality). Pixel layout and
+    restart discipline match :func:`_jpeg_media_worker`; encoding is
+    batched PER QUALITY BUCKET inside each chunk so the vectorized
+    encoder still sees homogeneous batches."""
+    from monster_etl_spark.operators.jpeg import _build_jpeg_codec
+
+    encode_batch_local = _build_jpeg_codec()["encode_gray8_batch"]
+    bpr = blocks_per_row
+    nq = n_qualities
+
+    def _worker(batches):
+        import numpy as np
+        import pandas as pd
+
+        def doc_pixels(text):
+            data = bytes(text, "utf-8")
+            n_rows = max(1, -(-len(data) // bpr))
+            padded = data.ljust(n_rows * bpr, b"\x00")
+            arr = np.frombuffer(padded, np.uint8).reshape(n_rows, bpr)
+            return np.repeat(np.repeat(arr, 8, axis=1), 8, axis=0).tobytes()
+
+        CHUNK = 512
+        for pdf in batches:
+            mids = pdf["media_id"].astype("int64")
+            texts = list(pdf["text"])
+            for lo in range(0, len(texts), CHUNK):
+                sub_m = mids.iloc[lo : lo + CHUNK].to_numpy()
+                pixels = [doc_pixels(t) for t in texts[lo : lo + CHUNK]]
+                content = [None] * len(pixels)
+                for q in range(1, nq + 1):
+                    ix = [i for i, m in enumerate(sub_m) if 1 + (m % nq) == q]
+                    if not ix:
+                        continue
+                    enc = encode_batch_local(
+                        [pixels[i] for i in ix], bpr * 8, q,
+                        restart_interval=bpr,
+                    )
+                    for i, blob in zip(ix, enc):
+                        content[i] = blob
+                yield pd.DataFrame(
+                    {"media_id": sub_m, "content": content}
+                )
+
+    return _worker
+
+
+def _jpeg_profile_worker():
+    """Worker builder for the JPEG header profiler: pure marker walk
+    (DQT/SOF/DRI), no entropy decode — see
+    ``jpeg.jpeg_header_profile_fn`` for the field and quality-estimate
+    contract. Unparseable blobs profile as ``profiled=false`` nulls."""
+    from monster_etl_spark.operators.jpeg import jpeg_header_profile_fn
+
+    profile_local = jpeg_header_profile_fn()
+    fields = (
+        "sof_marker", "width", "height", "n_quant_tables", "table_sum",
+        "restart_interval", "scaled_percent", "quality_estimate",
+    )
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": pdf["media_id"].astype("int64")}
+            cols = {k: [] for k in fields}
+            flags = []
+            for c in pdf["content"]:
+                p = profile_local(c) if c is not None else None
+                flags.append(p is not None)
+                for k in fields:
+                    cols[k].append(p.get(k) if p is not None else None)
+            rows.update(cols)
+            rows["profiled"] = flags
+            yield pd.DataFrame(rows)
+
+    return _worker
+
+
 def _jpeg_media_worker(blocks_per_row: int = 8, progressive: bool = False):
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
 

@@ -235,6 +235,13 @@ TWO_LEVEL_MIN_CELLS = 64
 #: at probes=1 vs 95%+ at probes=4 — see two_level_assign).
 TWO_LEVEL_SUP_PROBES = 4
 
+#: the ARROW kernel's own "auto" crossover: BLAS makes the flat N x cells
+#: GEMM so cheap that two-level only pays above ~1k cells (measured on
+#: 200k x 64: 0.84x at 447 cells, 8.0x at 2048, 17.5x at 31.6k — SCALE.md
+#: round-9). The JVM paths keep the 64-cell gate; explicit
+#: assignment="two_level" bypasses this.
+ARROW_TWO_LEVEL_MIN_CELLS = 1024
+
 
 def _centroid_array(cent: DataFrame) -> DataFrame:
     """Collapse a (cent_id, cv) centroid table into ONE row holding the
@@ -1192,9 +1199,23 @@ def ivf_topk_arrow(
     """
     import numpy as np
 
+    requested = assignment
     n_centroids, assignment, fit_fraction = _resolve_ivf_knobs(
         corpus, n_centroids, assignment, fit_fraction
     )
+    # The BLAS flat GEMM moves the N x cells constant far below the
+    # interpreted-HOF path the JVM's 64-cell gate was measured against,
+    # so the Arrow crossover sits higher: measured on 200k x 64 (idle
+    # box), two-level assignment is 0.84x at 447 cells but 8.0x at 2048
+    # and 17.5x at 31.6k (SCALE.md round-9). "auto" therefore stays on
+    # the exact flat kernel below _ARROW_TWO_LEVEL_MIN_CELLS; an
+    # explicit assignment="two_level" is honored at any cell count.
+    if (
+        requested == "auto"
+        and assignment == "two_level"
+        and n_centroids < ARROW_TWO_LEVEL_MIN_CELLS
+    ):
+        assignment = "flat"
     cent_rows = kmeans_centroids(
         corpus, id_col, vec_col, n_centroids, kmeans_iters, fit_fraction=fit_fraction
     ).collect()
@@ -1553,6 +1574,7 @@ def pq_codebooks(
     m: int = PQ_SUBSPACES,
     n_codes: int = PQ_CODES,
     iters: int = PQ_KMEANS_ITERS,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """Euclidean (not spherical) k-means codebooks for all ``m`` PQ
     subspaces, fitted simultaneously in ONE Lloyd loop: the grouped
@@ -1562,16 +1584,38 @@ def pq_codebooks(
     the number of jobs. Seeds are the ``n_codes`` lowest-id vectors'
     sub-slices (deterministic, id-stable). Returns (sub_id, cent_id, cv)
     with components rounded 9dp for partition-order reproducibility.
+
+    ``fit_fraction`` < 1 fits the Lloyd loop on the same deterministic
+    hash sample ``kmeans_centroids`` uses (salted-md5 on the id): at
+    scale an UNSAMPLED codebook fit costs N x m x n_codes dots per
+    round, the PQ twin of the coarse fit the IVF knobs already bound.
+    Codebook quality is statistically unchanged when every code keeps
+    >> 1 members in the sample; the registry's oracle-pinned defaults
+    pass 1.0 and keep the exact full fit (plans byte-identical).
     """
-    sub = _spread(_sub_rows(corpus, id_col, vec_col, m))
+    if fit_fraction < 1.0:
+        from monster_etl_spark.operators.sampling import HASH_SPACE, sample_hash
+
+        cutoff = int(fit_fraction * HASH_SPACE)
+        # sample WHOLE VECTORS (filter on the id before the sub split):
+        # every subspace sees the same sampled rows, as the coarse fit
+        # does; seeds are then the n_codes lowest SAMPLED ids so every
+        # seed exists among the fit rows
+        corpus_fit = corpus.filter(
+            sample_hash(F.col(id_col), salt="pqfit") < cutoff
+        )
+    else:
+        corpus_fit = corpus
+    sub = _spread(_sub_rows(corpus_fit, id_col, vec_col, m))
     if iters > 0:
         sub = sub.persist()
     cent = (
         sub.filter(
             F.col("cid").isin(
                 # bounded: n_codes lowest ids — collected via limit on the
-                # tiny distinct-id projection, not a corpus sort
-                [r[0] for r in corpus.select(id_col).orderBy(id_col).limit(n_codes).collect()]
+                # tiny distinct-id projection, not a corpus sort (of the
+                # FIT set, so every seed exists among the sampled rows)
+                [r[0] for r in corpus_fit.select(id_col).orderBy(id_col).limit(n_codes).collect()]
             )
         )
         .groupBy("sub_id")
@@ -1809,7 +1853,13 @@ def ivfpq_topk(
     cent_arr = F.broadcast(_centroid_array(cent))
     tl = F.broadcast(_two_level_index(cent)) if assignment == "two_level" else None
     if residual:
-        # assignment keeps the UNIT vector; residual = unit - centroid
+        # assignment keeps the UNIT vector; residual = unit - centroid.
+        # PERSISTED: the residual frame (one assignment pass + a
+        # broadcast centroid join) feeds the codebook fit, the encode
+        # pass AND the (nid, cent_id) index — unpersisted it recomputes
+        # the assignment three times (measured ~/3 of the residual
+        # variant's extra wall at sf10). MEMORY_AND_DISK default, the
+        # same contract as the Lloyd-loop caches; scoped to this plan.
         res = (
             _ivf_assign(
                 _spread(corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))),
@@ -1821,8 +1871,13 @@ def ivfpq_topk(
                 "nid", "cent_id",
                 F.zip_with("nu", "cv", lambda a, b: a - b).alias("rv"),
             )
+            .persist()
         )
-        books = pq_codebooks(res, "nid", "rv", m, n_codes)
+        # the second (residual) codebook Lloyd loop is sample-bounded by
+        # the SAME resolved fit_fraction as the coarse fit (round-8
+        # verdict #6) — at auto knobs both fits read ~max(64*cells, 20k)
+        # vectors per round instead of N
+        books = pq_codebooks(res, "nid", "rv", m, n_codes, fit_fraction=fit_fraction)
         codes = pq_encode(res, books, "nid", "rv", m).select("nid", "codes")
         index = res.select("nid", "cent_id").join(codes, "nid")
     else:
@@ -1830,7 +1885,7 @@ def ivfpq_topk(
             _spread(corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))),
             cent_arr, "nid", "nv", "nv", 1, two_level=tl, sup_probes=sup_probes,
         ).select("nid", "cent_id")
-        books = pq_codebooks(corpus, id_col, vec_col, m, n_codes)
+        books = pq_codebooks(corpus, id_col, vec_col, m, n_codes, fit_fraction=fit_fraction)
         codes = pq_encode(corpus, books, id_col, vec_col, m).select(
             F.col(id_col).alias("nid"), "codes"
         )

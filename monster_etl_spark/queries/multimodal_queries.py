@@ -43,6 +43,8 @@ from monster_etl_spark.operators.multimodal import (
     _g711_media_worker,
     _gif_media_worker,
     _jpeg_media_worker,
+    _jpeg_profile_worker,
+    _jpeg_quality_media_worker,
     _mjpeg_media_worker,
     _pixel_stats_worker,
     _png_media_worker,
@@ -444,6 +446,67 @@ def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataF
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "min_intensity", "max_intensity", "decoded",
     )
+
+
+_PROFILE_SCHEMA = (
+    "media_id long, sof_marker int, width int, height int, "
+    "n_quant_tables int, table_sum long, restart_interval int, "
+    "scaled_percent int, quality_estimate int, profiled boolean"
+)
+
+
+def multimodal_jpeg_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG quantization-table / quality profiler over a known-quality
+    corpus (round-8 verdict stretch #7): each document encodes as a
+    baseline JPEG whose flat quantization value is ``1 + (doc_id % 8)``
+    (so the corpus carries a real quality MIX), then the profiler walks
+    ONLY the marker stream — DQT, SOF, DRI; zero entropy decode, zero
+    IDCT — and emits the libjpeg-style inverse quality estimate from
+    the luminance table sum (see ``jpeg.jpeg_header_profile_fn``). This
+    is the curation primitive that lets a crawl be filtered by
+    recompression quality at header-read cost; the oracle recomputes
+    every field analytically from (doc_id, text length), so a hash
+    match proves both the encoder's DQT/DRI emission and the profiler's
+    marker walk + integer quality map."""
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _jpeg_quality_media_worker(blocks_per_row=_JPEG_BPR),
+        _jpeg_profile_worker(), _PROFILE_SCHEMA,
+    )
+
+
+# Analytic twin of the profiler over the synthesized corpus: quant q =
+# 1 + (doc_id % 8); the encoder writes ONE flat 8-bit table (sum 64q),
+# one DRI of blocks-per-row, SOF0 64px-wide; the quality estimate is the
+# all-integer libjpeg inverse (Annex K luminance sum 3688) the profiler
+# documents. DuckDB's // is floor division on BIGINT, matching Python.
+JPEG_QUALITY_SQL = f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         1 + (doc_id % 8) AS q
+  FROM documents
+), d AS (
+  SELECT doc_id, q,
+    8 * greatest(CAST(ceil(n / {_JPEG_BPR}.0) AS BIGINT), 1) AS hh,
+    64 * q AS ts
+  FROM b
+), e AS (
+  SELECT doc_id, q, hh, ts, greatest(1, (100 * ts) // 3688) AS s
+  FROM d
+)
+SELECT doc_id AS media_id,
+  192 AS sof_marker,
+  {_JPEG_BPR * 8} AS width,
+  CAST(hh AS INT) AS height,
+  1 AS n_quant_tables,
+  CAST(ts AS BIGINT) AS table_sum,
+  {_JPEG_BPR} AS restart_interval,
+  CAST(s AS INT) AS scaled_percent,
+  CAST(CASE WHEN s > 100 THEN 5000 // s ELSE (200 - s) // 2 END AS INT)
+    AS quality_estimate,
+  true AS profiled
+FROM e
+"""
 
 
 JPEG_PIXEL_SQL = f"""
@@ -1071,6 +1134,11 @@ QUERIES = {
         multimodal_jpeg_progressive_stats,
         JPEG_PIXEL_SQL,
         "real progressive-JPEG (SOF2) multi-scan decode, baseline oracle reused",
+    ),
+    "multimodal_jpeg_quality_profile": QuerySpec(
+        multimodal_jpeg_quality_profile,
+        JPEG_QUALITY_SQL,
+        "DQT/SOF/DRI marker-walk quality profiler over a known-quality JPEG mix",
     ),
     "multimodal_audio_windows": QuerySpec(
         multimodal_audio_windows, AUDIO_WINDOWS_SQL, "1s/0.5s audio framing from typed metadata"

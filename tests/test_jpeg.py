@@ -373,3 +373,40 @@ def test_batch_encoder_parity():
                 assert encb(sub, w, quant, ri) == [
                     enc(p, w, quant, ri) for p in sub
                 ]
+
+
+def test_header_profile_fields_and_quality_map():
+    """The marker-walk profiler (round-9): DQT/SOF/DRI fields and the
+    all-integer libjpeg inverse quality map, against encoder ground
+    truth across quant values and both SOF kinds; junk and truncated
+    streams profile to None instead of raising."""
+    from monster_etl_spark.operators.jpeg import (
+        jpeg_encode_gray8,
+        jpeg_encode_gray8_progressive,
+        jpeg_header_profile,
+    )
+
+    px = bytes(range(64)) * 16  # 64x16 gray
+    for q in (1, 2, 5, 8, 60):
+        b = jpeg_encode_gray8(px, 64, quant=q, restart_interval=8)
+        p = jpeg_header_profile(b)
+        assert p["sof_marker"] == 0xC0
+        assert (p["width"], p["height"]) == (64, 16)
+        assert p["precision"] == 8 and p["n_components"] == 1
+        assert p["n_quant_tables"] == 1 and p["table_sum"] == 64 * q
+        assert p["restart_interval"] == 8
+        s = max(1, (100 * 64 * q) // 3688)
+        assert p["scaled_percent"] == s
+        assert p["quality_estimate"] == (
+            5000 // s if s > 100 else (200 - s) // 2
+        )
+
+    prog = jpeg_header_profile(jpeg_encode_gray8_progressive(px, 64, quant=3))
+    assert prog["sof_marker"] == 0xC2 and prog["restart_interval"] == 0
+    assert prog["table_sum"] == 192
+
+    assert jpeg_header_profile(b"") is None
+    assert jpeg_header_profile(b"\xff\xd8\xff") is None
+    whole = jpeg_encode_gray8(px, 64, quant=2)
+    assert jpeg_header_profile(whole[:20]) is None  # truncated mid-segment
+    assert jpeg_header_profile(b"RIFF" + whole) is None  # wrong container

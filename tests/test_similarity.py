@@ -372,6 +372,43 @@ def test_pq_encode_shape_and_determinism(spark, sf_dir):
     assert sorted(map(str, codes)) == sorted(map(str, codes2))
 
 
+def test_pq_codebooks_sampled_fit(spark, sf_dir):
+    """Round-8 verdict #6: the PQ codebook Lloyd loop is sample-bounded
+    by fit_fraction. fraction=1.0 is byte-identical to the pre-knob
+    behavior (registry hashes pinned elsewhere); a sampled fit still
+    yields complete, usable codebooks and the encode contract holds."""
+    emb = load(spark, sf_dir, "embeddings")
+    full = sim.pq_codebooks(emb, m=4, n_codes=8, iters=1)
+    full_again = sim.pq_codebooks(emb, m=4, n_codes=8, iters=1, fit_fraction=1.0)
+    assert sorted(map(str, full.collect())) == sorted(map(str, full_again.collect()))
+
+    sampled = sim.pq_codebooks(emb, m=4, n_codes=8, iters=1, fit_fraction=0.5)
+    rows = sampled.collect()
+    subs = {r["sub_id"] for r in rows}
+    assert subs == {0, 1, 2, 3}  # every subspace fitted
+    # the FULL corpus encodes against the sampled codebooks
+    codes = sim.pq_encode(emb, sampled, m=4)
+    assert codes.count() == emb.count()
+    valid = {(r["sub_id"], r["cent_id"]) for r in rows}
+    for r in codes.limit(20).collect():
+        for sub, code in enumerate(r["codes"]):
+            assert (sub, code) in valid
+
+
+def test_ivfpq_residual_composes_with_auto_knobs(spark, sf_dir):
+    """Round-8 verdict #6: residual=True must compose with
+    assignment="auto" / auto cells / sampled fits — runs end-to-end and
+    keeps useful recall on the registry fixture."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id % 50 == 0)
+    exact = _topk_sets(sim.brute_force_topk(queries, emb, k=5))
+    approx = _topk_sets(
+        sim.ivfpq_topk(queries, emb, k=5, n_centroids=None,
+                       assignment="auto", residual=True)
+    )
+    assert _recall(exact, approx) >= 0.5
+
+
 def test_pq_identical_vectors_rank_first(spark):
     # plant: vec 100 duplicates vec 0 exactly; PQ must place it at rank 1
     # (identical codes -> identical ADC score; exact re-rank puts the
