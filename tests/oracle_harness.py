@@ -26,9 +26,18 @@ def table_glob(sf_dir: str, t: str) -> str:
 
 
 def run_oracle(sql: str, sf_dir: str):
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'")
+        # derived scale dirs may carry a table SUBSET (e.g. the media
+        # decade dirs ship documents only); register what exists — a
+        # query over a missing table then fails with a clear binder
+        # error instead of a view-creation crash for tables it never
+        # touches
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'")
     res = con.sql(sql)
     return res.columns, res.fetchall()
 
@@ -79,7 +88,11 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     sc = canon_rows(s_cols, s_rows)
     oc = canon_rows(o_cols, o_rows)
     if sc != oc:
-        only_s = [r for r in sc if r not in set(oc)][:3]
-        only_o = [r for r in oc if r not in set(sc)][:3]
+        # hoist the sets OUT of the comprehensions: `r not in set(oc)`
+        # rebuilds the set per row — quadratic exactly when rows differ
+        # (measured: a 1M-row mismatch ground a single core for 50+ min)
+        so, ss = set(oc), set(sc)
+        only_s = [r for r in sc if r not in so][:3]
+        only_o = [r for r in oc if r not in ss][:3]
         problems.append(f"values differ; spark-only={only_s} oracle-only={only_o}")
     return problems
