@@ -821,6 +821,123 @@ def _jpeg_profile_worker():
     return _worker
 
 
+def audio_header_profile_fn():
+    """Factory for the audio-container profiler — the audio twin of
+    ``jpeg.jpeg_header_profile_fn``: a pure HEADER walk (RIFF ``fmt ``
+    chunk / FLAC STREAMINFO), zero sample decode, for filtering an
+    audio crawl by format/rate/duration at header-read cost.
+
+    Returns ``profile(b) -> dict | None`` with ``container``
+    ('wav'/'flac'), ``wav_format`` (RIFF format code; None for FLAC),
+    ``sample_rate``, ``n_channels``, ``bits_per_sample``,
+    ``n_samples`` (WAV: data bytes / block align; FLAC: STREAMINFO
+    total), and ``duration_ms`` = ``n_samples * 1000 // sample_rate``
+    — integer FLOOR milliseconds, deliberately not a rounded float
+    (the sf100 soak measured Spark-vs-DuckDB ROUND disagreeing on
+    exact half ties; integer floor is engine-exact). ``None`` for
+    anything else or a truncated header."""
+    import struct as _struct
+
+    def profile(b):
+        b = bytes(b)
+        if len(b) >= 44 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            off = 12
+            fmt = None
+            n_samples = None
+            while off + 8 <= len(b):
+                tag = b[off : off + 4]
+                sz = _struct.unpack_from("<I", b, off + 4)[0]
+                if tag == b"fmt " and sz >= 16 and off + 8 + 16 <= len(b):
+                    fmt = _struct.unpack_from("<HHIIHH", b, off + 8)
+                elif tag == b"data" and fmt is not None:
+                    block_align = fmt[4] or 1
+                    n_samples = sz // block_align
+                    break
+                off += 8 + sz + (sz & 1)
+            if fmt is None or n_samples is None:
+                return None
+            code, chans, rate, _brate, _align, bits = fmt
+            return {
+                "container": "wav",
+                "wav_format": code,
+                "sample_rate": rate,
+                "n_channels": chans,
+                "bits_per_sample": bits,
+                "n_samples": n_samples,
+                "duration_ms": n_samples * 1000 // max(1, rate),
+            }
+        if len(b) >= 42 and b[:4] == b"fLaC" and (b[4] & 0x7F) == 0:
+            body = b[8:42]  # 34-byte STREAMINFO
+            rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            chans = ((body[12] >> 1) & 0x7) + 1
+            bits = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+            total = ((body[13] & 0xF) << 32) | int.from_bytes(body[14:18], "big")
+            return {
+                "container": "flac",
+                "wav_format": None,
+                "sample_rate": rate,
+                "n_channels": chans,
+                "bits_per_sample": bits,
+                "n_samples": total,
+                "duration_ms": total * 1000 // max(1, rate),
+            }
+        return None
+
+    return profile
+
+
+def _mixed_audio_media_worker(sample_rate: int = 16000):
+    """Adapter worker: even media_id -> 16-bit PCM WAV, odd -> FLAC,
+    same (byte - 128) * 256 sample layout — a mixed-container audio
+    corpus, the fixture for the header profiler (which must SNIFF the
+    container per blob, as a real crawl requires)."""
+    from monster_etl_spark.operators.flac import _build_flac_codec
+    from monster_etl_spark.operators.wav import _build_wav_codec
+
+    wav_local = _build_wav_codec()["encode_pcm16"]
+    flac_local = _build_flac_codec()["encode_pcm16"]
+    sr = sample_rate
+
+    def _worker(batches):
+        for pdf in batches:
+            yield from _chunked_media_yield(
+                pdf,
+                lambda m, t: (wav_local if m % 2 == 0 else flac_local)(
+                    [(v - 128) * 256 for v in bytes(t, "utf-8")], sr
+                ),
+            )
+
+    return _worker
+
+
+def _audio_profile_worker():
+    """Worker builder for the audio-container profiler (see
+    ``audio_header_profile_fn`` for the field contract)."""
+    profile_local = audio_header_profile_fn()
+    fields = (
+        "container", "wav_format", "sample_rate", "n_channels",
+        "bits_per_sample", "n_samples", "duration_ms",
+    )
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": pdf["media_id"].astype("int64")}
+            cols = {k: [] for k in fields}
+            flags = []
+            for c in pdf["content"]:
+                p = profile_local(c) if c is not None else None
+                flags.append(p is not None)
+                for k in fields:
+                    cols[k].append(p.get(k) if p is not None else None)
+            rows.update(cols)
+            rows["profiled"] = flags
+            yield pd.DataFrame(rows)
+
+    return _worker
+
+
 def _jpeg_media_worker(blocks_per_row: int = 8, progressive: bool = False):
     from monster_etl_spark.operators.jpeg import _build_jpeg_codec
 

@@ -42,8 +42,10 @@ from monster_etl_spark.operators.multimodal import (
     _flac_media_worker,
     _g711_media_worker,
     _gif_media_worker,
+    _audio_profile_worker,
     _jpeg_media_worker,
     _jpeg_profile_worker,
+    _mixed_audio_media_worker,
     _jpeg_quality_media_worker,
     _mjpeg_media_worker,
     _pixel_stats_worker,
@@ -509,6 +511,49 @@ FROM e
 """
 
 
+_WAV_SR = 16000  # shared by the WAV/FLAC stats queries below
+
+_AUDIO_PROFILE_SCHEMA = (
+    "media_id long, container string, wav_format int, sample_rate int, "
+    "n_channels int, bits_per_sample int, n_samples long, "
+    "duration_ms long, profiled boolean"
+)
+
+
+def multimodal_audio_header_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-container profiler over a MIXED WAV/FLAC corpus (the audio
+    twin of the JPEG quality profiler): even doc_ids encode as 16-bit
+    PCM WAV, odd as FLAC, and the profiler sniffs the container per
+    blob and walks ONLY the header — RIFF ``fmt `` chunk or FLAC
+    STREAMINFO; zero sample decode — emitting format code, rate,
+    channels, bit depth, sample count and integer-floor duration_ms
+    (not a rounded float: the sf100 soak measured Spark/DuckDB ROUND
+    disagreeing on exact half ties; floor milliseconds are
+    engine-exact). The curation primitive that partitions an audio
+    crawl by format/rate/length at header-read cost; the oracle
+    recomputes every field analytically from (doc_id parity, text
+    byte length)."""
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _mixed_audio_media_worker(sample_rate=_WAV_SR),
+        _audio_profile_worker(), _AUDIO_PROFILE_SCHEMA,
+    )
+
+
+AUDIO_PROFILE_SQL = f"""
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS container,
+  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE NULL END AS wav_format,
+  {_WAV_SR} AS sample_rate,
+  1 AS n_channels,
+  16 AS bits_per_sample,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+  CAST(octet_length(encode(text)) * 1000 // {_WAV_SR} AS BIGINT) AS duration_ms,
+  true AS profiled
+FROM documents
+"""
+
+
 JPEG_PIXEL_SQL = f"""
 WITH b AS (
   SELECT doc_id, octet_length(encode(text)) AS n,
@@ -538,7 +583,6 @@ FROM d
 """
 
 
-_WAV_SR = 16000
 
 
 def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1139,6 +1183,11 @@ QUERIES = {
         multimodal_jpeg_quality_profile,
         JPEG_QUALITY_SQL,
         "DQT/SOF/DRI marker-walk quality profiler over a known-quality JPEG mix",
+    ),
+    "multimodal_audio_header_profile": QuerySpec(
+        multimodal_audio_header_profile,
+        AUDIO_PROFILE_SQL,
+        "mixed WAV/FLAC container sniff + header profiler (fmt chunk / STREAMINFO walk)",
     ),
     "multimodal_audio_windows": QuerySpec(
         multimodal_audio_windows, AUDIO_WINDOWS_SQL, "1s/0.5s audio framing from typed metadata"

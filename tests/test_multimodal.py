@@ -453,3 +453,64 @@ def test_fused_media_stats_equals_two_stage_all_families(spark, sf_dir):
         two = two_stage_df.collect()
         assert sorted(map(tuple, fused)) == sorted(map(tuple, two))
         assert len(fused) > 0
+
+
+def test_audio_header_profile_fields():
+    """Round-9: the audio-container profiler — RIFF fmt / FLAC
+    STREAMINFO walk against encoder ground truth; container sniffing,
+    integer-floor duration, junk and truncated headers -> None."""
+    from monster_etl_spark.operators.flac import flac_encode_pcm16
+    from monster_etl_spark.operators.multimodal import audio_header_profile_fn
+    from monster_etl_spark.operators.wav import (
+        wav_encode_g711,
+        wav_encode_pcm16,
+    )
+
+    profile = audio_header_profile_fn()
+    samples = [(v - 128) * 256 for v in range(100)]
+
+    w = profile(wav_encode_pcm16(samples, 16000))
+    assert w == {
+        "container": "wav", "wav_format": 1, "sample_rate": 16000,
+        "n_channels": 1, "bits_per_sample": 16, "n_samples": 100,
+        "duration_ms": 100 * 1000 // 16000,
+    }
+
+    f = profile(flac_encode_pcm16(samples, 16000))
+    assert f["container"] == "flac" and f["wav_format"] is None
+    assert (f["sample_rate"], f["n_channels"], f["bits_per_sample"]) == (16000, 1, 16)
+    assert f["n_samples"] == 100 and f["duration_ms"] == 100 * 1000 // 16000
+
+    # a non-PCM RIFF format code is reported, not guessed at
+    g = profile(wav_encode_g711([0, 100, -100], law="ulaw", sample_rate=8000))
+    assert g["container"] == "wav" and g["wav_format"] == 7
+    assert g["sample_rate"] == 8000 and g["n_samples"] == 3
+
+    assert profile(b"") is None
+    assert profile(b"RIFFxxxxWAVE") is None  # truncated: no fmt/data
+    assert profile(b"not audio at all, just bytes" * 3) is None
+
+
+def test_audio_header_profile_mixed_corpus(spark):
+    """Mixed WAV/FLAC adapter + profiler end-to-end: parity sniffs the
+    right container per blob and fields are analytic in text length."""
+    from monster_etl_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, "abcd"), (1, "xy"), (2, ""), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.media_id: r
+        for r in mm.fused_media_stats(
+            docs, mm._mixed_audio_media_worker(sample_rate=16000),
+            mm._audio_profile_worker(),
+            "media_id long, container string, wav_format int, sample_rate int, "
+            "n_channels int, bits_per_sample int, n_samples long, "
+            "duration_ms long, profiled boolean",
+        ).collect()
+    }
+    assert [out[i].container for i in range(4)] == ["wav", "flac", "wav", "flac"]
+    assert all(out[i].profiled for i in range(4))
+    assert [out[i].n_samples for i in range(4)] == [4, 2, 0, 11]
+    assert out[3].duration_ms == 11 * 1000 // 16000
