@@ -153,10 +153,12 @@ BENCH_QUERIES = [
     # pair kernel rides next to its self-join twin
     "multimodal_webp_pixel_stats",
     "semantic_dedup_verdicts_arrow",
-    # round-9 addition: the DQT/SOF/DRI quality profiler — the
-    # header-walk curation primitive; tracked so its marker-walk cost
-    # stays header-read-sized round-over-round
+    # round-9 additions: the header-walk curation profilers (JPEG
+    # DQT/SOF/DRI quality estimate; mixed WAV/FLAC container sniff) —
+    # tracked so their marker-walk cost stays header-read-sized
+    # round-over-round
     "multimodal_jpeg_quality_profile",
+    "multimodal_audio_header_profile",
 ]
 
 
