@@ -204,9 +204,11 @@ _WARM_THRESHOLD_S = 2.0
 _DRIFT = 0.15  # relative steady-state delta that demands an attribution
 _PROBE_RUNS = 5  # extra warm runs per flagged regression (probe protocol)
 # round-8 verdict #5: this box's tenancy noise produced a 3x single-run
-# outlier INSIDE one probe session — any probe set whose max/min exceeds
-# this gets its outliers (runs > _PROBE_OUTLIER x median) discarded and
-# the discard recorded in the sidecar before a cause is written
+# outlier INSIDE one probe session — runs > _PROBE_OUTLIER x median are
+# recorded as discards in the sidecar. Record-keeping ONLY: the cause
+# classifier uses steady = min(kept), and the minimum always survives a
+# high-outlier discard, so classification was already outlier-immune
+# (round-9 advice #2).
 _PROBE_OUTLIER = 1.5
 # worst regressions probed per bench run. The cost bound is wall-clock,
 # not count: sub-2s queries probe in a few seconds each, so a noisy-box
@@ -217,6 +219,120 @@ _PROBE_BUDGET = 8
 _PROBE_WALL_S = 240.0  # keep probing past the count while under this
 _MIN_ABS_S = 0.2  # both-rounds-under-this deltas are timer noise, skipped
 _METRIC_SHIFT = 0.2  # stage-metric relative change that names a cause
+
+
+def _box_state() -> dict:
+    """Sample the box's tenancy state: /proc/loadavg plus a scan for
+    stray spark/pytest/java processes OUTSIDE this process's own tree.
+
+    Round-9 verdict #1: the driver's official r9 bench ran on a loaded
+    box (judge idle rerun at the same HEAD: 64.5 s vs official 94.3 s)
+    and the probe sessions it triggered were ALSO load-contaminated
+    (probe runs reading 2x above the same query's bench value), so 22
+    rows landed "persistent-unexplained" with no box evidence in the
+    sidecar. This sample — taken before the headline loop and before
+    every probe session — is that evidence."""
+    state: dict = {}
+    try:
+        state["loadavg"] = [
+            float(x) for x in open("/proc/loadavg").read().split()[:3]
+        ]
+    except Exception:
+        state["loadavg"] = None
+    ppid_of: dict[int, int] = {}
+    cmd_of: dict[int, str] = {}
+    try:
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    # field 4 (ppid) sits after the parenthesised comm,
+                    # which may itself contain spaces — split after ')'
+                    parts = f.read().rsplit(")", 1)[1].split()
+                ppid_of[int(d)] = int(parts[1])
+                with open(f"/proc/{d}/cmdline", "rb") as f:
+                    cmd_of[int(d)] = (
+                        f.read().replace(b"\0", b" ")
+                        .decode("utf-8", "replace").strip()
+                    )
+            except Exception:
+                continue
+    except Exception:
+        state["stray"] = None
+        return state
+    # "ours" = this PID, its ancestors (the shell/driver that launched
+    # bench), and every descendant (the session JVM + python workers)
+    mine = {os.getpid()}
+    p = os.getpid()
+    while p in ppid_of and ppid_of[p] not in mine and p != 1:
+        p = ppid_of[p]
+        mine.add(p)
+    grew = True
+    while grew:
+        grew = False
+        for pid, pp in ppid_of.items():
+            if pp in mine and pid not in mine:
+                mine.add(pid)
+                grew = True
+    import re
+
+    pat = re.compile(r"java|pytest|spark|soak_|bench\.py", re.I)
+    stray = [
+        {"pid": pid, "cmd": cmd[:120]}
+        for pid, cmd in cmd_of.items()
+        if pid not in mine and cmd and pat.search(cmd)
+    ]
+    state["stray"] = stray[:8]
+    state["stray_count"] = len(stray)
+    return state
+
+
+# 1-min loadavg above this at SESSION START (before our own JVM exists)
+# marks the box loaded; mid-run, only stray PIDs count — our own
+# executors dominate loadavg and would self-flag.
+_LOAD1_START = 2.0
+
+
+def _box_loaded(state: dict | None, at_start: bool) -> str | None:
+    """One-line load verdict for a box-state sample, or None when clean."""
+    if not state:
+        return None
+    if state.get("stray"):
+        pids = [s["pid"] for s in state["stray"]]
+        return f"stray_pids={pids}"
+    la = state.get("loadavg")
+    if at_start and la and la[0] > _LOAD1_START:
+        return f"load1={la[0]}"
+    return None
+
+
+def _normalize_plan(s: str) -> str:
+    """Strip the session-varying parts of a physical-plan string
+    (exprIds, plan ids, object addresses, codegen stage ids) so the
+    hash is stable across sessions for the same plan SHAPE."""
+    import re
+
+    s = re.sub(r"#\d+L?", "#x", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=x", s)
+    s = re.sub(r"\bid=#?\d+", "id=x", s)
+    s = re.sub(r"0x[0-9a-fA-F]+", "0xX", s)
+    s = re.sub(r"\[codegen id : \d+\]", "[codegen id : x]", s)
+    return s
+
+
+def _plan_hash(df) -> str | None:
+    """Digest of the query's physical plan shape (round-9 verdict #8):
+    recorded per headline query so attribution can distinguish
+    "same plan, slower box" from "plan changed" mechanically. Planning
+    only — nothing executes."""
+    import hashlib
+
+    try:
+        s = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return None
+    return hashlib.sha256(_normalize_plan(s).encode()).hexdigest()[:12]
 
 
 def _session_fingerprint(spark) -> dict:
@@ -234,8 +350,9 @@ def _session_fingerprint(spark) -> dict:
     }
 
 
-def _prev_summary(here: str, sf: float) -> dict | None:
-    """The previous ROUND's end-state for the SAME scale factor.
+def _round_baselines(here: str, sf: float, limit: int = 2) -> list[dict]:
+    """Newest-first round-boundary baselines for the SAME scale factor,
+    up to ``limit`` rounds deep.
 
     Round-8 verdict #1: anchoring to "the working-tree sidecar, else the
     newest committed one" made the baseline the builder's own LAST INTERIM
@@ -246,18 +363,25 @@ def _prev_summary(here: str, sf: float) -> dict | None:
     previous round's bench: it adds ``BENCH_r{N}.json`` AND the
     ``BENCH_SUMMARY.json`` written by that same run (verified: the
     round-8 boundary sidecar carries all 81 queries and the identical
-    total). Rule, in order:
+    total). Per round, in order:
 
-    1. newest ``BENCH_r{N}.json`` whose ``parsed.sf`` matches -> load the
-       sidecar from the commit that last touched that round file (full
-       per-query dict + stage metrics + session fingerprint of the SAME
-       driver run);
+    1. load the sidecar from the commit that last touched that round
+       file (full per-query dict + stage metrics + session fingerprint
+       of the SAME driver run);
     2. if that sidecar is unreadable or at another sf, fall back to the
        round file's ``parsed`` block (driver-truncated to the slowest
        queries, but still the correct round-end numbers);
     3. no matching round file at this sf (e.g. a local smoke sf) -> no
        baseline, no deltas block. Interim sidecars are never consulted.
-    """
+
+    Why more than one round (round-9 verdict #2 + advice): the newest
+    anchor can be polluted in the SLOW direction (r9 was recorded on a
+    loaded box, 1.3x inflated), and when the newest round file is not
+    yet committed its parsed block is driver-truncated — queries absent
+    from it silently escaped attribution. Collecting the last two
+    rounds lets the caller attribute against the per-query
+    ``tight_prev = min(...)`` and backfills truncated coverage from the
+    older round's full sidecar."""
     import glob
     import re
     import subprocess
@@ -277,7 +401,10 @@ def _prev_summary(here: str, sf: float) -> dict | None:
         m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
         if m:
             rounds.append((int(m.group(1)), p))
+    out: list[dict] = []
     for n, path in sorted(rounds, reverse=True):
+        if len(out) >= limit:
+            break
         try:
             with open(path) as f:
                 parsed = json.load(f).get("parsed") or {}
@@ -288,6 +415,7 @@ def _prev_summary(here: str, sf: float) -> dict | None:
         # the sidecar committed alongside this round file is the full
         # record of the same driver run
         rev = (_git(["rev-list", "-1", "HEAD", "--", os.path.basename(path)]) or "").strip()
+        side = None
         if rev:
             blob = _git(["show", f"{rev}:BENCH_SUMMARY.json"])
             if blob:
@@ -295,16 +423,43 @@ def _prev_summary(here: str, sf: float) -> dict | None:
                     side = json.loads(blob)
                 except Exception:
                     side = None
-                if (
+                if not (
                     side is not None
                     and side.get("sf") == sf
                     and isinstance(side.get("queries"), dict)
                 ):
-                    side["baseline_anchor"] = f"BENCH_r{n:02d}.json @ {rev[:9]}"
-                    return side
-        parsed["baseline_anchor"] = f"BENCH_r{n:02d}.json (parsed block)"
-        return parsed
-    return None
+                    side = None
+        if side is not None:
+            side["baseline_anchor"] = f"BENCH_r{n:02d}.json @ {rev[:9]}"
+            out.append(side)
+        else:
+            parsed["baseline_anchor"] = f"BENCH_r{n:02d}.json (parsed block)"
+            out.append(parsed)
+    return out
+
+
+def _prev_summary(here: str, sf: float) -> dict | None:
+    """The previous ROUND's end-state (newest baseline) — see
+    ``_round_baselines`` for the anchoring rule."""
+    bases = _round_baselines(here, sf, limit=1)
+    return bases[0] if bases else None
+
+
+def _tight_prev(baselines: list[dict]) -> dict[str, float]:
+    """Per-query ``min`` across the collected round baselines.
+
+    Round-9 verdict #2: the r9 anchor carries ~1.3x of box tenancy, so
+    a genuine round-10 regression could hide inside it; the tighter
+    honest bar is the best of the last two round boundaries per query.
+    This also backfills queries a driver-truncated parsed block dropped
+    (round-9 advice): a query absent from the newest baseline but
+    present in the older full sidecar still gets attributed."""
+    tight: dict[str, float] = {}
+    for b in baselines:
+        for q, v in (b.get("queries") or {}).items():
+            if isinstance(v, (int, float)) and (q not in tight or v < tight[q]):
+                tight[q] = v
+    return tight
 
 
 def _metric_shift(prev_m: dict | None, cur_m: dict | None) -> str | None:
@@ -332,26 +487,46 @@ def _attribute_deltas(
     sf_dir: str,
     fingerprint: dict,
     cur_stage_metrics: dict | None,
+    tight_q: dict[str, float] | None = None,
+    plan_hashes: dict | None = None,
+    box_start: dict | None = None,
 ) -> dict:
     """Per-query round-over-round deltas with auto-probed causes for
     every >_DRIFT steady-state regression (the round-6 protocol, now
-    enforced by the tool instead of promised by the process)."""
+    enforced by the tool instead of promised by the process).
+
+    ``tight_q`` (round-9 verdict #2): per-query min over the last two
+    round boundaries — the ratio is computed against it, so a round
+    whose official anchor was recorded on a loaded box (r9: 1.3x
+    inflated) can't hide a real regression inside the inflated number.
+    ``plan_hashes`` = {"prev": {...}, "cur": {...}} physical-plan
+    digests; a changed digest names the cause mechanically.
+    ``box_start`` = the _box_state() sample taken before the headline
+    loop; together with a per-probe sample it feeds the ``loaded-box``
+    cause (round-9 verdict #1)."""
     prev_q: dict[str, float] = prev.get("queries", {})
+    if tight_q is None:
+        tight_q = {k: v for k, v in prev_q.items() if isinstance(v, (int, float))}
     prev_fp: dict = prev.get("session", {})
     sf_key = f"{prev.get('sf'):g}"
     prev_sm = (prev.get("stage_metrics") or {}).get(sf_key, {})
     cur_sm = (cur_stage_metrics or {}).get(sf_key, {})
+    ph_prev = (plan_hashes or {}).get("prev") or prev.get("plan_hash") or {}
+    ph_cur = (plan_hashes or {}).get("cur") or {}
 
     deltas: dict[str, dict] = {}
     regressions: list[tuple[float, str]] = []
     for name, cur in timings.items():
-        pv = prev_q.get(name)
+        pv = tight_q.get(name)
         if pv is None or pv <= 0:
             continue
         ratio = cur / pv
         if abs(ratio - 1.0) <= _DRIFT or max(cur, pv) < _MIN_ABS_S:
             continue
         rec = {"prev": pv, "cur": cur, "ratio": round(ratio, 2)}
+        anchor_pv = prev_q.get(name)
+        if anchor_pv is not None and anchor_pv != pv:
+            rec["anchor_prev"] = anchor_pv  # tight came from an older round
         if ratio < 1.0:
             rec["cause"] = "improvement"
             deltas[name] = rec
@@ -375,8 +550,18 @@ def _attribute_deltas(
             rec["cause"] = "non-registry benchmark (etl/scan pair) — not auto-probed"
             continue
         # probe protocol: _PROBE_RUNS extra warm runs at session steady
-        # state; median-of-set with outlier discard (round-8 verdict #5:
-        # tenancy noise put a 3x single-run outlier inside one probe set)
+        # state. Outlier discard (round-8 verdict #5) is RECORD-KEEPING
+        # only: steady = min(kept) and min(runs) <= median <=
+        # _PROBE_OUTLIER*median, so the minimum always survives the
+        # discard — classification on min is immune to high outliers by
+        # construction; the discard just annotates the sidecar with
+        # which runs were tenancy spikes (round-9 advice #2 documents
+        # this explicitly instead of implying behavior).
+        probe_box = _box_state()
+        rec["probe_box"] = {
+            "loadavg": probe_box.get("loadavg"),
+            "stray_count": probe_box.get("stray_count", 0),
+        }
         fn = registry[name].fn
         runs = []
         for _ in range(_PROBE_RUNS):
@@ -398,11 +583,25 @@ def _attribute_deltas(
                 "tail, not a plan change)"
             )
             continue
+        # cause cascade: code-side evidence first (plan digest, stage
+        # metrics, session config), then box tenancy, then the honest
+        # "needs review"
+        php, phc = ph_prev.get(name), ph_cur.get(name)
         shift = _metric_shift(prev_sm.get(name), cur_sm.get(name))
-        if shift:
+        load = _box_loaded(probe_box, at_start=False) or _box_loaded(
+            box_start, at_start=True
+        )
+        if php and phc and php != phc:
+            rec["cause"] = f"plan-changed: {php} -> {phc}"
+        elif shift:
             rec["cause"] = f"stage-metric-shift: {shift}"
         elif fp_diff:
             rec["cause"] = f"session-config-change: {fp_diff}"
+        elif load:
+            rec["cause"] = (
+                f"loaded-box: {load} — timing untrustworthy; rerun idle "
+                "before treating as a regression"
+            )
         else:
             rec["cause"] = (
                 "persistent-unexplained: steady-state stays "
@@ -642,6 +841,9 @@ def _warm_python_workers(spark, n: int = 64) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # box tenancy sample BEFORE our own JVM exists (round-9 verdict #1:
+    # the official r9 record absorbed ~1.3x of box load invisibly)
+    box_start = _box_state()
     registry = all_queries()
     # UI on: per-query shuffle/spill deltas for the sweep's largest sf come
     # from the /api/v1 status endpoint (monster_etl_spark.metrics)
@@ -672,8 +874,12 @@ def main() -> None:
     # min-max spread recorded per query.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    plan_hash_cur: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = registry[name].fn
+        ph = _plan_hash(fn(spark, sf_dir))  # planning only, pre-timing
+        if ph:
+            plan_hash_cur[name] = ph
         best, spread, _ = _time_query(
             lambda: fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         )
@@ -789,12 +995,25 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     fingerprint = _session_fingerprint(spark)
     out["session"] = fingerprint
-    prev = _prev_summary(here, float(sf))
-    if prev is not None:
+    out["box_start"] = box_start
+    if plan_hash_cur:
+        out["plan_hash"] = plan_hash_cur
+    bases = _round_baselines(here, float(sf), limit=2)
+    if bases:
+        prev = bases[0]
+        tight = _tight_prev(bases)
         out["baseline_anchor"] = prev.get("baseline_anchor", "?")
+        out["baseline_anchors_tight"] = [
+            b.get("baseline_anchor", "?") for b in bases
+        ]
+        out["baseline_query_count"] = len(tight)
         out["deltas_vs_prev"] = _attribute_deltas(
             prev, timings, registry, spark, sf_dir, fingerprint,
             out.get("stage_metrics"),
+            tight_q=tight,
+            plan_hashes={"prev": prev.get("plan_hash") or {},
+                         "cur": plan_hash_cur},
+            box_start=box_start,
         )
 
     # Complete result -> sidecar; final stdout line kept under the
@@ -805,8 +1024,12 @@ def main() -> None:
     line["detail"] = "BENCH_SUMMARY.json"
     for bulky in ("sweep", "sweep_spread", "stage_metrics", "spread",
                   "scaling_exponent", "scaling_note", "skipping",
-                  "deltas_vs_prev", "session"):
+                  "deltas_vs_prev", "session", "plan_hash", "box_start",
+                  "baseline_anchors_tight"):
         line.pop(bulky, None)
+    # box verdict stays on the stdout line: one short field that says
+    # whether this record is load-contaminated (round-9 verdict #1)
+    line["box_loaded_at_start"] = _box_loaded(box_start, at_start=True)
     if "deltas_vs_prev" in out:
         d = out["deltas_vs_prev"]
         line["deltas_vs_prev_count"] = len(d)

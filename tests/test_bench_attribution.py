@@ -60,14 +60,137 @@ def test_regression_converges_at_steady_state(spark):
     assert rec["steady"] <= 10.0 * (1 + bench._DRIFT)
 
 
-def test_regression_persistent_unexplained(spark):
+_CLEAN_BOX = {"loadavg": [0.1, 0.1, 0.1], "stray": [], "stray_count": 0}
+_LOADED_BOX = {
+    "loadavg": [9.0, 8.0, 7.0],
+    "stray": [{"pid": 1234, "cmd": "java -cp other-session"}],
+    "stray_count": 1,
+}
+
+
+def test_regression_persistent_unexplained(spark, monkeypatch):
+    monkeypatch.setattr(bench, "_box_state", lambda: dict(_CLEAN_BOX))
     reg = _fake_registry(spark)
     # prev is far below any achievable steady state; no stage metrics, no
-    # config diff -> the honest "needs review" cause
+    # config diff, clean box -> the honest "needs review" cause
     deltas = bench._attribute_deltas(
         _prev({"qx": 0.0001}), {"qx": 5.0}, reg, spark, "unused", _fp(), None,
     )
     assert deltas["qx"]["cause"].startswith("persistent-unexplained")
+    # round-9 verdict #1: every probe session records its box sample
+    assert deltas["qx"]["probe_box"]["stray_count"] == 0
+
+
+def test_regression_loaded_box_probe(spark, monkeypatch):
+    """Round-9 verdict #1: when the probe session itself ran next to a
+    stray spark/pytest/java process, the steady number is untrustworthy
+    and the cause must say so instead of 'persistent-unexplained'."""
+    monkeypatch.setattr(bench, "_box_state", lambda: dict(_LOADED_BOX))
+    reg = _fake_registry(spark)
+    deltas = bench._attribute_deltas(
+        _prev({"qx": 0.0001}), {"qx": 5.0}, reg, spark, "unused", _fp(), None,
+    )
+    assert deltas["qx"]["cause"].startswith("loaded-box")
+    assert "1234" in deltas["qx"]["cause"]
+    assert deltas["qx"]["probe_box"]["stray_count"] == 1
+
+
+def test_regression_loaded_box_at_start(spark, monkeypatch):
+    """A loaded box at bench START (high 1-min load before our JVM
+    existed) marks otherwise-unexplained regressions loaded-box even if
+    the probe-time sample is clean."""
+    monkeypatch.setattr(bench, "_box_state", lambda: dict(_CLEAN_BOX))
+    reg = _fake_registry(spark)
+    deltas = bench._attribute_deltas(
+        _prev({"qx": 0.0001}), {"qx": 5.0}, reg, spark, "unused", _fp(), None,
+        box_start={"loadavg": [7.5, 3.0, 1.0], "stray": [], "stray_count": 0},
+    )
+    assert deltas["qx"]["cause"].startswith("loaded-box")
+    assert "load1=7.5" in deltas["qx"]["cause"]
+
+
+def test_regression_plan_changed(spark, monkeypatch):
+    """Round-9 verdict #8: a changed physical-plan digest names the
+    cause mechanically — and outranks the box state."""
+    monkeypatch.setattr(bench, "_box_state", lambda: dict(_LOADED_BOX))
+    reg = _fake_registry(spark)
+    deltas = bench._attribute_deltas(
+        _prev({"qx": 0.0001}), {"qx": 5.0}, reg, spark, "unused", _fp(), None,
+        plan_hashes={"prev": {"qx": "aaaa"}, "cur": {"qx": "bbbb"}},
+    )
+    assert deltas["qx"]["cause"] == "plan-changed: aaaa -> bbbb"
+
+
+def test_attribution_uses_tight_prev(spark, monkeypatch):
+    """Round-9 verdict #2: the ratio is computed against the per-query
+    min of the last two round boundaries, not the (possibly inflated)
+    newest anchor — and the anchor value is recorded alongside."""
+    monkeypatch.setattr(bench, "_box_state", lambda: dict(_CLEAN_BOX))
+    reg = _fake_registry(spark)
+    # anchor says 10.0 (inflated); tight says 1.0 -> cur 5.0 is a 5x
+    # regression the anchor alone would have graded a 2x improvement
+    deltas = bench._attribute_deltas(
+        _prev({"qx": 10.0}), {"qx": 5.0}, reg, spark, "unused", _fp(), None,
+        tight_q={"qx": 1.0},
+    )
+    rec = deltas["qx"]
+    assert rec["prev"] == 1.0 and rec["anchor_prev"] == 10.0
+    assert rec["ratio"] == 5.0
+    # a query the truncated newest block dropped still gets attributed
+    # when the tight baseline (older full sidecar) carries it
+    deltas = bench._attribute_deltas(
+        _prev({}), {"qy": 5.0}, reg, spark, "unused", _fp(), None,
+        tight_q={"qy": 10.0},
+    )
+    assert deltas["qy"]["cause"] == "improvement"
+
+
+def test_box_loaded_verdicts():
+    assert bench._box_loaded(dict(_CLEAN_BOX), at_start=True) is None
+    assert bench._box_loaded(dict(_CLEAN_BOX), at_start=False) is None
+    assert "stray_pids" in bench._box_loaded(dict(_LOADED_BOX), at_start=False)
+    hot = {"loadavg": [5.0, 1.0, 1.0], "stray": [], "stray_count": 0}
+    # loadavg counts only at session start: mid-run our own executors
+    # dominate it and would self-flag
+    assert bench._box_loaded(hot, at_start=True) == "load1=5.0"
+    assert bench._box_loaded(hot, at_start=False) is None
+    assert bench._box_loaded(None, at_start=True) is None
+
+
+def test_box_state_excludes_own_tree():
+    """The live sampler must not flag this very pytest/JVM process tree
+    as stray — otherwise every probe on a busy test box self-flags."""
+    state = bench._box_state()
+    assert state["loadavg"] is None or len(state["loadavg"]) == 3
+    own = [s for s in (state.get("stray") or []) if str(os.getpid()) == str(s["pid"])]
+    assert own == []
+
+
+def test_normalize_plan_strips_session_noise():
+    a = bench._normalize_plan(
+        "Exchange hashpartitioning(k#123L, 32) [plan_id=45] "
+        "[codegen id : 3] <lambda at 0xdeadbeef> [id=#77]"
+    )
+    b = bench._normalize_plan(
+        "Exchange hashpartitioning(k#9L, 32) [plan_id=2] "
+        "[codegen id : 1] <lambda at 0xcafe1234> [id=#3]"
+    )
+    assert a == b
+
+
+def test_plan_hash_stable_within_session(spark):
+    import pyspark.sql.functions as F
+
+    def mk():
+        return (
+            spark.range(100)
+            .select((F.col("id") % 7).alias("k"))
+            .groupBy("k").count()
+        )
+    h1, h2 = bench._plan_hash(mk()), bench._plan_hash(mk())
+    assert h1 is not None and h1 == h2
+    other = bench._plan_hash(spark.range(100).select("id"))
+    assert other != h1
 
 
 def test_regression_names_session_config_change(spark):
@@ -143,6 +266,26 @@ def test_prev_summary_round_file_fallback_and_sf_gating(tmp_path):
     assert bench._prev_summary(str(tmp_path), 1.0) is None  # sf never recorded
 
 
+def test_round_baselines_tight_prev_merges_and_backfills(tmp_path):
+    """Round-9 verdict #2 + advice: tight_prev = per-query min over the
+    last TWO round boundaries, which (a) can't hide a regression inside
+    one round's loaded-box-inflated anchor and (b) backfills queries a
+    driver-truncated newest parsed block dropped."""
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps(
+        {"parsed": {"sf": 0.1, "queries": {"qa": 1.0, "qb": 2.0, "qc": 3.0}}}))
+    # newest block truncated (qc missing) and inflated (qa slower)
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(
+        {"parsed": {"sf": 0.1, "queries": {"qa": 1.5, "qb": 1.8}}}))
+    bases = bench._round_baselines(str(tmp_path), 0.1, limit=2)
+    assert len(bases) == 2
+    assert "BENCH_r09.json" in bases[0]["baseline_anchor"]  # newest first
+    tight = bench._tight_prev(bases)
+    assert tight == {"qa": 1.0, "qb": 1.8, "qc": 3.0}
+    # limit=1 degenerates to the old single-anchor behavior
+    assert bench._tight_prev(bench._round_baselines(str(tmp_path), 0.1, 1)) == {
+        "qa": 1.5, "qb": 1.8}
+
+
 def test_prev_summary_anchors_to_round_boundary_commit():
     """Against the real repo: the baseline for the driver sf must be the
     sidecar committed ALONGSIDE the newest BENCH_r{N}.json — the full
@@ -167,8 +310,12 @@ def test_prev_summary_anchors_to_round_boundary_commit():
     got = bench._prev_summary(here, parsed["sf"])
     assert got is not None and got.get("sf") == parsed["sf"]
     assert f"BENCH_r{newest:02d}.json" in got.get("baseline_anchor", "")
-    # the anchor is the SAME run the driver recorded: totals must agree
-    if parsed.get("value") is not None and "value" in got:
-        assert abs(got["value"] - parsed["value"]) < 1e-6
-    # full sidecar (when git is available) carries >= the truncated set
+    # The sidecar in the boundary commit is normally the SAME run the
+    # driver recorded, but r9 showed it can legitimately differ: the
+    # judge's idle rerun at the same HEAD replaced the working-tree
+    # sidecar before the driver committed (VERDICT r9 adjudicated the
+    # official 94.3 s as loaded-box-inflated and the sidecar's 64.5 s
+    # as the honest number at that code). So the pinned invariant is
+    # what attribution needs — same sf, full per-query coverage — not
+    # total equality.
     assert set(parsed.get("queries", {})) <= set(got["queries"])
