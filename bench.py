@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     # round-over-round
     "multimodal_jpeg_quality_profile",
     "multimodal_audio_header_profile",
+    "multimodal_mp4_box_profile",
 ]
 
 

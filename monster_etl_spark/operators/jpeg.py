@@ -3326,6 +3326,14 @@ def jpeg_header_profile_fn():
         while i + 4 <= len(b):
             if b[i] != 0xFF:
                 return None
+            # T.81 B.1.1.2: a marker may be preceded by any number of
+            # 0xFF fill bytes (legal padding between segments). Skip
+            # the run so padded real-corpus files profile instead of
+            # mis-parsing a fill byte as a segment header.
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(b):
+                return None
             m = b[i + 1]
             if m == 0xD9:  # EOI before any frame header
                 break

@@ -910,6 +910,70 @@ def _mixed_audio_media_worker(sample_rate: int = 16000):
     return _worker
 
 
+def _mp4_media_worker():
+    """Adapter worker: each document becomes a minimal valid ISO-BMFF
+    file whose header fields derive deterministically from (doc_id,
+    text byte length) — the fixture for the MP4 box-walk profiler.
+    The corpus is a deliberate MIX, as a crawl is: brand mp42 every
+    third doc (else isom), an audio track on even doc_ids, 64-bit
+    mvhd every fifth doc, largesize mdat every seventh — so the
+    profiler's v0/v1 and 32/64-bit size paths are all exercised by
+    the registry query itself."""
+    from monster_etl_spark.operators.mp4 import mp4_encode_fn
+
+    enc = mp4_encode_fn()
+
+    def _one(m, t):
+        n = len(bytes(t, "utf-8"))
+        return enc(
+            bytes(t, "utf-8"),
+            major_brand=b"mp42" if m % 3 == 0 else b"isom",
+            timescale=600,
+            duration=n * 10,
+            video=(b"avc1", 16 * (1 + m % 5), 16 * (1 + m % 3)),
+            audio=(b"mp4a", 1 + ((m // 2) % 2), 44100) if m % 2 == 0 else None,
+            mvhd_version=1 if m % 5 == 0 else 0,
+            mdat_largesize=(m % 7 == 0),
+        )
+
+    def _worker(batches):
+        for pdf in batches:
+            yield from _chunked_media_yield(pdf, _one)
+
+    return _worker
+
+
+def _mp4_profile_worker():
+    """Worker builder for the MP4 box-walk profiler (see
+    ``mp4.mp4_box_profile_fn`` for the field contract)."""
+    from monster_etl_spark.operators.mp4 import mp4_box_profile_fn
+
+    profile_local = mp4_box_profile_fn()
+    fields = (
+        "major_brand", "timescale", "duration_ms", "n_tracks",
+        "video_codec", "video_width", "video_height", "audio_codec",
+        "audio_channels", "audio_sample_rate", "mdat_bytes",
+    )
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": pdf["media_id"].astype("int64")}
+            cols = {k: [] for k in fields}
+            flags = []
+            for c in pdf["content"]:
+                p = profile_local(c) if c is not None else None
+                flags.append(p is not None)
+                for k in fields:
+                    cols[k].append(p.get(k) if p is not None else None)
+            rows.update(cols)
+            rows["profiled"] = flags
+            yield pd.DataFrame(rows)
+
+    return _worker
+
+
 def _audio_profile_worker():
     """Worker builder for the audio-container profiler (see
     ``audio_header_profile_fn`` for the field contract)."""

@@ -1069,7 +1069,17 @@ def _build_webp_codec(force_scalar: bool = False):
             # by the LARGEST lane — one oversized blob (npx guard allows
             # up to 2^20 px) in a 4096-lane chunk would otherwise drive a
             # multi-GiB transient. Same bisect rule as the table matrix.
-            peak = L * (4 * max(int(c[8]) for c in chunk) + row_w)
+            # Round-10 (r9 advice #3): count the REAL transient peak —
+            # `seg` (1x row_w) stays live while its int64 ravel `flat`
+            # (8x) is built, and the (L, 2^maxcb) uint32 color-cache
+            # matrix was uncounted; 1x row_w under-budgeted the peak ~9x
+            # for long-stream chunks.
+            maxcb_all = max(int(c[4]) for c in chunk)
+            peak = L * (
+                4 * max(int(c[8]) for c in chunk)
+                + 9 * row_w
+                + 4 * (1 << maxcb_all if maxcb_all else 1)
+            )
             if L > 1 and peak > (64 << 20):
                 half = L // 2
                 return _lane_stream(chunk[:half]) + _lane_stream(chunk[half:])

@@ -46,6 +46,8 @@ from monster_etl_spark.operators.multimodal import (
     _jpeg_media_worker,
     _jpeg_profile_worker,
     _mixed_audio_media_worker,
+    _mp4_media_worker,
+    _mp4_profile_worker,
     _jpeg_quality_media_worker,
     _mjpeg_media_worker,
     _pixel_stats_worker,
@@ -538,6 +540,60 @@ def multimodal_audio_header_profile(spark: SparkSession, sf_dir: str) -> DataFra
         _mixed_audio_media_worker(sample_rate=_WAV_SR),
         _audio_profile_worker(), _AUDIO_PROFILE_SCHEMA,
     )
+
+
+_MP4_PROFILE_SCHEMA = (
+    "media_id long, major_brand string, timescale int, duration_ms long, "
+    "n_tracks int, video_codec string, video_width int, video_height int, "
+    "audio_codec string, audio_channels int, audio_sample_rate int, "
+    "mdat_bytes long, profiled boolean"
+)
+
+
+def multimodal_mp4_box_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF/MP4 box-walk profiler over a mixed container corpus
+    (round-9 verdict #5 — the third profiler in the curation-primitive
+    pattern): each document synthesizes as a minimal valid MP4 whose
+    brand / tracks / mvhd version / box-size form all vary with doc_id
+    (see ``multimodal._mp4_media_worker``), then the profiler walks
+    ONLY box headers — ftyp brand, mvhd timescale+duration (v0 and v1),
+    per-trak hdlr + stsd first-entry codec/dims/rate, mdat payload size
+    from the size field — zero sample decode. This is the primitive
+    that partitions a video crawl by container/codec/duration at
+    header-read cost; the oracle recomputes every field analytically
+    from (doc_id, text byte length), so a hash match proves both the
+    box synthesizer and the walk, including the 64-bit paths.
+    duration_ms is integer FLOOR (engine-exact; same tie rationale as
+    the audio profiler)."""
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _mp4_media_worker(), _mp4_profile_worker(), _MP4_PROFILE_SCHEMA,
+    )
+
+
+# Analytic twin over the synthesized corpus (n = utf-8 byte length):
+# brand mp42 iff doc_id%3=0; movie duration n*10 at timescale 600 ->
+# floor-ms; video always (avc1, 16*(1+id%5) x 16*(1+id%3)); audio only
+# on even ids (mp4a, 1+((id//2)%2) ch, 44100); mdat carries the text
+# bytes. DuckDB // is floor division on BIGINT, matching Python.
+MP4_PROFILE_SQL = """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'mp42' ELSE 'isom' END AS major_brand,
+  600 AS timescale,
+  CAST(octet_length(encode(text)) * 10000 // 600 AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+  'avc1' AS video_codec,
+  CAST(16 * (1 + doc_id % 5) AS INT) AS video_width,
+  CAST(16 * (1 + doc_id % 3) AS INT) AS video_height,
+  CASE WHEN doc_id % 2 = 0 THEN 'mp4a' ELSE NULL END AS audio_codec,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + ((doc_id // 2) % 2) ELSE NULL END
+    AS INT) AS audio_channels,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE NULL END AS INT)
+    AS audio_sample_rate,
+  CAST(octet_length(encode(text)) AS BIGINT) AS mdat_bytes,
+  true AS profiled
+FROM documents
+"""
 
 
 AUDIO_PROFILE_SQL = f"""
@@ -1188,6 +1244,11 @@ QUERIES = {
         multimodal_audio_header_profile,
         AUDIO_PROFILE_SQL,
         "mixed WAV/FLAC container sniff + header profiler (fmt chunk / STREAMINFO walk)",
+    ),
+    "multimodal_mp4_box_profile": QuerySpec(
+        multimodal_mp4_box_profile,
+        MP4_PROFILE_SQL,
+        "ISO-BMFF box-walk profiler: ftyp/mvhd/trak/stsd, zero sample decode",
     ),
     "multimodal_audio_windows": QuerySpec(
         multimodal_audio_windows, AUDIO_WINDOWS_SQL, "1s/0.5s audio framing from typed metadata"

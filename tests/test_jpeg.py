@@ -410,3 +410,17 @@ def test_header_profile_fields_and_quality_map():
     whole = jpeg_encode_gray8(px, 64, quant=2)
     assert jpeg_header_profile(whole[:20]) is None  # truncated mid-segment
     assert jpeg_header_profile(b"RIFF" + whole) is None  # wrong container
+
+    # T.81 B.1.1.2: 0xFF fill bytes before a marker are legal padding —
+    # a padded real-corpus file must profile identically, not None
+    # (round-9 advice). Inject fill runs after SOI and before the first
+    # segment marker's 0xFF.
+    base = jpeg_header_profile(whole)
+    padded = whole[:2] + b"\xff" * 5 + whole[2:]
+    assert jpeg_header_profile(padded) == base
+    # padding immediately before a LATER segment: splice after the
+    # first segment ends (SOI + first marker + its length + payload)
+    seg_len = (whole[4] << 8) | whole[5]
+    cut = 2 + 2 + seg_len
+    padded2 = whole[:cut] + b"\xff" * 3 + whole[cut:]
+    assert jpeg_header_profile(padded2) == base
