@@ -1,0 +1,104 @@
+"""Deterministic synthetic corpora for recall and scale testing.
+
+The driver's embeddings tables are rotation-decorrelated near-random
+vectors (see ``tools/gen_scale.py``): by construction the coarse
+quantizer's cells explain almost no variance, so residual IVF-PQ
+CANNOT beat raw PQ on them and IVF probe-recall contracts are tested
+in their structural worst case (round-9 SCALE.md finding; round-9
+verdict "What's missing #2"). This module adds the missing regime: a
+seeded mixture-of-Gaussians corpus in the SAME parquet shape
+(``vec_id long, embedding array<float>, label int``), where cluster
+structure is real and the Jégou et al. 2011 residual advantage is
+measurable instead of vacuously absent.
+
+Everything is a pure function of (seed, vec_id): per-row noise comes
+from a counter-based splitmix64 hash, not a stateful RNG, so the
+output is independent of partition layout and batch boundaries —
+generating with 2 or 200 partitions yields identical rows, and a 2M-row
+fixture regenerates byte-identically on demand.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain construction,
+    Steele et al.): uint64 counter -> well-mixed uint64."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _M64
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9) & _M64
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB) & _M64
+    return x ^ (x >> np.uint64(31))
+
+
+def _hash_normals(ids: np.ndarray, d: int, seed: int) -> np.ndarray:
+    """(len(ids), d) standard normals, a pure function of (seed, id, j):
+    two hashed uniforms per dimension -> Box-Muller. ``d`` may be odd —
+    each dimension draws its own pair (wasteful by 2x, branch-free)."""
+    n = len(ids)
+    # the seed term is folded in exact Python ints (numpy scalar uint64
+    # multiply warns on the intended modular wraparound)
+    seed_term = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        base = ids.astype(np.uint64) * np.uint64(2 * d + 1) + seed_term
+        ctr = base[:, None] + np.arange(d, dtype=np.uint64)[None, :]
+    h1 = _splitmix64(ctr)
+    h2 = _splitmix64(ctr ^ np.uint64(0xA5A5A5A5A5A5A5A5))
+    # (0, 1] for u1 (log-safe), [0, 1) for u2
+    u1 = ((h1 >> np.uint64(11)).astype(np.float64) + 1.0) * (2.0 ** -53)
+    u2 = (h2 >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2).reshape(n, d)
+
+
+def mog_centers(clusters: int, d: int, seed: int) -> np.ndarray:
+    """Unit-norm cluster centers, seeded (computed once driver-side and
+    shipped in the worker closure, so numpy version differences can
+    never split driver/executor views)."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((clusters, d))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def mog_embeddings(
+    spark: SparkSession,
+    n: int,
+    d: int = 64,
+    clusters: int = 64,
+    sigma: float = 0.2,
+    seed: int = 7,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Mixture-of-Gaussians embedding corpus: row i belongs to cluster
+    ``i % clusters`` (labels exactly balanced), vector = unit center +
+    ``sigma`` * hashed-normal noise, float32. ``label`` carries the true
+    cluster id, so recall/clustering tests have ground truth for free.
+
+    With unit centers and noise norm ~ sigma*sqrt(d), sigma=0.2 at d=64
+    puts ~28% of the squared norm in the residual — clusters are real
+    but overlapping, the regime where coarse-quantizer quality actually
+    matters."""
+    centers = mog_centers(clusters, d, seed)
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            lab = (ids % clusters).astype(np.int32)
+            vecs = centers[lab] + sigma * _hash_normals(ids, d, seed)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "embedding": list(vecs.astype(np.float32)),
+                    "label": lab,
+                }
+            )
+
+    parts = partitions or max(1, min(64, n // 50_000) or 1)
+    return spark.range(0, n, 1, parts).mapInPandas(
+        _gen, schema="vec_id long, embedding array<float>, label int"
+    )

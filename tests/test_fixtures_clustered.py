@@ -1,0 +1,103 @@
+"""Clustered-embedding fixture (round-9 verdict #4): the driver's
+embeddings are rotation-decorrelated near-random, so residual IVF-PQ
+measurably CANNOT beat raw PQ on them and probe-recall contracts are
+vacuous. The mixture-of-Gaussians fixture makes both meaningful; these
+tests pin (a) the fixture's determinism/shape contract, (b) the
+Jégou-2011 residual advantage actually materializing, (c) IVF
+probe-recall monotonicity with real cluster structure."""
+
+import numpy as np
+import pytest
+
+from monster_etl_spark.fixtures import _hash_normals, mog_centers, mog_embeddings
+from monster_etl_spark.operators import similarity as sim
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(exact, approx):
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    return hits / sum(len(exact[q]) for q in exact)
+
+
+def test_mog_partition_layout_independent(spark):
+    """Counter-hashed noise: identical rows whatever the partitioning —
+    the property that lets a 2M-row fixture regenerate byte-identically
+    and distributed generation be trusted at all."""
+    a = {r.vec_id: (tuple(r.embedding), r.label)
+         for r in mog_embeddings(spark, 300, d=16, clusters=8, partitions=2).collect()}
+    b = {r.vec_id: (tuple(r.embedding), r.label)
+         for r in mog_embeddings(spark, 300, d=16, clusters=8, partitions=7).collect()}
+    assert a == b
+    assert sorted(a) == list(range(300))
+    labs = [a[i][1] for i in range(300)]
+    assert labs[:10] == [0, 1, 2, 3, 4, 5, 6, 7, 0, 1]  # i % clusters
+
+
+def test_mog_statistics_and_geometry():
+    """Hashed Box-Muller is actually N(0,1); centers unit-norm; the
+    sigma knob controls the residual fraction as documented."""
+    z = _hash_normals(np.arange(30_000, dtype=np.uint64), 4, seed=7).ravel()
+    assert abs(z.mean()) < 0.02 and abs(z.std() - 1.0) < 0.02
+    c = mog_centers(16, 32, seed=7)
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0)
+    # different seeds decorrelate
+    z2 = _hash_normals(np.arange(30_000, dtype=np.uint64), 4, seed=8).ravel()
+    assert abs(np.corrcoef(z, z2)[0, 1]) < 0.02
+
+
+@pytest.fixture(scope="module")
+def mog(spark):
+    emb = mog_embeddings(spark, 4000, d=32, clusters=32, sigma=0.15).cache()
+    emb.count()
+    yield emb
+    emb.unpersist()
+
+
+def test_residual_ivfpq_beats_raw_on_clustered_corpus(spark, mog):
+    """THE point of the fixture: at equal code budget (m=8, 16 codes),
+    residual codebooks quantize sigma-scale residuals instead of
+    unit-scale vectors and recall must be strictly higher. Measured at
+    fixture creation: raw 0.885, residual 0.975."""
+    queries = mog.filter(mog.vec_id % 100 == 0)
+    exact = _topk_sets(sim.brute_force_topk(queries, mog, k=5))
+    kw = dict(k=5, n_centroids=32, n_probes=4, m=8, n_codes=16)
+    r_raw = _recall(exact, _topk_sets(sim.ivfpq_topk(queries, mog, **kw)))
+    r_res = _recall(exact, _topk_sets(
+        sim.ivfpq_topk(queries, mog, residual=True, **kw)))
+    assert r_res > r_raw, f"residual {r_res} <= raw {r_raw} on clustered data"
+    assert r_res >= 0.9, f"residual recall collapsed: {r_res}"
+    assert r_raw >= 0.5  # raw still works, just coarser
+
+
+def test_ivf_probe_recall_curve_on_clustered_corpus(spark, mog):
+    """Probe-recall is monotone by construction (more probes = superset
+    of candidates, deterministic centroids) and must actually CLIMB on
+    clustered data. Two regimes pinned:
+
+    - cells == true clusters (32): the coarse quantizer recovers the
+      generative structure and ONE probe already achieves perfect
+      recall — the fixture's separability statement (measured 1.0);
+    - cells >> true clusters (128, the over-segmented production shape
+      where auto-cells ~ sqrt(N) exceeds any real cluster count): true
+      neighborhoods split across sibling cells, single-probe recall
+      drops and the probe knob buys it back (measured 0.475 -> 1.0) —
+      the curve the decorrelated corpus could never show."""
+    queries = mog.filter(mog.vec_id % 100 == 0)
+    exact = _topk_sets(sim.brute_force_topk(queries, mog, k=5))
+    matched = _recall(exact, _topk_sets(
+        sim.ivf_topk(queries, mog, k=5, n_centroids=32, n_probes=1)))
+    assert matched >= 0.95, f"cells==clusters 1-probe recall: {matched}"
+    rec = {
+        p: _recall(exact, _topk_sets(
+            sim.ivf_topk(queries, mog, k=5, n_centroids=128, n_probes=p)))
+        for p in (1, 2, 4, 8)
+    }
+    assert rec[1] <= rec[2] <= rec[4] <= rec[8], f"not monotone: {rec}"
+    assert rec[8] >= 0.9, f"8-probe recall too low on clustered data: {rec}"
+    assert rec[8] > rec[1] + 0.2, f"curve is flat: {rec}"
