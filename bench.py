@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "multimodal_jpeg_quality_profile",
     "multimodal_audio_header_profile",
     "multimodal_mp4_box_profile",
+    "multimodal_mp3_frame_profile",
 ]
 
 

@@ -974,6 +974,63 @@ def _mp4_profile_worker():
     return _worker
 
 
+def _mp3_media_worker():
+    """Adapter worker: each document becomes an MPEG1 Layer III CBR
+    stream whose parameters derive from (doc_id, text byte length) —
+    bitrate index 1+id%14 (the full table), sample rate by id%3, mono
+    on odd ids, an ID3v2 tag every fourth doc (the profiler's tag-skip
+    path exercised by the corpus itself), frame count = max(1, n//16)."""
+    from monster_etl_spark.operators.mp3 import mp3_encode_fn
+
+    enc = mp3_encode_fn()
+
+    def _one(m, t):
+        n = len(bytes(t, "utf-8"))
+        return enc(
+            max(1, n // 16),
+            bitrate_idx=1 + m % 14,
+            rate_idx=m % 3,
+            mono=(m % 2 == 1),
+            id3=(m % 4 == 0),
+        )
+
+    def _worker(batches):
+        for pdf in batches:
+            yield from _chunked_media_yield(pdf, _one)
+
+    return _worker
+
+
+def _mp3_profile_worker():
+    """Worker builder for the MP3 frame-walk profiler (see
+    ``mp3.mp3_frame_profile_fn`` for the field contract)."""
+    from monster_etl_spark.operators.mp3 import mp3_frame_profile_fn
+
+    profile_local = mp3_frame_profile_fn()
+    fields = (
+        "version", "layer", "bitrate_kbps", "sample_rate", "channel_mode",
+        "n_frames", "cbr", "duration_ms", "id3_bytes", "stream_bytes",
+    )
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": pdf["media_id"].astype("int64")}
+            cols = {k: [] for k in fields}
+            flags = []
+            for c in pdf["content"]:
+                p = profile_local(c) if c is not None else None
+                flags.append(p is not None)
+                for k in fields:
+                    cols[k].append(p.get(k) if p is not None else None)
+            rows.update(cols)
+            rows["profiled"] = flags
+            yield pd.DataFrame(rows)
+
+    return _worker
+
+
 def _audio_profile_worker():
     """Worker builder for the audio-container profiler (see
     ``audio_header_profile_fn`` for the field contract)."""

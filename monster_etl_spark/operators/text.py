@@ -631,10 +631,21 @@ def hashed_linear_score(
         )
     )
     logit = F.col("s_milli") / (F.col("n_tokens") * 1000.0)
+    # The reported logit is an exact rational s/(1000n); float round()
+    # hits literal half ties (round-10 tie sweep: doc 125 at sf0.1,
+    # 2070/32000 = 0.0646875 — Spark rounds the shortest decimal repr,
+    # DuckDB the binary value, and they DISAGREE there). Round in
+    # integer arithmetic instead: |v|*1e6 = 1000|s|/n, HALF_UP =
+    # (2*1000|s| + n) div (2n) — engine-exact, no float tie to hit.
+    # The sigmoid's round is tie-safe (transcendental output; swept).
+    logit_e6 = F.expr(
+        "CAST(sign(s_milli) AS BIGINT)"
+        " * ((2000 * abs(s_milli) + n_tokens) div (2 * n_tokens))"
+    )
     return agg.select(
         F.col("doc").alias(id_col),
         "n_tokens",
-        F.round(logit, round_to).alias("logit"),
+        (logit_e6 / F.lit(1e6)).alias("logit"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), round_to).alias("score"),
         (F.col("s_milli") >= 0).alias("keep"),
     )

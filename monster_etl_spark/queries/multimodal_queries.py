@@ -46,6 +46,8 @@ from monster_etl_spark.operators.multimodal import (
     _jpeg_media_worker,
     _jpeg_profile_worker,
     _mixed_audio_media_worker,
+    _mp3_media_worker,
+    _mp3_profile_worker,
     _mp4_media_worker,
     _mp4_profile_worker,
     _jpeg_quality_media_worker,
@@ -593,6 +595,62 @@ SELECT doc_id AS media_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS mdat_bytes,
   true AS profiled
 FROM documents
+"""
+
+
+_MP3_PROFILE_SCHEMA = (
+    "media_id long, version string, layer int, bitrate_kbps int, "
+    "sample_rate int, channel_mode string, n_frames long, cbr boolean, "
+    "duration_ms long, id3_bytes int, stream_bytes long, profiled boolean"
+)
+
+
+def multimodal_mp3_frame_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-audio frame-walk profiler over a parameter-mix MP3 corpus
+    (fourth profiler in the curation-primitive pattern): each document
+    synthesizes as an MPEG1 Layer III CBR stream sweeping the full
+    bitrate table, all three sample rates, mono/stereo, and an ID3v2
+    tag every fourth doc (see ``multimodal._mp3_media_worker``); the
+    profiler then hops frame headers only — 4 bytes read per frame,
+    bodies skipped by computed length, tag skipped by syncsafe size;
+    zero MDCT. The primitive that partitions an audio crawl by
+    codec/bitrate/duration at header cost; the oracle recomputes every
+    field analytically from (doc_id, text byte length). duration_ms is
+    integer FLOOR (engine-exact tie policy, as all profilers here)."""
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _mp3_media_worker(), _mp3_profile_worker(), _MP3_PROFILE_SCHEMA,
+    )
+
+
+# Analytic twin (n = utf-8 byte length): bitrate = MPEG1-L3 table at
+# 1+id%14, rate at id%3, mono on odd ids, ID3 (64 B incl. header) every
+# 4th doc, n_frames = max(1, n//16), 1152 samples/frame, frame length
+# 144000*br//rate (padding 0). DuckDB // is floor division, matching
+# the profiler's integer arithmetic.
+MP3_PROFILE_SQL = """
+WITH p AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+    list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                 CAST(1 + doc_id % 14 AS INT)) AS br,
+    list_extract([44100,48000,32000], CAST(1 + doc_id % 3 AS INT)) AS rate,
+    greatest(1, octet_length(encode(text)) // 16) AS nf,
+    CASE WHEN doc_id % 4 = 0 THEN 64 ELSE 0 END AS id3
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  '1' AS version,
+  3 AS layer,
+  CAST(br AS INT) AS bitrate_kbps,
+  CAST(rate AS INT) AS sample_rate,
+  CASE WHEN doc_id % 2 = 1 THEN 'mono' ELSE 'stereo' END AS channel_mode,
+  CAST(nf AS BIGINT) AS n_frames,
+  true AS cbr,
+  CAST(nf * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+  CAST(id3 AS INT) AS id3_bytes,
+  CAST(id3 + nf * (144000 * br // rate) AS BIGINT) AS stream_bytes,
+  true AS profiled
+FROM p
 """
 
 
@@ -1249,6 +1307,11 @@ QUERIES = {
         multimodal_mp4_box_profile,
         MP4_PROFILE_SQL,
         "ISO-BMFF box-walk profiler: ftyp/mvhd/trak/stsd, zero sample decode",
+    ),
+    "multimodal_mp3_frame_profile": QuerySpec(
+        multimodal_mp3_frame_profile,
+        MP3_PROFILE_SQL,
+        "MPEG-audio frame-walk profiler: headers hopped by computed length, zero MDCT",
     ),
     "multimodal_audio_windows": QuerySpec(
         multimodal_audio_windows, AUDIO_WINDOWS_SQL, "1s/0.5s audio framing from typed metadata"

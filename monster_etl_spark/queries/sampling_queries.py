@@ -68,10 +68,16 @@ def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = scored.groupBy("lang").agg(
         F.expr(f"percentile(quality, {QUANTILE})").alias("q_med")
     )
+    # 7dp, not 6: an even-count median is the AVG of two 6dp-rounded
+    # qualities, i.e. a value ON the 5e-7 grid — round(·, 6) of it is a
+    # literal half tie (round-10 tie sweep: lang 'fr' at sf0.1,
+    # 0.7059505), where Spark (shortest-repr HALF_UP) and DuckDB
+    # (binary-value) disagree. At 7dp every reachable median is grid-
+    # exact, so no engine ever sees a tie.
     return (
         scored.join(med, on="lang")
         .filter(F.col("quality") >= F.col("q_med"))
-        .select("doc_id", "lang", "quality", F.round("q_med", 6).alias("lang_median"))
+        .select("doc_id", "lang", "quality", F.round("q_med", 7).alias("lang_median"))
     )
 
 
@@ -84,7 +90,7 @@ med AS (
   SELECT lang, percentile_cont({QUANTILE}) WITHIN GROUP (ORDER BY quality) AS q_med
   FROM scored GROUP BY lang
 )
-SELECT doc_id, lang, quality, round(q_med, 6) AS lang_median
+SELECT doc_id, lang, quality, round(q_med, 7) AS lang_median
 FROM scored JOIN med USING (lang)
 WHERE quality >= q_med
 """

@@ -609,7 +609,10 @@ agg AS (
   FROM feats JOIN weights USING (bucket) GROUP BY doc
 )
 SELECT doc AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-  round(s_milli / (n_tokens * 1000.0), 6) AS logit,
+  -- integer HALF_UP micro-logit (engine-exact; float round() hits a
+  -- literal half tie at sf0.1 — see hashed_linear_score)
+  CAST(sign(s_milli) AS BIGINT)
+    * ((2000 * abs(s_milli) + n_tokens) // (2 * n_tokens)) / 1e6 AS logit,
   round(1.0 / (1.0 + exp(-(s_milli / (n_tokens * 1000.0)))), 6) AS score,
   s_milli >= 0 AS keep
 FROM agg

@@ -95,46 +95,70 @@ def _mutate_embedding(df: DataFrame, k: int) -> DataFrame:
     )
 
 
-def generate(spark: SparkSession, src: str, out: str, factor: int) -> None:
+def generate(
+    spark: SparkSession, src: str, out: str, factor: int,
+    tables: list[str] | None = None,
+) -> None:
+    """``tables``: optional subset to materialize (e.g. ["embeddings"]
+    for the ANN decade, ["documents"] for the media decade — the
+    sf100m precedent). Stride computation still reads every table the
+    SUBSET's offsets depend on; unrequested tables are simply not
+    written, so a 10x-of-sf10 embeddings-only run costs ~0.5 GB, not
+    17 GB."""
     os.makedirs(out, exist_ok=True)
     rd = lambda t: spark.read.parquet(f"{src}/{t}.parquet")
 
-    strides = {
-        "customer": _stride(rd("customer"), "c_custkey"),
-        "supplier": _stride(rd("supplier"), "s_suppkey"),
-        "part": _stride(rd("part"), "p_partkey"),
-        "orders": _stride(rd("orders"), "o_orderkey"),
-        "events_id": _stride(rd("events"), "event_id"),
-        "events_user": _stride(rd("events"), "user_id"),
-        "documents": _stride(rd("documents"), "doc_id"),
-        "embeddings": _stride(rd("embeddings"), "vec_id"),
+    # strides are lazy + memoized so a table-subset run reads only the
+    # tables its offsets depend on (src may itself be a subset dir)
+    _stride_spec = {
+        "customer": ("customer", "c_custkey"),
+        "supplier": ("supplier", "s_suppkey"),
+        "part": ("part", "p_partkey"),
+        "orders": ("orders", "o_orderkey"),
+        "events_id": ("events", "event_id"),
+        "events_user": ("events", "user_id"),
+        "documents": ("documents", "doc_id"),
+        "embeddings": ("embeddings", "vec_id"),
     }
+    _stride_cache: dict[str, int] = {}
 
-    plans: dict[str, tuple[DataFrame, int]] = {}  # table -> (df, n_files)
-    plans["region"] = (rd("region"), 1)
-    plans["nation"] = (rd("nation"), 1)
-    plans["customer"] = (
-        _replicate(rd("customer"), factor, {"c_custkey": strides["customer"]}), 8)
-    plans["supplier"] = (
-        _replicate(rd("supplier"), factor, {"s_suppkey": strides["supplier"]}), 4)
-    plans["part"] = (
-        _replicate(rd("part"), factor, {"p_partkey": strides["part"]}), 8)
-    plans["orders"] = (
-        _replicate(rd("orders"), factor,
-                   {"o_orderkey": strides["orders"], "o_custkey": strides["customer"]}), 16)
-    plans["lineitem"] = (
-        _replicate(rd("lineitem"), factor,
-                   {"l_orderkey": strides["orders"], "l_partkey": strides["part"],
-                    "l_suppkey": strides["supplier"]}), 32)
-    plans["events"] = (
-        _replicate(rd("events"), factor,
-                   {"event_id": strides["events_id"], "user_id": strides["events_user"]}), 16)
-    plans["documents"] = (
-        _replicate(rd("documents"), factor, {"doc_id": strides["documents"]},
-                   mutate=_mutate_text), 16)
-    plans["embeddings"] = (
-        _replicate(rd("embeddings"), factor, {"vec_id": strides["embeddings"]},
-                   mutate=_mutate_embedding), 8)
+    def st(key: str) -> int:
+        if key not in _stride_cache:
+            t, col = _stride_spec[key]
+            _stride_cache[key] = _stride(rd(t), col)
+        return _stride_cache[key]
+
+    builders = {
+        "region": lambda: (rd("region"), 1),
+        "nation": lambda: (rd("nation"), 1),
+        "customer": lambda: (
+            _replicate(rd("customer"), factor, {"c_custkey": st("customer")}), 8),
+        "supplier": lambda: (
+            _replicate(rd("supplier"), factor, {"s_suppkey": st("supplier")}), 4),
+        "part": lambda: (
+            _replicate(rd("part"), factor, {"p_partkey": st("part")}), 8),
+        "orders": lambda: (
+            _replicate(rd("orders"), factor,
+                       {"o_orderkey": st("orders"), "o_custkey": st("customer")}), 16),
+        "lineitem": lambda: (
+            _replicate(rd("lineitem"), factor,
+                       {"l_orderkey": st("orders"), "l_partkey": st("part"),
+                        "l_suppkey": st("supplier")}), 32),
+        "events": lambda: (
+            _replicate(rd("events"), factor,
+                       {"event_id": st("events_id"), "user_id": st("events_user")}), 16),
+        "documents": lambda: (
+            _replicate(rd("documents"), factor, {"doc_id": st("documents")},
+                       mutate=_mutate_text), 16),
+        "embeddings": lambda: (
+            _replicate(rd("embeddings"), factor, {"vec_id": st("embeddings")},
+                       mutate=_mutate_embedding), 8),
+    }
+    wanted = tables or list(builders)
+    unknown = set(wanted) - set(builders)
+    if unknown:
+        raise SystemExit(f"unknown tables: {sorted(unknown)}")
+    plans = {t: builders[t]() for t in wanted}
 
     for table, (df, n_files) in plans.items():
         dst = f"{out}/{table}.parquet"
@@ -148,12 +172,15 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaledata", "sf1"))
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset (default: all tables)")
     args = ap.parse_args()
 
     from monster_etl_spark import get_spark
 
     spark = get_spark(app_name="gen-scale")
-    generate(spark, args.src.rstrip("/"), args.out.rstrip("/"), args.factor)
+    generate(spark, args.src.rstrip("/"), args.out.rstrip("/"), args.factor,
+             tables=args.tables.split(",") if args.tables else None)
 
 
 if __name__ == "__main__":
