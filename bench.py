@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "multimodal_audio_header_profile",
     "multimodal_mp4_box_profile",
     "multimodal_mp3_frame_profile",
+    "multimodal_ogg_page_profile",
 ]
 
 

@@ -1031,6 +1031,60 @@ def _mp3_profile_worker():
     return _worker
 
 
+def _ogg_media_worker():
+    """Adapter worker: each document becomes an Opus-in-Ogg stream
+    (channels by id parity, input rate by id%3, page count from text
+    length) — the fixture for the Ogg page-walk profiler."""
+    from monster_etl_spark.operators.ogg import ogg_encode_fn
+
+    enc = ogg_encode_fn()
+
+    def _one(m, t):
+        n = len(bytes(t, "utf-8"))
+        return enc(
+            max(1, n // 24),
+            channels=1 + m % 2,
+            input_rate=(48000, 44100, 16000)[m % 3],
+            samples_per_page=960,
+        )
+
+    def _worker(batches):
+        for pdf in batches:
+            yield from _chunked_media_yield(pdf, _one)
+
+    return _worker
+
+
+def _ogg_profile_worker():
+    """Worker builder for the Ogg page-walk profiler (see
+    ``ogg.ogg_page_profile_fn`` for the field contract)."""
+    from monster_etl_spark.operators.ogg import ogg_page_profile_fn
+
+    profile_local = ogg_page_profile_fn()
+    fields = (
+        "codec", "n_pages", "n_streams", "channels", "input_rate",
+        "last_granule", "duration_ms", "eos_seen", "body_bytes",
+    )
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": pdf["media_id"].astype("int64")}
+            cols = {k: [] for k in fields}
+            flags = []
+            for c in pdf["content"]:
+                p = profile_local(c) if c is not None else None
+                flags.append(p is not None)
+                for k in fields:
+                    cols[k].append(p.get(k) if p is not None else None)
+            rows.update(cols)
+            rows["profiled"] = flags
+            yield pd.DataFrame(rows)
+
+    return _worker
+
+
 def _audio_profile_worker():
     """Worker builder for the audio-container profiler (see
     ``audio_header_profile_fn`` for the field contract)."""

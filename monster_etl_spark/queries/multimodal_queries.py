@@ -46,6 +46,8 @@ from monster_etl_spark.operators.multimodal import (
     _jpeg_media_worker,
     _jpeg_profile_worker,
     _mixed_audio_media_worker,
+    _ogg_media_worker,
+    _ogg_profile_worker,
     _mp3_media_worker,
     _mp3_profile_worker,
     _mp4_media_worker,
@@ -595,6 +597,53 @@ SELECT doc_id AS media_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS mdat_bytes,
   true AS profiled
 FROM documents
+"""
+
+
+_OGG_PROFILE_SCHEMA = (
+    "media_id long, codec string, n_pages long, n_streams int, "
+    "channels int, input_rate int, last_granule long, duration_ms long, "
+    "eos_seen boolean, body_bytes long, profiled boolean"
+)
+
+
+def multimodal_ogg_page_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg page-walk profiler over an Opus-in-Ogg corpus (fifth
+    profiler in the curation-primitive pattern): each document
+    synthesizes as a BOS OpusHead page + N audio pages + EOS (see
+    ``multimodal._ogg_media_worker``); the profiler walks 27-byte page
+    headers + lacing tables only — bodies skipped by summed lacing,
+    zero packet decode (RFC 3533 pages, RFC 7845 OpusHead; granule =
+    48 kHz samples, so duration is engine-exact integer floor-ms). The
+    oracle recomputes every field analytically from (doc_id, text
+    byte length)."""
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _ogg_media_worker(), _ogg_profile_worker(), _OGG_PROFILE_SCHEMA,
+    )
+
+
+# Analytic twin (n = utf-8 byte length): audio pages = max(1, n//24),
+# +1 BOS page; 960 samples/page at the 48 kHz granule clock; OpusHead
+# body is 19 bytes, each audio page body 100.
+OGG_PROFILE_SQL = """
+WITH p AS (
+  SELECT doc_id, greatest(1, octet_length(encode(text)) // 24) AS np
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  'opus' AS codec,
+  CAST(np + 1 AS BIGINT) AS n_pages,
+  1 AS n_streams,
+  CAST(1 + doc_id % 2 AS INT) AS channels,
+  CAST(list_extract([48000, 44100, 16000], CAST(1 + doc_id % 3 AS INT)) AS INT)
+    AS input_rate,
+  CAST(np * 960 AS BIGINT) AS last_granule,
+  CAST(np * 960 * 1000 // 48000 AS BIGINT) AS duration_ms,
+  true AS eos_seen,
+  CAST(19 + np * 100 AS BIGINT) AS body_bytes,
+  true AS profiled
+FROM p
 """
 
 
@@ -1307,6 +1356,11 @@ QUERIES = {
         multimodal_mp4_box_profile,
         MP4_PROFILE_SQL,
         "ISO-BMFF box-walk profiler: ftyp/mvhd/trak/stsd, zero sample decode",
+    ),
+    "multimodal_ogg_page_profile": QuerySpec(
+        multimodal_ogg_page_profile,
+        OGG_PROFILE_SQL,
+        "Ogg page-walk profiler: OpusHead + lacing hop, zero packet decode",
     ),
     "multimodal_mp3_frame_profile": QuerySpec(
         multimodal_mp3_frame_profile,
