@@ -602,15 +602,24 @@ def _pixel_stats_worker():
                     rows["width"].append(w)
                     rows["height"].append(h)
                     rows["channels"].append(ch)
-                    # no Python round() here: banker's rounding diverges
-                    # from SQL HALF_UP on exact ties (means are k/2^m
-                    # rationals since total is a multiple of 32) — callers
-                    # round JVM-side with F.round. numpy int64 sum/min/max
-                    # over uint8 samples are the exact integers the
-                    # builtin sum()/min()/max() produce, just vectorized.
+                    # Integer HALF_UP at 6dp, computed on the exact
+                    # rational (s, n) — not a float round: the mean is
+                    # s/n exactly, and float round() of it is the
+                    # cross-engine tie class the round-10 sweep pinned
+                    # (Spark rounds the shortest decimal repr, DuckDB
+                    # the binary value; they disagree on values like
+                    # k/40960 landing on *.0000005 — 0.0076% of gif
+                    # rows at sf100). floor((2e6*s + n)/(2n))/1e6 is
+                    # engine-exact and scale-invariant in (s, n)
+                    # (common factors cancel), so oracles may divide
+                    # bytes where the decoder divides pixels. The
+                    # JVM-side F.round(…, 6) in callers is an identity
+                    # on these values. numpy int64 sum/min/max over
+                    # uint8 samples are exact.
                     pxa = np.frombuffer(bytes(px), np.uint8)
+                    s_ = int(pxa.sum(dtype=np.int64))
                     rows["mean_intensity"].append(
-                        int(pxa.sum(dtype=np.int64)) / pxa.size
+                        ((2_000_000 * s_ + pxa.size) // (2 * pxa.size)) / 1e6
                     )
                     rows["min_intensity"].append(int(pxa.min()))
                     rows["max_intensity"].append(int(pxa.max()))
@@ -1394,8 +1403,12 @@ def _video_frame_stats_worker():
                         else:
                             w, h, _ch, px = d
                             pxa = np.frombuffer(bytes(px), np.uint8)
+                            # integer HALF_UP 6dp on the exact rational
+                            # (see the pixel-stats worker's note)
+                            s_ = int(pxa.sum(dtype=np.int64))
                             emit(mid, fid, fps, w, h,
-                                 int(pxa.sum(dtype=np.int64)) / pxa.size, True)
+                                 ((2_000_000 * s_ + pxa.size)
+                                  // (2 * pxa.size)) / 1e6, True)
                 parsed_buf.clear()
                 mjpeg_frames.clear()
 
@@ -1605,8 +1618,15 @@ def _audio_stats_worker(codec: str = "wav"):
                 rate, n_ch, _bits, samples = d
                 rows["sample_rate"].append(rate)
                 rows["n_channels"].append(n_ch)
-                rows["n_samples"].append(len(samples) // n_ch)
-                rows["duration_sec"].append((len(samples) // n_ch) / rate)
+                n_samp = len(samples) // n_ch
+                rows["n_samples"].append(n_samp)
+                # integer HALF_UP 6dp on the exact rational n/rate —
+                # the r9 flac tie class (1001/16000 = 0.0625625) fixed
+                # at the source instead of documented (see the
+                # pixel-stats worker's note on the mechanism)
+                rows["duration_sec"].append(
+                    ((2_000_000 * n_samp + rate) // (2 * rate)) / 1e6
+                )
                 if samples:
                     arr = np.asarray(samples, np.int64)
                     peak = int(np.abs(arr).max())
@@ -1994,7 +2014,12 @@ def _gif_frame_stats_worker():
                     delays.append(st[:, 0])
                     ws.append(np.full(nf, w, np.int64))
                     hs.append(np.full(nf, h, np.int64))
-                    means.append(st[:, 1] / npx)
+                    # vectorized integer HALF_UP 6dp on the exact
+                    # rationals (see the pixel-stats worker's note);
+                    # int64-safe: 2e6 * (255 * 40960-px canvas) ~ 2e13
+                    means.append(
+                        ((2_000_000 * st[:, 1] + npx) // (2 * npx)) / 1e6
+                    )
                     oks.append(np.ones(nf, bool))
                 ok = np.concatenate(oks)
                 miss = ~ok

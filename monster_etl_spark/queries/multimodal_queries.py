@@ -371,7 +371,7 @@ WITH b AS (
 SELECT doc_id AS media_id,
   {_PNG_W} AS width,
   CAST(total / {_PNG_W} AS INT) AS height,
-  round(s / CAST(total AS DOUBLE), 6) AS mean_intensity,
+  (2000000 * CAST(s AS BIGINT) + total) // (2 * total) / 1e6 AS mean_intensity,
   CAST(CASE WHEN total > n THEN 0 ELSE mn END AS INT) AS min_intensity,
   CAST(mx AS INT) AS max_intensity,
   true AS decoded
@@ -738,7 +738,7 @@ WITH b AS (
 SELECT doc_id AS media_id,
   {_JPEG_BPR * 8} AS width,
   CAST(blocks AS INT) AS height,
-  round(s / CAST(blocks AS DOUBLE), 6) AS mean_intensity,
+  (2000000 * CAST(s AS BIGINT) + blocks) // (2 * blocks) / 1e6 AS mean_intensity,
   CAST(CASE WHEN blocks > n THEN 0 ELSE mn END AS INT) AS min_intensity,
   CAST(mx AS INT) AS max_intensity,
   true AS decoded
@@ -777,7 +777,7 @@ SELECT doc_id AS media_id,
   CAST({_WAV_SR} AS INT) AS sample_rate,
   CAST(1 AS INT) AS n_channels,
   CAST(n AS BIGINT) AS n_samples,
-  round(n / {_WAV_SR}.0, 6) AS duration_sec,
+  (2000000 * CAST(n AS BIGINT) + {_WAV_SR}) // (2 * {_WAV_SR}) / 1e6 AS duration_sec,
   CASE WHEN n = 0 THEN NULL
        ELSE CAST(list_max(list_transform(s, v -> abs(v))) AS BIGINT) END AS peak_abs,
   CASE WHEN n = 0 THEN NULL
@@ -978,7 +978,7 @@ SELECT b.doc_id AS media_id,
   CAST({_G711_SR} AS INT) AS sample_rate,
   CAST(1 AS INT) AS n_channels,
   CAST(b.n AS BIGINT) AS n_samples,
-  round(b.n / {_G711_SR}.0, 6) AS duration_sec,
+  (2000000 * CAST(b.n AS BIGINT) + {_G711_SR}) // (2 * {_G711_SR}) / 1e6 AS duration_sec,
   CASE WHEN b.n = 0 THEN NULL ELSE CAST(agg.peak AS BIGINT) END AS peak_abs,
   CASE WHEN b.n = 0 THEN NULL
        ELSE round(sqrt(CAST(agg.ssq AS DOUBLE) / b.n), 6) END AS rms,
@@ -1090,7 +1090,7 @@ SELECT doc_id AS media_id,
   CAST({_ADPCM_SR} AS INT) AS sample_rate,
   CAST(1 AS INT) AS n_channels,
   CAST(n AS BIGINT) AS n_samples,
-  round(n / {_ADPCM_SR}.0, 6) AS duration_sec,
+  (2000000 * CAST(n AS BIGINT) + {_ADPCM_SR}) // (2 * {_ADPCM_SR}) / 1e6 AS duration_sec,
   CASE WHEN n = 0 THEN NULL ELSE peak END AS peak_abs,
   CASE WHEN n = 0 THEN NULL
        ELSE round(sqrt(CAST(ssq AS DOUBLE) / n), 6) END AS rms,
@@ -1134,9 +1134,9 @@ SELECT doc_id AS media_id, frame_id,
   CAST({_MJPEG_FPS} AS DOUBLE) AS fps,
   CAST({_MJPEG_FB * 8} AS INT) AS width,
   CAST(8 AS INT) AS height,
-  round(coalesce(list_sum(s[frame_id * {_MJPEG_FB} + 1 :
-                           least((frame_id + 1) * {_MJPEG_FB}, n)]), 0)
-        / {_MJPEG_FB}.0, 6) AS mean_intensity,
+  (2000000 * CAST(coalesce(list_sum(s[frame_id * {_MJPEG_FB} + 1 :
+                           least((frame_id + 1) * {_MJPEG_FB}, n)]), 0) AS BIGINT)
+        + {_MJPEG_FB}) // (2 * {_MJPEG_FB}) / 1e6 AS mean_intensity,
   true AS decoded
 FROM f
 """
@@ -1179,9 +1179,9 @@ SELECT doc_id AS media_id, frame_id,
   CAST({_DIB_FPS} AS DOUBLE) AS fps,
   CAST({_DIB_FB} AS INT) AS width,
   CAST(2 AS INT) AS height,
-  round(coalesce(list_sum(s[frame_id * {2 * _DIB_FB} + 1 :
-                           least((frame_id + 1) * {2 * _DIB_FB}, n)]), 0)
-        / {2 * _DIB_FB}.0, 6) AS mean_intensity,
+  (2000000 * CAST(coalesce(list_sum(s[frame_id * {2 * _DIB_FB} + 1 :
+                           least((frame_id + 1) * {2 * _DIB_FB}, n)]), 0) AS BIGINT)
+        + {2 * _DIB_FB}) // (2 * {2 * _DIB_FB}) / 1e6 AS mean_intensity,
   true AS decoded
 FROM f
 """
@@ -1239,8 +1239,8 @@ SELECT doc_id AS media_id, frame_id,
   CAST({_GIF_FB * 8} AS INT) AS width,
   CAST(nf * 8 AS INT) AS height,
   -- composed canvas at frame k = bands 0..k -> CUMULATIVE byte sum
-  round(coalesce(list_sum(s[1 : least((frame_id + 1) * {_GIF_FB}, n)]), 0)
-        / ({_GIF_FB}.0 * nf), 6) AS mean_intensity,
+  (2000000 * CAST(coalesce(list_sum(s[1 : least((frame_id + 1) * {_GIF_FB}, n)]), 0) AS BIGINT)
+        + {_GIF_FB} * nf) // (2 * {_GIF_FB} * nf) / 1e6 AS mean_intensity,
   true AS decoded
 FROM f
 """
