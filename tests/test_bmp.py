@@ -161,5 +161,7 @@ def test_distributed_stats_pass(spark):
     rows = out.collect()
     assert [r["decoded"] for r in rows] == [True, True, True]
     assert rows[0]["width"] == 8 and rows[0]["height"] == 2
-    assert rows[1]["mean_intensity"] == (ord("a") * 100) / (8 * 13)
+    # engine-exact integer HALF_UP 6dp mean (round-10)
+    s, npx = ord("a") * 100, 8 * 13
+    assert rows[1]["mean_intensity"] == ((2_000_000 * s + npx) // (2 * npx)) / 1e6
     assert rows[2]["height"] == 1 and rows[2]["mean_intensity"] == 0.0

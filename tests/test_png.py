@@ -119,5 +119,7 @@ def test_distributed_interlaced_stats(spark):
     n = len(b"interlaced pixels")
     h = -(-n // 8)
     assert (rows[0].width, rows[0].height) == (8, h)
-    assert rows[0].mean_intensity == sum(b"interlaced pixels") / (8 * h)
+    # worker emits the engine-exact integer HALF_UP 6dp mean (round-10)
+    s, npx = sum(b"interlaced pixels"), 8 * h
+    assert rows[0].mean_intensity == ((2_000_000 * s + npx) // (2 * npx)) / 1e6
     assert rows[1].mean_intensity == 0.0
