@@ -266,11 +266,17 @@ def _box_state() -> dict:
         return state
     # "ours" = this PID, its ancestors (the shell/driver that launched
     # bench), and every descendant (the session JVM + python workers)
+    # pid 1 (init) must never enter the closure: every process descends
+    # from it, so seeding it makes the descendant sweep swallow the
+    # whole box and 'stray' can never fire (round-10 ADVICE, medium).
     mine = {os.getpid()}
     p = os.getpid()
-    while p in ppid_of and ppid_of[p] not in mine and p != 1:
-        p = ppid_of[p]
-        mine.add(p)
+    while p in ppid_of:
+        parent = ppid_of[p]
+        if parent <= 1 or parent in mine:
+            break
+        mine.add(parent)
+        p = parent
     grew = True
     while grew:
         grew = False

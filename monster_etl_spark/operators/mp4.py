@@ -267,8 +267,13 @@ def mp4_box_profile_fn():
                             dur = int.from_bytes(b[ks + 16 : ks + 20], "big")
                         else:
                             return None
+                        # timescale 0 is malformed (division-by-zero
+                        # clock): profile-as-None like every other
+                        # corruption, never substitute a fake clock
+                        if ts == 0:
+                            return None
                         out["timescale"] = ts
-                        out["duration_ms"] = dur * 1000 // max(1, ts)
+                        out["duration_ms"] = dur * 1000 // ts
                     elif kt == b"trak":
                         out["n_tracks"] += 1
                         if not _trak_summary(b, ks, ke, out):

@@ -1055,6 +1055,9 @@ def _ogg_media_worker():
             channels=1 + m % 2,
             input_rate=(48000, 44100, 16000)[m % 3],
             samples_per_page=960,
+            # vary the priming-sample count so the profiler's RFC 7845
+            # pre-skip subtraction is exercised, not a constant offset
+            pre_skip=312 + (m % 5) * 24,
         )
 
     def _worker(batches):
@@ -1072,7 +1075,8 @@ def _ogg_profile_worker():
     profile_local = ogg_page_profile_fn()
     fields = (
         "codec", "n_pages", "n_streams", "channels", "input_rate",
-        "last_granule", "duration_ms", "eos_seen", "body_bytes",
+        "pre_skip", "last_granule", "duration_ms", "eos_seen",
+        "body_bytes",
     )
 
     def _worker(batches):

@@ -52,10 +52,10 @@ def ogg_encode_fn():
         return hdr + body
 
     def encode(n_pages, *, channels=2, input_rate=48000,
-               samples_per_page=960, serial=0x1234):
+               samples_per_page=960, serial=0x1234, pre_skip=312):
         head = (
             b"OpusHead" + bytes((1, channels))
-            + struct.pack("<H", 312)          # pre-skip
+            + struct.pack("<H", pre_skip)
             + struct.pack("<I", input_rate)
             + struct.pack("<h", 0) + bytes((0,))  # gain, mapping family
         )
@@ -76,12 +76,15 @@ def ogg_page_profile_fn():
     'vorbis', 'theora', or 'unknown' for a valid Ogg of another
     codec), ``n_pages``, ``n_streams`` (distinct serials), ``channels``
     / ``input_rate`` (OpusHead fields; None for other codecs),
-    ``last_granule`` (the first stream's final granule position),
-    ``duration_ms`` (Opus only: granule counts 48 kHz samples per
-    RFC 7845 — integer FLOOR, the engine-exact tie policy all
-    profilers here share), ``eos_seen``, and ``body_bytes`` (summed
-    lacing, bodies skipped). ``None`` for anything that is not an Ogg
-    stream or whose page chain is malformed/truncated."""
+    ``pre_skip`` (OpusHead bytes 10-11 LE), ``last_granule`` (the
+    first stream's final granule position), ``duration_ms`` (Opus
+    only: granule counts 48 kHz samples per RFC 7845, and playback
+    duration subtracts the pre-skip priming samples —
+    ``max(0, granule - pre_skip)``, integer FLOOR, the engine-exact
+    tie policy all profilers here share), ``eos_seen``, and
+    ``body_bytes`` (summed lacing, bodies skipped). ``None`` for
+    anything that is not an Ogg stream or whose page chain is
+    malformed/truncated."""
     import struct
 
     def profile(b):
@@ -92,6 +95,7 @@ def ogg_page_profile_fn():
         first_serial = None
         codec = None
         channels = None
+        pre_skip = None
         input_rate = None
         last_granule = None
         eos = False
@@ -116,6 +120,7 @@ def ogg_page_profile_fn():
                 if body[:8] == b"OpusHead" and len(body) >= 16:
                     codec = "opus"
                     channels = body[9]
+                    pre_skip = struct.unpack_from("<H", body, 10)[0]
                     input_rate = struct.unpack_from("<I", body, 12)[0]
                 elif body[1:7] == b"vorbis":
                     codec = "vorbis"
@@ -138,9 +143,15 @@ def ogg_page_profile_fn():
             "n_streams": len(serials),
             "channels": channels,
             "input_rate": input_rate,
+            "pre_skip": pre_skip,
             "last_granule": last_granule,
+            # RFC 7845 playback duration: the first pre_skip samples at
+            # the 48 kHz granule clock are decoder priming and are
+            # discarded, so duration = (granule - pre_skip) / 48k
+            # (round-10 ADVICE: the un-subtracted form overstated real
+            # corpora by ~pre_skip/48 ms per file).
             "duration_ms": (
-                last_granule * 1000 // 48000
+                max(0, last_granule - (pre_skip or 0)) * 1000 // 48000
                 if codec == "opus" and last_granule is not None
                 else None
             ),

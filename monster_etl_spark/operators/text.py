@@ -635,17 +635,22 @@ def hashed_linear_score(
     # hits literal half ties (round-10 tie sweep: doc 125 at sf0.1,
     # 2070/32000 = 0.0646875 — Spark rounds the shortest decimal repr,
     # DuckDB the binary value, and they DISAGREE there). Round in
-    # integer arithmetic instead: |v|*1e6 = 1000|s|/n, HALF_UP =
-    # (2*1000|s| + n) div (2n) — engine-exact, no float tie to hit.
+    # integer arithmetic instead at scale p = 10^round_to:
+    # |v|*p = p|s|/(1000n), HALF_UP = (2p|s| + 1000n) div (2000n) —
+    # engine-exact, no float tie to hit, honoring round_to for ANY
+    # precision (round-10 ADVICE: the 6dp constants were hardcoded).
+    # At round_to=6 this reduces exactly to (2000|s| + n) div (2n).
     # The sigmoid's round is tie-safe (transcendental output; swept).
-    logit_e6 = F.expr(
+    p = 10 ** int(round_to)
+    logit_e = F.expr(
         "CAST(sign(s_milli) AS BIGINT)"
-        " * ((2000 * abs(s_milli) + n_tokens) div (2 * n_tokens))"
+        f" * ((2 * {p} * abs(s_milli) + 1000 * n_tokens)"
+        " div (2000 * n_tokens))"
     )
     return agg.select(
         F.col("doc").alias(id_col),
         "n_tokens",
-        (logit_e6 / F.lit(1e6)).alias("logit"),
+        (logit_e / F.lit(float(p))).alias("logit"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), round_to).alias("score"),
         (F.col("s_milli") >= 0).alias("keep"),
     )

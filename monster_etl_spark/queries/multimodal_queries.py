@@ -602,8 +602,9 @@ FROM documents
 
 _OGG_PROFILE_SCHEMA = (
     "media_id long, codec string, n_pages long, n_streams int, "
-    "channels int, input_rate int, last_granule long, duration_ms long, "
-    "eos_seen boolean, body_bytes long, profiled boolean"
+    "channels int, input_rate int, pre_skip int, last_granule long, "
+    "duration_ms long, eos_seen boolean, body_bytes long, "
+    "profiled boolean"
 )
 
 
@@ -625,10 +626,12 @@ def multimodal_ogg_page_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Analytic twin (n = utf-8 byte length): audio pages = max(1, n//24),
 # +1 BOS page; 960 samples/page at the 48 kHz granule clock; OpusHead
-# body is 19 bytes, each audio page body 100.
+# body is 19 bytes, each audio page body 100; pre-skip sweeps
+# 312 + 24*(id%5) and RFC 7845 playback duration subtracts it.
 OGG_PROFILE_SQL = """
 WITH p AS (
-  SELECT doc_id, greatest(1, octet_length(encode(text)) // 24) AS np
+  SELECT doc_id, greatest(1, octet_length(encode(text)) // 24) AS np,
+    312 + 24 * (doc_id % 5) AS ps
   FROM documents
 )
 SELECT doc_id AS media_id,
@@ -638,8 +641,9 @@ SELECT doc_id AS media_id,
   CAST(1 + doc_id % 2 AS INT) AS channels,
   CAST(list_extract([48000, 44100, 16000], CAST(1 + doc_id % 3 AS INT)) AS INT)
     AS input_rate,
+  CAST(ps AS INT) AS pre_skip,
   CAST(np * 960 AS BIGINT) AS last_granule,
-  CAST(np * 960 * 1000 // 48000 AS BIGINT) AS duration_ms,
+  CAST(greatest(0, np * 960 - ps) * 1000 // 48000 AS BIGINT) AS duration_ms,
   true AS eos_seen,
   CAST(19 + np * 100 AS BIGINT) AS body_bytes,
   true AS profiled

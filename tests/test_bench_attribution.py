@@ -166,6 +166,40 @@ def test_box_state_excludes_own_tree():
     assert own == []
 
 
+def test_box_state_sees_detached_stray(tmp_path):
+    """A detached (reparented-to-init) process whose cmdline matches the
+    stray pattern MUST appear in 'stray'. Round-10 ADVICE: the ancestor
+    walk used to add pid 1 to 'mine', so the descendant closure swallowed
+    every process on the box and 'stray' was structurally empty — the
+    loaded-box probe cause could never fire mid-run. Live, not mocked."""
+    import subprocess
+    import time
+
+    probe = tmp_path / "java_stray_livetest"
+    probe.symlink_to("/bin/sleep")
+    # setsid + backgrounding detaches: when the bash wrapper exits the
+    # child reparents to init, leaving OUR ancestor/descendant closure.
+    subprocess.run(
+        ["bash", "-c", f"setsid {probe} 30 >/dev/null 2>&1 </dev/null &"],
+        check=True,
+    )
+    try:
+        hit = []
+        for _ in range(20):  # reparenting is async; poll up to 2 s
+            time.sleep(0.1)
+            state = bench._box_state()
+            hit = [
+                s for s in (state.get("stray") or [])
+                if "java_stray_livetest" in s["cmd"]
+            ]
+            if hit:
+                break
+        assert hit, f"detached java-named process not flagged: {state}"
+        assert state["stray_count"] >= 1
+    finally:
+        subprocess.run(["pkill", "-f", "java_stray_livetest"], check=False)
+
+
 def test_normalize_plan_strips_session_noise():
     a = bench._normalize_plan(
         "Exchange hashpartitioning(k#123L, 32) [plan_id=45] "

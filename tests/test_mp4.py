@@ -95,6 +95,16 @@ def test_profile_never_raises_on_garbage():
     assert profile(whole) is not None
 
 
+def test_profile_zero_timescale_is_malformed():
+    """mvhd timescale 0 is a division-by-zero clock: the strict
+    profile-as-None contract applies — no silent max(1, ts) substitute
+    (round-10 ADVICE)."""
+    good = mp4_encode(b"x" * 10, timescale=600, duration=1200)
+    assert mp4_box_profile(good)["duration_ms"] == 2000
+    bad = mp4_encode(b"x" * 10, timescale=0, duration=1200)
+    assert mp4_box_profile(bad) is None
+
+
 def test_mp4_fused_corpus_end_to_end(spark):
     """Adapter + profiler through fused_media_stats: the doc_id-derived
     mix (brand, tracks, v1 mvhd, largesize) profiles analytically."""

@@ -17,13 +17,25 @@ def test_profile_full_field_contract():
         "n_streams": 1,
         "channels": 2,
         "input_rate": 44100,
+        "pre_skip": 312,
         "last_granule": 4800,
-        # granule counts 48 kHz samples regardless of input rate
+        # granule counts 48 kHz samples regardless of input rate, and
+        # playback duration discards the pre-skip priming samples
         # (RFC 7845); integer floor ms
-        "duration_ms": 4800 * 1000 // 48000,
+        "duration_ms": (4800 - 312) * 1000 // 48000,
         "eos_seen": True,
         "body_bytes": 19 + 5 * 100,
     }
+
+
+def test_profile_pre_skip_subtraction_and_clamp():
+    # a custom pre-skip flows through, and a pre-skip exceeding the
+    # stream's granule clamps duration at 0 rather than going negative
+    p = ogg_page_profile(ogg_encode(2, pre_skip=1000))
+    assert p["pre_skip"] == 1000
+    assert p["duration_ms"] == (2 * 960 - 1000) * 1000 // 48000
+    short = ogg_page_profile(ogg_encode(1, pre_skip=2000))
+    assert short["last_granule"] == 960 and short["duration_ms"] == 0
 
 
 def test_profile_codec_sniff_and_multi_stream():
@@ -84,6 +96,7 @@ def test_ogg_fused_corpus_end_to_end(spark):
         assert r.codec == "opus" and r.n_pages == np_ + 1
         assert r.channels == 1 + i % 2
         assert r.input_rate == (48000, 44100, 16000)[i % 3]
+        assert r.pre_skip == 312 + 24 * (i % 5)
         assert r.last_granule == np_ * 960
-        assert r.duration_ms == np_ * 960 * 1000 // 48000
+        assert r.duration_ms == max(0, np_ * 960 - r.pre_skip) * 1000 // 48000
         assert r.eos_seen and r.body_bytes == 19 + np_ * 100

@@ -166,3 +166,31 @@ def test_bpe_safe_batch_fuzz_pure_python():
         for bt in (2, 5, 64):
             got = batched(dict(words), 12, bt)
             assert got == want, (trial, bt, wf, want, got)
+
+
+def test_hashed_linear_score_round_to_honored(spark):
+    """round_to must govern BOTH the score and the logit (round-10
+    ADVICE: the logit's integer-HALF_UP constants were hardcoded at
+    6dp and silently ignored the parameter). round_to=6 must reduce to
+    the exact pre-fix formula (2000|s| + n) div (2n) so registry hashes
+    are unchanged."""
+    from monster_etl_spark.operators.text import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i} tok{i * 7}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    r6 = {r.doc_id: r for r in hashed_linear_score(docs, round_to=6).collect()}
+    r4 = {r.doc_id: r for r in hashed_linear_score(docs, round_to=4).collect()}
+    saw_coarser = False
+    for i in r6:
+        a, b = r6[i], r4[i]
+        assert a.n_tokens == b.n_tokens and a.keep == b.keep
+        # the 4dp logit is the HALF_UP rounding of the exact rational at
+        # 4 places: it must equal round-at-4dp of itself and sit within
+        # half an ulp(1e-4) of the 6dp value
+        assert abs(b.logit * 1e4 - round(b.logit * 1e4)) < 1e-9
+        assert abs(a.logit - b.logit) <= 5.0001e-5
+        if abs(a.logit * 1e4 - round(a.logit * 1e4)) > 1e-9:
+            saw_coarser = True
+    assert saw_coarser  # some 6dp logit genuinely needs >4dp
