@@ -242,6 +242,65 @@ TWO_LEVEL_SUP_PROBES = 4
 #: assignment="two_level" bypasses this.
 ARROW_TWO_LEVEL_MIN_CELLS = 1024
 
+#: corpus size at which ``tier="auto"`` routes the IVF kNN entry points
+#: to the Arrow/BLAS kernel (``ivf_topk_arrow``). Measured (SCALE.md
+#: round 10, decorrelated 64-dim corpus, auto knobs): the JVM HOF tier
+#: scales at alpha 1.48 across the sf10 -> sf100e decade and reads
+#: 1374 s vs the Arrow kernel's 399 s at 2M rows (3.4x, widening with
+#: scale — interpreted per-row expression trees lose cache locality as
+#: the centroid pool grows), while end-to-end Arrow was already 1.14x
+#: at sf0.1 and 1.34x at sf1. The crossover sits at the same 100k-row
+#: line as TWO_LEVEL_AUTO_MIN_ROWS: below it both tiers are
+#: sub-second-to-seconds and the JVM tier keeps byte-identical
+#: oracle-pinned plans with zero driver-side collects; at or above it
+#: the Arrow tier's bounded collects (queries + centroid table, by
+#: contract) buy the measured 2-3x and the better exponent. Explicit
+#: ``tier="jvm"`` / ``tier="arrow"`` always bypass the route (e.g. for
+#: environments without Arrow).
+ARROW_TIER_MIN_ROWS = 100_000
+
+#: ``n_probes=None`` resolves to ``max(base, round(cells * FRACTION))``
+#: (capped): holding the probed FRACTION of the corpus constant keeps
+#: recall scale-invariant, where a fixed probe count makes it shrink by
+#: construction as auto-cells grows ~sqrt(N). Anchor and evidence
+#: (SCALE.md round-10 addendum): the default 4/447 fraction (~0.009) at
+#: sf10 read recall 0.13; at sf100e the fixed default's fraction fell
+#: to 4/1414 and recall to 0.115, while probes=13 (= this rule: round(
+#: 1414 * 0.009)) restored the fraction and read recall 0.145 at
+#: marginal cost (421 s vs 399 s — assignment dominates, probing is
+#: cheap). The cap bounds the per-query probe-set/LUT width at extreme
+#: cell counts (65536 auto-cells ceiling -> 256 probes, still ~0.4% of
+#: cells); callers needing more recall there raise probes explicitly.
+IVF_PROBE_FRACTION = 0.009
+IVF_PROBE_CAP = 256
+
+
+def resolve_probes(n_probes: int | None, n_cells: int, base: int = IVF_PROBES,
+                   extra: int = 0) -> int:
+    """Resolve the ``n_probes`` knob: an explicit count passes through;
+    ``None`` holds the probed fraction of cells constant —
+    ``max(base, round(cells * IVF_PROBE_FRACTION)) + extra``, capped at
+    :data:`IVF_PROBE_CAP`. At the oracle-pinned registry index
+    (IVF_CENTROIDS=16 cells) this resolves to exactly ``base + extra``
+    (the pre-knob defaults), so registry plans and hashes are
+    unchanged; ``extra`` is the IVF-PQ entry points' +2 margin for
+    compounding pruning + quantization losses."""
+    if n_probes is not None:
+        return n_probes
+    by_fraction = int(round(n_cells * IVF_PROBE_FRACTION))
+    return max(base, min(by_fraction, IVF_PROBE_CAP)) + extra
+
+
+def resolve_tier(tier: str | None, n_rows: int | None) -> str | None:
+    """Resolve the execution-tier knob: ``"auto"`` routes to the Arrow
+    kernel at or above :data:`ARROW_TIER_MIN_ROWS` corpus rows and
+    stays on the JVM expression tier below (measured basis on the
+    constant); explicit ``"jvm"``/``"arrow"`` pass through. ``n_rows``
+    None (the zero-count fast path) resolves "auto" to "jvm"."""
+    if tier != "auto":
+        return tier
+    return "arrow" if n_rows is not None and n_rows >= ARROW_TIER_MIN_ROWS else "jvm"
+
 
 def _centroid_array(cent: DataFrame) -> DataFrame:
     """Collapse a (cent_id, cv) centroid table into ONE row holding the
@@ -501,11 +560,12 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_centroids: int | None = IVF_CENTROIDS,
-    n_probes: int = IVF_PROBES,
+    n_probes: int | None = None,
     kmeans_iters: int = IVF_KMEANS_ITERS,
     assignment: str = "auto",
     sup_probes: int = TWO_LEVEL_SUP_PROBES,
     fit_fraction: float | None = None,
+    tier: str = "auto",
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is inverted into
     ``n_centroids`` cells (nearest-centroid assignment); a query probes its
@@ -532,13 +592,40 @@ def ivf_topk(
     >= 64 cells (measured sf10, 200k rows x 447 auto cells: flat corpus
     assignment is the dominant term; two-level is ~(1+sup_probes) *
     sqrt(cells) dots/row); ``fit_fraction=None`` sample-bounds the Lloyd
-    fit whenever the corpus was counted. The oracle-pinned default
+    fit whenever the corpus was counted; ``n_probes=None`` holds the
+    probed fraction of cells constant (:func:`resolve_probes` — a
+    fixed count makes recall SHRINK as auto-cells grows ~sqrt(N));
+    ``tier="auto"`` routes the whole call to :func:`ivf_topk_arrow` at
+    or above :data:`ARROW_TIER_MIN_ROWS` corpus rows (round-10 soak:
+    the JVM HOF tier reads alpha 1.48 and 3.4x the Arrow kernel's wall
+    at 2M rows, widening with scale — results are bit-identical, so
+    only the physical strategy changes). The oracle-pinned default
     (``n_centroids=16`` < TWO_LEVEL_MIN_CELLS) takes none of these
-    paths — no count job, flat exact plan, byte-identical results.
+    paths — no count job, flat exact JVM plan, byte-identical results.
     """
-    n_centroids, assignment, fit_fraction = _resolve_ivf_knobs(
-        corpus, n_centroids, assignment, fit_fraction
+    requested_assignment = assignment
+    n_centroids, assignment, fit_fraction, tier = _resolve_ivf_knobs(
+        corpus, n_centroids, assignment, fit_fraction, tier
     )
+    n_probes = resolve_probes(n_probes, n_centroids)
+    if tier == "arrow":
+        # Knobs are fully resolved — the Arrow twin re-resolves on
+        # explicit values with NO second count job. One asymmetry to
+        # replicate: the Arrow kernel's BLAS flat GEMM is so cheap that
+        # its own "auto" assignment keeps flat below
+        # ARROW_TWO_LEVEL_MIN_CELLS (1024) where the JVM gate is 64 —
+        # apply that gate here since the Arrow path will see an
+        # explicit (already-resolved) assignment string.
+        if (
+            requested_assignment == "auto"
+            and assignment == "two_level"
+            and n_centroids < ARROW_TWO_LEVEL_MIN_CELLS
+        ):
+            assignment = "flat"
+        return ivf_topk_arrow(
+            queries, corpus, id_col, vec_col, k, n_centroids, n_probes,
+            kmeans_iters, fit_fraction, assignment, sup_probes,
+        )
     cent = kmeans_centroids(
         corpus, id_col, vec_col, n_centroids, kmeans_iters, fit_fraction=fit_fraction
     )
@@ -608,6 +695,7 @@ def _resolve_ivf_knobs(
     n_centroids: int | None,
     assignment: str,
     fit_fraction: float | None,
+    tier: str | None = None,
 ) -> tuple:
     """Shared knob resolution for the kNN index builders (``ivf_topk``,
     ``ivf_topk_arrow``, ``ivfpq_topk``) — the same auto rules SemDeDup
@@ -625,29 +713,42 @@ def _resolve_ivf_knobs(
       counted anyway — without it each Lloyd round is its own N x cells
       pass.
 
+    - ``tier="auto"`` (round-10 verdict #1) -> the Arrow/BLAS kernel at
+      or above :data:`ARROW_TIER_MIN_ROWS` corpus rows (measured: JVM
+      HOF alpha 1.48 and 3.4x slower than Arrow at 2M rows), the JVM
+      expression tier below; ``None`` skips tier resolution entirely
+      (callers that ARE a tier, e.g. ``ivf_topk_arrow``).
+
     ZERO-OVERHEAD fast path: an explicit ``n_centroids`` below
     :data:`TWO_LEVEL_MIN_CELLS` (the registry's oracle-pinned
-    IVF_CENTROIDS=16) resolves flat with NO count job and an exact full
-    fit — plans for every oracle-pinned query are byte-identical to the
-    pre-knob code. Returns (n_centroids, assignment, fit_fraction).
+    IVF_CENTROIDS=16) resolves flat + JVM with NO count job and an
+    exact full fit — plans for every oracle-pinned query are
+    byte-identical to the pre-knob code. A small explicit index is the
+    small-corpus contract, so tier="auto" resolves "jvm" there without
+    counting; any caller that needs the count anyway (auto cells, auto
+    assignment, or tier="auto" with a large explicit index) shares ONE
+    count job for all four knobs. Returns (n_centroids, assignment,
+    fit_fraction, tier).
     """
-    if (
-        assignment == "auto"
-        and n_centroids is not None
-        and n_centroids < TWO_LEVEL_MIN_CELLS
-    ):
+    small_explicit = (
+        n_centroids is not None and n_centroids < TWO_LEVEL_MIN_CELLS
+    )
+    if assignment == "auto" and small_explicit:
         assignment = "flat"
-    if n_centroids is None or assignment == "auto":
+    if tier == "auto" and small_explicit:
+        tier = "jvm"
+    if n_centroids is None or assignment == "auto" or tier == "auto":
         n_rows = corpus.count()
         if n_centroids is None:
             n_centroids = auto_centroids(n_rows)
         assignment = resolve_assignment(assignment, n_rows, n_centroids)
+        tier = resolve_tier(tier, n_rows)
         if fit_fraction is None:
             target = max(SEMANTIC_FIT_PER_CELL * n_centroids, SEMANTIC_FIT_MIN_SAMPLE)
             fit_fraction = min(1.0, target / max(1, n_rows))
     if fit_fraction is None:
         fit_fraction = 1.0
-    return n_centroids, assignment, fit_fraction
+    return n_centroids, assignment, fit_fraction, tier
 
 
 #: auto fit-sample sizing: fit the Lloyd loop on ~max(PER_CELL * cells,
@@ -1138,7 +1239,7 @@ def ivf_topk_arrow(
     vec_col: str = "embedding",
     k: int = 5,
     n_centroids: int | None = IVF_CENTROIDS,
-    n_probes: int = IVF_PROBES,
+    n_probes: int | None = None,
     kmeans_iters: int = IVF_KMEANS_ITERS,
     fit_fraction: float | None = None,
     assignment: str = "auto",
@@ -1200,9 +1301,10 @@ def ivf_topk_arrow(
     import numpy as np
 
     requested = assignment
-    n_centroids, assignment, fit_fraction = _resolve_ivf_knobs(
+    n_centroids, assignment, fit_fraction, _ = _resolve_ivf_knobs(
         corpus, n_centroids, assignment, fit_fraction
     )
+    n_probes = resolve_probes(n_probes, n_centroids)
     # The BLAS flat GEMM moves the N x cells constant far below the
     # interpreted-HOF path the JVM's 64-cell gate was measured against,
     # so the Arrow crossover sits higher: measured on 200k x 64 (idle
@@ -1795,7 +1897,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_centroids: int | None = IVF_CENTROIDS,
-    n_probes: int = IVF_PROBES + 2,  # pruning + quantization losses compound
+    n_probes: int | None = None,  # None -> resolve_probes(..., extra=2)
     m: int = PQ_SUBSPACES,
     n_codes: int = PQ_CODES,
     shortlist_factor: int = PQ_SHORTLIST_FACTOR,
@@ -1843,10 +1945,17 @@ def ivfpq_topk(
     approximates dot against the UNIT corpus vector directly. Zero-norm
     corpus vectors have no residual and are excluded (they have no
     cosine direction; the raw variant ranks them last anyway).
+
+    ``n_probes=None`` resolves with the corpus like the IVF entry
+    points (:func:`resolve_probes`, constant probed fraction) plus the
+    +2 margin for compounding pruning + quantization losses — at the
+    oracle-pinned registry index (16 cells) this is exactly the old
+    IVF_PROBES + 2 default.
     """
-    n_centroids, assignment, fit_fraction = _resolve_ivf_knobs(
+    n_centroids, assignment, fit_fraction, _ = _resolve_ivf_knobs(
         corpus, n_centroids, assignment, fit_fraction
     )
+    n_probes = resolve_probes(n_probes, n_centroids, extra=2)
     cent = kmeans_centroids(
         corpus, id_col, vec_col, n_centroids, IVF_KMEANS_ITERS, fit_fraction=fit_fraction
     )

@@ -263,10 +263,10 @@ def test_arrow_ivf_registry_default_stays_flat(spark, sf_dir):
     TWO_LEVEL_MIN_CELLS) must resolve flat with no count job — the
     knn_ivf_arrow hashes cannot move."""
     emb = load(spark, sf_dir, "embeddings")
-    _, assignment, _ = sim._resolve_ivf_knobs(
-        emb, sim.IVF_CENTROIDS, "auto", None
+    _, assignment, _, tier = sim._resolve_ivf_knobs(
+        emb, sim.IVF_CENTROIDS, "auto", None, tier="auto"
     )
-    assert assignment == "flat"
+    assert assignment == "flat" and tier == "jvm"
 
 
 def test_arrow_ivf_plan_shape(spark, sf_dir):
@@ -684,19 +684,87 @@ def test_resolve_ivf_knobs(spark):
     df = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(100)], "vec_id: long, embedding: array<double>"
     )
-    # fast path: no count needed -> flat + exact fit, small explicit cells
-    n, a, f = sim._resolve_ivf_knobs(df, sim.IVF_CENTROIDS, "auto", None)
-    assert (n, a, f) == (sim.IVF_CENTROIDS, "flat", 1.0)
+    # fast path: no count needed -> flat + exact fit + JVM tier, small
+    # explicit cells (the small-corpus contract resolves tier="auto"
+    # WITHOUT a count job — registry plans byte-identical)
+    n, a, f, t = sim._resolve_ivf_knobs(df, sim.IVF_CENTROIDS, "auto", None, "auto")
+    assert (n, a, f, t) == (sim.IVF_CENTROIDS, "flat", 1.0, "jvm")
     # auto cells: ~sqrt(100) = 10, still flat (tiny corpus), sampled-fit
-    # target far above 100 rows -> full fit
-    n, a, f = sim._resolve_ivf_knobs(df, None, "auto", None)
+    # target far above 100 rows -> full fit, tiny corpus -> JVM tier
+    n, a, f, t = sim._resolve_ivf_knobs(df, None, "auto", None, "auto")
     assert n == sim.auto_centroids(100) and a == "flat" and f == 1.0
+    assert t == "jvm"
     # explicit two_level passes through even on the fast path
-    _, a, _ = sim._resolve_ivf_knobs(df, sim.IVF_CENTROIDS, "two_level", None)
+    _, a, _, _ = sim._resolve_ivf_knobs(df, sim.IVF_CENTROIDS, "two_level", None)
     assert a == "two_level"
     # explicit fit_fraction is never overridden
-    _, _, f = sim._resolve_ivf_knobs(df, None, "auto", 0.5)
+    _, _, f, _ = sim._resolve_ivf_knobs(df, None, "auto", 0.5)
     assert f == 0.5
+    # explicit tier passes through; tier=None (a caller that IS a tier)
+    # stays None
+    assert sim._resolve_ivf_knobs(df, None, "auto", None, "arrow")[3] == "arrow"
+    assert sim._resolve_ivf_knobs(df, None, "auto", None)[3] is None
+
+
+def test_resolve_tier_and_probes_rules():
+    """Pin the round-11 routing crossover and the constant-probed-
+    fraction rule (round-10 verdict #1/#2): tier='auto' routes to the
+    Arrow kernel at ARROW_TIER_MIN_ROWS (the measured sf10->sf100e
+    decade: JVM alpha 1.48, 3.4x Arrow's wall at 2M rows) and
+    n_probes=None holds probed fraction ~IVF_PROBE_FRACTION of cells,
+    never below the registry-pinned base."""
+    assert sim.ARROW_TIER_MIN_ROWS == 100_000
+    t = sim.ARROW_TIER_MIN_ROWS
+    assert sim.resolve_tier("auto", t - 1) == "jvm"
+    assert sim.resolve_tier("auto", t) == "arrow"
+    assert sim.resolve_tier("auto", None) == "jvm"  # zero-count fast path
+    assert sim.resolve_tier("jvm", 10 * t) == "jvm"
+    assert sim.resolve_tier("arrow", 1) == "arrow"
+    assert sim.resolve_tier(None, 10 * t) is None
+    # probes: registry identities (cells=16 -> the pre-knob defaults)
+    assert sim.resolve_probes(None, sim.IVF_CENTROIDS) == sim.IVF_PROBES
+    assert sim.resolve_probes(None, sim.IVF_CENTROIDS, extra=2) == sim.IVF_PROBES + 2
+    # measured anchors: sf10 auto-cells 447 -> 4 (the 0.13-recall
+    # fraction), sf100e auto-cells 1414 -> 13 (the addendum's measured
+    # equal-fraction probe count, recall 0.145)
+    assert sim.resolve_probes(None, 447) == 4
+    assert sim.resolve_probes(None, 1414) == 13
+    # cap binds at the auto-cells ceiling; explicit always passes through
+    assert sim.resolve_probes(None, 65536) == sim.IVF_PROBE_CAP
+    assert sim.resolve_probes(9, 65536) == 9
+
+
+def test_ivf_tier_auto_routes_to_arrow(spark, sf_dir, monkeypatch):
+    """Above the (monkeypatch-lowered) crossover, ivf_topk with default
+    tier='auto' must dispatch the WHOLE call to ivf_topk_arrow — and the
+    routed result must equal the JVM tier's bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id % 50 == 0)
+    monkeypatch.setattr(sim, "ARROW_TIER_MIN_ROWS", 1)
+    called = {}
+    real = sim.ivf_topk_arrow
+
+    def spy(*a, **kw):
+        called["hit"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sim, "ivf_topk_arrow", spy)
+    # n_centroids=None: the explicit-small-index fast path is the
+    # small-corpus CONTRACT and never routes; auto knobs do
+    routed = sim.ivf_topk(queries, emb, k=5, n_centroids=None).collect()
+    assert called.get("hit"), "tier='auto' did not route to the Arrow kernel"
+    jvm = sim.ivf_topk(
+        queries, emb, k=5, n_centroids=None, tier="jvm"
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(routed, key=key) == sorted(jvm, key=key)
+    # below the crossover nothing routes (restore the real constant);
+    # the registry's pinned-small-index call must not even count
+    monkeypatch.setattr(sim, "ARROW_TIER_MIN_ROWS", 100_000)
+    called.clear()
+    sim.ivf_topk(queries, emb, k=5, n_centroids=None).collect()
+    sim.ivf_topk(queries, emb, k=5).collect()
+    assert not called
 
 
 def test_ivf_auto_two_level_dispatch(spark, sf_dir, monkeypatch):

@@ -79,13 +79,17 @@ def main() -> None:
             (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
         )
         n_rows = emb.count()
-        cells, assign, fitf = sim._resolve_ivf_knobs(emb, None, "auto", None)
+        cells, assign, fitf, tier = sim._resolve_ivf_knobs(
+            emb, None, "auto", None, tier="auto")
+        probes = sim.resolve_probes(args.probes or None, cells)
         print(json.dumps({
             "sf_dir": sf_dir, "rows": n_rows, "resolved_cells": cells,
             "resolved_assignment": assign,
             "resolved_fit_fraction": round(fitf, 5) if fitf else fitf,
+            "resolved_tier": tier, "resolved_probes": probes,
             "jvm_gate": sim.TWO_LEVEL_MIN_CELLS,
             "arrow_gate": sim.ARROW_TWO_LEVEL_MIN_CELLS,
+            "tier_gate_rows": sim.ARROW_TIER_MIN_ROWS,
         }), flush=True)
 
         exact = topk_sets(sim.brute_force_topk(queries, emb, k=args.k))
@@ -94,7 +98,10 @@ def main() -> None:
         variants = {
             "ivf_auto_jvm": lambda: sim.ivf_topk(
                 queries, emb, k=args.k, n_centroids=None, assignment="auto",
-                **pk),
+                tier="jvm", **pk),
+            "ivf_auto_tier": lambda: sim.ivf_topk(
+                queries, emb, k=args.k, n_centroids=None, assignment="auto",
+                tier="auto", **pk),
             "ivf_auto_arrow": lambda: sim.ivf_topk_arrow(
                 queries, emb, k=args.k, n_centroids=None, assignment="auto",
                 **pk),
