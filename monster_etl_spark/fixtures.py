@@ -71,6 +71,7 @@ def mog_embeddings(
     sigma: float = 0.2,
     seed: int = 7,
     partitions: int | None = None,
+    eigen_decay: float | None = None,
 ) -> DataFrame:
     """Mixture-of-Gaussians embedding corpus: row i belongs to cluster
     ``i % clusters`` (labels exactly balanced), vector = unit center +
@@ -80,8 +81,20 @@ def mog_embeddings(
     With unit centers and noise norm ~ sigma*sqrt(d), sigma=0.2 at d=64
     puts ~28% of the squared norm in the residual — clusters are real
     but overlapping, the regime where coarse-quantizer quality actually
-    matters."""
+    matters.
+
+    ``eigen_decay`` (round-11, the OPQ fixture): scale dimension j by
+    ``eigen_decay ** (j / (d - 1))`` — a geometrically decaying
+    spectrum, the shape real text/image embeddings have and the regime
+    where blind PQ subspace splits waste their code budget (some
+    subspaces carry almost all the variance). None/1.0 keeps the
+    isotropic corpus, where OPQ == PQ by rotation-invariance."""
     centers = mog_centers(clusters, d, seed)
+    scale_w = None
+    if eigen_decay is not None and eigen_decay != 1.0:
+        scale_w = (float(eigen_decay) ** (np.arange(d) / (d - 1))).astype(
+            np.float64
+        )
 
     def _gen(batches):
         import pandas as pd
@@ -90,6 +103,8 @@ def mog_embeddings(
             ids = pdf["id"].to_numpy()
             lab = (ids % clusters).astype(np.int32)
             vecs = centers[lab] + sigma * _hash_normals(ids, d, seed)
+            if scale_w is not None:
+                vecs = vecs * scale_w[None, :]
             yield pd.DataFrame(
                 {
                     "vec_id": ids,

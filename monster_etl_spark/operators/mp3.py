@@ -41,7 +41,8 @@ def mp3_encode_fn():
     ID3v2 tag (10-byte header + 54 bytes of padding, syncsafe size) so
     the profiler's tag-skip path is exercised by the corpus itself."""
 
-    def encode(n_frames, *, bitrate_idx=9, rate_idx=0, mono=False, id3=False):
+    def encode(n_frames, *, bitrate_idx=9, rate_idx=0, mono=False, id3=False,
+               xing=None):
         br = MPEG1_L3_BITRATES[bitrate_idx - 1] * 1000
         rate = MPEG1_RATES[rate_idx]
         flen = (144 * br) // rate  # padding bit 0 always
@@ -55,6 +56,20 @@ def mp3_encode_fn():
         if id3:
             # ID3v2.3 header: 'ID3', version, flags, syncsafe size (54)
             out += b"ID3\x03\x00\x00" + bytes((0, 0, 0, 54)) + b"\x00" * 54
+        if xing in ("xing", "info"):
+            # A first "Xing"/"Info" metadata frame (round-10 verdict #6):
+            # the tag sits after the MPEG1 side info (17 bytes mono, 32
+            # otherwise), magic + flags 0x3 (frames|bytes present) +
+            # frame count (the AUDIO frames that follow, the decoder
+            # convention) + byte count from this frame's start to EOS.
+            side = 17 if mono else 32
+            magic = b"Xing" if xing == "xing" else b"Info"
+            tag = magic + (3).to_bytes(4, "big")
+            tag += n_frames.to_bytes(4, "big")
+            tag += ((n_frames + 1) * flen).to_bytes(4, "big")
+            body = b"\x00" * side + tag
+            body += b"\x00" * (flen - 4 - len(body))
+            out += bytes((b0, b1, b2, b3)) + body
         out += frame * n_frames
         return bytes(out)
 
@@ -74,6 +89,19 @@ def mp3_frame_profile_fn():
     (total bytes walked). ``None`` for anything that is not an MPEG
     audio stream or whose frame chain is malformed/truncated — a
     corrupt blob must never raise mid-batch.
+
+    Xing/Info fast path (round-10 verdict #6): real VBR files carry a
+    first-frame "Xing" (or CBR-written "Info") tag after the side info
+    with frame/byte totals. When BOTH totals are present and the byte
+    total lands exactly on end-of-stream, the profiler trusts them and
+    returns at O(1) frames read — ``n_frames`` = the tag's count (the
+    audio frames following the tag frame, the decoder convention),
+    ``cbr`` False for Xing / True for Info, ``vbr_header`` naming the
+    tag. Any inconsistency (missing field, byte total not matching the
+    buffer) falls back to the full walk, which then counts the tag
+    frame like any other and leaves ``cbr`` to the per-frame bitrates
+    — trust-but-verify at O(1), never a wrong answer at O(1).
+    ``vbr_header`` is None for plain streams.
 
     Strictness: the walk must land exactly on end-of-stream; trailing
     garbage or a mid-frame truncation profiles as None rather than a
@@ -104,6 +132,7 @@ def mp3_frame_profile_fn():
         first = None
         n_frames = 0
         cbr = True
+        vbr_header = None
         total_sample_num = 0  # samples accumulate per-frame (VBR-safe)
         while i < len(b):
             if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
@@ -139,6 +168,33 @@ def mp3_frame_profile_fn():
                     "version": version, "layer": layer, "bitrate_kbps": br,
                     "sample_rate": rate, "channel_mode": modes[mode],
                 }
+                # Xing/Info tag sits after the side info of the FIRST
+                # frame (MPEG1: 17 bytes mono / 32 otherwise; MPEG2/2.5:
+                # 9 / 17). Fast path only when frames+bytes are both
+                # present AND the byte total lands exactly on
+                # end-of-stream — else fall through to the full walk.
+                side = (
+                    (17 if mode == 3 else 32) if version == "1"
+                    else (9 if mode == 3 else 17)
+                )
+                t = i + 4 + side
+                if t + 8 <= len(b) and b[t : t + 4] in (b"Xing", b"Info"):
+                    vbr_header = "xing" if b[t : t + 4] == b"Xing" else "info"
+                    flags = int.from_bytes(b[t + 4 : t + 8], "big")
+                    if flags & 0x3 == 0x3 and t + 16 <= len(b):
+                        frames_f = int.from_bytes(b[t + 8 : t + 12], "big")
+                        bytes_f = int.from_bytes(b[t + 12 : t + 16], "big")
+                        if i + bytes_f == len(b):
+                            out = dict(first)
+                            out["n_frames"] = frames_f
+                            out["cbr"] = vbr_header == "info"
+                            out["duration_ms"] = (
+                                frames_f * spf * 1000 // rate
+                            )
+                            out["id3_bytes"] = id3_bytes
+                            out["stream_bytes"] = len(b)
+                            out["vbr_header"] = vbr_header
+                            return out
             else:
                 if br != first["bitrate_kbps"]:
                     cbr = False
@@ -156,6 +212,7 @@ def mp3_frame_profile_fn():
         out["duration_ms"] = total_sample_num * 1000 // first["sample_rate"]
         out["id3_bytes"] = id3_bytes
         out["stream_bytes"] = len(b)
+        out["vbr_header"] = vbr_header
         return out
 
     return profile

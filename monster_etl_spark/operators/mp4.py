@@ -43,7 +43,19 @@ def mp4_encode_fn():
     32- or 64-bit duration form — both are in the wild and the
     profiler must parse both; ``mdat_largesize`` uses the 64-bit box
     size form (size field == 1 + u64 largesize) to exercise the
-    profiler's largesize path on small files."""
+    profiler's largesize path on small files.
+
+    Fragmented (DASH/fMP4) form, round-10 verdict #4: ``fragments>0``
+    writes the movie-fragment shape instead of a single mdat — mvhd
+    duration 0, ``mvex`` (``mehd`` total duration when ``write_mehd``,
+    one ``trex`` per track carrying ``default_sample_duration``) inside
+    ``moov``, then per fragment a ``moof`` (``mfhd`` sequence number +
+    ``traf`` with ``tfhd``/``trun`` for track 1) followed by its own
+    ``mdat`` slice of the payload. ``samples_per_frag`` samples per
+    fragment at ``sample_duration`` movie ticks each;
+    ``trun_durations`` selects per-sample durations in the trun
+    (flag 0x000100) vs leaning on the trex default — both shapes are
+    in real DASH segments and the profiler must sum either."""
     import struct
 
     def _box(fourcc, payload, largesize=False):
@@ -71,14 +83,22 @@ def mp4_encode_fn():
         audio=None,
         mvhd_version=0,
         mdat_largesize=False,
+        fragments=0,
+        samples_per_frag=4,
+        sample_duration=25,
+        trun_durations=True,
+        write_mehd=True,
     ):
         ftyp = _box(
             b"ftyp", major_brand + struct.pack(">I", 0) + major_brand + b"mp41"
         )
+        # fragmented movies carry duration in mvex/moof, not mvhd —
+        # real muxers write 0 there (the shape the profiler must see)
+        hdr_dur = 0 if fragments else duration
         if mvhd_version == 1:
-            mvhd = _full(1) + struct.pack(">QQIQ", 0, 0, timescale, duration)
+            mvhd = _full(1) + struct.pack(">QQIQ", 0, 0, timescale, hdr_dur)
         else:
-            mvhd = _full(0) + struct.pack(">IIII", 0, 0, timescale, duration)
+            mvhd = _full(0) + struct.pack(">IIII", 0, 0, timescale, hdr_dur)
         # rate, volume, reserved(10), unity matrix, predefined(24), next id
         mvhd += struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
         mvhd += b"\x00" * 10
@@ -88,7 +108,7 @@ def mp4_encode_fn():
 
         def _trak(track_id, handler, entry, w, h):
             tkhd = _full(0, 7) + struct.pack(">IIII", 0, 0, track_id, 0)
-            tkhd += struct.pack(">I", duration) + b"\x00" * 8
+            tkhd += struct.pack(">I", hdr_dur) + b"\x00" * 8
             tkhd += struct.pack(
                 ">HHHH", 0, 0, 0x0100 if handler == b"soun" else 0, 0
             )
@@ -96,7 +116,7 @@ def mp4_encode_fn():
                 ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
             )
             tkhd += struct.pack(">II", w << 16, h << 16)  # 16.16 fixed
-            mdhd = _full(0) + struct.pack(">IIII", 0, 0, timescale, duration)
+            mdhd = _full(0) + struct.pack(">IIII", 0, 0, timescale, hdr_dur)
             mdhd += struct.pack(">HH", 0x55C4, 0)  # language 'und'
             hdlr = (
                 _full(0) + struct.pack(">I", 0) + handler
@@ -134,9 +154,47 @@ def mp4_encode_fn():
             kids.append(_trak(tid, b"soun", _sample_entry(fourcc, ae), 0, 0))
             tid += 1
 
+        if fragments:
+            # mvex: signals the fragmented shape. mehd carries the total
+            # duration in MOVIE timescale; one trex per track carries the
+            # per-sample defaults a duration-less trun falls back to.
+            total = fragments * samples_per_frag * sample_duration
+            mvex = b""
+            if write_mehd:
+                mvex += _box(b"mehd", _full(0) + struct.pack(">I", total))
+            for t in range(1, tid):
+                mvex += _box(
+                    b"trex",
+                    _full(0) + struct.pack(">IIIII", t, 1, sample_duration, 0, 0),
+                )
+            kids.append(_box(b"mvex", mvex))
         moov = _box(b"moov", b"".join(kids))
-        mdat = _box(b"mdat", payload, largesize=mdat_largesize)
-        return ftyp + moov + mdat
+        if not fragments:
+            return ftyp + moov + _box(b"mdat", payload, largesize=mdat_largesize)
+        out = [ftyp, moov]
+        chunk = max(1, len(payload) // fragments)
+        for fi in range(fragments):
+            mfhd = _box(b"mfhd", _full(0) + struct.pack(">I", fi + 1))
+            # tfhd: default-base-is-moof (0x020000), no local defaults —
+            # the trex fallback path stays live when trun omits durations
+            tfhd = _box(b"tfhd", _full(0, 0x020000) + struct.pack(">I", 1))
+            if trun_durations:
+                trun_body = _full(0, 0x000100) + struct.pack(">I", samples_per_frag)
+                trun_body += b"".join(
+                    struct.pack(">I", sample_duration)
+                    for _ in range(samples_per_frag)
+                )
+            else:
+                trun_body = _full(0, 0) + struct.pack(">I", samples_per_frag)
+            moof = _box(
+                b"moof", mfhd + _box(b"traf", tfhd + _box(b"trun", trun_body))
+            )
+            piece = payload[fi * chunk :] if fi == fragments - 1 else (
+                payload[fi * chunk : (fi + 1) * chunk]
+            )
+            out.append(moof)
+            out.append(_box(b"mdat", piece, largesize=mdat_largesize))
+        return b"".join(out)
 
     return encode
 
@@ -179,13 +237,24 @@ def mp4_box_profile_fn():
             i += size
         return out
 
-    def _trak_summary(b, s, e, out):
+    def _trak_summary(b, s, e, out, media_ts):
         """Fill the first video/audio summaries from one trak; False on
         malformed structure, True otherwise (tracks without media or
-        with foreign handlers still count, no summary)."""
+        with foreign handlers still count, no summary). Also records the
+        track's MEDIA timescale (mdhd) into ``media_ts`` keyed by the
+        tkhd track id — fragment sample durations (trun/trex) count in
+        that clock, not the movie's."""
         kids = walk(b, s, e)
         if kids is None:
             return False
+        t_id = None
+        for kt, ks, ke in kids:
+            if kt == b"tkhd" and ke - ks >= 24:
+                v = b[ks]
+                t_id = int.from_bytes(
+                    b[ks + 12 : ks + 16] if v == 0 else b[ks + 20 : ks + 24],
+                    "big",
+                )
         mdia = next(((ks, ke) for kt, ks, ke in kids if kt == b"mdia"), None)
         if mdia is None:
             return True
@@ -195,7 +264,15 @@ def mp4_box_profile_fn():
         handler = None
         stsd = None
         for kt, ks, ke in mkids:
-            if kt == b"hdlr" and ke - ks >= 12:
+            if kt == b"mdhd" and ke - ks >= 24 and t_id is not None:
+                v = b[ks]
+                mts = int.from_bytes(
+                    b[ks + 12 : ks + 16] if v == 0 else b[ks + 20 : ks + 24],
+                    "big",
+                )
+                if mts:
+                    media_ts[t_id] = mts
+            elif kt == b"hdlr" and ke - ks >= 12:
                 handler = b[ks + 8 : ks + 12]
             elif kt == b"minf":
                 for lt, ls, le in (walk(b, ks, ke) or ()):
@@ -246,7 +323,13 @@ def mp4_box_profile_fn():
             "video_height": None, "audio_codec": None,
             "audio_channels": None, "audio_sample_rate": None,
             "mdat_bytes": 0,
+            "fragmented": False, "n_fragments": 0, "frag_samples": 0,
         }
+        media_ts: dict = {}   # track id -> mdhd media timescale
+        trex_dur: dict = {}   # track id -> trex default_sample_duration
+        frag_dur: dict = {}   # track id -> summed fragment ticks (media clock)
+        mvhd_dur = None
+        mehd_dur = None
         for typ, s, e in top:
             if typ == b"ftyp" and e - s >= 4:
                 out["major_brand"] = b[s : s + 4].decode("ascii", "replace")
@@ -273,13 +356,115 @@ def mp4_box_profile_fn():
                         if ts == 0:
                             return None
                         out["timescale"] = ts
+                        mvhd_dur = dur
                         out["duration_ms"] = dur * 1000 // ts
                     elif kt == b"trak":
                         out["n_tracks"] += 1
-                        if not _trak_summary(b, ks, ke, out):
+                        if not _trak_summary(b, ks, ke, out, media_ts):
                             return None
+                    elif kt == b"mvex":
+                        # the fragmented-movie signal (ISO 14496-12
+                        # §8.8.1): duration lives in mehd or in the
+                        # moof/trun chain, not mvhd
+                        out["fragmented"] = True
+                        for xt, xs, xe in walk(b, ks, ke) or ():
+                            if xt == b"mehd":
+                                v = b[xs]
+                                if v == 1 and xe - xs >= 12:
+                                    mehd_dur = int.from_bytes(
+                                        b[xs + 4 : xs + 12], "big"
+                                    )
+                                elif v == 0 and xe - xs >= 8:
+                                    mehd_dur = int.from_bytes(
+                                        b[xs + 4 : xs + 8], "big"
+                                    )
+                                else:
+                                    return None
+                            elif xt == b"trex":
+                                if xe - xs < 24:
+                                    return None
+                                t_id = int.from_bytes(b[xs + 4 : xs + 8], "big")
+                                trex_dur[t_id] = int.from_bytes(
+                                    b[xs + 12 : xs + 16], "big"
+                                )
+            elif typ == b"moof":
+                out["n_fragments"] += 1
+                kids = walk(b, s, e)
+                if kids is None:
+                    return None
+                for kt, ks, ke in kids:
+                    if kt != b"traf":
+                        continue
+                    tkids = walk(b, ks, ke)
+                    if tkids is None:
+                        return None
+                    t_id = None
+                    tf_default = None
+                    for tt, ts_, te in tkids:
+                        if tt == b"tfhd":
+                            if te - ts_ < 8:
+                                return None
+                            fl = int.from_bytes(b[ts_ + 1 : ts_ + 4], "big")
+                            t_id = int.from_bytes(b[ts_ + 4 : ts_ + 8], "big")
+                            off = ts_ + 8
+                            if fl & 0x000001:  # base-data-offset (u64)
+                                off += 8
+                            if fl & 0x000002:  # sample-description-index
+                                off += 4
+                            if fl & 0x000008:  # default-sample-duration
+                                if off + 4 > te:
+                                    return None
+                                tf_default = int.from_bytes(
+                                    b[off : off + 4], "big"
+                                )
+                        elif tt == b"trun":
+                            if te - ts_ < 8:
+                                return None
+                            fl = int.from_bytes(b[ts_ + 1 : ts_ + 4], "big")
+                            cnt = int.from_bytes(b[ts_ + 4 : ts_ + 8], "big")
+                            out["frag_samples"] += cnt
+                            off = ts_ + 8
+                            if fl & 0x000001:  # data-offset
+                                off += 4
+                            if fl & 0x000004:  # first-sample-flags
+                                off += 4
+                            stride = 4 * (
+                                bool(fl & 0x100) + bool(fl & 0x200)
+                                + bool(fl & 0x400) + bool(fl & 0x800)
+                            )
+                            if fl & 0x000100:  # per-sample durations
+                                if off + cnt * stride > te:
+                                    return None
+                                tot = 0
+                                for i2 in range(cnt):
+                                    p = off + i2 * stride
+                                    tot += int.from_bytes(b[p : p + 4], "big")
+                            else:
+                                d = (
+                                    tf_default
+                                    if tf_default is not None
+                                    else trex_dur.get(t_id)
+                                )
+                                if d is None:
+                                    return None
+                                tot = cnt * d
+                            if t_id is not None:
+                                frag_dur[t_id] = frag_dur.get(t_id, 0) + tot
         if out["major_brand"] is None or out["timescale"] is None:
             return None
+        # fragmented duration resolution (round-10 verdict #4): a
+        # fragmented movie's mvhd duration is typically 0 — prefer the
+        # declared mehd total, else sum the fragments' sample durations
+        # (per-track, each in its own MEDIA timescale per spec; report
+        # the longest track, the movie-duration convention)
+        if out["fragmented"] and not mvhd_dur:
+            if mehd_dur is not None:
+                out["duration_ms"] = mehd_dur * 1000 // out["timescale"]
+            elif frag_dur:
+                out["duration_ms"] = max(
+                    ticks * 1000 // media_ts.get(t, out["timescale"])
+                    for t, ticks in frag_dur.items()
+                )
         return out
 
     return profile

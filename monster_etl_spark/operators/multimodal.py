@@ -927,22 +927,34 @@ def _mp4_media_worker():
     third doc (else isom), an audio track on even doc_ids, 64-bit
     mvhd every fifth doc, largesize mdat every seventh — so the
     profiler's v0/v1 and 32/64-bit size paths are all exercised by
-    the registry query itself."""
+    the registry query itself. Every fourth doc (id%4==3) is a
+    FRAGMENTED movie (round-10 verdict #4): mvhd duration 0, mvex
+    with trex defaults, moof/traf/trun + per-fragment mdat — with
+    mehd present on half of those (id%8==3) and the trun leaning on
+    the trex default (no per-sample durations) whenever id%3==0, so
+    all three fMP4 duration paths (mehd, trun sum, trex fallback)
+    carry live corpus rows."""
     from monster_etl_spark.operators.mp4 import mp4_encode_fn
 
     enc = mp4_encode_fn()
 
     def _one(m, t):
         n = len(bytes(t, "utf-8"))
+        frag = m % 4 == 3
         return enc(
             bytes(t, "utf-8"),
             major_brand=b"mp42" if m % 3 == 0 else b"isom",
             timescale=600,
-            duration=n * 10,
+            duration=0 if frag else n * 10,
             video=(b"avc1", 16 * (1 + m % 5), 16 * (1 + m % 3)),
             audio=(b"mp4a", 1 + ((m // 2) % 2), 44100) if m % 2 == 0 else None,
             mvhd_version=1 if m % 5 == 0 else 0,
             mdat_largesize=(m % 7 == 0),
+            fragments=max(1, n // 40) if frag else 0,
+            samples_per_frag=1 + m % 3,
+            sample_duration=20 * (1 + (m // 4) % 2),
+            trun_durations=(m % 3 != 0),
+            write_mehd=(m % 8 == 3),
         )
 
     def _worker(batches):
@@ -962,6 +974,7 @@ def _mp4_profile_worker():
         "major_brand", "timescale", "duration_ms", "n_tracks",
         "video_codec", "video_width", "video_height", "audio_codec",
         "audio_channels", "audio_sample_rate", "mdat_bytes",
+        "fragmented", "n_fragments", "frag_samples",
     )
 
     def _worker(batches):
@@ -988,7 +1001,10 @@ def _mp3_media_worker():
     stream whose parameters derive from (doc_id, text byte length) —
     bitrate index 1+id%14 (the full table), sample rate by id%3, mono
     on odd ids, an ID3v2 tag every fourth doc (the profiler's tag-skip
-    path exercised by the corpus itself), frame count = max(1, n//16)."""
+    path exercised by the corpus itself), frame count = max(1, n//16),
+    and a first-frame Xing (id%5==2) or Info (id%5==4) header so the
+    profiler's O(1) fast path carries live corpus rows (round-10
+    verdict #6)."""
     from monster_etl_spark.operators.mp3 import mp3_encode_fn
 
     enc = mp3_encode_fn()
@@ -1001,6 +1017,7 @@ def _mp3_media_worker():
             rate_idx=m % 3,
             mono=(m % 2 == 1),
             id3=(m % 4 == 0),
+            xing={2: "xing", 4: "info"}.get(m % 5),
         )
 
     def _worker(batches):
@@ -1019,6 +1036,7 @@ def _mp3_profile_worker():
     fields = (
         "version", "layer", "bitrate_kbps", "sample_rate", "channel_mode",
         "n_frames", "cbr", "duration_ms", "id3_bytes", "stream_bytes",
+        "vbr_header",
     )
 
     def _worker(batches):
@@ -1077,6 +1095,76 @@ def _ogg_profile_worker():
         "codec", "n_pages", "n_streams", "channels", "input_rate",
         "pre_skip", "last_granule", "duration_ms", "eos_seen",
         "body_bytes",
+    )
+
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": pdf["media_id"].astype("int64")}
+            cols = {k: [] for k in fields}
+            flags = []
+            for c in pdf["content"]:
+                p = profile_local(c) if c is not None else None
+                flags.append(p is not None)
+                for k in fields:
+                    cols[k].append(p.get(k) if p is not None else None)
+            rows.update(cols)
+            rows["profiled"] = flags
+            yield pd.DataFrame(rows)
+
+    return _worker
+
+
+def _webm_media_worker():
+    """Adapter worker: each document becomes a minimal Matroska/WebM
+    stream (doc type by id parity, codec/dims/audio/timestamp-scale
+    from id residues, cluster count from text length, the all-ones
+    streaming Segment size every fifth doc) — the fixture for the EBML
+    element-walk profiler."""
+    from monster_etl_spark.operators.webm import webm_encode_fn
+
+    enc = webm_encode_fn()
+
+    def _one(m, t):
+        n = len(bytes(t, "utf-8"))
+        return enc(
+            max(1, n // 28),
+            doc_type="webm" if m % 2 == 0 else "matroska",
+            video=(
+                ("V_VP9", "V_VP8", "V_AV1")[m % 3],
+                16 * (1 + m % 5), 16 * (1 + m % 3),
+            ),
+            audio=(
+                ("A_OPUS" if m % 4 == 0 else "A_VORBIS",
+                 1 + (m // 2) % 2,
+                 48000 if m % 4 == 0 else 44100)
+                if m % 2 == 0 else None
+            ),
+            timestamp_scale=500_000 if m % 3 == 0 else 1_000_000,
+            cluster_ticks=40,
+            block_data=80,
+            unknown_segment_size=(m % 5 == 0),
+        )
+
+    def _worker(batches):
+        for pdf in batches:
+            yield from _chunked_media_yield(pdf, _one)
+
+    return _worker
+
+
+def _webm_profile_worker():
+    """Worker builder for the Matroska/WebM element-walk profiler (see
+    ``webm.webm_profile_fn`` for the field contract)."""
+    from monster_etl_spark.operators.webm import webm_profile_fn
+
+    profile_local = webm_profile_fn()
+    fields = (
+        "doc_type", "doc_type_version", "timestamp_scale", "duration_ms",
+        "n_tracks", "video_codec", "video_width", "video_height",
+        "audio_codec", "audio_channels", "audio_sample_rate",
+        "n_clusters", "block_bytes",
     )
 
     def _worker(batches):

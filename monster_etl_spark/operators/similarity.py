@@ -2096,6 +2096,181 @@ def ivfpq_topk(
     )
 
 
+# --- OPQ: learned orthogonal rotation ahead of PQ (round-10 verdict #3) ---
+
+#: sample cap for the driver-side OPQ fit: the alternating loop is
+#: O(sample x (m x n_codes + d^2)) per iteration; 20k x 64 doubles is
+#: ~10 MB — bounded by contract like the query side of the Arrow kNN
+#: kernels. Matches SEMANTIC_FIT_MIN_SAMPLE so the fit-sample discipline
+#: is one story across the coarse, PQ, and OPQ fits.
+OPQ_FIT_SAMPLE_CAP = 20_000
+OPQ_ITERS = 8
+
+
+def opq_rotation(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    iters: int = OPQ_ITERS,
+    sample_cap: int = OPQ_FIT_SAMPLE_CAP,
+):
+    """Learn the OPQ orthogonal rotation R (numpy, driver-side,
+    sample-bounded) — the non-parametric alternating minimization of Ge
+    et al. 2013 ("Optimized Product Quantization", CVPR): repeat
+    (1) fix R, fit per-subspace k-means codebooks on R·X;
+    (2) fix the codebooks, solve the orthogonal Procrustes problem
+    min_R ||R·X − Y||_F (Y = per-row codebook reconstructions) via
+    R = U·Vᵀ from SVD(Y·Xᵀ). Returns the (d, d) numpy array.
+
+    Why: PQ splits dims into m blind groups, so its code budget is
+    spent proportionally to per-group variance — on data with a
+    decaying eigen-spectrum (real text/image embeddings) some groups
+    carry nearly all the energy and 2^bits codes can't describe them
+    while other groups waste codes on noise. The learned rotation
+    re-balances variance across subspaces before the split. On an
+    ISOTROPIC corpus (rotation-invariant distribution, e.g. the
+    spherical-noise mixture fixtures) the objective is flat and OPQ ==
+    PQ by theory — measured and recorded in SCALE.md, not hidden.
+
+    Variance-budget guidance for the m/nbits knobs (the minimum remedy
+    the round-10 verdict names): per-subspace quantization error ~
+    (subspace variance) / n_codes^(2/(d/m)); raising ``m`` (more,
+    narrower subspaces) buys more than raising ``n_codes`` once
+    d/m > ~8, and OPQ's rebalancing is what makes the per-subspace
+    budget meaningful when the spectrum decays.
+
+    Fit sample: deterministic salted-hash filter (the
+    ``kmeans_centroids`` discipline) capped at ``sample_cap`` rows,
+    collected driver-side — the one bounded collect this operator
+    adds, same contract as the Arrow kNN query side. Deterministic
+    given the corpus: seeds are the lowest-id sample rows, numpy SVD
+    on the same sample is reproducible within a platform."""
+    import numpy as np
+
+    from monster_etl_spark.operators.sampling import HASH_SPACE, sample_hash
+
+    n_rows = corpus.count()
+    frac = min(1.0, sample_cap / max(1, n_rows))
+    fit = corpus.select(F.col(id_col).alias("i"), _as_double(F.col(vec_col)).alias("v"))
+    if frac < 1.0:
+        fit = fit.filter(sample_hash(F.col("i"), salt="opqfit") < int(frac * HASH_SPACE))
+    rows = fit.orderBy("i").limit(sample_cap).collect()
+    X = np.asarray([list(r.v) for r in rows if r.v is not None], dtype=np.float64)
+    if X.ndim != 2 or X.shape[0] < n_codes:
+        raise ValueError("OPQ fit needs at least n_codes sampled vectors")
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    sub_d = d // m
+    R = np.eye(d)
+
+    def _fit_codebooks(Z):
+        books = []
+        for s in range(m):
+            zs = Z[:, s * sub_d : (s + 1) * sub_d]
+            cent = zs[:n_codes].copy()  # lowest-id seeds (id-stable)
+            for _ in range(PQ_KMEANS_ITERS):
+                d2 = ((zs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(n_codes):
+                    mask = assign == c
+                    if mask.any():
+                        cent[c] = zs[mask].mean(axis=0)
+            books.append(cent)
+        return books
+
+    def _reconstruct(Z, books):
+        Y = np.empty_like(Z)
+        for s in range(m):
+            zs = Z[:, s * sub_d : (s + 1) * sub_d]
+            cent = books[s]
+            d2 = ((zs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            Y[:, s * sub_d : (s + 1) * sub_d] = cent[d2.argmin(axis=1)]
+        return Y
+
+    for _ in range(max(1, iters)):
+        Z = X @ R.T
+        books = _fit_codebooks(Z)
+        Y = _reconstruct(Z, books)
+        # orthogonal Procrustes: min_R ||R X^T - Y^T||_F -> R = U V^T
+        # from SVD(Y^T X); np.linalg.svd is deterministic per platform
+        U, _s, Vt = np.linalg.svd(Y.T @ X)
+        R = U @ Vt
+    return R
+
+
+def rotate_embeddings(
+    df: DataFrame,
+    R,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a (d, d) rotation to an embedding column — one narrow
+    Arrow-batched GEMM per partition (``mapInPandas``; an audited named
+    exception to the Python-eval policy, same discipline as the kNN
+    kernels: the vectorized GEMM IS the operator; a JVM expression
+    twin would be d² multiplies per row of interpreted HOFs). Schema
+    (id, vec) is preserved; NULL vectors pass through NULL. No
+    shuffle: per-batch matrix multiply only."""
+    import numpy as np
+
+    Rm = np.ascontiguousarray(np.asarray(R, dtype=np.float64))
+
+    src = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            live = vecs.notna()
+            out = list(vecs)
+            if live.any():
+                Xb = np.asarray([list(v) for v in vecs[live]], dtype=np.float64)
+                rot = Xb @ Rm.T
+                it = iter(rot)
+                out = [
+                    next(it).tolist() if ok else None for ok in live
+                ]
+            yield pd.DataFrame({id_col: pdf[id_col], vec_col: out})
+
+    return src.mapInPandas(
+        kernel, schema=f"{id_col} long, {vec_col} array<double>"
+    )
+
+
+def opq_ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    opq_iters: int = OPQ_ITERS,
+    **ivfpq_kw,
+):
+    """IVF-PQ behind a learned OPQ rotation: fit R on a bounded corpus
+    sample (:func:`opq_rotation`), rotate BOTH sides
+    (:func:`rotate_embeddings` — orthogonality preserves every dot
+    product, so cosine scores and the exact re-rank are unchanged in
+    exact arithmetic), then run the unmodified :func:`ivfpq_topk` in
+    the rotated space. The composition is the whole operator: same
+    coarse cells, same ADC, same shortlist re-rank, but the PQ code
+    budget now describes variance-balanced subspaces. Equal code bytes
+    by construction (same m, n_codes)."""
+    R = opq_rotation(
+        corpus, id_col, vec_col, m=m, n_codes=n_codes, iters=opq_iters
+    )
+    rq = rotate_embeddings(queries, R, id_col, vec_col)
+    rc = rotate_embeddings(corpus, R, id_col, vec_col)
+    return ivfpq_topk(
+        rq, rc, id_col, vec_col, k=k, m=m, n_codes=n_codes, **ivfpq_kw
+    )
+
+
 def _scored_structs(arr: Column, vec: Column, id_field: str) -> Column:
     """(c_sim, neg_id, id) ranking structs for ``vec`` against an array of
     (id_field, cv|sv) centroid structs — the single source of the

@@ -52,6 +52,8 @@ from monster_etl_spark.operators.multimodal import (
     _mp3_profile_worker,
     _mp4_media_worker,
     _mp4_profile_worker,
+    _webm_media_worker,
+    _webm_profile_worker,
     _jpeg_quality_media_worker,
     _mjpeg_media_worker,
     _pixel_stats_worker,
@@ -550,7 +552,8 @@ _MP4_PROFILE_SCHEMA = (
     "media_id long, major_brand string, timescale int, duration_ms long, "
     "n_tracks int, video_codec string, video_width int, video_height int, "
     "audio_codec string, audio_channels int, audio_sample_rate int, "
-    "mdat_bytes long, profiled boolean"
+    "mdat_bytes long, fragmented boolean, n_fragments int, "
+    "frag_samples long, profiled boolean"
 )
 
 
@@ -579,12 +582,26 @@ def multimodal_mp4_box_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brand mp42 iff doc_id%3=0; movie duration n*10 at timescale 600 ->
 # floor-ms; video always (avc1, 16*(1+id%5) x 16*(1+id%3)); audio only
 # on even ids (mp4a, 1+((id//2)%2) ch, 44100); mdat carries the text
-# bytes. DuckDB // is floor division on BIGINT, matching Python.
+# bytes. Every fourth doc (id%4=3) is FRAGMENTED: duration comes from
+# the fragment chain — nf=max(1, n//40) fragments x (1+id%3) samples x
+# 20*(1+(id//4)%2) ticks, identically via mehd, summed truns, or the
+# trex fallback (the three paths agree by construction, so the oracle
+# needs only the product). DuckDB // is floor division on BIGINT,
+# matching Python.
 MP4_PROFILE_SQL = """
+WITH p AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+    doc_id % 4 = 3 AS frag,
+    greatest(1, octet_length(encode(text)) // 40) AS nf,
+    CAST(1 + doc_id % 3 AS BIGINT) AS spf,
+    CAST(20 * (1 + (doc_id // 4) % 2) AS BIGINT) AS sdur
+  FROM documents
+)
 SELECT doc_id AS media_id,
   CASE WHEN doc_id % 3 = 0 THEN 'mp42' ELSE 'isom' END AS major_brand,
   600 AS timescale,
-  CAST(octet_length(encode(text)) * 10000 // 600 AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN frag THEN nf * spf * sdur * 1000 // 600
+       ELSE n * 10000 // 600 END AS BIGINT) AS duration_ms,
   CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
   'avc1' AS video_codec,
   CAST(16 * (1 + doc_id % 5) AS INT) AS video_width,
@@ -594,9 +611,76 @@ SELECT doc_id AS media_id,
     AS INT) AS audio_channels,
   CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE NULL END AS INT)
     AS audio_sample_rate,
-  CAST(octet_length(encode(text)) AS BIGINT) AS mdat_bytes,
+  CAST(n AS BIGINT) AS mdat_bytes,
+  frag AS fragmented,
+  CAST(CASE WHEN frag THEN nf ELSE 0 END AS INT) AS n_fragments,
+  CAST(CASE WHEN frag THEN nf * spf ELSE 0 END AS BIGINT) AS frag_samples,
   true AS profiled
-FROM documents
+FROM p
+"""
+
+
+_WEBM_PROFILE_SCHEMA = (
+    "media_id long, doc_type string, doc_type_version int, "
+    "timestamp_scale long, duration_ms long, n_tracks int, "
+    "video_codec string, video_width int, video_height int, "
+    "audio_codec string, audio_channels int, audio_sample_rate int, "
+    "n_clusters long, block_bytes long, profiled boolean"
+)
+
+
+def multimodal_webm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM element-walk profiler over a mixed EBML corpus
+    (round-10 verdict #4 — seventh profiler in the curation-primitive
+    pattern): each document synthesizes as an EBML header + Segment
+    whose doc type / codecs / dims / timestamp scale / streaming
+    (unknown-size) form vary with doc_id (see
+    ``multimodal._webm_media_worker``); the profiler walks vint
+    element IDs + sizes only — DocType, Info (TimestampScale,
+    Duration), first video/audio TrackEntry, Cluster count and summed
+    block payload sizes — zero block decode (RFC 8794 + Matroska
+    registry). The other dominant crawl-video container next to MP4;
+    the oracle recomputes every field analytically from (doc_id, text
+    byte length). duration_ms is integer FLOOR of ticks x scale
+    (engine-exact tie policy, as all profilers here)."""
+    return fused_media_stats(
+        load(spark, sf_dir, "documents"),
+        _webm_media_worker(), _webm_profile_worker(), _WEBM_PROFILE_SCHEMA,
+    )
+
+
+# Analytic twin (n = utf-8 byte length): clusters np = max(1, n//28) at
+# 40 ticks each; timestamp scale 500us on id%3=0 (else 1ms) ->
+# duration_ms = np*40*scale//1e6; doc type by parity; video codec
+# cycles VP9/VP8/AV1; audio only on even ids (Opus@48k on id%4=0 else
+# Vorbis@44.1k); each SimpleBlock payload = 4 framing + 80 data bytes.
+WEBM_PROFILE_SQL = """
+WITH p AS (
+  SELECT doc_id, greatest(1, octet_length(encode(text)) // 28) AS np,
+    CASE WHEN doc_id % 3 = 0 THEN 500000 ELSE 1000000 END AS sc
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END AS doc_type,
+  4 AS doc_type_version,
+  CAST(sc AS BIGINT) AS timestamp_scale,
+  CAST(np * 40 * sc // 1000000 AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+  list_extract(['V_VP9', 'V_VP8', 'V_AV1'], CAST(1 + doc_id % 3 AS INT))
+    AS video_codec,
+  CAST(16 * (1 + doc_id % 5) AS INT) AS video_width,
+  CAST(16 * (1 + doc_id % 3) AS INT) AS video_height,
+  CASE WHEN doc_id % 2 = 1 THEN NULL
+       WHEN doc_id % 4 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END AS audio_codec,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + ((doc_id // 2) % 2) ELSE NULL END
+    AS INT) AS audio_channels,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN NULL
+       WHEN doc_id % 4 = 0 THEN 48000 ELSE 44100 END AS INT)
+    AS audio_sample_rate,
+  CAST(np AS BIGINT) AS n_clusters,
+  CAST(np * 84 AS BIGINT) AS block_bytes,
+  true AS profiled
+FROM p
 """
 
 
@@ -654,7 +738,8 @@ FROM p
 _MP3_PROFILE_SCHEMA = (
     "media_id long, version string, layer int, bitrate_kbps int, "
     "sample_rate int, channel_mode string, n_frames long, cbr boolean, "
-    "duration_ms long, id3_bytes int, stream_bytes long, profiled boolean"
+    "duration_ms long, id3_bytes int, stream_bytes long, "
+    "vbr_header string, profiled boolean"
 )
 
 
@@ -679,8 +764,11 @@ def multimodal_mp3_frame_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Analytic twin (n = utf-8 byte length): bitrate = MPEG1-L3 table at
 # 1+id%14, rate at id%3, mono on odd ids, ID3 (64 B incl. header) every
 # 4th doc, n_frames = max(1, n//16), 1152 samples/frame, frame length
-# 144000*br//rate (padding 0). DuckDB // is floor division, matching
-# the profiler's integer arithmetic.
+# 144000*br//rate (padding 0). Docs with id%5=2 carry a Xing tag frame
+# (VBR verdict, O(1) fast path) and id%5=4 an Info tag (CBR): n_frames
+# and duration stay the AUDIO-frame totals (the tag's own count), but
+# the stream gains one tag frame of bytes. DuckDB // is floor division,
+# matching the profiler's integer arithmetic.
 MP3_PROFILE_SQL = """
 WITH p AS (
   SELECT doc_id, octet_length(encode(text)) AS n,
@@ -688,7 +776,8 @@ WITH p AS (
                  CAST(1 + doc_id % 14 AS INT)) AS br,
     list_extract([44100,48000,32000], CAST(1 + doc_id % 3 AS INT)) AS rate,
     greatest(1, octet_length(encode(text)) // 16) AS nf,
-    CASE WHEN doc_id % 4 = 0 THEN 64 ELSE 0 END AS id3
+    CASE WHEN doc_id % 4 = 0 THEN 64 ELSE 0 END AS id3,
+    CASE WHEN doc_id % 5 IN (2, 4) THEN 1 ELSE 0 END AS tagf
   FROM documents
 )
 SELECT doc_id AS media_id,
@@ -698,10 +787,12 @@ SELECT doc_id AS media_id,
   CAST(rate AS INT) AS sample_rate,
   CASE WHEN doc_id % 2 = 1 THEN 'mono' ELSE 'stereo' END AS channel_mode,
   CAST(nf AS BIGINT) AS n_frames,
-  true AS cbr,
+  doc_id % 5 != 2 AS cbr,
   CAST(nf * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
   CAST(id3 AS INT) AS id3_bytes,
-  CAST(id3 + nf * (144000 * br // rate) AS BIGINT) AS stream_bytes,
+  CAST(id3 + (nf + tagf) * (144000 * br // rate) AS BIGINT) AS stream_bytes,
+  CASE WHEN doc_id % 5 = 2 THEN 'xing'
+       WHEN doc_id % 5 = 4 THEN 'info' ELSE NULL END AS vbr_header,
   true AS profiled
 FROM p
 """
@@ -1365,6 +1456,11 @@ QUERIES = {
         multimodal_ogg_page_profile,
         OGG_PROFILE_SQL,
         "Ogg page-walk profiler: OpusHead + lacing hop, zero packet decode",
+    ),
+    "multimodal_webm_profile": QuerySpec(
+        multimodal_webm_profile,
+        WEBM_PROFILE_SQL,
+        "Matroska/WebM EBML element-walk profiler: vint hop, zero block decode",
     ),
     "multimodal_mp3_frame_profile": QuerySpec(
         multimodal_mp3_frame_profile,

@@ -913,6 +913,93 @@ QUERIES["knn_ivfpq_residual_recall"] = QuerySpec(
 )
 
 
+def knn_opq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ rotation invariants, end to end through the distributed
+    kernel (round-10 verdict #3, operators/similarity.py::opq_rotation
+    + rotate_embeddings): fit the Ge-et-al alternating rotation on the
+    corpus, then verify (a) R is orthogonal (max |RᵀR - I|, driver
+    numpy) and (b) the Arrow rotation kernel preserves every vector's
+    norm across the whole corpus (max | ||Rx|| - ||x|| | as a
+    distributed aggregate over original-joined-rotated rows). Both
+    defects are ~1e-15 floats; rounded at 6dp they are EXACTLY 0.0,
+    which is what the oracle asserts — a non-orthogonal fit or a wrong
+    GEMM breaks the hash. The recall CLAIM for OPQ lives in
+    ``knn_opq_recall`` and the measured SCALE.md rows (isotropic
+    corpora: OPQ == PQ by rotation-invariance, recorded; decaying
+    spectrum: the win)."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    R = sim.opq_rotation(emb)
+    ortho = float(np.abs(R.T @ R - np.eye(R.shape[0])).max())
+    rot = sim.rotate_embeddings(emb, R).select(
+        "vec_id", F.col("embedding").alias("rv")
+    )
+    orig = emb.select("vec_id", F.col("embedding").alias("ov"))
+    return (
+        orig.join(rot, "vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.max(F.abs(sim.norm(F.col("rv")) - sim.norm(F.col("ov")))), 6
+            ).alias("norm_defect"),
+        )
+        .select(
+            F.lit(int(R.shape[0])).cast("int").alias("dims"),
+            F.lit(round(ortho, 6)).cast("double").alias("ortho_defect"),
+            "n_rows",
+            "norm_defect",
+        )
+    )
+
+
+KNN_OPQ_INVARIANTS_SQL = """
+SELECT CAST(64 AS INT) AS dims,
+       0.0 AS ortho_defect,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       0.0 AS norm_defect
+FROM embeddings
+"""
+
+
+def knn_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for OPQ-rotated IVF-PQ
+    (operators/similarity.py::opq_ivfpq_topk): same >= 0.5 floor and
+    same oracle shape as the other PQ recall rows — the rotation must
+    never cost recall (orthogonality preserves all dots; the fixture
+    corpora are near-isotropic so OPQ ~ PQ here, and the decaying-
+    spectrum win is measured in SCALE.md / pinned in
+    tests/test_fixtures_clustered.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    exact = sim.brute_force_topk(q, emb, k=TOP_K).select("query_id", "neighbor_id")
+    approx = (
+        sim.opq_ivfpq_topk(q, emb, k=TOP_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
+                >= F.lit(IVFPQ_RECALL_FLOOR)
+            ).alias("recall_ok"),
+        )
+    )
+
+
+QUERIES["knn_opq_invariants"] = QuerySpec(
+    knn_opq_invariants, KNN_OPQ_INVARIANTS_SQL,
+    "OPQ learned rotation: orthogonality + distributed norm preservation",
+)
+QUERIES["knn_opq_recall"] = QuerySpec(
+    knn_opq_recall, KNN_IVF_RECALL_SQL,
+    "OPQ-rotated IVF-PQ recall>=0.5 contract vs brute force",
+)
+
+
 NEG_PER_QUERY = 3
 
 

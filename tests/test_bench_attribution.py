@@ -166,6 +166,23 @@ def test_box_state_excludes_own_tree():
     assert own == []
 
 
+def test_steady_view_fields():
+    """Round-10 verdict #5: the headline record must carry a de-noised
+    `steady` per query and a `steady_total` — probed steady replaces
+    the raw best exactly where the attribution pass probed, best
+    everywhere else."""
+    timings = {"a": 2.0, "b": 1.0, "c": 0.4}
+    deltas = {"a": {"prev": 1.4, "cur": 2.0, "steady": 1.45,
+                    "cause": "converges-at-steady-state"},
+              "b": {"prev": 1.2, "cur": 1.0, "cause": "improvement"}}
+    steady, total = bench._steady_view(timings, deltas)
+    assert steady == {"a": 1.45, "b": 1.0, "c": 0.4}
+    assert total == 2.85
+    # no attribution pass (first round at an sf): steady == best
+    steady, total = bench._steady_view(timings, None)
+    assert steady == {"a": 2.0, "b": 1.0, "c": 0.4} and total == 3.4
+
+
 def test_box_state_sees_detached_stray(tmp_path):
     """A detached (reparented-to-init) process whose cmdline matches the
     stray pattern MUST appear in 'stray'. Round-10 ADVICE: the ancestor

@@ -159,3 +159,44 @@ def test_webp_batch_matches_scalar_on_corruption():
             bb = bb[: rng.randrange(len(bb))]
         blobs.append(bytes(bb))
     assert W["decode_batch"](blobs) == [W["decode"](b) for b in blobs]
+
+
+def test_profilers_never_raise_on_corruption():
+    """The container profilers (MP4/fMP4 box walk, MP3 frame walk incl.
+    Xing, Ogg page walk, WebM EBML walk) share the decoders' contract:
+    None-or-dict on any input, never an exception. Random bit flips +
+    truncations over each profiler's own synthesized blobs, plus
+    cross-format feeding (every profiler sees every other's output)."""
+    from monster_etl_spark.operators.mp3 import mp3_encode, mp3_frame_profile_fn
+    from monster_etl_spark.operators.mp4 import mp4_encode, mp4_box_profile_fn
+    from monster_etl_spark.operators.ogg import ogg_encode, ogg_page_profile_fn
+    from monster_etl_spark.operators.webm import webm_encode, webm_profile_fn
+
+    profilers = {
+        "mp4": mp4_box_profile_fn(),
+        "mp3": mp3_frame_profile_fn(),
+        "ogg": ogg_page_profile_fn(),
+        "webm": webm_profile_fn(),
+    }
+    base = {
+        "mp4": mp4_encode(b"payload" * 9, audio=(b"mp4a", 2, 48000)),
+        "mp4f": mp4_encode(b"payload" * 9, fragments=3, samples_per_frag=4),
+        "mp3": mp3_encode(8, id3=True),
+        "mp3x": mp3_encode(8, xing="xing"),
+        "ogg": ogg_encode(6, channels=2),
+        "webm": webm_encode(4),
+        "webms": webm_encode(4, unknown_segment_size=True),
+    }
+    rng = random.Random(20260817)
+    for pname, prof in profilers.items():
+        for blob in base.values():
+            for _trial in range(40):
+                bb = bytearray(blob)
+                for _ in range(rng.randrange(1, 6)):
+                    bb[rng.randrange(len(bb))] ^= 1 << rng.randrange(8)
+                if rng.random() < 0.3:
+                    bb = bb[: rng.randrange(len(bb))]
+                r = prof(bytes(bb))  # must not raise
+                assert r is None or isinstance(r, dict)
+            r = prof(bytes(blob))  # cross-format: None or a dict
+            assert r is None or isinstance(r, dict)

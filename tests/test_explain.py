@@ -67,6 +67,10 @@ _BNLJ_WHITELIST = {
     "knn_brute_force", "knn_ivf", "knn_ivf_recall", "knn_pq",
     "knn_pq_recall", "knn_ivfpq", "knn_ivfpq_recall",
     "knn_ivfpq_residual", "knn_ivfpq_residual_recall",
+    # OPQ recall row: the rotated corpus feeds the same ivfpq chain,
+    # so the same broadcast centroid/LUT arrays appear (plus the exact
+    # brute-force contract side)
+    "knn_opq_recall",
     # broadcast 1-row scalar subtrees (global constants / thresholds)
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
     "q16_supplier_part_counts", "q20_promotion_suppliers",
@@ -131,6 +135,11 @@ def test_python_eval_only_in_multimodal_and_untar(spark, sf_dir):
         # carries the bit-parity argument; equality asserted in
         # tests/test_similarity.py::test_semantic_pair_engines_equal)
         "semantic_dedup_verdicts_arrow",
+        # OPQ rotation: a per-batch (d x d) GEMM IS the operator
+        # (rotate_embeddings docstring); orthogonality/norm invariants
+        # are what these two rows verify end to end
+        "knn_opq_invariants",
+        "knn_opq_recall",
     }
     bad = {}
     for name, spec in Q.items():

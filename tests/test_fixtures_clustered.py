@@ -101,3 +101,79 @@ def test_ivf_probe_recall_curve_on_clustered_corpus(spark, mog):
     assert rec[1] <= rec[2] <= rec[4] <= rec[8], f"not monotone: {rec}"
     assert rec[8] >= 0.9, f"8-probe recall too low on clustered data: {rec}"
     assert rec[8] > rec[1] + 0.2, f"curve is flat: {rec}"
+
+
+def test_opq_rotation_orthogonal_and_deterministic(spark, mog):
+    """The learned OPQ rotation is orthogonal to float precision and
+    deterministic given the corpus (hash-sampled fit, lowest-id seeds,
+    numpy SVD)."""
+    R1 = sim.opq_rotation(mog, m=4, n_codes=8, iters=3)
+    R2 = sim.opq_rotation(mog, m=4, n_codes=8, iters=3)
+    assert np.abs(R1 - R2).max() == 0.0
+    d = R1.shape[0]
+    assert np.abs(R1.T @ R1 - np.eye(d)).max() < 1e-10
+
+
+def test_rotate_embeddings_preserves_geometry(spark, mog):
+    """The Arrow rotation kernel: norms and pairwise dots are preserved
+    (orthogonality), ids pass through, NULL vectors stay NULL."""
+    R = sim.opq_rotation(mog, m=4, n_codes=8, iters=2)
+    sub = mog.filter(mog.vec_id < 40)
+    orig = {r.vec_id: np.array(r.embedding) for r in sub.collect()}
+    rot = {
+        r.vec_id: np.array(r.embedding)
+        for r in sim.rotate_embeddings(sub, R).collect()
+    }
+    assert set(rot) == set(orig)
+    ids = sorted(orig)
+    for i in ids[:10]:
+        assert abs(np.linalg.norm(rot[i]) - np.linalg.norm(orig[i])) < 1e-9
+        for j in ids[10:20]:
+            assert abs(rot[i] @ rot[j] - orig[i] @ orig[j]) < 1e-9
+    # NULL vector contract
+    null_df = spark.createDataFrame(
+        [(1, [1.0] * R.shape[0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.embedding for r in
+           sim.rotate_embeddings(null_df, R).collect()}
+    assert out[2] is None and out[1] is not None
+
+
+def test_opq_beats_pq_on_decaying_spectrum(spark):
+    """Round-10 verdict #3, the variance-budget demonstration: on a
+    corpus with a geometrically decaying eigen-spectrum (the shape of
+    real embeddings; fixtures.mog_embeddings(eigen_decay=...)), blind
+    PQ subspace splits starve — the first subspace holds almost all
+    the variance and 2^bits codes can't describe it — while the OPQ
+    rotation re-balances variance across subspaces and buys recall at
+    EQUAL code bytes (same m, n_codes). On the isotropic corpus the
+    same comparison is a wash by rotation-invariance (asserted as a
+    sanity band, not hidden)."""
+    skew = mog_embeddings(
+        spark, 3000, d=32, clusters=32, sigma=0.2, seed=11,
+        eigen_decay=0.02,
+    ).persist()
+    queries = skew.filter(skew.vec_id % 60 == 0)
+    exact = _topk_sets(sim.brute_force_topk(queries, skew, k=5))
+    kw = dict(k=5, m=4, n_codes=8, shortlist_factor=2)
+    raw = _recall(exact, _topk_sets(sim.pq_topk(queries, skew, **kw)))
+    R = sim.opq_rotation(skew, m=4, n_codes=8)
+    rq = sim.rotate_embeddings(queries, R)
+    rc = sim.rotate_embeddings(skew, R)
+    opq = _recall(exact, _topk_sets(sim.pq_topk(rq, rc, **kw)))
+    skew.unpersist(blocking=False)
+    assert opq > raw + 0.1, f"OPQ did not beat PQ on skewed spectrum: {raw} vs {opq}"
+
+
+def test_opq_composed_pipeline_recall_floor(spark, mog):
+    """opq_ivfpq_topk (rotation + unmodified IVF-PQ) holds the same
+    recall floor as raw IVF-PQ on the clustered corpus — the rotation
+    must never COST recall (orthogonality preserves all dots)."""
+    queries = mog.filter(mog.vec_id % 100 == 0)
+    exact = _topk_sets(sim.brute_force_topk(queries, mog, k=5))
+    raw = _recall(exact, _topk_sets(
+        sim.ivfpq_topk(queries, mog, k=5, n_centroids=32)))
+    opq = _recall(exact, _topk_sets(
+        sim.opq_ivfpq_topk(queries, mog, k=5, n_centroids=32)))
+    assert opq >= raw - 0.1, f"rotation cost recall: raw {raw} vs opq {opq}"

@@ -26,7 +26,41 @@ def test_profile_full_field_contract():
         "duration_ms": 10 * 1152 * 1000 // 44100,  # integer floor
         "id3_bytes": 64,
         "stream_bytes": len(b),
+        "vbr_header": None,
     }
+
+
+def test_xing_fast_path_and_fallback():
+    """Round-10 verdict #6: a first-frame Xing/Info tag with frame+byte
+    totals is trusted at O(1) frames read — n_frames/duration are the
+    tag's audio-frame totals, cbr is the tag's verdict — and ANY
+    inconsistency falls back to the full walk (which then counts the
+    tag frame like any other)."""
+    x = mp3_frame_profile(mp3_encode(10, xing="xing"))
+    assert x["n_frames"] == 10 and x["vbr_header"] == "xing" and not x["cbr"]
+    assert x["duration_ms"] == 10 * 1152 * 1000 // 44100
+    i = mp3_frame_profile(mp3_encode(7, xing="info", mono=True, rate_idx=1))
+    assert i["n_frames"] == 7 and i["vbr_header"] == "info" and i["cbr"]
+    assert i["channel_mode"] == "mono"
+    assert i["duration_ms"] == 7 * 1152 * 1000 // 48000
+    # id3 + xing compose; stream_bytes counts the tag frame
+    flen = 144 * 128 * 1000 // 44100
+    c = mp3_frame_profile(mp3_encode(4, xing="xing", id3=True))
+    assert c["id3_bytes"] == 64 and c["n_frames"] == 4
+    assert c["stream_bytes"] == 64 + 5 * flen
+    # corrupt the tag's byte total: profiler must WALK instead of trust
+    # (6 frames counted: tag + 5 audio), never return the wrong fast
+    # answer
+    b = mp3_encode(5, xing="xing")
+    t = 4 + 32 + 12  # bytes-field offset in the first frame
+    bad = b[:t] + (999_999).to_bytes(4, "big") + b[t + 4 :]
+    f = mp3_frame_profile(bad)
+    assert f["n_frames"] == 6 and f["vbr_header"] == "xing" and f["cbr"]
+    # garbage sweep over a tagged stream never raises
+    whole = mp3_encode(6, xing="info")
+    for j in range(min(150, len(whole))):
+        r = mp3_frame_profile(whole[:j] + b"\xff" + whole[j + 1 :])
+        assert r is None or isinstance(r, dict)
 
 
 @pytest.mark.parametrize("bitrate_idx", range(1, 15))
@@ -100,7 +134,10 @@ def test_mp3_fused_corpus_end_to_end(spark):
         br = MPEG1_L3_BITRATES[i % 14]
         assert r.bitrate_kbps == br and r.sample_rate == rate
         assert r.channel_mode == ("mono" if i % 2 else "stereo")
-        assert r.n_frames == nf and r.cbr
+        assert r.n_frames == nf and r.cbr == (i % 5 != 2)
+        assert r.vbr_header == {2: "xing", 4: "info"}.get(i % 5)
         assert r.duration_ms == nf * 1152 * 1000 // rate
         assert r.id3_bytes == (64 if i % 4 == 0 else 0)
-        assert r.stream_bytes == r.id3_bytes + nf * (144000 * br // rate)
+        tagf = 1 if i % 5 in (2, 4) else 0
+        assert r.stream_bytes == r.id3_bytes + (nf + tagf) * (
+            144000 * br // rate)

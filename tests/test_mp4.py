@@ -35,6 +35,9 @@ def test_profile_full_field_contract():
         "audio_channels": 2,
         "audio_sample_rate": 44100,
         "mdat_bytes": 11,
+        "fragmented": False,
+        "n_fragments": 0,
+        "frag_samples": 0,
     }
 
 
@@ -95,6 +98,58 @@ def test_profile_never_raises_on_garbage():
     assert profile(whole) is not None
 
 
+def test_fmp4_duration_paths_agree():
+    """The three fMP4 duration sources must agree on the same movie:
+    declared mehd total, summed per-sample trun durations, and the
+    trun-without-durations trex-default fallback (round-10 verdict #4).
+    mvhd duration is 0 in all three (the real-muxer shape that made the
+    pre-fix profiler report 0)."""
+    kw = dict(timescale=1000, fragments=3, samples_per_frag=4,
+              sample_duration=25)
+    want = 3 * 4 * 25  # ticks at ts=1000 -> 300 ms
+    via_mehd = mp4_box_profile(mp4_encode(b"p" * 30, **kw))
+    via_trun = mp4_box_profile(
+        mp4_encode(b"p" * 30, write_mehd=False, **kw))
+    via_trex = mp4_box_profile(
+        mp4_encode(b"p" * 30, write_mehd=False, trun_durations=False, **kw))
+    for p in (via_mehd, via_trun, via_trex):
+        assert p is not None and p["fragmented"]
+        assert p["duration_ms"] == want
+        assert p["n_fragments"] == 3 and p["frag_samples"] == 12
+        assert p["mdat_bytes"] == 30
+    # plain movies are explicitly un-fragmented
+    plain = mp4_box_profile(mp4_encode(b"p", duration=500, timescale=1000))
+    assert not plain["fragmented"] and plain["n_fragments"] == 0
+
+
+def test_fmp4_media_timescale_conversion():
+    """trun/trex sample durations count in the TRACK's mdhd media
+    timescale; the profiler must convert with that clock, not the
+    movie's. (Here both clocks are written by the same synthesizer so
+    they agree — this pins that the mdhd parse itself works by checking
+    a non-trivial timescale end to end.)"""
+    p = mp4_box_profile(mp4_encode(
+        b"x", timescale=90000, fragments=2, samples_per_frag=3,
+        sample_duration=3000, write_mehd=False))
+    assert p["duration_ms"] == 2 * 3 * 3000 * 1000 // 90000 == 200
+
+
+def test_fmp4_never_raises_on_garbage():
+    """Corruption sweep over the fragmented shape: moof/traf/trun/mvex
+    structures must profile to None or a dict, never raise."""
+    profile = mp4_box_profile_fn()
+    whole = mp4_encode(b"frag-payload", fragments=2, samples_per_frag=3,
+                       sample_duration=10)
+    cases = [whole[:i] for i in range(0, len(whole), 7)]
+    for i in range(min(200, len(whole))):
+        cases.append(whole[:i] + b"\xff" + whole[i + 1 :])
+        cases.append(whole[:i] + b"\x00" + whole[i + 1 :])
+    for c in cases:
+        p = profile(c)  # must not raise
+        assert p is None or isinstance(p, dict)
+    assert profile(whole) is not None
+
+
 def test_profile_zero_timescale_is_malformed():
     """mvhd timescale 0 is a division-by-zero clock: the strict
     profile-as-None contract applies — no silent max(1, ts) substitute
@@ -125,7 +180,16 @@ def test_mp4_fused_corpus_end_to_end(spark):
     for i in range(8):
         r = out[i]
         assert r.major_brand == ("mp42" if i % 3 == 0 else "isom")
-        assert r.duration_ms == i * 10 * 1000 // 600
+        if i % 4 == 3:  # fragmented docs: duration from the moof chain
+            nf = max(1, i // 40)
+            spf, sdur = 1 + i % 3, 20 * (1 + (i // 4) % 2)
+            assert r.fragmented and r.n_fragments == nf
+            assert r.frag_samples == nf * spf
+            assert r.duration_ms == nf * spf * sdur * 1000 // 600
+        else:
+            assert not r.fragmented and r.n_fragments == 0
+            assert r.frag_samples == 0
+            assert r.duration_ms == i * 10 * 1000 // 600
         assert r.n_tracks == (2 if i % 2 == 0 else 1)
         assert (r.video_width, r.video_height) == (
             16 * (1 + i % 5), 16 * (1 + i % 3))

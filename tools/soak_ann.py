@@ -111,6 +111,9 @@ def main() -> None:
             "ivfpq_auto_residual": lambda: sim.ivfpq_topk(
                 queries, emb, k=args.k, n_centroids=None, assignment="auto",
                 residual=True, **pk),
+            "ivfpq_auto_opq": lambda: sim.opq_ivfpq_topk(
+                queries, emb, k=args.k, n_centroids=None, assignment="auto",
+                **pk),
         }
         if args.variants:
             keep = set(args.variants.split(","))
