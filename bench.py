@@ -229,7 +229,7 @@ _MIN_ABS_S = 0.2  # both-rounds-under-this deltas are timer noise, skipped
 _METRIC_SHIFT = 0.2  # stage-metric relative change that names a cause
 
 
-def _box_state() -> dict:
+def _box_state(cap: int = 8) -> dict:
     """Sample the box's tenancy state: /proc/loadavg plus a scan for
     stray spark/pytest/java processes OUTSIDE this process's own tree.
 
@@ -297,7 +297,10 @@ def _box_state() -> dict:
         for pid, cmd in cmd_of.items()
         if pid not in mine and cmd and pat.search(cmd)
     ]
-    state["stray"] = stray[:8]
+    # `cap` bounds the SIDECAR sample; stray_count is always the full
+    # tally (the live test passes a large cap so its probe can't be
+    # truncated out by legitimate strays sharing the box)
+    state["stray"] = stray[:cap]
     state["stray_count"] = len(stray)
     return state
 

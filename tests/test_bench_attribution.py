@@ -204,7 +204,9 @@ def test_box_state_sees_detached_stray(tmp_path):
         hit = []
         for _ in range(20):  # reparenting is async; poll up to 2 s
             time.sleep(0.1)
-            state = bench._box_state()
+            # uncapped sample: legitimate strays (a background soak's
+            # JVM + workers) must not truncate the probe out of the list
+            state = bench._box_state(cap=1 << 20)
             hit = [
                 s for s in (state.get("stray") or [])
                 if "java_stray_livetest" in s["cmd"]
