@@ -424,11 +424,25 @@ def kmeans_centroids(
 
         cutoff = int(fit_fraction * HASH_SPACE)
         v = v.filter(sample_hash(F.col("cid"), salt="kmfit") < cutoff)
+    dim = None
     if iters > 0:
         # every Lloyd round rescans the vectors; cache them for the loop
         # (MEMORY_AND_DISK default — spills instead of OOM at scale, the
         # same contract MLlib's k-means uses for its input)
         v = v.persist()
+        # One narrow probe materializes the cache AND learns whether the
+        # corpus is fixed-dimension (the overwhelmingly common case): if
+        # so, every mean recompute below runs as ONE wide aggregate
+        # (d avg columns, map-side combinable, a single exchange on
+        # cent_id) instead of posexplode -> groupBy(cent, pos) ->
+        # groupBy(cent) — two exchanges and an N x d row explode per
+        # Lloyd round (round-11 optimization; guide §2.4/§2.3). Ragged
+        # corpora keep the explode path, so behavior is unchanged there.
+        probe = v.agg(
+            F.min(F.size("v")).alias("lo"), F.max(F.size("v")).alias("hi")
+        ).first()
+        if probe["lo"] is not None and probe["lo"] == probe["hi"]:
+            dim = int(probe["lo"])
     # seed ranks via a single-row collect_list aggregate rather than a
     # row_number window: same deterministic ids, but no unpartitioned
     # WindowExec (its "all data to a single partition" warning is noise —
@@ -454,21 +468,32 @@ def kmeans_centroids(
                 F.array_max(_scored_cents(F.col("v"))).getField("cent_id").alias("cent_id"),
             )
         )
-        means = (
-            best.select("cent_id", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cent_id", "pos")
-            .agg(F.avg("val").alias("m"))
-        )
-        cent = (
-            means.groupBy("cent_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "cent_id",
-                F.transform("pm", lambda s: s.getField("m")).alias("mv"),
+        if dim is not None:
+            # fixed-dim fast path: one exchange (map-side-combinable avg
+            # per component), no explode — same means, same 9dp rounding
+            means_wide = best.groupBy("cent_id").agg(
+                *[F.avg(F.col("v")[p]).alias(f"_m{p}") for p in range(dim)]
             )
+            mv = F.array(*[F.col(f"_m{p}") for p in range(dim)])
+            cent = means_wide.select("cent_id", mv.alias("mv"))
+        else:
+            means = (
+                best.select("cent_id", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cent_id", "pos")
+                .agg(F.avg("val").alias("m"))
+            )
+            cent = (
+                means.groupBy("cent_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select(
+                    "cent_id",
+                    F.transform("pm", lambda s: s.getField("m")).alias("mv"),
+                )
+            )
+        cent = (
             # re-normalize the mean (spherical k-means): unit centroids keep
             # the next round's similarity a plain dot product
-            .withColumn("_mnorm", norm(F.col("mv")))
+            cent.withColumn("_mnorm", norm(F.col("mv")))
             .filter(F.col("_mnorm") > 0)
             .select(
                 "cent_id",
@@ -1709,8 +1734,20 @@ def pq_codebooks(
     else:
         corpus_fit = corpus
     sub = _spread(_sub_rows(corpus_fit, id_col, vec_col, m))
+    dim = None
     if iters > 0:
         sub = sub.persist()
+        # fixed-dimension probe (one narrow column-pruned pass over the
+        # FIT set): when every vector shares one length, each Lloyd
+        # round's mean recompute collapses to ONE wide aggregate on
+        # (sub_id, cent_id) — no posexplode, one exchange instead of two
+        # (round-11 optimization, same shape as kmeans_centroids)
+        probe = corpus_fit.agg(
+            F.min(F.size(F.col(vec_col))).alias("lo"),
+            F.max(F.size(F.col(vec_col))).alias("hi"),
+        ).first()
+        if probe["lo"] is not None and probe["lo"] == probe["hi"]:
+            dim = int(probe["lo"])
     cent = (
         sub.filter(
             F.col("cid").isin(
@@ -1736,19 +1773,44 @@ def pq_codebooks(
             "sv",
             _pq_best_code(F.col("sv"), F.col("sub_id")).alias("cent_id"),
         )
-        cent = (
-            best.select("sub_id", "cent_id", F.posexplode("sv").alias("pos", "val"))
-            .groupBy("sub_id", "cent_id", "pos")
-            .agg(F.avg("val").alias("mval"))
-            .groupBy("sub_id", "cent_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
-            .select(
-                "sub_id",
-                "cent_id",
-                F.transform("pm", lambda s: F.round(s.getField("mval"), 9)).alias("cv"),
+        if dim is not None:
+            # fixed-dim fast path: every sub-vector of subspace s has a
+            # known length (dsub, or d - (m-1)*dsub for the last), so the
+            # per-(sub, cent) mean is a single wide aggregate sliced to
+            # the subspace's length — one exchange, no explode
+            dsub = dim // m
+            last_len = dim - (m - 1) * dsub
+            max_len = max(dsub, last_len)
+            means_wide = best.groupBy("sub_id", "cent_id").agg(
+                *[
+                    F.avg(F.try_element_at(F.col("sv"), F.lit(p + 1))).alias(f"_m{p}")
+                    for p in range(max_len)
+                ]
             )
-            .localCheckpoint(eager=True)
-        )
+            mv = F.slice(
+                F.array(*[F.round(F.col(f"_m{p}"), 9) for p in range(max_len)]),
+                1,
+                F.when(F.col("sub_id") == m - 1, F.lit(last_len)).otherwise(
+                    F.lit(dsub)
+                ),
+            )
+            cent = means_wide.select(
+                "sub_id", "cent_id", mv.alias("cv")
+            ).localCheckpoint(eager=True)
+        else:
+            cent = (
+                best.select("sub_id", "cent_id", F.posexplode("sv").alias("pos", "val"))
+                .groupBy("sub_id", "cent_id", "pos")
+                .agg(F.avg("val").alias("mval"))
+                .groupBy("sub_id", "cent_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+                .select(
+                    "sub_id",
+                    "cent_id",
+                    F.transform("pm", lambda s: F.round(s.getField("mval"), 9)).alias("cv"),
+                )
+                .localCheckpoint(eager=True)
+            )
     if iters > 0:
         sub.unpersist(blocking=False)
     return cent
@@ -1764,21 +1826,29 @@ def pq_encode(
     """Quantize: (id, codes array<long> of length m). THIS is PQ's scale
     story — at 100 TB the float vectors (d doubles/row) compress to m
     small codes/row; every downstream scoring pass reads codes, never
-    vectors. Narrow: broadcast codebooks, per-row argmin, per-row
-    array_sort-by-sub reassembly (no shuffle at all)."""
-    sub = _sub_rows(corpus, id_col, vec_col, m)
-    coded = sub.crossJoin(F.broadcast(_pq_cent_array(codebooks))).select(
-        "cid",
-        F.struct("sub_id", _pq_best_code(F.col("sv"), F.col("sub_id")).alias("code")).alias("sc"),
+    vectors. Fully narrow: broadcast codebooks, all ``m`` per-row argmins
+    computed inside one projection (round-11: the former
+    explode -> groupBy(cid) reassembly shuffled N x m rows corpus-wide;
+    this removes that exchange outright — guide §2.4). The sub-slice
+    expressions are byte-identical to ``_sub_rows``'s, so codes are
+    unchanged."""
+    rows = corpus.select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v")
+    ).crossJoin(F.broadcast(_pq_cent_array(codebooks)))
+    d = F.size(F.col("v"))
+    dsub = (d / m).cast("int")  # floor, as in _sub_rows
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _pq_best_code(
+            F.slice(
+                F.col("v"),
+                s * dsub + 1,
+                F.when(s == m - 1, d - s * dsub).otherwise(dsub),
+            ),
+            s,
+        ),
     )
-    return (
-        coded.groupBy("cid")
-        .agg(F.array_sort(F.collect_list("sc")).alias("scs"))
-        .select(
-            F.col("cid").alias(id_col),
-            F.transform("scs", lambda s: s.getField("code")).alias("codes"),
-        )
-    )
+    return rows.select(F.col("cid").alias(id_col), codes.alias("codes"))
 
 
 def pq_topk(
@@ -1816,24 +1886,40 @@ def pq_topk(
     """
     books = pq_codebooks(corpus, id_col, vec_col, m, n_codes, kmeans_iters)
     codes = pq_encode(corpus, books, id_col, vec_col, m)
-    qsub = _sub_rows(queries, id_col, vec_col, m)
-    lut = (
-        qsub.join(
-            F.broadcast(books),
-            qsub.sub_id == books.sub_id,
-        )
-        .select(
-            F.col("cid").alias("qid"),
-            (qsub.sub_id * PQ_KEY_STRIDE + F.col("cent_id")).alias("key"),
+    # narrow LUT build (round-11): per query row, one map over the
+    # broadcast codebook array — the former _sub_rows explode + equi-join
+    # + groupBy(qid) reassembly paid an exchange for |Q| rows of output.
+    # The sub-slice and dot-fold expressions are byte-identical to the
+    # old path's, and the (key, dp) entry set is the same, so lookups are
+    # unchanged.
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    ).crossJoin(F.broadcast(_pq_cent_array(books)))
+    qd = F.size(F.col("qv"))
+    qdsub = (qd / m).cast("int")  # floor, as in _sub_rows
+    lut_entries = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (c.getField("sub_id") * PQ_KEY_STRIDE + c.getField("cent_id")).alias("key"),
             F.aggregate(
-                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: x * y),
+                F.zip_with(
+                    F.slice(
+                        F.col("qv"),
+                        c.getField("sub_id") * qdsub + 1,
+                        F.when(
+                            c.getField("sub_id") == m - 1,
+                            qd - c.getField("sub_id") * qdsub,
+                        ).otherwise(qdsub),
+                    ),
+                    c.getField("cv"),
+                    lambda x, y: x * y,
+                ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ).alias("dp"),
-        )
-        .groupBy("qid")
-        .agg(F.map_from_entries(F.array_sort(F.collect_list(F.struct("key", "dp")))).alias("lut"))
+        ),
     )
+    lut = qrows.select("qid", F.map_from_entries(lut_entries).alias("lut"))
     score = F.round(
         F.aggregate(
             F.zip_with(
@@ -2024,21 +2110,38 @@ def ivfpq_topk(
                 ).alias("cell_dp"),
             )
         )
-    qsub = _sub_rows(queries, id_col, vec_col, m)
-    lut = (
-        qsub.join(F.broadcast(books), qsub.sub_id == books.sub_id)
-        .select(
-            F.col("cid").alias("qid"),
-            (qsub.sub_id * PQ_KEY_STRIDE + F.col("cent_id")).alias("key"),
+    # narrow LUT build (round-11, same shape as pq_topk): one map over
+    # the broadcast codebook array per query row — removes the
+    # _sub_rows explode + equi-join + groupBy(qid) exchange; slice and
+    # fold expressions byte-identical, entry set unchanged
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("_lqv")
+    ).crossJoin(F.broadcast(_pq_cent_array(books)))
+    qd = F.size(F.col("_lqv"))
+    qdsub = (qd / m).cast("int")  # floor, as in _sub_rows
+    lut_entries = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (c.getField("sub_id") * PQ_KEY_STRIDE + c.getField("cent_id")).alias("key"),
             F.aggregate(
-                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: x * y),
+                F.zip_with(
+                    F.slice(
+                        F.col("_lqv"),
+                        c.getField("sub_id") * qdsub + 1,
+                        F.when(
+                            c.getField("sub_id") == m - 1,
+                            qd - c.getField("sub_id") * qdsub,
+                        ).otherwise(qdsub),
+                    ),
+                    c.getField("cv"),
+                    lambda x, y: x * y,
+                ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ).alias("dp"),
-        )
-        .groupBy("qid")
-        .agg(F.map_from_entries(F.array_sort(F.collect_list(F.struct("key", "dp")))).alias("lut"))
+        ),
     )
+    lut = qrows.select("qid", F.map_from_entries(lut_entries).alias("lut"))
     probes_with_lut = q_probes.join(F.broadcast(lut), "qid")
 
     adc_sum = F.aggregate(
