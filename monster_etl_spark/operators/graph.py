@@ -283,23 +283,38 @@ def pagerank_fixed_point(
         e.select(F.col("dst").alias("node"))
     ).distinct()
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("out_deg"))
-    n_total = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
 
     d = int(damping_pct)
-    ranks = (
-        nodes.crossJoin(F.broadcast(n_total))
-        .select("node", "n_nodes", F.expr(f"{base} div n_nodes").alias("rank_fp"))
+    # out_deg is a property of the edge's SOURCE: attach it to the edge
+    # list ONCE instead of re-joining `deg` inside every round (round-11;
+    # guide §2.4 — one whole join per iteration removed). Partition by
+    # the probe key before checkpointing: LogicalRDD preserves the
+    # physical partitioning, so the per-round rank join needs no exchange
+    # on this (much larger) side.
+    e_deg = _truncate_lineage(
+        e.select(F.col("src").alias("node"), "dst")
+        .join(deg, "node")
+        .repartition(F.col("node")),
+        checkpoint_dir,
     )
-    tele = F.expr(f"({100 - d} * {base}) div (100 * n_nodes)")
-    # name-keyed edge copy: every join below is a USING-style equi-join on
-    # "node", which sidesteps ambiguous-attribute resolution when ranks
-    # (whose lineage contains the edge list, via nodes) re-joins the edges
-    e_by_src = e.select(F.col("src").alias("node"), "dst")
+    # n_nodes is ONE scalar: resolve it on the driver (bounded collect,
+    # the same contract as the centroid-array collects) and fold the
+    # teleport term into a literal — the old per-round
+    # BroadcastNestedLoopJoin of a 1-row aggregate, and the nodes-distinct
+    # subtree it re-ran, disappear from every iteration. All arithmetic
+    # stays in the same integer domain, so ranks are bit-identical.
+    n_nodes = nodes.count()
+    safe_n = max(1, n_nodes)  # n_nodes == 0 -> ranks is empty; value unused
+    tele = F.lit(((100 - d) * base) // (100 * safe_n)).cast("long")
+    ranks = _truncate_lineage(
+        nodes.repartition(F.col("node")).select(
+            "node", F.lit(base // safe_n).cast("long").alias("rank_fp")
+        ),
+        checkpoint_dir,
+    )
     for _ in range(iterations):
-        contrib = (
-            ranks.join(deg, "node")
-            .join(e_by_src, "node")
-            .select(F.col("dst").alias("node"), F.expr("rank_fp div out_deg").alias("c"))
+        contrib = ranks.join(e_deg, "node").select(
+            F.col("dst").alias("node"), F.expr("rank_fp div out_deg").alias("c")
         )
         in_sum = contrib.groupBy("node").agg(F.sum("c").alias("in_sum"))
         ranks = (
@@ -307,7 +322,6 @@ def pagerank_fixed_point(
             .join(in_sum, "node", "left")
             .select(
                 "node",
-                "n_nodes",
                 (tele + F.expr(f"({d} * coalesce(in_sum, 0)) div 100")).alias("rank_fp"),
             )
         )

@@ -14,6 +14,8 @@ summation strategies and oracle-checkable in DuckDB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -222,6 +224,15 @@ def embedding_dup_pairs(
 IVF_CENTROIDS = 16
 IVF_PROBES = 4
 IVF_KMEANS_ITERS = 3
+# Width cap for the fixed-dimension wide-aggregate mean fast path in the
+# Lloyd loops (kmeans_centroids / pq_codebooks). d parallel avg() buffers
+# stop paying for themselves well before the codegen field budget:
+# measured on knn_ivf at sf0.1, the d=64 wide aggregate runs 3.6 s vs
+# 2.2-2.5 s for the explode path (and raising codegen.maxFields does not
+# rescue it), while knn_pq's 8-wide subspace aggregate wins 2.88 vs 3.17.
+# So: narrow fixed-dim corpora (PQ subspaces, low-d vectors) take the
+# one-exchange wide path; everything else keeps the explode path.
+KMEANS_WIDE_DIM_CAP = int(os.environ.get("SPARK_GRAFT_KMEANS_WIDE_DIM_CAP", "16"))
 
 #: cell count below which two-level assignment cannot win: per-row cost is
 #: ~(1 + sup_probes) * sqrt(cells) dots vs ``cells`` flat, so the crossover
@@ -430,19 +441,23 @@ def kmeans_centroids(
         # (MEMORY_AND_DISK default — spills instead of OOM at scale, the
         # same contract MLlib's k-means uses for its input)
         v = v.persist()
-        # One narrow probe materializes the cache AND learns whether the
-        # corpus is fixed-dimension (the overwhelmingly common case): if
-        # so, every mean recompute below runs as ONE wide aggregate
-        # (d avg columns, map-side combinable, a single exchange on
-        # cent_id) instead of posexplode -> groupBy(cent, pos) ->
-        # groupBy(cent) — two exchanges and an N x d row explode per
-        # Lloyd round (round-11 optimization; guide §2.4/§2.3). Ragged
-        # corpora keep the explode path, so behavior is unchanged there.
-        probe = v.agg(
-            F.min(F.size("v")).alias("lo"), F.max(F.size("v")).alias("hi")
-        ).first()
-        if probe["lo"] is not None and probe["lo"] == probe["hi"]:
-            dim = int(probe["lo"])
+        # Fixed-dimension probe: when every vector shares one NARROW
+        # length (<= KMEANS_WIDE_DIM_CAP), each mean recompute below runs
+        # as ONE wide aggregate (d avg columns, map-side combinable, a
+        # single exchange on cent_id) instead of posexplode ->
+        # groupBy(cent, pos) -> groupBy(cent) — two exchanges and an
+        # N x d row explode per Lloyd round (round-11; guide §2.4/§2.3).
+        # The limit-1 pre-probe keeps the common over-cap case (document
+        # embeddings, d=64+) at one metadata-cheap job: only a head row
+        # inside the cap pays the full min/max pass. Ragged and wide
+        # corpora keep the explode path — behavior unchanged there.
+        head = v.select(F.size("v").alias("s")).first()
+        if head is not None and head["s"] is not None and 0 < head["s"] <= KMEANS_WIDE_DIM_CAP:
+            probe = v.agg(
+                F.min(F.size("v")).alias("lo"), F.max(F.size("v")).alias("hi")
+            ).first()
+            if probe["lo"] is not None and probe["lo"] == probe["hi"]:
+                dim = int(probe["lo"])
     # seed ranks via a single-row collect_list aggregate rather than a
     # row_number window: same deterministic ids, but no unpartitioned
     # WindowExec (its "all data to a single partition" warning is noise —
@@ -1737,17 +1752,29 @@ def pq_codebooks(
     dim = None
     if iters > 0:
         sub = sub.persist()
-        # fixed-dimension probe (one narrow column-pruned pass over the
-        # FIT set): when every vector shares one length, each Lloyd
-        # round's mean recompute collapses to ONE wide aggregate on
-        # (sub_id, cent_id) — no posexplode, one exchange instead of two
-        # (round-11 optimization, same shape as kmeans_centroids)
-        probe = corpus_fit.agg(
-            F.min(F.size(F.col(vec_col))).alias("lo"),
-            F.max(F.size(F.col(vec_col))).alias("hi"),
-        ).first()
-        if probe["lo"] is not None and probe["lo"] == probe["hi"]:
-            dim = int(probe["lo"])
+        # fixed-dimension probe (same shape + limit-1 pre-probe as
+        # kmeans_centroids): when every vector shares one length AND the
+        # SUBSPACE width (the aggregate's column count, d/m-ish) is under
+        # KMEANS_WIDE_DIM_CAP, each Lloyd round's mean recompute
+        # collapses to ONE wide aggregate on (sub_id, cent_id) — no
+        # posexplode, one exchange instead of two (round-11)
+
+        def _sub_w(d: int) -> int:
+            return max(d // m, d - (m - 1) * (d // m))
+
+        head = corpus_fit.select(F.size(F.col(vec_col)).alias("s")).first()
+        if (
+            head is not None
+            and head["s"] is not None
+            and 0 < head["s"]
+            and _sub_w(head["s"]) <= KMEANS_WIDE_DIM_CAP
+        ):
+            probe = corpus_fit.agg(
+                F.min(F.size(F.col(vec_col))).alias("lo"),
+                F.max(F.size(F.col(vec_col))).alias("hi"),
+            ).first()
+            if probe["lo"] is not None and probe["lo"] == probe["hi"]:
+                dim = int(probe["lo"])
     cent = (
         sub.filter(
             F.col("cid").isin(
