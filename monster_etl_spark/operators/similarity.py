@@ -224,6 +224,24 @@ def embedding_dup_pairs(
 IVF_CENTROIDS = 16
 IVF_PROBES = 4
 IVF_KMEANS_ITERS = 3
+# Row cap for the DRIVER-side Lloyd fit (round-11; guide §1.2 "the
+# distributed algorithm"): a k-means fit over a few thousand vectors is
+# pure fixed overhead as a distributed loop — ~15 driver-synchronous jobs
+# (probes, per-round broadcast builds, eager checkpoints) each paying
+# planning + scheduling latency, measured 2.3 s of knn_ivf's 3.1 s at
+# sf0.1 (2,000 x 64 corpus; tools/profile_query.py). Below this many FIT
+# rows the fit collects the (already unit-normalized / sub-sliced)
+# vectors in ONE Arrow job and runs the identical Lloyd recurrence in
+# numpy on the driver: dots are exact left folds (cumsum), rounding is
+# the Spark shortest-decimal-repr HALF_UP (see tools/tie_sweep.py), ties
+# and empty-cell dropout replicate the struct-ordering semantics, so the
+# centroids are the same values the distributed loop emits (oracle-gated
+# at every driver sf). Same size-adaptive precedent as
+# connected_components' driver_threshold and the OPQ sample collect; the
+# cap bounds driver memory (131072 x 64 doubles = 67 MB) and large
+# corpora keep the distributed loop. 0 disables the driver tier.
+KMEANS_DRIVER_FIT_CAP = int(os.environ.get("SPARK_GRAFT_KMEANS_DRIVER_FIT_CAP", "131072"))
+
 # Width cap for the fixed-dimension wide-aggregate mean fast path in the
 # Lloyd loops (kmeans_centroids / pq_codebooks). d parallel avg() buffers
 # stop paying for themselves well before the codegen field budget:
@@ -374,6 +392,207 @@ def _scored_cents(vec: Column) -> Column:
     )
 
 
+def _spark_round(x: float, scale: int = 9) -> float:
+    """Replicate Spark's ``round(double, n)``: HALF_UP on the double's
+    SHORTEST DECIMAL REPR (Java ``BigDecimal.valueOf``), not its binary
+    value — the exact mechanism pinned by tools/tie_sweep.py. Python's
+    ``repr(float)`` is the same shortest round-trip decimal, and
+    ``+ 0.0`` folds BigDecimal's signless zero (``-0.0`` never leaves
+    Java's round)."""
+    import decimal
+
+    return (
+        float(
+            decimal.Decimal(repr(float(x))).quantize(
+                decimal.Decimal(1).scaleb(-scale), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        + 0.0
+    )
+
+
+def _fold_dots(V, C):
+    """Exact left-fold dot products: row i of ``V`` against every row of
+    ``C`` with the SAME summation order as the JVM tier's
+    ``aggregate(zip_with(a, b, *), 0.0, +)`` — elementwise products, then
+    a sequential prefix sum (``cumsum`` is a strict left fold, and
+    ``0.0 + p0 == p0`` exactly), so scores are bit-identical to
+    :func:`_scored_cents` / :func:`_pq_best_code` on the same doubles."""
+    import numpy as np
+
+    n, k = V.shape[0], C.shape[0]
+    out = np.empty((n, k), dtype=np.float64)
+    for j in range(k):
+        out[:, j] = np.cumsum(V * C[j], axis=1)[:, -1]
+    return out
+
+
+def _fold_sq(x) -> float:
+    """Exact left fold of ``acc + v*v`` (the JVM ``norm``/``c2`` shape)."""
+    import numpy as np
+
+    sq = x * x
+    return float(np.cumsum(sq)[-1]) if len(sq) else 0.0
+
+
+def _collect_fit_rows(df: DataFrame, id_name: str, vec_name: str, cap: int):
+    """ONE-job bounded Arrow collect of a fit set: ``(ids, V)`` sorted by
+    id, or ``None`` when the set exceeds ``cap`` rows or is ragged (the
+    distributed loop handles both). The vectors are collected AFTER all
+    Spark-side derivation (double cast / unit normalization), so the
+    driver sees bit-identical doubles."""
+    import numpy as np
+
+    tbl = df.select(
+        F.col(id_name).alias("_fid"), F.col(vec_name).alias("_fv")
+    ).limit(cap + 1).toArrow()
+    n = tbl.num_rows
+    if n == 0 or n > cap:
+        return None if n else ([], None)
+    col = tbl.column("_fv").combine_chunks()
+    if col.null_count:
+        # null VECTORS: the distributed paths drop them (filter /
+        # posexplode-of-null); keep that one semantic there
+        return None
+    if col.flatten().null_count:
+        # null ELEMENTS propagate as SQL nulls through the fold, not as
+        # NaN — only the distributed tier reproduces that
+        return None
+    import pyarrow.compute as pc
+
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    if len(set(lengths.tolist())) != 1:
+        return None
+    d = int(lengths[0])
+    if d == 0:
+        return None
+    V = np.asarray(col.flatten().to_numpy(zero_copy_only=False), dtype=np.float64).reshape(n, d)
+    ids = tbl.column("_fid").to_pylist()
+    order = np.argsort(np.asarray(ids)) if isinstance(ids[0], (int, float)) else sorted(
+        range(n), key=ids.__getitem__
+    )
+    order = np.asarray(order)
+    return [ids[int(i)] for i in order], V[order]
+
+
+def _local_cent_df(spark, cent_ids, cvs) -> DataFrame:
+    """(cent_id, cv) as an Arrow-built **LocalRelation** — NOT the plain
+    ``createDataFrame(list)`` path, whose pickled-RDD backing re-runs a
+    Python deserialization job on every downstream broadcast build
+    (measured 0.51 s/eval vs 0.11 s for the LocalRelation, and each knn
+    query broadcasts the centroid table several times)."""
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "cent_id": pa.array([int(c) for c in cent_ids], pa.int64()),
+            "cv": pa.array(cvs, pa.list_(pa.float64())),
+        }
+    )
+    return spark.createDataFrame(tbl)
+
+
+def _local_books_df(spark, rows) -> DataFrame:
+    """(sub_id, cent_id, cv) codebooks as an Arrow-built LocalRelation
+    (see :func:`_local_cent_df` for why not ``createDataFrame(list)``)."""
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "sub_id": pa.array([r[0] for r in rows], pa.int32()),
+            "cent_id": pa.array([int(r[1]) for r in rows], pa.int64()),
+            "cv": pa.array([r[2] for r in rows], pa.list_(pa.float64())),
+        }
+    )
+    return spark.createDataFrame(tbl)
+
+
+def _kmeans_driver_fit(spark, ids, V, n_centroids: int, iters: int) -> DataFrame:
+    """Driver-tier spherical Lloyd loop — the identical recurrence as the
+    distributed loop below (seed = lowest-id unit vectors rounded 9dp;
+    assign = argmax exact-left-fold dot, ties to the lowest cent_id, NaN
+    greatest first — numpy's first-max IS the struct-ordering winner;
+    mean -> renormalize with an exact-left-fold norm -> 9dp
+    shortest-repr HALF_UP round; empty and zero-norm cells drop out).
+    Mean summation uses numpy's pairwise sum over id-sorted members — a
+    different fold order than any one shuffle layout, inside the same
+    9dp-rounding band that already makes the distributed result
+    partition-order-reproducible (and DuckDB-oracle-equal)."""
+    import numpy as np
+
+    if V is None or V.shape[0] == 0:
+        return _local_cent_df(spark, [], [])
+    k = min(n_centroids, V.shape[0])
+    cent_ids = list(range(1, k + 1))
+    C = np.array([[_spark_round(x) for x in row] for row in V[:k]], dtype=np.float64)
+    for _ in range(iters):
+        assign = np.argmax(_fold_dots(V, C), axis=1)
+        new_ids: list[int] = []
+        new_rows: list[np.ndarray] = []
+        for j, cid_ in enumerate(cent_ids):
+            members = V[assign == j]
+            if members.shape[0] == 0:
+                continue
+            mv = members.sum(axis=0) / members.shape[0]
+            mnorm = _fold_sq(mv) ** 0.5
+            if not mnorm > 0:
+                continue
+            new_ids.append(cid_)
+            new_rows.append(np.array([_spark_round(x) for x in mv / mnorm]))
+        if not new_rows:
+            return _local_cent_df(spark, [], [])
+        cent_ids = new_ids
+        C = np.vstack(new_rows)
+    return _local_cent_df(
+        spark, cent_ids, [[float(x) for x in row] for row in C]
+    )
+
+
+def _pq_driver_fit(spark, ids, V, m: int, n_codes: int, iters: int) -> DataFrame:
+    """Driver-tier PQ codebook fit: per-subspace Euclidean Lloyd with the
+    identical recurrence as the distributed loop (seed = lowest-id
+    sub-slices rounded 9dp; assign = argmax of exact-left-fold
+    ``sv.cv - 0.5*|cv|^2`` with ``c2`` the exact left fold of the ROUNDED
+    codebook, ties to the lowest cent_id; mean -> 9dp round; empty cells
+    drop). Sub-slicing moves no arithmetic — the slices are the same
+    doubles ``_sub_rows`` emits."""
+    import numpy as np
+
+    if V is None or V.shape[0] == 0:
+        return _local_books_df(spark, [])
+    d = V.shape[1]
+    dsub = d // m
+    out_rows: list[tuple[int, int, list[float]]] = []
+    for s in range(m):
+        start = s * dsub
+        stop = d if s == m - 1 else start + dsub
+        Vs = V[:, start:stop]
+        k = min(n_codes, Vs.shape[0])
+        cent_ids = list(range(1, k + 1))
+        C = np.array([[_spark_round(x) for x in row] for row in Vs[:k]], dtype=np.float64)
+        for _ in range(iters):
+            if C.shape[0] == 0:
+                break
+            c2 = np.array([_fold_sq(row) for row in C])
+            scores = _fold_dots(Vs, C) - 0.5 * c2[None, :]
+            assign = np.argmax(scores, axis=1)
+            new_ids: list[int] = []
+            new_rows: list[np.ndarray] = []
+            for j, cid_ in enumerate(cent_ids):
+                members = Vs[assign == j]
+                if members.shape[0] == 0:
+                    continue
+                mv = members.sum(axis=0) / members.shape[0]
+                new_ids.append(cid_)
+                new_rows.append(np.array([_spark_round(x) for x in mv]))
+            cent_ids = new_ids
+            C = np.vstack(new_rows) if new_rows else np.empty((0, stop - start))
+        out_rows.extend(
+            (s, int(c), [float(x) for x in row]) for c, row in zip(cent_ids, C)
+        )
+    return _local_books_df(spark, out_rows)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -421,20 +640,37 @@ def kmeans_centroids(
     count so the pair join's sum-of-cell² term stays bounded (measured
     in SCALE.md's second-decade section).
     """
-    v = (
-        _with_unit(
-            _spread(corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("raw"))),
-            "raw",
-            "v",
-        )
-        .filter(F.col("v").isNotNull())
-        .select("cid", "v")
-    )
-    if fit_fraction < 1.0:
-        from monster_etl_spark.operators.sampling import HASH_SPACE, sample_hash
+    base = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("raw"))
 
-        cutoff = int(fit_fraction * HASH_SPACE)
-        v = v.filter(sample_hash(F.col("cid"), salt="kmfit") < cutoff)
+    def _prep(src: DataFrame) -> DataFrame:
+        out = (
+            _with_unit(src, "raw", "v")
+            .filter(F.col("v").isNotNull())
+            .select("cid", "v")
+        )
+        if fit_fraction < 1.0:
+            from monster_etl_spark.operators.sampling import HASH_SPACE, sample_hash
+
+            cutoff = int(fit_fraction * HASH_SPACE)
+            out = out.filter(sample_hash(F.col("cid"), salt="kmfit") < cutoff)
+        return out
+
+    # driver tier (round-11): when the fit set is small enough to collect
+    # (<= KMEANS_DRIVER_FIT_CAP rows, fixed-dim), ONE Arrow job replaces
+    # the whole distributed Lloyd loop's ~15 driver-synchronous jobs —
+    # same recurrence, same values (see _kmeans_driver_fit). The collect
+    # side skips ``_spread``'s round-robin exchange (it exists for the
+    # loop's parallelism, not for a single funnel-to-driver job).
+    # Oversized or ragged fit sets fall through to the distributed loop
+    # unchanged.
+    if KMEANS_DRIVER_FIT_CAP > 0:
+        got = _collect_fit_rows(_prep(base), "cid", "v", KMEANS_DRIVER_FIT_CAP)
+        if got is not None:
+            ids, V = got
+            return _kmeans_driver_fit(
+                corpus.sparkSession, ids, V, n_centroids, iters
+            )
+    v = _prep(_spread(base))
     dim = None
     if iters > 0:
         # every Lloyd round rescans the vectors; cache them for the loop
@@ -1748,6 +1984,23 @@ def pq_codebooks(
         )
     else:
         corpus_fit = corpus
+    # driver tier (round-11): same one-Arrow-job replacement as
+    # kmeans_centroids — the WHOLE vectors are collected (bounded) and
+    # sub-sliced in numpy (slicing moves no arithmetic), so the ~15
+    # probe/broadcast/checkpoint jobs of the distributed subspace loop
+    # collapse to one. Oversized/ragged fit sets keep the loop.
+    if KMEANS_DRIVER_FIT_CAP > 0:
+        got = _collect_fit_rows(
+            corpus_fit.select(
+                F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v")
+            ),
+            "cid",
+            "v",
+            KMEANS_DRIVER_FIT_CAP,
+        )
+        if got is not None:
+            ids, V = got
+            return _pq_driver_fit(corpus.sparkSession, ids, V, m, n_codes, iters)
     sub = _spread(_sub_rows(corpus_fit, id_col, vec_col, m))
     dim = None
     if iters > 0:
@@ -1859,8 +2112,13 @@ def pq_encode(
     this removes that exchange outright — guide §2.4). The sub-slice
     expressions are byte-identical to ``_sub_rows``'s, so codes are
     unchanged."""
-    rows = corpus.select(
-        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v")
+    # _spread: on a single-split corpus the per-row interpreted argmin
+    # (and everything narrow above it — the ADC scoring pass rides this
+    # scan) otherwise runs as ONE task; measured 1.5 s serial on knn_pq
+    # at sf0.1 (tools/profile_query.py stage 45) vs ~0.1 s spread over
+    # the cores. No-op at scale (round-11; guide §2.6 stragglers).
+    rows = _spread(
+        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v"))
     ).crossJoin(F.broadcast(_pq_cent_array(codebooks)))
     d = F.size(F.col("v"))
     dsub = (d / m).cast("int")  # floor, as in _sub_rows

@@ -51,6 +51,29 @@ def test_kmeans_centroids_shape(spark, sf_dir):
     assert sorted(map(str, cent)) == sorted(map(str, cent2))
 
 
+def test_driver_fit_tier_matches_distributed(spark, sf_dir, monkeypatch):
+    """Round-11: the driver-side numpy Lloyd fit (one Arrow collect)
+    must emit the EXACT centroid/codebook values the distributed loop
+    does — full fit and hash-sampled fit, coarse k-means and PQ."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def both(fn):
+        drv = sorted(map(str, fn().collect()))
+        monkeypatch.setattr(sim, "KMEANS_DRIVER_FIT_CAP", 0)
+        dist = sorted(map(str, fn().collect()))
+        monkeypatch.setattr(sim, "KMEANS_DRIVER_FIT_CAP", 131072)
+        return drv, dist
+
+    drv, dist = both(lambda: sim.kmeans_centroids(emb))
+    assert drv == dist and len(drv) > 0
+    drv, dist = both(lambda: sim.kmeans_centroids(emb, fit_fraction=0.5))
+    assert drv == dist
+    drv, dist = both(lambda: sim.pq_codebooks(emb))
+    assert drv == dist and len(drv) > 0
+    drv, dist = both(lambda: sim.pq_codebooks(emb, fit_fraction=0.5))
+    assert drv == dist
+
+
 def test_multiprobe_improves_lsh_recall(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(emb.vec_id % 50 == 0)
