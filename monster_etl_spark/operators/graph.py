@@ -15,6 +15,8 @@ the DAG does not grow with iterations (the classic iterative-Spark trap).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -120,7 +122,13 @@ def connected_components(
         schema = T.StructType(
             [T.StructField("node", node_type), T.StructField("component", node_type)]
         )
-        return spark.createDataFrame(rows, schema)
+        # Arrow-built LocalRelation: the plain createDataFrame(list) is
+        # pickled-RDD-backed and re-runs a 32-task Python-worker wave on
+        # EVERY downstream broadcast build of the component table
+        # (measured ~0.5 s/eval inside q_corpus_curation — round-11)
+        from monster_etl_spark.localrel import local_df
+
+        return local_df(spark, rows, schema)
 
     _ensure_checkpoint_dir(pairs, checkpoint_dir)
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -234,6 +242,94 @@ def bfs_hops(
     return visited
 
 
+#: Edge-count cap for the driver-side PageRank tier — the same
+#: size-adaptive routing (and the same default bound) as
+#: ``connected_components``' union-find fast path. 0 disables.
+PAGERANK_DRIVER_EDGE_CAP = int(
+    os.environ.get("SPARK_GRAFT_PAGERANK_DRIVER_EDGE_CAP", "1000000")
+)
+
+
+def _collect_edges(edges: DataFrame, src: str, dst: str, cap: int):
+    """One-job bounded Arrow collect of (src, dst): ``(s_list, d_list)``
+    or ``None`` when over ``cap`` or any endpoint is null (the
+    distributed join semantics handle nulls; the driver tier does not
+    reproduce them)."""
+    tbl = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .limit(cap + 1)
+        .toArrow()
+    )
+    if tbl.num_rows > cap:
+        return None
+    s, d = tbl.column("_s"), tbl.column("_d")
+    if s.null_count or d.null_count:
+        return None
+    return s.to_pylist(), d.to_pylist()
+
+
+def _pagerank_driver(
+    edges: DataFrame,
+    s_list: list,
+    d_list: list,
+    iterations: int,
+    d: int,
+    base: int,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """Driver-tier fixed-point PageRank: the same integer recurrence as
+    the distributed loop (floor division on non-negative longs == SQL
+    ``div``; per-node in-sums are exact integer scatter-adds, so no
+    fold-order question exists). numpy int64 arithmetic wraps like Java
+    longs; the recurrence keeps every value <= ~100*base, far below
+    overflow for the documented ``base``."""
+    import numpy as np
+
+    from monster_etl_spark.localrel import local_df, spark_round
+
+    # node type = union-coerced type of BOTH endpoint columns, exactly as
+    # the distributed path's union(...).distinct() resolves it
+    node_type = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .schema["node"]
+        .dataType
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type),
+            T.StructField("rank_fp", T.LongType()),
+            T.StructField("rank", T.DoubleType()),
+        ]
+    )
+    spark = edges.sparkSession
+    nodes = sorted(set(s_list) | set(d_list))
+    n = len(nodes)
+    if n == 0:
+        return local_df(spark, [], schema)
+    idx = {v: i for i, v in enumerate(nodes)}
+    s_idx = np.fromiter((idx[v] for v in s_list), dtype=np.int64, count=len(s_list))
+    d_idx = np.fromiter((idx[v] for v in d_list), dtype=np.int64, count=len(d_list))
+    out_deg = np.zeros(n, dtype=np.int64)
+    np.add.at(out_deg, s_idx, 1)
+    deg_per_edge = out_deg[s_idx]
+    tele = ((100 - d) * base) // (100 * n)
+    ranks = np.full(n, base // n, dtype=np.int64)
+    for _ in range(iterations):
+        contrib = ranks[s_idx] // deg_per_edge
+        in_sum = np.zeros(n, dtype=np.int64)
+        np.add.at(in_sum, d_idx, contrib)
+        ranks = tele + (d * in_sum) // 100
+    fb = float(base)
+    rows = [
+        (v, int(r), spark_round(int(r) / fb, 6)) for v, r in zip(nodes, ranks)
+    ]
+    return local_df(spark, rows, schema)
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     src: str = "src",
@@ -269,7 +365,25 @@ def pagerank_fixed_point(
     convenience double ``rank_fp / base`` rounded 6dp. ``checkpoint_dir``
     upgrades the edge materialization to a reliable checkpoint (see
     ``_truncate_lineage``).
+
+    Size-adaptive (round-11): when the edge list fits under
+    ``PAGERANK_DRIVER_EDGE_CAP`` rows it is collected once (same bounded
+    take as ``connected_components``' union-find path) and the identical
+    integer recurrence runs in numpy on the driver — every step is long
+    addition/multiplication and floor division on non-negative values,
+    so the driver result is bit-identical BY CONSTRUCTION, not merely
+    within a rounding band. This replaces the edge/deg/rank
+    checkpoints, the count job, and the ``iterations``-deep join chain
+    (~2.1 s of driver-synchronous materialization at sf0.1,
+    tools/profile_query.py) with one collect. Larger graphs keep the
+    distributed loop.
     """
+    if PAGERANK_DRIVER_EDGE_CAP > 0 and checkpoint_dir is None:
+        got = _collect_edges(edges, src, dst, PAGERANK_DRIVER_EDGE_CAP)
+        if got is not None:
+            return _pagerank_driver(
+                edges, got[0], got[1], iterations, int(damping_pct), base, src, dst
+            )
     # Materialize the edge list ONCE before iterating: every round joins
     # it, and so do nodes/deg — without this the edge lineage (often an
     # expensive derivation, e.g. the Apriori pair mine feeding

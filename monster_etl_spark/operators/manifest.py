@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from monster_etl_spark.localrel import local_df
 from monster_etl_spark.fsutil import FileStat, list_files
 
 MANIFEST_SCHEMA = T.StructType(
@@ -124,7 +125,7 @@ _FILES_SCHEMA = "file: string, file_size: long, file_mtime: long"
 
 
 def _scan_files(spark: SparkSession, files: list[FileStat], columns: list[str]) -> DataFrame:
-    files_df = spark.createDataFrame([(f.path, f.size, f.mtime) for f in files], _FILES_SCHEMA)
+    files_df = local_df(spark, [(f.path, f.size, f.mtime) for f in files], _FILES_SCHEMA)
     # one small task per file batch; footer-only IO
     return files_df.repartition(min(len(files), 64)).mapInPandas(
         _stats_scanner(list(columns)), MANIFEST_SCHEMA
@@ -232,11 +233,7 @@ def update_manifest(
     kept_rows = [r for r in snap if (r["file"], r["file_size"], r["file_mtime"]) in live]
     known = {r["file"] for r in kept_rows}
     new_files = sorted((f for f in current if f.path not in known), key=lambda f: f.path)
-    kept = (
-        spark.createDataFrame(kept_rows, MANIFEST_SCHEMA)
-        if kept_rows
-        else spark.createDataFrame([], MANIFEST_SCHEMA)
-    )
+    kept = local_df(spark, [tuple(r) for r in kept_rows], MANIFEST_SCHEMA)
     if not new_files:
         return kept
     return kept.unionByName(_scan_files(spark, new_files, list(columns)))
@@ -304,7 +301,7 @@ def build_bloom_manifest(
     files = _list_part_files(spark, path)
     if not files:
         raise FileNotFoundError(f"no part files under {path}")
-    files_df = spark.createDataFrame([(f.path, f.size, f.mtime) for f in files], _FILES_SCHEMA)
+    files_df = local_df(spark, [(f.path, f.size, f.mtime) for f in files], _FILES_SCHEMA)
     cols = list(columns)
 
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

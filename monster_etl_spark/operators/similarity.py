@@ -393,22 +393,11 @@ def _scored_cents(vec: Column) -> Column:
 
 
 def _spark_round(x: float, scale: int = 9) -> float:
-    """Replicate Spark's ``round(double, n)``: HALF_UP on the double's
-    SHORTEST DECIMAL REPR (Java ``BigDecimal.valueOf``), not its binary
-    value — the exact mechanism pinned by tools/tie_sweep.py. Python's
-    ``repr(float)`` is the same shortest round-trip decimal, and
-    ``+ 0.0`` folds BigDecimal's signless zero (``-0.0`` never leaves
-    Java's round)."""
-    import decimal
+    """Driver replica of Spark's ``round(double, n)`` — see
+    :func:`monster_etl_spark.localrel.spark_round`."""
+    from monster_etl_spark.localrel import spark_round
 
-    return (
-        float(
-            decimal.Decimal(repr(float(x))).quantize(
-                decimal.Decimal(1).scaleb(-scale), rounding=decimal.ROUND_HALF_UP
-            )
-        )
-        + 0.0
-    )
+    return spark_round(x, scale)
 
 
 def _fold_dots(V, C):

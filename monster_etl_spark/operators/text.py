@@ -912,8 +912,11 @@ def bpe_learn_merges(
                 merges.append((len(merges) + 1, w1, w2, w1 + w2, cnt))
                 col = _bpe_apply_merge(col, w1, w2)
             words = words.withColumn("sym", col)
-        return spark.createDataFrame(
-            merges, "merge_rank: long, w1: string, w2: string, merged: string, pair_count: long"
+        from monster_etl_spark.localrel import local_df
+
+        return local_df(
+            spark, merges,
+            "merge_rank: long, w1: string, w2: string, merged: string, pair_count: long",
         )
     finally:
         base.unpersist()

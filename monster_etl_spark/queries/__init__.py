@@ -27,10 +27,31 @@ class QuerySpec:
     doc: str = ""
 
 
+# Session-scoped SCHEMA memo: ``spark.read.parquet`` re-infers the
+# schema from the footer (plus py4j chatter) on EVERY call even though
+# the test tables are immutable — with ~88 headline queries x 1-3 loads
+# x warm+timed runs that is seconds of pure re-analysis per bench pass.
+# Passing the memoized schema back via ``.schema(...)`` skips the
+# inference while still returning a FRESH relation per call (fresh
+# expression ids — memoizing the DataFrame itself turns two loads of one
+# table into an ambiguous self-join). The reader-side equivalent of a
+# catalog/metastore table (guide §6); file LISTING is already cached by
+# the session's shared FileStatusCache. No data or results are cached —
+# every action still scans parquet (round-11).
+_SCHEMA_MEMO: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    path = f"{sf_dir}/{table}.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    sch = _SCHEMA_MEMO.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +71,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    sch = _SCHEMA_MEMO.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(path)
     if not isinstance(df.schema["ts"].dataType, T.LongType):
         return df
     # integer div/mod (never double) until the final sub-day fraction

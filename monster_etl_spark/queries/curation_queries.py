@@ -110,8 +110,14 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from monster_etl_spark.operators.dedup import ngram_jaccard_pairs
     from monster_etl_spark.operators.graph import connected_components
 
+    from monster_etl_spark.operators.partitioning import spread
+
     d = load(spark, sf_dir, "documents")
-    scored = d.select(
+    # spread BEFORE the regex-heavy quality/token projection: on a
+    # single-split corpus it otherwise evaluates serially inside the
+    # final (1-task) anti-join stage — measured 0.5 s at sf0.1
+    # (round-11; no-op at scale)
+    scored = spread(d).select(
         "doc_id",
         tx.quality_score(F.col("text")).alias("quality"),
         tx.ws_token_count(F.col("text")).alias("n_tokens"),
@@ -185,8 +191,11 @@ def q_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text",
         n=NGRAM_N, threshold=JACCARD_THRESHOLD, max_shingle_freq=MAX_SHINGLE_FREQ,
     )
+    from monster_etl_spark.operators.partitioning import spread
+
     comps = connected_components(pairs)
-    scored = d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+    # spread: same serial-quality-pass fix as q_corpus_curation
+    scored = spread(d).select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
     joined = comps.join(scored, comps.node == scored.doc_id).select(
         F.col("component").alias("cluster"), "node", "quality"
     )

@@ -74,6 +74,33 @@ def get_spark(
             str(initial_partitions),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE coalesce shuffles UNDER persist()/cache too (off by
+        # default): without it a cached subtree materializes at the full
+        # initialPartitionNum — bpe_learn_merges' vocabulary cache came
+        # out as 1024 partitions at sf0.1, and every per-round pair-count
+        # rescan then paid a 1024-task wave (~0.5-1 s/round of pure
+        # scheduling; round-11, guide §2.2 "fewer, larger partitions").
+        # Output PARTITIONING of a cache is not part of any result
+        # contract here (all declared queries canonicalize order).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # AQE coalescing is parallelism-first (default), but its floor is
+        # minPartitionSize=1m — a CPU-dense shuffle over a few MB (the
+        # inverted shingle self-join: 5 x 1 MB partitions at ~0.8 s CPU
+        # each at sf0.1) collapses to a handful of tasks and serializes.
+        # A smaller floor lets small intermediates use the cores
+        # (target stays max(bytes/defaultParallelism, floor)); at scale
+        # bytes/parallelism >> advisory, so this is inert at 100 TB
+        # (round-11; guide §2.5 stragglers / §2.2 partition sizing).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+        # PySpark 4's DataFrame-debugging wrapper adds ~3 py4j round
+        # trips (conf.get + origin set/clear) plus a Python stack walk to
+        # EVERY Column/DataFrame API call; expression-dense operators pay
+        # seconds of driver time per plan BUILD (dedup_simhash: 9,439
+        # round trips = 2.3 s before, 0.6 s after; whole-bench build time
+        # 35.9 s -> measured below). Error messages lose only the
+        # user-code call-site enrichment (round-11; guide §4 — the
+        # JVM<->Python boundary exists on the driver too).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "true" if ansi else "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
