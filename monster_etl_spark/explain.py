@@ -48,8 +48,17 @@ def formatted_plan(df: DataFrame) -> str:
 
 #: logical nodes that bound the cardinality of whatever sits beneath them —
 #: a broadcast hint above one of these ships a BOUNDED intermediate (a 1-row
-#: global aggregate, a LIMITed subset), not an SF-growing table
-_BOUNDING_NODES = ("Aggregate", "GlobalLimit", "LocalLimit", "Sample", "Deduplicate")
+#: global aggregate, a LIMITed subset), not an SF-growing table.
+#: ``LocalRelation`` is bounded by a different argument: it is data the
+#: driver ALREADY holds (a driver-tier fit result / bounded collect, each
+#: governed by its own cap contract audited at the collect site), so a
+#: broadcast hint on it cannot ship more than the driver-resident rows —
+#: the round-11 driver-tier k-means fit turned the centroid table from an
+#: Aggregate subtree into a LocalRelation without changing its row bound.
+_BOUNDING_NODES = (
+    "Aggregate", "GlobalLimit", "LocalLimit", "Sample", "Deduplicate",
+    "LocalRelation",
+)
 
 
 def broadcast_hinted_tables(df: DataFrame) -> list[str]:

@@ -143,8 +143,19 @@ def test_semantic_pairs_join_is_equi_not_cartesian(spark, sf_dir):
     # the only BroadcastNestedLoop allowed is the 1-row centroid-array attach
     bnl = re.findall(r"BroadcastNestedLoopJoin", plan)
     assert "CartesianProduct" not in plan, "semantic pair join degraded to a cartesian product"
-    # pair join itself must be an equi join on _cell
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # pair join itself must be an equi join on _cell. One legitimate
+    # no-join shape exists (round-11): when the dup-pair set at this sf is
+    # EMPTY, the union-find result is a known-empty Arrow LocalRelation and
+    # PropagateEmptyRelation folds the corpus join to a plain projection
+    # (rep_id = vec_id, keep = true) — scan + project, no join of any kind.
+    # That fold is the optimizer proving there is nothing to join, not a
+    # cartesian regression; the guard still bites whenever pairs exist.
+    has_join = (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    folded_empty = "Join" not in plan and "AS rep_id" in plan
+    assert has_join or folded_empty, plan
     assert len(bnl) <= 4, f"unexpected nested-loop joins: {len(bnl)}"
 
 
