@@ -151,7 +151,13 @@ def _hashed_shingles(
             .filter(F.col("df_") > max_shingle_freq)
             .select("h")
         )
-        sh = sh.join(hot, "h", "left_anti")
+        # explicit broadcast: the hot set is bounded by construction
+        # (<= total_instances/cap rows, zipfian-tiny in practice) and the
+        # hint sits above the bounding Aggregate, so the anti-join can
+        # never degrade to a sort-merge re-shuffle of the full shingle
+        # table at scale (round-11; guide §3.1 — size estimates after a
+        # selective filter are often wrong, pin the strategy you can prove)
+        sh = sh.join(F.broadcast(hot), "h", "left_anti")
     return sh
 
 
@@ -174,15 +180,24 @@ def ngram_jaccard_pairs(
     a collision would need ~2^16+ distinct shingles colliding in the
     32-bit space — and the oracle reproduces it identically if so.)
     """
-    sh = (
-        _hashed_shingles(df, id_col, text_col, n, max_shingle_freq)
-        .withColumnRenamed("h", "sh")
-        # pre-partition on the join key: both self-join sides share one
-        # identical exchange (ReusedExchange) — the scan+shingle+hash work
-        # runs once, and the join itself is co-partitioned (no extra shuffle)
-        .repartition(F.col("sh"))
+    sh0 = _hashed_shingles(df, id_col, text_col, n, max_shingle_freq).withColumnRenamed(
+        "h", "sh"
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # sizes is computed from the PRE-partition table: referencing the
+    # repartition exchange from the self-join sides AND both size joins
+    # (4 plan references) defeats AQE's runtime stage reuse in Spark 4.1
+    # (measured: the full shingle exchange materialized twice, 2 x 32-task
+    # map stages re-running the explode+hash); with sizes off to the side
+    # the exchange has exactly the 2 self-join references and materializes
+    # ONCE (round-11, stage-level evidence in OPTIMIZATION_r11.md). The
+    # sizes pass re-runs the explode into a map-side-combinable per-doc
+    # count — partial rows, not the full table (296K vs 5.7MB shuffled at
+    # sf0.1; guide §2.3 "aggregate before you shuffle" / §2.4).
+    sizes = sh0.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # pre-partition on the join key: both self-join sides share one
+    # identical exchange (reused query stage) — the scan+shingle+hash work
+    # runs once, and the join itself is co-partitioned (no extra shuffle)
+    sh = sh0.repartition(F.col("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))

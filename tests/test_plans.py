@@ -239,3 +239,16 @@ def test_negative_samples_prefilter_below_rank_window(spark, sf_dir):
         f"cutoff at node {min(cutoff_ids)} does not precede rank window "
         f"{min(rank_window_ids)} — corpus-sized window partition is back"
     )
+
+
+def test_jaccard_single_shingle_exchange(spark, sf_dir):
+    """The jaccard pair pipeline must reference its shingle repartition
+    from the two self-join sides ONLY (round-11): adding the per-doc size
+    aggregates under the same exchange (4 plan references) defeats AQE's
+    runtime stage reuse in Spark 4.1 and re-materializes the full shingle
+    table — the sizes pass instead rides the pre-partition subtree as a
+    map-side-combinable count. Guard: exactly the self-join pair of
+    REPARTITION_BY_COL copies in the initial plan, never more."""
+    plan = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
+    n = plan.count("REPARTITION_BY_COL")
+    assert n <= 2, f"{n} repartition copies — sizes crept back under the shingle exchange"
