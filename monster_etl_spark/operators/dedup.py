@@ -28,8 +28,6 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -323,22 +321,22 @@ def simhash_signatures(
     ).withColumn("h", _hash64(F.col("tok"), hex_chars=SIMHASH_HEX_CHARS))
     # vote_i = (#set - #clear) = 2*sum(bit_i) - n, and sign(vote_i) > 0
     # iff 2*sum_i > n: pure-arithmetic sums (no per-row CASE branch in the
-    # 32-wide aggregate) plus ONE shared count — identical signatures,
-    # cheaper codegen than 32 conditional sums.
-    sums = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
-        for i in range(bits)
-    ]
+    # wide aggregate) plus ONE shared count — identical signatures,
+    # cheaper codegen than ``bits`` conditional sums. Built as PARSED
+    # expression strings: the Column-API construction of the 60-wide
+    # tree cost 2,457 py4j round trips = 0.85 s of driver time per plan
+    # build (cProfile, round-11); one expr() parse per aggregate is a
+    # single round trip and yields the identical Catalyst expression
+    # (guide §4 — the JVM<->Python boundary exists on the driver too).
+    sums = [F.expr(f"sum(shiftright(h, {i}) & 1) AS s{i}") for i in range(bits)]
     agg = toks.groupBy("doc").agg(*sums, F.count(F.lit(1)).alias("n_"))
-    sig = reduce(
-        lambda acc, i: acc
-        + F.when(2 * F.col(f"s{i}") > F.col("n_"), F.lit(2**i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-        range(bits),
-        F.lit(0).cast("long"),
+    # same left-fold sum of CASE terms as the Column reduce it replaces
+    # (exact integer adds; dropping the redundant leading 0L changes no
+    # value). 1<<i fits a signed BIGINT literal for bits <= 60.
+    sig_sql = " + ".join(
+        f"(CASE WHEN 2 * s{i} > n_ THEN {1 << i}L ELSE 0L END)" for i in range(bits)
     )
-    return agg.select(F.col("doc"), sig.alias("simhash"))
+    return agg.select(F.col("doc"), F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_pairs(
@@ -358,13 +356,15 @@ def simhash_pairs(
     sigs = simhash_signatures(df, id_col, text_col, bits)
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
-    chunk_arr = F.array(
-        *[
-            F.concat_ws(
-                ":", F.lit(ci), F.shiftright(F.col("simhash"), ci * chunk_bits).bitwiseAND(F.lit(mask))
-            )
+    # parsed expression string for the same reason as simhash_signatures:
+    # one py4j round trip instead of ~5 per chunk
+    chunk_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"concat_ws(':', {ci}, shiftright(simhash, {ci * chunk_bits}) & {mask})"
             for ci in range(chunks)
-        ]
+        )
+        + ")"
     )
     bucketed = sigs.select("doc", "simhash", F.explode(chunk_arr).alias("bucket"))
     a, b = bucketed.alias("a"), bucketed.alias("b")

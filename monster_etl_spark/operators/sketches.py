@@ -29,14 +29,14 @@ returns both the estimate and (for audit) the exact count, so the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 CMS_DEPTH = 4
 CMS_WIDTH = 512
 
 
-def _bucket(key: Column, row: int, width: int) -> Column:
+def _bucket_expr(key_sql: str, row: int, width: int) -> str:
     """Row-r bucket of a key: salted-md5 32-bit hash mod width (mirrors
     :func:`_bucket_sql`). NULL keys coalesce to the empty string BEFORE
     hashing: Spark's concat null-propagates (a NULL bucket would make
@@ -44,14 +44,18 @@ def _bucket(key: Column, row: int, width: int) -> Column:
     guarantee) while DuckDB's concat skips NULLs — coalescing to ''
     makes both engines bucket NULL as the empty-string key (which may
     therefore collide with actual '' keys; CMS collisions only ever
-    overestimate)."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"cms{row}|"), F.coalesce(key.cast("string"), F.lit("")))),
-            1, 8,
-        ), 16, 10
-    ).cast("long")
-    return (h % width).cast("int")
+    overestimate).
+
+    A parsed Spark-SQL string, not a Column chain: the same Catalyst
+    expression via ONE parser round trip instead of ~8 Column-API py4j
+    calls (the d-way expression fan-out made CMS plan BUILDS cost ~0.9 s
+    of driver time per bench run; round-11, guide §4 — the JVM<->Python
+    boundary exists on the driver too)."""
+    return (
+        f"CAST(CAST(conv(substring(md5(concat('cms{row}|', "
+        f"coalesce(CAST({key_sql} AS STRING), ''))), 1, 8), 16, 10) AS BIGINT) "
+        f"% {width} AS INT)"
+    )
 
 
 def _bucket_sql(key_expr: str, row: int, width: int) -> str:
@@ -66,19 +70,12 @@ def cms_build(
 ) -> DataFrame:
     """Materialize the sketch: one row per non-empty (sketch_row, bucket)
     cell with its count. At most ``depth * width`` rows total."""
-    cells = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(r).alias("sketch_row"),
-                    _bucket(F.col(key_col), r, width).alias("bucket"),
-                )
-                for r in range(depth)
-            ]
-        )
-    ).alias("cell")
+    structs = ", ".join(
+        f"named_struct('sketch_row', {r}, 'bucket', {_bucket_expr(f'`{key_col}`', r, width)})"
+        for r in range(depth)
+    )
     return (
-        df.select(cells)
+        df.selectExpr(f"explode(array({structs})) AS cell")
         .select("cell.sketch_row", "cell.bucket")
         .groupBy("sketch_row", "bucket")
         .agg(F.count(F.lit(1)).alias("cell_count"))
@@ -100,12 +97,13 @@ def cms_estimate(
         s = sketch.filter(F.col("sketch_row") == r).select(
             F.col("bucket").alias(f"_b{r}"), F.col("cell_count").alias(f"_c{r}")
         )
-        out = out.withColumn(f"_b{r}", _bucket(F.col(key_col), r, width)).join(
-            F.broadcast(s), on=f"_b{r}", how="left"
-        )
-    est = F.least(*[F.coalesce(F.col(f"_c{r}"), F.lit(0)) for r in range(depth)])
+        out = out.withColumn(
+            f"_b{r}", F.expr(_bucket_expr(f"`{key_col}`", r, width))
+        ).join(F.broadcast(s), on=f"_b{r}", how="left")
+    least_args = ", ".join(f"coalesce(_c{r}, 0)" for r in range(depth))
+    est = F.expr(f"CAST(least({least_args}) AS BIGINT)")
     drop = [c for r in range(depth) for c in (f"_b{r}", f"_c{r}")]
-    return out.withColumn("cms_estimate", est.cast("long")).drop(*drop)
+    return out.withColumn("cms_estimate", est).drop(*drop)
 
 
 def cms_heavy_hitters(

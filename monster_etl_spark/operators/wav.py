@@ -41,7 +41,10 @@ discipline).
 
 from __future__ import annotations
 
+from functools import lru_cache
 
+
+@lru_cache(maxsize=None)
 def _build_wav_codec(force_scalar=False):
     """Build the codec closures. With numpy importable (and not
     ``force_scalar``), the sample-parallel stages vectorize with exact
