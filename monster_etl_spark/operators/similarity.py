@@ -28,7 +28,33 @@ def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+# --- SQL-string twins (round-11) -------------------------------------------
+# The Column-API construction of a cosine is ~50 py4j round trips; every
+# similarity query rebuilds it on every timed bench run. When the caller
+# can name its columns, the same Catalyst tree (identical HOF lambdas,
+# double literals via the 0.0D suffix) is parsed in ONE round trip.
+# dot/norm/cosine below accept either a Column (unchanged behavior) or a
+# string column reference (parsed fast path).
+
+
+def _as_double_sql(a: str) -> str:
+    return f"transform({a}, x -> CAST(x AS DOUBLE))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + x * x))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    da, db = _as_double_sql(a), _as_double_sql(b)
+    return f"({_dot_sql(da, db)} / nullif({_norm_sql(da)} * {_norm_sql(db)}, 0.0D))"
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential-fold dot product (index order, deterministic).
 
     Measured fastest of the JVM-side strategies (512k x d=64, local):
@@ -39,14 +65,20 @@ def dot(a: Column, b: Column) -> Column:
     step-change beyond it is the Arrow select-then-rescore kernel
     (``brute_force_topk_arrow`` / ``ivf_topk_arrow``), the two audited
     named exceptions to the JVM-only policy."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_norm_sql(a))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_cosine_sql(a, b))
     da, db = _as_double(a), _as_double(b)
     return dot(da, db) / F.nullif(norm(da) * norm(db), F.lit(0.0))
 
@@ -77,7 +109,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+            F.round(cosine("qv", "nv"), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -88,10 +120,18 @@ def brute_force_topk(
     )
 
 
-def sign_bucket(vec: Column, dims: int = SIGN_LSH_DIMS) -> Column:
+def sign_bucket(vec: Column | str, dims: int = SIGN_LSH_DIMS) -> Column:
     """LSH bucket key: sign bits of the first ``dims`` components, as a
     string like ``"10110010"``. Equivalent to random-hyperplane LSH with
-    axis-aligned planes — deterministic and SQL-expressible."""
+    axis-aligned planes — deterministic and SQL-expressible. A string
+    argument takes the one-round-trip parsed path (round-11)."""
+    if isinstance(vec, str):
+        cases = ", ".join(
+            f"CASE WHEN CAST(element_at({vec}, {i + 1}) AS DOUBLE) >= 0 "
+            "THEN '1' ELSE '0' END"
+            for i in range(dims)
+        )
+        return F.expr(f"concat({cases})")
     bits = [
         F.when(F.element_at(vec, i + 1).cast("double") >= 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(dims)
@@ -99,12 +139,28 @@ def sign_bucket(vec: Column, dims: int = SIGN_LSH_DIMS) -> Column:
     return F.concat(*bits)
 
 
-def multiprobe_buckets(vec: Column, dims: int = SIGN_LSH_DIMS) -> Column:
+def multiprobe_buckets(vec: Column | str, dims: int = SIGN_LSH_DIMS) -> Column:
     """Multi-probe LSH probe set: the exact sign pattern plus every
     1-bit-flipped pattern (``dims + 1`` probes). Probing neighbors in
     sign-space recovers most of the recall lost to bucketing WITHOUT
     growing corpus-side buckets — only the (small) query side fans out,
-    so the join stays linear in bucket sizes."""
+    so the join stays linear in bucket sizes. A string argument takes
+    the one-round-trip parsed path (round-11)."""
+    if isinstance(vec, str):
+        def bit_sql(i: int) -> str:
+            return (
+                f"CASE WHEN CAST(element_at({vec}, {i + 1}) AS DOUBLE) >= 0 "
+                "THEN 1 ELSE 0 END"
+            )
+
+        def pattern_sql(flip: int) -> str:
+            return "concat(" + ", ".join(
+                f"CAST({f'1 - ({bit_sql(i)})' if i == flip else bit_sql(i)} AS STRING)"
+                for i in range(dims)
+            ) + ")"
+
+        probes = ", ".join(pattern_sql(f) for f in [-1, *range(dims)])
+        return F.expr(f"array({probes})")
     bits = [
         F.when(F.element_at(vec, i + 1).cast("double") >= 0, F.lit(1)).otherwise(F.lit(0))
         for i in range(dims)
@@ -138,19 +194,19 @@ def lsh_topk(
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            F.explode(multiprobe_buckets(F.col(vec_col), dims)).alias("bucket"),
+            F.explode(multiprobe_buckets(vec_col, dims)).alias("bucket"),
         )
     else:
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            sign_bucket(F.col(vec_col), dims).alias("bucket"),
+            sign_bucket(vec_col, dims).alias("bucket"),
         )
     c = _spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("nv"),
-            sign_bucket(F.col(vec_col), dims).alias("bucket"),
+            sign_bucket(vec_col, dims).alias("bucket"),
         )
     )
     scored = (
@@ -159,7 +215,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+            F.round(cosine("qv", "nv"), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -206,7 +262,7 @@ def embedding_dup_pairs(
         df.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
-            sign_bucket(F.col(vec_col), dims).alias("bucket"),
+            sign_bucket(vec_col, dims).alias("bucket"),
         )
     )
     a, b = v.alias("a"), v.alias("b")
@@ -215,7 +271,7 @@ def embedding_dup_pairs(
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine_sim"),
+            F.round(cosine("a.vec", "b.vec"), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -352,7 +408,7 @@ def _with_unit(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     re-running the norm |vec| times per row. ``zip_with`` against
     ``array_repeat(norm, size)`` keeps the norm in argument position —
     evaluated once per row no matter how projections collapse."""
-    vnorm = norm(_as_double(F.col(vec_col)))
+    vnorm = F.expr(_norm_sql(_as_double_sql(vec_col)))
     return df.withColumn(
         out_col,
         F.when(
@@ -733,7 +789,7 @@ def kmeans_centroids(
         cent = (
             # re-normalize the mean (spherical k-means): unit centroids keep
             # the next round's similarity a plain dot product
-            cent.withColumn("_mnorm", norm(F.col("mv")))
+            cent.withColumn("_mnorm", norm("mv"))
             .filter(F.col("_mnorm") > 0)
             .select(
                 "cent_id",
@@ -912,7 +968,7 @@ def ivf_topk(
             "neighbor_id",
             # both sides are unit vectors: cosine == plain dot (one HOF
             # aggregate per pair instead of three)
-            F.round(dot(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+            F.round(dot("qv", "nv"), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -1216,7 +1272,7 @@ def semantic_dup_pairs(
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            F.round(dot(F.col("a.u"), F.col("b.u")), 6).alias("cosine_sim"),
+            F.round(dot("a.u", "b.u"), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -1300,7 +1356,7 @@ def brute_force_topk_blocked(
             "block",
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+            F.round(cosine("qv", "nv"), 6).alias("cosine_sim"),
         )
     )
     wb = Window.partitionBy("query_id", "block").orderBy(
@@ -2236,7 +2292,7 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+            F.round(cosine("qv", "nv"), 6).alias("cosine_sim"),
         )
         .withColumn(
             "rank",
@@ -2459,7 +2515,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+            F.round(cosine("qv", "nv"), 6).alias("cosine_sim"),
         )
         .withColumn(
             "rank",

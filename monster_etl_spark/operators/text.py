@@ -687,6 +687,11 @@ def bigram_logprob(
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE), lambda x: x != ""
     )
+    # spread TRIED and REVERTED (round-11): parallelizing the explode
+    # costs a round-robin shuffle of the token ARRAYS (heavier than the
+    # text) — measured neutral-to-worse on two bench runs (guide §8), so
+    # the serial explode stays. (The A/B did prove the per-doc double sum
+    # bit-identical under either partitioning at all three driver SFs.)
     base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
     n = F.size("toks")
     pairs = F.when(

@@ -19,6 +19,9 @@ SESSION_GAP_MINUTES = 30
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-path scalar extraction from the events props payload +
     aggregate per event type (sums exact via BIGINT)."""
+    # spread TRIED and REVERTED (round-11): on this 0.3 s query the
+    # extra AQE stage costs more than the serial JSON parse it saves
+    # (1.4x slower, two bench runs)
     e = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return (
@@ -109,6 +112,8 @@ GROUP BY 1, 2
 
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style time rollup: truncate-to-hour continuous aggregate."""
+    # spread TRIED and REVERTED (round-11): 1.4-1.8x slower on two bench
+    # runs — the added exchange dominates this sub-second aggregate
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
@@ -407,7 +412,7 @@ def q_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.user_id").alias("user_a"),
             F.col("b.user_id").alias("user_b"),
-            F.round(sim.cosine(F.col("a.v"), F.col("b.v")), 6).alias("pattern_corr"),
+            F.round(sim.cosine("a.v", "b.v"), 6).alias("pattern_corr"),
         )
         .filter(F.col("pattern_corr") >= PROFILE_MIN_CORR)
     )

@@ -696,6 +696,10 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of q_key_skew_profile's exact top-k."""
     from monster_etl_spark.operators.sketches import cms_heavy_hitters
 
+    # spread TRIED and REVERTED (round-11): the round-robin exchange is
+    # referenced by both the sketch build and the exact-count subtree, so
+    # it materializes an extra full pass — 1.3-1.45x slower on two bench
+    # runs (guide §8)
     ev = load(spark, sf_dir, "events")
     return cms_heavy_hitters(ev, "user_id", CMS_MIN_COUNT).select(
         "user_id", "exact_count", "cms_estimate"

@@ -34,8 +34,19 @@ def _r(c: str) -> F.Column:
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan-filter-aggregate on the fact table."""
-    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+    """TPC-H Q1 shape: scan-filter-aggregate on the fact table.
+
+    The partial aggregation is the heavy term (8 decimal sums over every
+    row) and the test corpus is a single parquet row group, so without a
+    spread it runs SERIALLY inside the scan task (measured: one 0.99 s
+    task at sf0.1 — round-11, guide §2.6 stragglers). ``spread`` is a
+    no-op at scale and safe here because every aggregate is an exact
+    decimal sum or a count — partition order cannot change any value."""
+    from monster_etl_spark.operators.partitioning import spread
+
+    l = spread(
+        load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+    )
     one = F.lit(1).cast(DEC_RATE)
     return (
         l.groupBy("l_returnflag", "l_linestatus")
@@ -207,7 +218,12 @@ FROM orders
 
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-set aggregation (status x priority hierarchy)."""
-    o = load(spark, sf_dir, "orders")
+    from monster_etl_spark.operators.partitioning import spread
+
+    # spread: the rollup's partial aggregation (exact decimal sums +
+    # counts) otherwise runs serially in the single-split orders scan
+    # task (round-11, guide §2.6; no-op at scale)
+    o = spread(load(spark, sf_dir, "orders"))
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(

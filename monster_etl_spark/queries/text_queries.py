@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from monster_etl_spark.operators import text as tx
+from monster_etl_spark.operators.partitioning import spread as _spread
 from monster_etl_spark.queries import QuerySpec, load
 
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -22,6 +23,11 @@ def _sql_stop_count(stopwords: tuple[str, ...]) -> str:
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO spread here (round-11, considered and rejected): the projection
+    # is cheap regex counting, and tests/test_plans.py pins this query as
+    # the exchange-free narrow-map exemplar — trading that invariant for
+    # ~0.2 s of local parallelism is the wrong side of guide §8 (don't
+    # shuffle the payload to parallelize trivial per-row work).
     d = load(spark, sf_dir, "documents")
     c = F.col("text")
     return d.select(
@@ -62,7 +68,8 @@ FROM documents
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # spread: same serial-scan-projection fix as text_token_stats
+    d = _spread(load(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -103,7 +110,8 @@ def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     are materialized as projected columns between select steps — the
     inline-lambda form re-tokenized per element (CollapseProject does
     not CSE lambda subtrees): 24.6s -> ~4s at sf0.1."""
-    d = load(spark, sf_dir, "documents")
+    # spread: same serial-scan-projection fix as text_token_stats
+    d = _spread(load(spark, sf_dir, "documents"))
     toks = d.select("doc_id", tx.tokens(F.col("text")).alias("__toks__"))
     grams = toks.select(
         "doc_id", "__toks__", tx.ngram_array(F.col("__toks__")).alias("__grams__")
@@ -418,7 +426,13 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher heuristic quality gate (Rae et al. 2021 §A1.1): word count,
     mean word length, alphabetic-word fraction, top-bigram share, distinct
     stopwords, and the combined pass flag. Pure narrow map stage."""
-    d = load(spark, sf_dir, "documents")
+    from monster_etl_spark.operators.partitioning import spread
+
+    # row-independent projection, but the per-doc top-bigram count is
+    # quadratic in doc length and the single-row-group corpus otherwise
+    # evaluates it SERIALLY in the scan task (one 0.65 s task at sf0.1 —
+    # round-11, guide §2.6; no-op at scale)
+    d = spread(load(spark, sf_dir, "documents"))
     return tx.gopher_features(d).select(
         "doc_id",
         "n_words",
@@ -582,7 +596,9 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear classifier inference (fastText-style quality filter)
     as columnar expressions: feature-hash -> broadcast weight join ->
     integer-exact mean pooling -> sigmoid."""
-    return tx.hashed_linear_score(load(spark, sf_dir, "documents"))
+    # spread: same serial-scan-projection fix as text_token_stats (the
+    # hashed-feature pooling is integer-exact, row-independent)
+    return tx.hashed_linear_score(_spread(load(spark, sf_dir, "documents")))
 
 
 def _classifier_sql() -> str:

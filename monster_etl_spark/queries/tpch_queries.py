@@ -121,6 +121,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 shape: per-key average subquery as a filter (rows below 50% of
     their part's average quantity). Catalyst rewrites the correlated
     aggregate into a join against the pre-aggregated averages."""
+    # spread was TRIED and REVERTED here (round-11): the round-robin
+    # exchange feeds BOTH the per-part average and the join probe, so it
+    # adds a third full-table shuffle of lineitem — measured 2.0-2.6x
+    # slower on two bench runs (guide §8: don't shuffle the payload to
+    # parallelize cheap per-row work)
     l = load(spark, sf_dir, "lineitem")
     avg_qty = l.groupBy(F.col("l_partkey").alias("pk")).agg(
         (F.sum(F.col("l_quantity").cast(DEC_P)).cast("double") / F.count(F.lit(1))).alias("avg_qty")
@@ -152,6 +157,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: HAVING-filtered keys feed an IN over the join (big-order
     customers). customer is SF-proportional, so no forced broadcast —
     AQE decides (and at small SF still picks broadcast on its own)."""
+    # spread TRIED and REVERTED (round-11): the l_orderkey partial agg is
+    # only mildly reductive (~4 rows/order), so the round-robin pre-pass
+    # costs as much as it parallelizes — measured >= 1.0x on both bench
+    # runs (contrast q1, whose 8-sums-to-6-groups partial agg kept it)
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")

@@ -91,6 +91,16 @@ def get_spark(
         # (target stays max(bytes/defaultParallelism, floor)); at scale
         # bytes/parallelism >> advisory, so this is inert at 100 TB
         # (round-11; guide §2.5 stragglers / §2.2 partition sizing).
+        # 16k was TRIED and REVERTED (round-11 second pass): a stage
+        # sweep showed 0.3-0.7 s coalesced-to-one-task stages on
+        # sub-256k CPU-dense shuffles, but lowering the floor globally
+        # exploded task counts on the mid-size (tens-of-MB) shuffles —
+        # measured on text_bigram_logprob: floor 256k = 1.43 s best /
+        # no >=100-task stages; 16k = 3.24 s with four 512-task stages;
+        # 64k = 9.4 s with 144-task stages (per-task codegen/hash-build
+        # setup dominates CPU-dense joins). Bytes-blind global floors
+        # cannot fix per-operator serialization; the remaining serial
+        # tails are accepted (or spread at the operator where safe).
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         # PySpark 4's DataFrame-debugging wrapper adds ~3 py4j round
         # trips (conf.get + origin set/clear) plus a Python stack walk to
