@@ -247,6 +247,17 @@ def _box_state(cap: int = 8) -> dict:
         ]
     except Exception:
         state["loadavg"] = None
+    # cumulative hypervisor-steal ticks (field 8 of /proc/stat's cpu
+    # line): round-11 found the box stalls in BURSTS the loadavg/stray
+    # probes cannot see (single runs 30x their steady on an "idle" box);
+    # the box_start -> box_end steal delta is the direct evidence for
+    # that class of contamination.
+    try:
+        cpu = open("/proc/stat").readline().split()
+        state["steal_ticks"] = int(cpu[8])
+        state["total_ticks"] = sum(int(x) for x in cpu[1:])
+    except Exception:
+        state["steal_ticks"] = None
     ppid_of: dict[int, int] = {}
     cmd_of: dict[int, str] = {}
     try:
@@ -1032,6 +1043,18 @@ def main() -> None:
     fingerprint = _session_fingerprint(spark)
     out["session"] = fingerprint
     out["box_start"] = box_start
+    # box_end + steal delta over the whole headline loop (round-11):
+    # bursty hypervisor stalls are invisible to loadavg/stray sampling
+    # but show directly as stolen ticks. steal_pct is stolen share of
+    # all cpu ticks between the two samples.
+    box_end = _box_state()
+    out["box_end"] = box_end
+    try:
+        ds = box_end["steal_ticks"] - box_start["steal_ticks"]
+        dt = box_end["total_ticks"] - box_start["total_ticks"]
+        out["steal_pct_during"] = round(100.0 * ds / dt, 2) if dt > 0 else None
+    except Exception:
+        out["steal_pct_during"] = None
     if plan_hash_cur:
         out["plan_hash"] = plan_hash_cur
     bases = _round_baselines(here, float(sf), limit=2)

@@ -372,3 +372,14 @@ def test_prev_summary_anchors_to_round_boundary_commit():
     # what attribution needs — same sf, full per-query coverage — not
     # total equality.
     assert set(parsed.get("queries", {})) <= set(got["queries"])
+
+
+def test_box_state_records_steal_ticks():
+    """Round-11: bursty hypervisor steal is invisible to loadavg/stray
+    sampling (single runs read 30x their steady on an 'idle' box); the
+    sidecar therefore records cumulative steal/total ticks at box_start
+    and box_end so the run's steal share is first-class evidence."""
+    state = bench._box_state()
+    assert state.get("steal_ticks") is not None
+    assert state.get("total_ticks") is not None
+    assert 0 <= state["steal_ticks"] <= state["total_ticks"]
