@@ -9,14 +9,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# (applicationId, analyzed-plan semanticHash, target) -> partition count.
+# (applicationId, analyzed-plan semanticHash) -> partition count.
 # The probe (`df.rdd.getNumPartitions()`) physically plans the probed
 # subtree just to read one integer — ~50-90 ms of driver time per call,
 # paid on EVERY plan build because builds mint fresh DataFrames
 # (round-11 cProfile). The count is deterministic per analyzed plan
-# within a session (static inputs, fixed session confs), so it is plan
-# METADATA — memoizing it is the probe-side twin of the reader's schema
-# memo, not result caching: every action still scans parquet.
+# within a session ASSUMING STATIC INPUTS (if the underlying files
+# changed mid-session the memo would go stale — harmless for spread():
+# worst case a redundant or missing repartition, perf-only, never
+# correctness) and fixed session confs, so it is plan METADATA —
+# memoizing it is the probe-side twin of the reader's schema memo, not
+# result caching: every action still scans parquet.
 _NPART_MEMO: dict = {}
 
 

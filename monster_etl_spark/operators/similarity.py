@@ -37,6 +37,17 @@ def _as_double(arr: Column) -> Column:
 # string column reference (parsed fast path).
 
 
+def _qid(name: str) -> str:
+    """Backtick-quote a plain or dot-qualified column identifier for the
+    parsed SQL fast paths (round-11 advice: a reserved-word or
+    special-char column name broke parsing / mis-resolved where the
+    Column path handled it). Splitting on '.' treats each segment as one
+    identifier — matching how every caller writes qualified refs
+    ("a.vec"); a column whose NAME contains a literal dot must use the
+    Column overloads."""
+    return ".".join("`" + part.replace("`", "``") + "`" for part in name.split("."))
+
+
 def _as_double_sql(a: str) -> str:
     return f"transform({a}, x -> CAST(x AS DOUBLE))"
 
@@ -66,19 +77,19 @@ def dot(a: Column | str, b: Column | str) -> Column:
     (``brute_force_topk_arrow`` / ``ivf_topk_arrow``), the two audited
     named exceptions to the JVM-only policy."""
     if isinstance(a, str) and isinstance(b, str):
-        return F.expr(_dot_sql(a, b))
+        return F.expr(_dot_sql(_qid(a), _qid(b)))
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
 def norm(a: Column | str) -> Column:
     if isinstance(a, str):
-        return F.expr(_norm_sql(a))
+        return F.expr(_norm_sql(_qid(a)))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
     if isinstance(a, str) and isinstance(b, str):
-        return F.expr(_cosine_sql(a, b))
+        return F.expr(_cosine_sql(_qid(a), _qid(b)))
     da, db = _as_double(a), _as_double(b)
     return dot(da, db) / F.nullif(norm(da) * norm(db), F.lit(0.0))
 
@@ -126,6 +137,7 @@ def sign_bucket(vec: Column | str, dims: int = SIGN_LSH_DIMS) -> Column:
     axis-aligned planes — deterministic and SQL-expressible. A string
     argument takes the one-round-trip parsed path (round-11)."""
     if isinstance(vec, str):
+        vec = _qid(vec)
         cases = ", ".join(
             f"CASE WHEN CAST(element_at({vec}, {i + 1}) AS DOUBLE) >= 0 "
             "THEN '1' ELSE '0' END"
@@ -147,6 +159,8 @@ def multiprobe_buckets(vec: Column | str, dims: int = SIGN_LSH_DIMS) -> Column:
     so the join stays linear in bucket sizes. A string argument takes
     the one-round-trip parsed path (round-11)."""
     if isinstance(vec, str):
+        vec = _qid(vec)
+
         def bit_sql(i: int) -> str:
             return (
                 f"CASE WHEN CAST(element_at({vec}, {i + 1}) AS DOUBLE) >= 0 "
