@@ -692,6 +692,24 @@ def bigram_logprob(
     # text) — measured neutral-to-worse on two bench runs (guide §8), so
     # the serial explode stays. (The A/B did prove the per-doc double sum
     # bit-identical under either partitioning at all three driver SFs.)
+    #
+    # Round-12 TRIED and REVERTED (three more variants, each interleaved
+    # A/B'd vs the prior commit; oracle-green but all SLOWER at sf0.1):
+    # (a) spread the RAW TEXT above this two-explode shape: column
+    #     pruning makes the two consumers' RR exchanges differ (doc kept
+    #     for pairs, pruned for unigrams), so the scan+shuffle ran TWICE
+    #     (plan evidence: two 1-task 0.85/0.83 MB shuffle-write stages);
+    # (b) single-explode restructure — emit (w1=tok[i], w2=tok[i+1]|NULL)
+    #     per POSITION so uni derives from the same (doc,w1,w2) aggregate
+    #     (counts proven identical; oracle PASS at all 3 SFs): A/B 1.80 s
+    #     vs 1.48 s old — u1/u2/total + the join chain give the heavy
+    #     pair exchange 4 plan references, defeating AQE stage reuse
+    #     (the round-11 jaccard lesson), so the explode re-materializes;
+    # (c) variant (b) plus an 8-way text spread: A/B 1.79 s vs 1.35 s.
+    # The 0.67 s serial explode is a single-split test-SF artifact — at
+    # scale the input arrives multi-split and parallelizes naturally —
+    # so the two-explode shape stays (guide §1.2: the right distributed
+    # algorithm at scale beats micro-fixes tuned to the small SF).
     base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
     n = F.size("toks")
     pairs = F.when(
